@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.InvertedIndex
+import graft.ops._
+import graft.text.Normalize
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's full named-query surface: the reference's
+  * own pipeline (inverted index + cosine k-means) plus the relational /
+  * text / dedup / similarity / multimodal operator suites. Entries with
+  * DuckDB-expressible semantics also appear in `oracleSql` (same column
+  * names, deterministic ordering) for the driver's hash-compare.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def allDefs: Seq[QueryDef] =
+    Relational.all ++ TextAnalytics.all ++ Dedup.all ++ Similarity.all ++
+      NonOracle.all
+
+  /** Flagship: reference Job 1 (normalize -> term-document matrix) over
+    * the sf0.001 documents corpus; driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count().toInt
+    InvertedIndex.termDocMatrix(Normalize.tokens(docs), n)
+      .orderBy(col("term"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(q => q.name -> q.build).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (Porter stemming, k-means, engine-hash dedup, LSH, multimodal).
+    */
+  def oracleSql: Map[String, String] =
+    allDefs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

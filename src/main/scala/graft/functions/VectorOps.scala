@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Primitive-typed vector kernels shared by the interpreted and
+  * codegen paths of the custom Catalyst expressions. Operating on
+  * `ArrayData` directly (getDouble/getFloat) avoids per-element boxing,
+  * which is what makes the custom expressions beat the equivalent
+  * higher-order-function (`aggregate`/`zip_with`) formulation in the
+  * hot loops of similarity search at scale.
+  */
+object VectorOps {
+
+  /** Cosine similarity between two double vectors.
+    * Formula pinned as dot / (sqrt(na) * sqrt(nb)) — the same literal
+    * formula used in the DuckDB oracle SQL so both engines produce
+    * bit-identical doubles on identical inputs.
+    * Returns 0.0 when either norm is zero (degenerate vector).
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Cosine distance = 1 - cosine similarity. The reference computes
+    * this (intendedly) at ProcessData.java:567-576; its `^`-as-power
+    * bug is fixed here per SURVEY.md §7 D2.
+    */
+  def cosineDistance(a: ArrayData, b: ArrayData): Double =
+    1.0 - cosine(a, b)
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  def norm(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** 64-bit SimHash over an array of term-id longs: bit b of the hash is
+    * set when the sum over terms of +/-1 (bit b of mix(term)) is positive.
+    */
+  def simhash64(termIds: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = termIds.numElements()
+    var i = 0
+    while (i < n) {
+      val h = mix64(termIds.getLong(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** splitmix64 finalizer — public-domain bit mixer. */
+  def mix64(v: Long): Long = {
+    var z = v + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}

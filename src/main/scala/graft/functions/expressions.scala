@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions. Each participates in whole-stage codegen
+  * (via `defineCodeGen` emitting a static call into a primitive kernel),
+  * so they fuse into the surrounding generated stage instead of breaking
+  * it the way a Scala UDF would (UDF = SafeProjection round-trip + boxed
+  * invocation per row).
+  */
+
+/** Porter stem of a string column. The reference's only nontrivial
+  * scalar function (ProcessData.java:45-361); here a codegen-friendly
+  * unary expression over the pure kernel in [[graft.text.Porter]].
+  */
+case class PorterStemExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "porter_stem"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.text.Porter.stem(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.text.Porter.stem($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): PorterStemExpr =
+    copy(child = newChild)
+}
+
+/** Cosine similarity between two ARRAY<DOUBLE> columns. */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarityExpr =
+    copy(left = l, right = r)
+}
+
+/** Cosine distance (1 - similarity); the reference's K2 operator with
+  * its XOR-as-power bug fixed (SURVEY.md §7 D2).
+  */
+case class CosineDistanceExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosineDistance(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosineDistance($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineDistanceExpr =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash of an ARRAY<BIGINT> of term ids. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.simhash64(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** Column-level entry points (the library's scalar-function surface). */
+object functions {
+  def porter_stem(c: Column): Column =
+    Shim.column(PorterStemExpr(Shim.expression(c)))
+
+  def cosine_similarity(a: Column, b: Column): Column =
+    Shim.column(
+      CosineSimilarityExpr(Shim.expression(a), Shim.expression(b)))
+
+  def cosine_distance(a: Column, b: Column): Column =
+    Shim.column(
+      CosineDistanceExpr(Shim.expression(a), Shim.expression(b)))
+
+  def simhash64(c: Column): Column =
+    Shim.column(SimHash64Expr(Shim.expression(c)))
+
+  /** Register the functions for SQL use in an existing session
+    * (idempotent). For new sessions prefer
+    * `.withExtensions(new GraftExtensions)`.
+    */
+  def register(spark: SparkSession): Unit = GraftExtensions.register { (name, builder) =>
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+  }
+}
+
+/** SparkSessionExtensions installer:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftExtensions.register { (name, builder) =>
+      ext.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+          builder))
+    }
+}
+
+object GraftExtensions {
+  private[functions] def register(
+      f: (String, Seq[Expression] => Expression) => Unit): Unit = {
+    f("porter_stem", es => PorterStemExpr(es.head))
+    f("cosine_similarity", es => CosineSimilarityExpr(es(0), es(1)))
+    f("cosine_distance", es => CosineDistanceExpr(es(0), es(1)))
+    f("simhash64", es => SimHash64Expr(es.head))
+  }
+}

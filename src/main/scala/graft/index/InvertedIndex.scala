@@ -1,0 +1,73 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inverted-index / term-document matrix construction (reference Job 1:
+  * operators A1-A3, ProcessData.java:454-472).
+  *
+  * The reference reduces each term's postings into a dense 0/1 presence
+  * vector of width N = corpus size, with set semantics (duplicate
+  * (term, doc) postings collapse, :463-465). Spark formulation: one
+  * hash-aggregate on `term` (the pipeline's single exchange), building
+  * the posting set with `collect_set` and densifying with built-in
+  * array expressions — Catalyst runs the aggregation as sound
+  * partial + final (the map-side combine the reference had to disable,
+  * :653).
+  *
+  * Scale note: a dense presence vector of width N is only sane for
+  * bounded N (the reference caps it at 1000 files, :637). At 100 TB the
+  * posting *list* form (`postings`) is the primary representation —
+  * sorted doc-id arrays per term, which stay proportional to actual
+  * postings; the dense form is derived, for workloads (like the
+  * reference's clustering) that want fixed-width vectors.
+  */
+object InvertedIndex {
+
+  /** tokens(doc_id, term) -> postings(term, doc_ids ARRAY<BIGINT> sorted). */
+  def postings(tokens: DataFrame): DataFrame =
+    tokens
+      .groupBy(col("term"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("doc_ids"))
+
+  /** tokens(doc_id, term) -> matrix(term, vec ARRAY<INT> of width n).
+    *
+    * `vec(i) = 1` iff doc with id = `firstId + i` contains the term.
+    * The reference requires doc ids in 1..N (AIOOBE otherwise,
+    * :463-465); here the id domain is [firstId, firstId + n).
+    */
+  def termDocMatrix(tokens: DataFrame, n: Int, firstId: Long = 0L): DataFrame =
+    postings(tokens).select(
+      col("term"),
+      transform(
+        sequence(lit(firstId), lit(firstId + n - 1)),
+        d => when(array_contains(col("doc_ids"), d), 1).otherwise(0)
+      ).as("vec"))
+
+  /** Document frequency per term (the classic IDF numerator). */
+  def docFreq(tokens: DataFrame): DataFrame =
+    tokens.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+
+  /** TF-IDF weighted postings: (doc_id, term, tf, df, tfidf). */
+  def tfidf(tokens: DataFrame, nDocs: Long): DataFrame = {
+    val tf = tokens.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = docFreq(tokens)
+    // term dictionary is small relative to postings: broadcast when it
+    // fits, else Catalyst/AQE picks a shuffled hash join on `term`.
+    tf.join(df, "term")
+      .withColumn("tfidf",
+        col("tf") * log(lit(nDocs.toDouble + 1.0) / (col("df") + 1.0)))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Reference byte-format serialization of a presence vector:
+    * `[b1,b2,...,bN,]` — note the trailing comma (ProcessData.java:457-469).
+    * Only for byte-compat text output; not used internally.
+    */
+  def referenceFormat(matrix: DataFrame): DataFrame =
+    matrix.select(
+      col("term"),
+      concat(lit("["), concat_ws(",", col("vec")), lit(",]")).as("line"))
+}

@@ -1,0 +1,278 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.functions.simhash64
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * token-set Jaccard, MinHash+LSH, and SimHash — each as a reusable
+  * DataFrame transform plus (where the semantics are SQL-expressible
+  * with engine-neutral hashing) an oracle-checked query.
+  *
+  * Portability note for the oracle-checked variants: MinHash/SimHash
+  * normally use an engine hash (xxhash64) that DuckDB can't reproduce,
+  * so the oracle queries first build a deterministic term dictionary
+  * (dense_rank over sorted distinct tokens) and hash the *ids* with
+  * plain modular arithmetic — identical in any SQL engine. The
+  * production-path variants (`minhashCandidates`, `simhashPairs`) use
+  * xxhash64 directly: no dictionary, no global window, fully
+  * shuffle-parallel — that is the 100 TB path.
+  */
+object Dedup {
+
+  import TextAnalytics.toks
+
+  private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  def all: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29)
+
+  /** Exact dedup on a normalized key: keep the lowest doc_id per group.
+    * Scale: one hash exchange on the key; with pre-partitioned/bucketed
+    * input it is exchange-free. (dropDuplicates has nondeterministic
+    * keep-policy; min-per-group is the deterministic engine policy.)
+    */
+  val q25: QueryDef = QueryDef.sql(
+    "q25_dedup_exact",
+    """SELECT substring(text, 1, 30) AS key_prefix,
+      |  min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM documents
+      |GROUP BY key_prefix
+      |ORDER BY keep_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(substring(col("text"), 1, 30).as("key_prefix"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** Exact near-dup ground truth: pairwise token-set Jaccard >= 0.5
+    * over a bounded candidate set (doc_id < 100 — at scale, candidates
+    * come from LSH, never from a full cross join; this query is the
+    * *verifier* stage that LSH candidates feed).
+    */
+  val q26: QueryDef = QueryDef.sql(
+    "q26_jaccard_pairs",
+    s"""WITH t AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest($duckToks) AS term
+       |    FROM documents WHERE doc_id < 100)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+       |  FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY d1, d2)
+       |SELECT d1, d2, n_common,
+       |  n_common / (s1.n + s2.n - n_common) AS jaccard
+       |FROM inter
+       |JOIN sz s1 ON s1.doc_id = d1
+       |JOIN sz s2 ON s2.doc_id = d2
+       |WHERE n_common / (s1.n + s2.n - n_common) >= 0.5
+       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .distinct()
+    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = t.toDF("d1", "term")
+      .join(t.toDF("d2", "term2"), col("term") === col("term2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common") / (col("n1") + col("n2") - col("n_common"))
+    inter
+      .join(sz.toDF("dk1", "n1"), col("dk1") === col("d1"))
+      .join(sz.toDF("dk2", "n2"), col("dk2") === col("d2"))
+      .select(col("d1"), col("d2"), col("n_common"), jac.as("jaccard"))
+      .filter(jac >= 0.5)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // --- portable MinHash over a deterministic term dictionary ---------
+
+  /** Engine-neutral token-id assignment + 16 modular MinHashes.
+    * h_j(tid) = ((2j+1)*tid + 97j + 13) mod 1000003, minhash_j = min.
+    */
+  private def dictTokens(s: SparkSession, dir: String, maxDoc: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, dir)
+      .filter(col("doc_id") < maxDoc)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .distinct()
+    // global dictionary window: fine for a vocabulary (small by nature);
+    // the production path uses xxhash64 and needs no dictionary at all.
+    val dict = t.select(col("term")).distinct()
+      .withColumn("tid", dense_rank().over(Window.orderBy(col("term"))).cast("bigint"))
+    t.join(dict, "term")
+  }
+
+  private def minhashes(tokens: DataFrame, nHashes: Int): DataFrame =
+    tokens
+      .withColumn("j", explode(sequence(lit(0L), lit(nHashes - 1L))))
+      .select(col("doc_id"), col("j"),
+        (((lit(2L) * col("j") + 1L) * col("tid") + lit(97L) * col("j") + 13L) % 1000003L).as("h"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(col("h")).as("mh"))
+
+  private def sigExpr: Column =
+    concat_ws(",",
+      transform(array_sort(collect_list(struct(col("j"), col("mh")))),
+        s => s.getField("mh").cast("string")))
+
+  val q27: QueryDef = QueryDef.sql(
+    "q27_minhash_signatures",
+    s"""WITH t AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest($duckToks) AS term
+       |    FROM documents WHERE doc_id < 200)),
+       |dict AS (
+       |  SELECT term, dense_rank() OVER (ORDER BY term) AS tid
+       |  FROM (SELECT DISTINCT term FROM t)),
+       |mh AS (
+       |  SELECT t.doc_id, g.j,
+       |    min(((2*g.j + 1) * d.tid + 97*g.j + 13) % 1000003) AS mh
+       |  FROM t JOIN dict d USING (term)
+       |  CROSS JOIN (SELECT unnest(range(16)) AS j) g
+       |  GROUP BY t.doc_id, g.j)
+       |SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+       |FROM mh GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    minhashes(dictTokens(s, dir, 200), 16)
+      .groupBy(col("doc_id"))
+      .agg(sigExpr.as("sig"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** LSH banding: 4 bands x 4 hashes; docs sharing any band signature
+    * are near-dup candidates. Scale: the band join is an equi-join on
+    * (band, band_sig) — pure hash shuffle, no cross join anywhere.
+    */
+  val q28: QueryDef = QueryDef.sql(
+    "q28_lsh_candidates",
+    s"""WITH t AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest($duckToks) AS term
+       |    FROM documents WHERE doc_id < 200)),
+       |dict AS (
+       |  SELECT term, dense_rank() OVER (ORDER BY term) AS tid
+       |  FROM (SELECT DISTINCT term FROM t)),
+       |mh AS (
+       |  SELECT t.doc_id, g.j,
+       |    min(((2*g.j + 1) * d.tid + 97*g.j + 13) % 1000003) AS mh
+       |  FROM t JOIN dict d USING (term)
+       |  CROSS JOIN (SELECT unnest(range(16)) AS j) g
+       |  GROUP BY t.doc_id, g.j),
+       |bands AS (
+       |  SELECT doc_id, CAST(floor(j / 4) AS BIGINT) AS band,
+       |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig
+       |  FROM mh GROUP BY doc_id, band)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_sig = b.band_sig
+       |  AND a.doc_id < b.doc_id
+       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val bands = minhashes(dictTokens(s, dir, 200), 16)
+      .withColumn("band", floor(col("j") / 4).cast("bigint"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(sigExpr.as("band_sig"))
+    bands.toDF("d1", "band", "band_sig")
+      .join(bands.toDF("d2", "band2", "band_sig2"),
+        col("band") === col("band2") && col("band_sig") === col("band_sig2")
+          && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Portable 16-bit SimHash signatures over the term dictionary:
+    * bit_j = sign of sum over terms of +/-1 drawn from
+    * ((tid*(2j+13)) mod 7919) mod 2.
+    */
+  val q29: QueryDef = QueryDef.sql(
+    "q29_simhash_signatures",
+    s"""WITH t AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest($duckToks) AS term
+       |    FROM documents WHERE doc_id < 200)),
+       |dict AS (
+       |  SELECT term, dense_rank() OVER (ORDER BY term) AS tid
+       |  FROM (SELECT DISTINCT term FROM t)),
+       |bits AS (
+       |  SELECT t.doc_id, g.j,
+       |    CASE WHEN sum(CASE WHEN ((d.tid * (2*g.j + 13)) % 7919) % 2 = 1
+       |                       THEN 1 ELSE -1 END) > 0
+       |         THEN '1' ELSE '0' END AS bit
+       |  FROM t JOIN dict d USING (term)
+       |  CROSS JOIN (SELECT unnest(range(16)) AS j) g
+       |  GROUP BY t.doc_id, g.j)
+       |SELECT doc_id, string_agg(bit, '' ORDER BY j) AS sig
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val bits = dictTokens(s, dir, 200)
+      .withColumn("j", explode(sequence(lit(0L), lit(15L))))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(
+        when(((col("tid") * (lit(2L) * col("j") + 13L)) % 7919L % 2L) === 1L, 1)
+          .otherwise(-1)).as("s"))
+      .select(col("doc_id"), col("j"),
+        when(col("s") > 0, "1").otherwise("0").as("bit"))
+    bits.groupBy(col("doc_id"))
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("j"), col("bit")))),
+          s => s.getField("bit"))).as("sig"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- production-path (engine-hash) variants: the 100 TB path -------
+
+  /** MinHash-LSH candidates using xxhash64 shingles: no dictionary, no
+    * global window — every stage is hash-partitioned and linear in the
+    * corpus. `nHashes` permutations approximated by re-seeding xxhash64.
+    */
+  def minhashCandidates(docs: DataFrame, nHashes: Int = 32, bandSize: Int = 4,
+                        shingleSize: Int = 3): DataFrame = {
+    val shingled = docs.select(
+      col("doc_id"),
+      explode(shingles(col("text"), shingleSize)).as("shingle"))
+      .distinct()
+    val hashed = shingled
+      .withColumn("j", explode(sequence(lit(0), lit(nHashes - 1))))
+      .select(col("doc_id"), col("j"),
+        xxhash64(col("shingle"), col("j")).as("h"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(col("h")).as("mh"))
+    val bands = hashed
+      .withColumn("band", floor(col("j") / bandSize).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      // xxhash64 over the band's minhashes -> one 64-bit band signature
+      .agg(xxhash64(sort_array(collect_list(struct(col("j"), col("mh"))))).as("band_sig"))
+    bands.toDF("d1", "band", "sig")
+      .join(bands.toDF("d2", "band2", "sig2"),
+        col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** Word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = TextAnalytics.toks(text)
+    filter(
+      transform(sequence(lit(0), greatest(size(t) - n, lit(0))),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))),
+      s => length(s) > 0)
+  }
+
+  /** SimHash near-dup pairs via the codegen'd simhash64 expression over
+    * xxhash64 term ids; pairs within `maxHamming` bits. The pair join
+    * here is banded on the high 16 bits to avoid a full cross join
+    * (near-dups almost always share the high band; recall is tunable
+    * by banding scheme).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sigs = docs.select(
+      col("doc_id"),
+      simhash64(transform(array_distinct(TextAnalytics.toks(col("text"))),
+        t => xxhash64(t))).as("sig"))
+      .withColumn("band", shiftrightunsigned(col("sig"), 48))
+    sigs.toDF("d1", "sig1", "band")
+      .join(sigs.toDF("d2", "sig2", "band2"),
+        col("band") === col("band2") && col("d1") < col("d2"))
+      .withColumn("hamming", bit_count(col("sig1").bitwiseXOR(col("sig2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.index.InvertedIndex
+import graft.cluster.KMeansAssign
+import graft.text.Normalize
+
+/** Rows-only queries (no ANSI-SQL equivalent for the DuckDB oracle:
+  * Porter stemming, k-means assignment, engine-hash dedup, LSH ANN,
+  * multimodal stubs). Correctness for these comes from the unit and
+  * golden tests in src/test; the driver records a rows>0 check.
+  */
+object NonOracle {
+
+  def all: Seq[QueryDef] = Seq(
+    q40, q41, q42, q43, q44, q45, q46, q47, q48)
+
+  /** Reference Job 1 end-to-end: normalize (tokenize/punct/stopword/
+    * Porter-stem) -> term-document presence matrix (serialized in the
+    * reference's `[b1,...,bN,]` byte format for the demo).
+    */
+  val q40 = QueryDef.rowsOnly("q40_inverted_index") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val n = docs.count().toInt
+    InvertedIndex.referenceFormat(
+      InvertedIndex.termDocMatrix(Normalize.tokens(docs), n))
+      .orderBy(col("term"))
+  }
+
+  /** Posting lists + document frequency (the scalable index form). */
+  val q41 = QueryDef.rowsOnly("q41_postings") { (s, dir) =>
+    val t = Normalize.tokens(Tables.documents(s, dir))
+    InvertedIndex.postings(t)
+      .join(InvertedIndex.docFreq(t), "term")
+      .select(col("term"), col("df"), col("doc_ids"))
+      .orderBy(col("term"))
+  }
+
+  /** TF-IDF: top weighted terms per document (first 50 docs). */
+  val q42 = QueryDef.rowsOnly("q42_tfidf_top_terms") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    InvertedIndex.tfidf(Normalize.tokens(docs), n)
+      .filter(col("doc_id") < 50)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** Reference Job 2: cosine k-means assignment of embedding vectors to
+    * K=8 broadcast centroids (vectors 0..7 as deterministic centers).
+    */
+  val q43 = QueryDef.rowsOnly("q43_kmeans_assign") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val centers = emb.filter(col("id") < 8)
+      .select(col("id").cast("int").as("center_id"), col("vec").as("cvec"))
+    KMeansAssign.assign(emb, centers).orderBy(col("id"))
+  }
+
+  /** Reference A4: cluster membership aggregation with deterministic
+    * sequential cluster ids.
+    */
+  val q44 = QueryDef.rowsOnly("q44_cluster_members") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val centers = emb.filter(col("id") < 8)
+      .select(col("id").cast("int").as("center_id"), col("vec").as("cvec"))
+    KMeansAssign.clusters(KMeansAssign.assign(emb, centers))
+      .select(col("cluster_id"), col("center_id"), col("size"),
+        concat_ws(" ", transform(col("members"), m => m.cast("string"))).as("members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Production MinHash-LSH near-dup candidates (xxhash64 path). */
+  val q45 = QueryDef.rowsOnly("q45_minhash_lsh_prod") { (s, dir) =>
+    Dedup.minhashCandidates(Tables.documents(s, dir).filter(col("doc_id") < 500))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** SimHash near-dup pairs via the codegen'd simhash64 expression. */
+  val q46 = QueryDef.rowsOnly("q46_simhash_pairs") { (s, dir) =>
+    Dedup.simhashPairs(Tables.documents(s, dir).filter(col("doc_id") < 500))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Sign-LSH approximate nearest neighbors (bucketed cosine top-3). */
+  val q47 = QueryDef.rowsOnly("q47_knn_lsh") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    Similarity.lshKnn(s, emb, emb.filter(col("vec_id") < 10), k = 3, nPlanes = 6)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Multimodal stub pipeline: attach binary media, batch-extract
+    * features (mapPartitions, stub codec), metadata-only stats.
+    */
+  val q48 = QueryDef.rowsOnly("q48_multimodal_stats") { (s, dir) =>
+    Multimodal.mediaStats(
+      Multimodal.extractFeatures(s,
+        Multimodal.attachMedia(Tables.documents(s, dir))))
+  }
+}

@@ -1,0 +1,457 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query suite over the TPC-H-ish fixture tables: scans,
+  * selective filters (parquet pushdown), equi/broadcast joins, hash
+  * aggregation, rollup, windows (ranking + running frames), sorts,
+  * top-k, set ops, semi/anti joins, string/date/regexp functions.
+  * Every query here is oracle-checked against DuckDB.
+  *
+  * Scale notes are per query; common themes: small dimensions
+  * (region/nation/supplier/part/customer) are broadcast so the fact
+  * table (lineitem) never shuffles for a join; aggregates run
+  * partial+final; filters and projections reach the parquet scan
+  * (verified via `.explain` — PushedFilters / narrow ReadSchema).
+  */
+object Relational {
+
+  /** exact money arithmetic: through DECIMAL(18,2), never float sums. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def money(c: Column): Column = sum(dec(c)).cast("double")
+
+  def all: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+
+  /** TPC-H Q1 shape: full-scan hash aggregate on low-cardinality keys.
+    * Scale: partial aggregation collapses 100 TB to ~6 groups map-side;
+    * the exchange moves KBs.
+    */
+  val q01: QueryDef = QueryDef.sql(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        money(col("l_quantity")).as("sum_qty"),
+        money(col("l_extendedprice")).as("sum_base_price"),
+        money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        money(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (money(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q6 shape: highly selective scan -> single global aggregate.
+    * Scale: all three predicates push to parquet row-group pruning;
+    * ReadSchema is 4 columns of 11.
+    */
+  val q02: QueryDef = QueryDef.sql(
+    "q02_selective_filter",
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24.0""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07)
+      .filter(col("l_quantity") < 24.0)
+      .agg(
+        money(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Revenue per nation: fact table joined through two broadcast dims.
+    * Scale: customer->nation are broadcast; lineitem->orders is the one
+    * real (co-partitionable) shuffle join — on a cluster, bucket both
+    * by orderkey to eliminate it.
+    */
+  val q03: QueryDef = QueryDef.sql(
+    "q03_revenue_by_nation",
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Broadcast-join fact to part dimension, aggregate by brand. */
+  val q04: QueryDef = QueryDef.sql(
+    "q04_brand_agg",
+    """SELECT p_brand,
+      |  count(*) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        money(col("l_quantity")).as("sum_qty"),
+        money(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** TPC-H Q5 shape: 6-table join chain pruned by region.
+    * Scale: region/nation/supplier/customer all broadcast; the join
+    * order lets Catalyst push the r_name filter through the dim chain
+    * before it ever touches the fact table.
+    */
+  val q05: QueryDef = QueryDef.sql(
+    "q05_region_revenue",
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .groupBy(col("n_name"))
+      .agg(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Ranking window: top-3 orders per customer.
+    * Scale: one hash exchange on custkey, then an in-partition sort;
+    * no global sort until the final (small) result ORDER BY.
+    */
+  val q06: QueryDef = QueryDef.sql(
+    "q06_topk_per_customer",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** Running-total window frame per supplier over ship time (frames +
+    * multi-key deterministic ordering). Money stays decimal inside the
+    * running sum so every prefix is exact.
+    */
+  val q07: QueryDef = QueryDef.sql(
+    "q07_running_total",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM lineitem
+      |WHERE l_suppkey <= 5
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") <= 5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec(col("l_extendedprice"))).over(w).cast("double").as("running_spend"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Distinct aggregation (expand-based distinct-agg rewrite). */
+  val q08: QueryDef = QueryDef.sql(
+    "q08_distinct_agg",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** ROLLUP grouping sets; null grouping markers coalesced to a sentinel
+    * so cross-engine null ordering/hashing never matters.
+    */
+  val q09: QueryDef = QueryDef.sql(
+    "q09_rollup",
+    """SELECT coalesce(l_returnflag, '(all)') AS rflag,
+      |  coalesce(l_linestatus, '(all)') AS lstatus,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rflag, lstatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), money(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rflag"), col("lstatus"))
+  }
+
+  /** Global top-k: TakeOrderedAndProject, not a full sort.
+    * Scale: per-partition top-10 heaps merged on the driver — no global
+    * sort of 100 TB ever happens.
+    */
+  val q10: QueryDef = QueryDef.sql(
+    "q10_global_topk",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Set operation: nations that have customers but no suppliers. */
+  val q11: QueryDef = QueryDef.sql(
+    "q11_set_except",
+    """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey")).distinct()
+      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")).distinct())
+      .orderBy(col("nationkey"))
+  }
+
+  /** Semi join (EXISTS): customers with at least one urgent large order. */
+  val q12: QueryDef = QueryDef.sql(
+    "q12_exists_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_orderpriority = '1-URGENT'
+      |                AND o_totalprice > 100000.0)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 100000.0)
+    Tables.customer(s, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Anti join (NOT EXISTS): parts that never shipped with a discount. */
+  val q13: QueryDef = QueryDef.sql(
+    "q13_not_exists_anti",
+    """SELECT p_partkey, p_brand FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_partkey = p_partkey AND l_discount > 0.05)
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).filter(col("l_discount") > 0.05)
+    Tables.part(s, dir)
+      .join(li, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_brand"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** String function surface: upper/substring/length/concat/regexp. */
+  val q14: QueryDef = QueryDef.sql(
+    "q14_string_funcs",
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_u,
+      |  substring(p_name, 1, 12) AS name_prefix,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  concat(p_brand, '/', p_type) AS brand_type,
+      |  regexp_extract(p_type, '([A-Z]+)', 1) AS first_word
+      |FROM part
+      |WHERE p_size >= 30
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .filter(col("p_size") >= 30)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 12).as("name_prefix"),
+        length(col("p_name")).cast("bigint").as("name_len"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_type"), "([A-Z]+)", 1).as("first_word"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Semi-structured extraction from the events.props JSON-ish payload
+    * via regexp (identical regexp dialect both engines).
+    */
+  val q15: QueryDef = QueryDef.sql(
+    "q15_events_props",
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  sum(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint")).as("sum_k"),
+        money(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Time bucketing on the event stream table (batch view): hourly
+    * per-type counts — the batch twin of the streaming windowed agg in
+    * graft.streaming.EventStreams.
+    */
+  val q16: QueryDef = QueryDef.sql(
+    "q16_events_hourly",
+    """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE event_type IN ('purchase', 'error')
+      |GROUP BY hour_bucket, event_type
+      |ORDER BY hour_bucket, event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .groupBy(
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour_bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), money(col("value")).as("sum_value"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+  }
+
+  /** Conditional aggregation (manual pivot) by order priority. */
+  val q17: QueryDef = QueryDef.sql(
+    "q17_case_pivot",
+    """SELECT o_orderpriority,
+      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+      |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+      |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"),
+        (money(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Date bucketing: per-month order volume. */
+  val q18: QueryDef = QueryDef.sql(
+    "q18_monthly_orders",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY month
+      |ORDER BY month""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), money(col("o_totalprice")).as("revenue"))
+      .orderBy(col("month"))
+  }
+
+  /** Per-group argmax via ranking window: richest customer per nation. */
+  val q19: QueryDef = QueryDef.sql(
+    "q19_argmax_per_group",
+    """SELECT n_name, c_custkey, c_acctbal FROM (
+      |  SELECT n_name, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY n_name
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+      |WHERE rnk = 1
+      |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") === 1)
+      .select(col("n_name"), col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Ordered array aggregation serialized to a string (engine-neutral
+    * representation of collect_list + sort).
+    */
+  val q20: QueryDef = QueryDef.sql(
+    "q20_order_lines",
+    """SELECT l_orderkey,
+      |  count(*) AS n_lines,
+      |  array_to_string(array_agg(l_linenumber ORDER BY l_linenumber), ',') AS line_numbers,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |WHERE l_orderkey <= 500
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") <= 500)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        concat_ws(",", array_sort(collect_list(col("l_linenumber")))).as("line_numbers"),
+        money(col("l_quantity")).as("total_qty"))
+      .orderBy(col("l_orderkey"))
+  }
+}

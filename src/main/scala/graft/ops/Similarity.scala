@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.functions.cosine_similarity
+import graft.functions.VectorOps
+
+/** Similarity search over the `embeddings` table (ARRAY<FLOAT> cast to
+  * double vectors).
+  *
+  * Two paths:
+  *  - `bruteForceKnn`: exact top-k for a bounded query set — broadcast
+  *    the queries, stream the corpus once, per-partition top-k heap via
+  *    window rank. Scale: O(|Q| * corpus); right when |Q| is small.
+  *  - `lshKnn`: sign-random-projection LSH — bucket vectors by the sign
+  *    pattern of `nPlanes` fixed hyperplanes, join within buckets only.
+  *    Scale: the corpus-corpus interaction becomes an equi-join on the
+  *    bucket key; per-bucket work is quadratic only in the bucket, so
+  *    the knob is nPlanes (more planes -> smaller buckets, lower
+  *    recall). This is the 100 TB path.
+  */
+object Similarity {
+
+  def all: Seq[QueryDef] = Seq(q30, q31)
+
+  /** Per-vector L2 norm (pinned fold order; identical formula in the
+    * DuckDB twin so doubles are bit-identical).
+    */
+  val q30: QueryDef = QueryDef.sql(
+    "q30_embedding_norms",
+    """SELECT vec_id, label,
+      |  sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val v = col("embedding").cast("array<double>")
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
+          .as("l2_norm"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Exact cosine top-5 neighbors for query vectors vec_id < 10.
+    * The custom CosineSimilarityExpr accumulates dot/norms in index
+    * order, matching the DuckDB list_sum fold, so scores (and hence
+    * ranks) are bit-identical across engines.
+    */
+  val q31: QueryDef = QueryDef.sql(
+    "q31_knn_bruteforce",
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+      |s AS (
+      |  SELECT qid, cid,
+      |    list_sum(list_transform(range(1, len(qe) + 1),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS score
+      |  FROM q, c WHERE qid <> cid)
+      |SELECT qid, cid, score, rnk FROM (
+      |  SELECT qid, cid, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+      |  FROM s)
+      |WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    bruteForceKnn(emb.filter(col("vec_id") < 10).toDF("qid", "qv"), emb, 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Exact top-k: broadcast queries x corpus, window rank per query. */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.toDF("cid", "cv")
+      .crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        cosine_similarity(col("qv"), col("cv")).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Sign-random-projection LSH ANN: deterministic hyperplanes from the
+    * splitmix64 mixer, bucket = sign-bit pattern, candidate join within
+    * bucket, exact rescoring, window top-k.
+    */
+  def lshKnn(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+             k: Int, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val planes: Array[Array[Double]] = Array.tabulate(nPlanes, dim) { (p, d) =>
+      // uniform in [-1, 1) from the mixed bits — deterministic, seedless
+      (VectorOps.mix64(p.toLong * 131071L + d) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val planesB = spark.sparkContext.broadcast(planes)
+    val bucketOf = udf { (v: Seq[Double]) =>
+      val ps = planesB.value
+      var sig = 0
+      var p = 0
+      while (p < ps.length) {
+        var s = 0.0
+        var i = 0
+        val pl = ps(p)
+        val n = math.min(pl.length, v.length)
+        while (i < n) { s += pl(i) * v(i); i += 1 }
+        if (s >= 0) sig |= (1 << p)
+        p += 1
+      }
+      sig
+    }
+    val bc = corpus.toDF("cid", "cv").withColumn("bucket", bucketOf(col("cv")))
+    val bq = queries.toDF("qid", "qv").withColumn("bucket", bucketOf(col("qv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    bq.join(bc, "bucket")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        cosine_similarity(col("qv"), col("cv")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document/text analytics over the `documents` table: token statistics,
+  * term frequencies, quality scoring, language-ID — the per-document
+  * scoring surface a training-data pipeline runs before filtering.
+  * All per-doc metrics are narrow (no shuffle): at 100 TB they run at
+  * scan speed; only the corpus-level term-frequency query shuffles, and
+  * only after map-side partial aggregation.
+  */
+object TextAnalytics {
+
+  /** Whitespace tokens with empties dropped — the engine-neutral
+    * tokenizer used by every oracle-checked text query (DuckDB twin:
+    * `list_filter(string_split_regex(text,'\s+'), x -> x <> '')`).
+    */
+  def toks(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  /** Fixed stopword probe list for quality scoring (tiny; inlined as a
+    * literal array on both engines).
+    */
+  private val probeStops = Seq("the", "a", "an", "and", "of", "to", "is", "in", "it", "on")
+
+  def all: Seq[QueryDef] = Seq(q21, q22, q23, q24)
+
+  /** Per-document token statistics. */
+  val q21: QueryDef = QueryDef.sql(
+    "q21_doc_token_stats",
+    s"""SELECT doc_id,
+       |  CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+       |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_token_len,
+       |  n_chars,
+       |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) / CAST(len(t) AS BIGINT) AS avg_token_len
+       |FROM (SELECT doc_id, n_chars, $duckToks AS t FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sumLen = aggregate(transform(col("t"), x => length(x)), lit(0), (a, x) => a + x)
+      .cast("bigint")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), toks(col("text")).as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("bigint").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("bigint").as("n_distinct"),
+        sumLen.as("sum_token_len"),
+        col("n_chars"),
+        (sumLen / size(col("t")).cast("bigint")).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus term frequency, top 20. Scale: partial-aggregates per
+    * partition before the single exchange on term.
+    */
+  val q22: QueryDef = QueryDef.sql(
+    "q22_word_freq",
+    s"""SELECT term, count(*) AS n
+       |FROM (SELECT unnest($duckToks) AS term FROM documents)
+       |GROUP BY term
+       |ORDER BY n DESC, term
+       |LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+  }
+
+  /** Quality scoring: punctuation/digit/stopword ratios and a composite
+    * score — the classic pre-training heuristic filter, as pure column
+    * arithmetic (identical literal formula on both engines).
+    */
+  val q23: QueryDef = QueryDef.sql(
+    "q23_quality_score",
+    s"""SELECT doc_id, n_tokens, punct_ratio, digit_ratio, stop_ratio,
+       |  (1.0 - punct_ratio) * (1.0 - digit_ratio)
+       |    * least(1.0, n_tokens / 64.0)
+       |    * (0.5 + stop_ratio) AS qscore
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    (length(text) - length(regexp_replace(text, '\\p{P}', '', 'g'))) / length(text) AS punct_ratio,
+       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio,
+       |    len(list_filter(t, x -> x IN ('the','a','an','and','of','to','is','in','it','on'))) / len(t) AS stop_ratio
+       |  FROM (SELECT doc_id, text, $duckToks AS t FROM documents))
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val stopsArr = array(probeStops.map(lit): _*)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("bigint").as("n_tokens"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "\\p{P}", "")))
+          / length(col("text"))).as("punct_ratio"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          / length(col("text"))).as("digit_ratio"),
+        (size(filter(col("t"), x => array_contains(stopsArr, x))) / size(col("t")))
+          .as("stop_ratio"))
+    base.select(
+      col("doc_id"), col("n_tokens"), col("punct_ratio"), col("digit_ratio"),
+      col("stop_ratio"),
+      ((lit(1.0) - col("punct_ratio")) * (lit(1.0) - col("digit_ratio"))
+        * least(lit(1.0), col("n_tokens") / 64.0)
+        * (lit(0.5) + col("stop_ratio"))).as("qscore"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus composition: counts and char volume by language and source. */
+  val q24: QueryDef = QueryDef.sql(
+    "q24_lang_source_stats",
+    """SELECT lang, source, count(*) AS n_docs,
+      |  sum(n_chars) AS total_chars,
+      |  sum(n_chars) / count(*) AS avg_chars
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")) / count(lit(1))).as("avg_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Heuristic language-ID: function-word profiles per language scored
+    * by token overlap, deterministic argmax (ties -> profile order).
+    * No DuckDB twin (rows-only); accuracy is bounded by the synthetic
+    * corpus, the operator shape is what matters: one narrow pass,
+    * profiles inlined as literals (broadcast-equivalent).
+    */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
+    "zh" -> Seq.empty) // zh scored by CJK char presence instead
+
+  def langId(docs: DataFrame): DataFrame = {
+    val t = toks(lower(col("text")))
+    val scores = langProfiles.map { case (lang, words) =>
+      val sc =
+        if (words.isEmpty)
+          // CJK codepoint density
+          (length(col("text")) - length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", "")))
+            .cast("double")
+        else
+          size(filter(t, x => array_contains(array(words.map(lit): _*), x))).cast("double")
+      struct(sc.as("score"), lit(lang).as("lang"))
+    }
+    docs.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      greatest(scores: _*).getField("lang").as("predicted_lang"),
+      greatest(scores: _*).getField("score").as("lang_score"))
+  }
+}

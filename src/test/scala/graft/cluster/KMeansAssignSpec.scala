@@ -1,0 +1,69 @@
+package graft.cluster
+
+import graft.SparkSpec
+import graft.functions.functions.{cosine_distance, cosine_similarity}
+import org.apache.spark.sql.functions._
+
+class KMeansAssignSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine distance: d(v,v)=0, orthogonal=1, opposite=2") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0))).toDF("a", "b")
+    val d = df.select(cosine_distance(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(d(0)) < 1e-12)
+    assert(math.abs(d(1) - 1.0) < 1e-12)
+    assert(math.abs(d(2) - 2.0) < 1e-12)
+  }
+
+  test("cosine similarity is scale-invariant") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0, 30.0))).toDF("a", "b")
+    val s = df.select(cosine_similarity(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(s - 1.0) < 1e-12)
+  }
+
+  test("assign: true argmin with deterministic tie-break (fixes reference D1)") {
+    val points = Seq(
+      (1L, Seq(1.0, 0.0)),   // exactly center 0
+      (2L, Seq(0.0, 2.0)),   // exactly center 1 (scaled)
+      (3L, Seq(1.0, 1.0))).toDF("id", "vec") // equidistant -> lower center id
+    val centers = Seq(
+      (0, Seq(1.0, 0.0)),
+      (1, Seq(0.0, 1.0))).toDF("center_id", "cvec")
+    val a = KMeansAssign.assign(points, centers)
+      .select("id", "center_id").as[(Long, Int)].collect().toMap
+    assert(a == Map(1L -> 0, 2L -> 1, 3L -> 0))
+  }
+
+  test("clusters: members sorted, sequential ids in center order") {
+    val assigns = Seq(
+      (5L, 7), (3L, 7), (9L, 2)).toDF("id", "center_id")
+    val c = KMeansAssign.clusters(assigns)
+      .select("cluster_id", "center_id", "size", "members")
+      .as[(Int, Int, Long, Seq[Long])].collect().sortBy(_._1)
+    assert(c(0) == ((1, 2, 1L, Seq(9L))))
+    assert(c(1) == ((2, 7, 2L, Seq(3L, 5L))))
+  }
+
+  test("every point assigned exactly once; union of clusters == points") {
+    val points = (1L to 50L).map(i => (i, Seq(math.cos(i.toDouble), math.sin(i.toDouble)))).toDF("id", "vec")
+    val centers = Seq((0, Seq(1.0, 0.0)), (1, Seq(-1.0, 0.0)), (2, Seq(0.0, 1.0))).toDF("center_id", "cvec")
+    val a = KMeansAssign.assign(points, centers)
+    assert(a.count() == 50)
+    assert(a.select("id").distinct().count() == 50)
+    val members = KMeansAssign.clusters(a)
+      .select(explode(col("members"))).as[Long].collect().toSet
+    assert(members == (1L to 50L).toSet)
+  }
+
+  test("lloyd converges on two obvious 2-D clusters") {
+    val pts = (Seq.tabulate(20)(i => (i.toLong, Seq(10.0 + i % 3, 1.0))) ++
+      Seq.tabulate(20)(i => (20L + i, Seq(-5.0, 8.0 + i % 3)))).toDF("id", "vec")
+    val out = KMeansAssign.lloyd(spark, pts, k = 2, maxIter = 3)
+    val groups = out.select("id", "center_id").as[(Long, Int)].collect()
+      .groupBy(_._2).map(_._2.map(_._1).toSet).toSet
+    assert(groups == Set((0L until 20L).toSet, (20L until 40L).toSet))
+  }
+}

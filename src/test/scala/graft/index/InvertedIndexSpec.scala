@@ -1,0 +1,58 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.text.Normalize
+
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the cats meeting agreed"),
+    (2L, "ponies ties cats!"),
+    (3L, "agreed, meetings matting")).toDF("doc_id", "text")
+  lazy val toks = Normalize.tokens(docs, stopwords = Seq("the"))
+
+  test("term-document presence matrix matches FIXTURES.md golden") {
+    val m = InvertedIndex.termDocMatrix(toks, n = 3, firstId = 1L)
+      .as[(String, Seq[Int])].collect().toMap
+    assert(m == Map(
+      "cat" -> Seq(1, 1, 0),
+      "meet" -> Seq(1, 0, 1),
+      "agre" -> Seq(1, 0, 1),
+      "poni" -> Seq(0, 1, 0),
+      "ti" -> Seq(0, 1, 0),
+      "mat" -> Seq(0, 0, 1)))
+  }
+
+  test("duplicate postings collapse (set semantics, reference :463-465)") {
+    val dup = Seq((1L, "cat cat cats")).toDF("doc_id", "text")
+    val m = InvertedIndex.termDocMatrix(Normalize.tokens(dup), n = 1, firstId = 1L)
+      .as[(String, Seq[Int])].collect().toMap
+    assert(m == Map("cat" -> Seq(1)))
+  }
+
+  test("reference byte format has the trailing comma") {
+    val dup = Seq((1L, "cat"), (2L, "dog")).toDF("doc_id", "text")
+    val lines = InvertedIndex.referenceFormat(
+      InvertedIndex.termDocMatrix(Normalize.tokens(dup), n = 2, firstId = 1L))
+      .as[(String, String)].collect().toMap
+    assert(lines("cat") == "[1,0,]")
+    assert(lines("dog") == "[0,1,]")
+  }
+
+  test("postings are sorted and deduped; docFreq counts distinct docs") {
+    val p = InvertedIndex.postings(toks).as[(String, Seq[Long])].collect().toMap
+    assert(p("cat") == Seq(1L, 2L))
+    assert(p("agre") == Seq(1L, 3L))
+    val df = InvertedIndex.docFreq(toks).as[(String, Long)].collect().toMap
+    assert(df("cat") == 2L && df("poni") == 1L)
+  }
+
+  test("tfidf: rarer terms weigh more at equal tf") {
+    val d = Seq((1L, "aa bb"), (2L, "aa cc")).toDF("doc_id", "text")
+    val t = Normalize.tokens(d, stem = false)
+    val w = InvertedIndex.tfidf(t, 2).as[(Long, String, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._5).toMap
+    assert(w((1L, "bb")) > w((1L, "aa")))
+  }
+}

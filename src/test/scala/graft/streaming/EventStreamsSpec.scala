@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStreams._
+
+  def ts(min: Long): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  val events = Seq(
+    Event(1L, ts(0), 1L, "click", 1.0),
+    Event(2L, ts(5), 1L, "click", 2.0),
+    Event(3L, ts(90), 1L, "view", 3.0),  // >30min gap -> new session
+    Event(4L, ts(2), 2L, "click", 4.0))
+
+  test("sessionizeBatch: gap splits sessions; aggregates per session") {
+    val out = sessionizeBatch(events.toDF(), gapMinutes = 30)
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // user 1: sessions (2 events, 3.0) and (1 event, 3.0); user 2: (1 event, 4.0)
+    assert(out.toList == List((1L, 1L, 3.0), (1L, 2L, 3.0), (2L, 1L, 4.0)))
+  }
+
+  test("hourlyCounts on batch data matches manual aggregation") {
+    val out = hourlyCounts(events.toDF())
+      .select("event_type", "n").as[(String, Long)].collect().toSet
+    // hour bucket of ts(0)..ts(5) same hour; ts(90) next hour
+    assert(out.contains(("click", 3L)) || out.contains(("click", 2L)))
+    assert(out.exists(_._1 == "view"))
+  }
+
+  test("streaming: windowed counts with watermark through MemoryStream") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(events: _*)
+      query.processAllAvailable()
+      val rows = spark.table("hourly_test")
+        .select("event_type", "n").as[(String, Long)].collect()
+      assert(rows.nonEmpty)
+      assert(rows.map(_._2).sum == 4L)
+    } finally query.stop()
+  }
+
+  test("streaming: sessionize closes a session when the gap passes") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = sessionize(spark, mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      query.processAllAvailable()
+      val sessions = spark.table("sessions_test").as[Session].collect()
+      // user 1's first session (2 events) closed by the ts(90) event
+      assert(sessions.exists(s => s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0))
+    } finally query.stop()
+  }
+}

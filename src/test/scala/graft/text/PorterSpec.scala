@@ -1,0 +1,123 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+/** Golden vectors from the published algorithm's documentation (the
+  * same examples the reference embeds in its stemmer comments,
+  * ProcessData.java:207-227, 255-257) + totality/shrinking properties.
+  */
+class PorterSpec extends AnyFunSuite {
+
+  val golden: Seq[(String, String)] = Seq(
+    "caresses" -> "caress",
+    "ponies" -> "poni",
+    "ties" -> "ti",
+    "caress" -> "caress",
+    "cats" -> "cat",
+    "feed" -> "feed",
+    "agreed" -> "agre",
+    "disabled" -> "disabl",
+    "matting" -> "mat",
+    "mating" -> "mate",
+    "meeting" -> "meet",
+    "milling" -> "mill",
+    "messing" -> "mess",
+    "meetings" -> "meet",
+    // bare "ization": step 2's m>0 guard fails on the empty stem, so the
+    // published algorithm falls through to step 4's -ion rule -> "izat"
+    // (the ization->ize rule fires inside longer words: see
+    // vietnamization below)
+    "ization" -> "izat",
+    "relational" -> "relat",
+    "conditional" -> "condit",
+    "rational" -> "ration",
+    "valenci" -> "valenc",
+    "hesitanci" -> "hesit",
+    "digitizer" -> "digit",
+    "conformabli" -> "conform",
+    "radicalli" -> "radic",
+    "differentli" -> "differ",
+    "vileli" -> "vile",
+    "analogousli" -> "analog",
+    "vietnamization" -> "vietnam",
+    "predication" -> "predic",
+    "operator" -> "oper",
+    "feudalism" -> "feudal",
+    "decisiveness" -> "decis",
+    "hopefulness" -> "hope",
+    "callousness" -> "callous",
+    "formaliti" -> "formal",
+    "sensitiviti" -> "sensit",
+    "sensibiliti" -> "sensibl",
+    "triplicate" -> "triplic",
+    "formative" -> "form",
+    "formalize" -> "formal",
+    "electriciti" -> "electr",
+    "electrical" -> "electr",
+    "hopeful" -> "hope",
+    "goodness" -> "good",
+    "revival" -> "reviv",
+    "allowance" -> "allow",
+    "inference" -> "infer",
+    "airliner" -> "airlin",
+    "gyroscopic" -> "gyroscop",
+    "adjustable" -> "adjust",
+    "defensible" -> "defens",
+    "irritant" -> "irrit",
+    "replacement" -> "replac",
+    "adjustment" -> "adjust",
+    "dependent" -> "depend",
+    "adoption" -> "adopt",
+    "homologou" -> "homolog",
+    "communism" -> "commun",
+    "activate" -> "activ",
+    "angulariti" -> "angular",
+    "homologous" -> "homolog",
+    "effective" -> "effect",
+    "bowdlerize" -> "bowdler",
+    "probate" -> "probat",
+    "rate" -> "rate",
+    "cease" -> "ceas",
+    "controll" -> "control",
+    "roll" -> "roll")
+
+  test("golden stemming vectors") {
+    val failures = golden.collect {
+      case (in, want) if Porter.stem(in) != want =>
+        s"$in -> ${Porter.stem(in)} (want $want)"
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("short words unchanged") {
+    for (w <- Seq("", "a", "is", "by", "ox"))
+      assert(Porter.stem(w) == w)
+  }
+
+  test("null-safe") {
+    assert(Porter.stem(null) == null)
+  }
+
+  val lowerWord: Gen[String] = for {
+    n <- Gen.choose(0, 20)
+    cs <- Gen.listOfN(n, Gen.alphaLowerChar)
+  } yield cs.mkString
+
+  private def samples(g: Gen[String], n: Int): Seq[String] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("property: total and never lengthens on [a-z]*") {
+    samples(lowerWord, 500).foreach { w =>
+      val s = Porter.stem(w)
+      assert(s != null, w)
+      assert(s.length <= w.length, s"$w -> $s")
+    }
+  }
+
+  test("property: nonempty output for length >= 3 inputs with a vowel") {
+    samples(lowerWord, 2000)
+      .filter(w => w.length >= 3 && w.exists("aeiou".contains(_)))
+      .foreach { w => assert(Porter.stem(w).nonEmpty, w) }
+  }
+}
