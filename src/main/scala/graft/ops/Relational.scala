@@ -18,8 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** exact money arithmetic: through DECIMAL(18,2), never float sums. */
+  /** Exact money arithmetic: through DECIMAL, never float sums.
+    * Products are computed decimal x decimal (not double->decimal of the
+    * product) because engines disagree on how a double product rounds
+    * into a decimal; decimal multiplication is exact in both.
+    * DECIMAL(12,2) x DECIMAL(4,2) keeps every intermediate inside both
+    * engines' 38-digit width.
+    */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+  private def frac(c: Column): Column = c.cast("decimal(4,2)")
   private def money(c: Column): Column = sum(dec(c)).cast("double")
 
   def all: Seq[QueryDef] = Seq(
@@ -35,8 +43,8 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
       |  count(*) AS count_order
       |FROM lineitem
@@ -49,8 +57,10 @@ object Relational {
       .agg(
         money(col("l_quantity")).as("sum_qty"),
         money(col("l_extendedprice")).as("sum_base_price"),
-        money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        money(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        sum(dec2(col("l_extendedprice")) * frac(lit(1.0) - col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * frac(lit(1.0) - col("l_discount"))
+          * frac(lit(1.0) + col("l_tax"))).cast("double").as("sum_charge"),
         (money(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -63,7 +73,7 @@ object Relational {
   val q02: QueryDef = QueryDef.sql(
     "q02_selective_filter",
     """SELECT
-      |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
       |  count(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -76,7 +86,8 @@ object Relational {
       .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07)
       .filter(col("l_quantity") < 24.0)
       .agg(
-        money(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        sum(dec2(col("l_extendedprice")) * frac(col("l_discount")))
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -88,7 +99,7 @@ object Relational {
   val q03: QueryDef = QueryDef.sql(
     "q03_revenue_by_nation",
     """SELECT n_name,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
       |  count(*) AS n_lines
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -102,7 +113,8 @@ object Relational {
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        sum(dec2(col("l_extendedprice")) * frac(lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -135,7 +147,7 @@ object Relational {
   val q05: QueryDef = QueryDef.sql(
     "q05_region_revenue",
     """SELECT n_name,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -158,7 +170,8 @@ object Relational {
       .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
       .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
       .groupBy(col("n_name"))
-      .agg(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .agg(sum(dec2(col("l_extendedprice")) * frac(lit(1.0) - col("l_discount")))
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -265,15 +278,19 @@ object Relational {
       .limit(10)
   }
 
-  /** Set operation: nations that have customers but no suppliers. */
+  /** Set operation: nations with customers but no well-capitalized
+    * supplier (EXCEPT = distinct set difference in both engines).
+    */
   val q11: QueryDef = QueryDef.sql(
     "q11_set_except",
     """SELECT DISTINCT c_nationkey AS nationkey FROM customer
       |EXCEPT
       |SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+      |WHERE s_acctbal > 8000.0
       |ORDER BY nationkey""".stripMargin) { (s, dir) =>
     Tables.customer(s, dir).select(col("c_nationkey").as("nationkey")).distinct()
-      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")).distinct())
+      .except(Tables.supplier(s, dir).filter(col("s_acctbal") > 8000.0)
+        .select(col("s_nationkey").as("nationkey")).distinct())
       .orderBy(col("nationkey"))
   }
 
@@ -299,9 +316,9 @@ object Relational {
     "q13_not_exists_anti",
     """SELECT p_partkey, p_brand FROM part
       |WHERE NOT EXISTS (SELECT 1 FROM lineitem
-      |                  WHERE l_partkey = p_partkey AND l_discount > 0.05)
+      |                  WHERE l_partkey = p_partkey AND l_discount >= 0.09)
       |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
-    val li = Tables.lineitem(s, dir).filter(col("l_discount") > 0.05)
+    val li = Tables.lineitem(s, dir).filter(col("l_discount") >= 0.09)
     Tables.part(s, dir)
       .join(li, col("p_partkey") === col("l_partkey"), "left_anti")
       .select(col("p_partkey"), col("p_brand"))
@@ -339,7 +356,7 @@ object Relational {
     "q15_events_props",
     """SELECT event_type,
       |  count(*) AS n,
-      |  sum(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+      |  CAST(sum(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY event_type
@@ -379,9 +396,9 @@ object Relational {
   val q17: QueryDef = QueryDef.sql(
     "q17_case_pivot",
     """SELECT o_orderpriority,
-      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
       |FROM orders
       |GROUP BY o_orderpriority

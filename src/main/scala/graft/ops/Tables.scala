@@ -14,7 +14,22 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
-  def events(s: SparkSession, dir: String): DataFrame = load(s, dir, "events")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader only surfaces as raw nano-longs
+    * (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench);
+    * normalize to a TimestampType column (microsecond precision) here so
+    * every downstream operator sees a real timestamp.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val df = load(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
+  }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 

@@ -114,7 +114,7 @@ object TextAnalytics {
   val q24: QueryDef = QueryDef.sql(
     "q24_lang_source_stats",
     """SELECT lang, source, count(*) AS n_docs,
-      |  sum(n_chars) AS total_chars,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |  sum(n_chars) / count(*) AS avg_chars
       |FROM documents
       |GROUP BY lang, source
