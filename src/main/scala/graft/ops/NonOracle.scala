@@ -27,12 +27,14 @@ object NonOracle {
       .orderBy(col("term"))
   }
 
-  /** Posting lists + document frequency (the scalable index form). */
+  /** Posting lists + document frequency (the scalable index form).
+    * df is derived from the posting set (size), not a second
+    * aggregation + join — one exchange total.
+    */
   val q41 = QueryDef.rowsOnly("q41_postings") { (s, dir) =>
-    val t = Normalize.tokens(Tables.documents(s, dir))
-    InvertedIndex.postings(t)
-      .join(InvertedIndex.docFreq(t), "term")
-      .select(col("term"), col("df"), col("doc_ids"))
+    InvertedIndex.postings(Normalize.tokens(Tables.documents(s, dir)))
+      .select(col("term"), size(col("doc_ids")).cast("bigint").as("df"),
+        col("doc_ids"))
       .orderBy(col("term"))
   }
 

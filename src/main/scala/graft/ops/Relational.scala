@@ -32,7 +32,8 @@ object Relational {
 
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q32, q33, q34)
 
   /** TPC-H Q1 shape: full-scan hash aggregate on low-cardinality keys.
     * Scale: partial aggregation collapses 100 TB to ~6 groups map-side;
@@ -470,5 +471,66 @@ object Relational {
         concat_ws(",", array_sort(collect_list(col("l_linenumber")))).as("line_numbers"),
         money(col("l_quantity")).as("total_qty"))
       .orderBy(col("l_orderkey"))
+  }
+
+  /** Analytic lag: per-user event value deltas (ordered, tie-broken). */
+  val q32: QueryDef = QueryDef.sql(
+    "q32_lag_delta",
+    """SELECT user_id, event_id, value,
+      |  value - lag(value) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS delta
+      |FROM events
+      |WHERE user_id <= 10
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("user_id") <= 10)
+      .select(col("user_id"), col("event_id"), col("value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** CUBE grouping sets (all four combinations). */
+  val q33: QueryDef = QueryDef.sql(
+    "q33_cube",
+    """SELECT coalesce(l_returnflag, '(all)') AS rflag,
+      |  coalesce(l_linestatus, '(all)') AS lstatus,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY rflag, lstatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), money(col("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+        col("n"), col("sum_price"))
+      .orderBy(col("rflag"), col("lstatus"))
+  }
+
+  /** Analytic window mix: partition-wide min + lead with sentinel for
+    * the partition tail (avoids cross-engine null-typing drift).
+    */
+  val q34: QueryDef = QueryDef.sql(
+    "q34_first_next",
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(min(o_orderdate) OVER (PARTITION BY o_custkey), '%Y-%m-%d') AS first_order_day,
+      |  coalesce(lead(o_orderkey) OVER (PARTITION BY o_custkey
+      |                                  ORDER BY o_orderdate, o_orderkey), -1) AS next_orderkey
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val part = Window.partitionBy(col("o_custkey"))
+    val seq = part.orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(min(col("o_orderdate")).over(part), "yyyy-MM-dd")
+          .as("first_order_day"),
+        coalesce(lead(col("o_orderkey"), 1).over(seq), lit(-1L))
+          .as("next_orderkey"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 }

@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-style corpus ingestion (SURVEY.md §2 S1-S6).
+  *
+  * The reference's source is an HDFS directory of text documents, one
+  * doc per file, with the doc id encoded in the filename as
+  * `<int>.<ext>` (parse at ProcessData.java:392-401,417) and per-line
+  * records (TextInputFormat). Spark-native form: `spark.read.text` with
+  * `input_file_name()` + regexp doc-id extraction — stays a single
+  * narrow scan, no shuffle.
+  *
+  * Scale note: many-small-files is the classic HDFS/S3 listing
+  * bottleneck; Spark's file index parallelizes the listing, and
+  * `maxPartitionBytes` / file coalescing keep task counts sane. For
+  * 100 TB the engine's primary ingest is parquet (Tables); this source
+  * exists for reference-format corpora.
+  */
+object Corpus {
+
+  /** dir of `<docId>.<ext>` text files -> (doc_id, line). */
+  def readLines(spark: SparkSession, dir: String): DataFrame =
+    spark.read.text(dir)
+      .select(
+        regexp_extract(input_file_name(), "(\\d+)\\.[^/.]*$", 1)
+          .cast("int").as("doc_id"),
+        col("value").as("line"))
+
+  /** dir -> (doc_id, text): whole-document granularity (reference maps
+    * per line; per-doc is what the rest of the engine consumes).
+    */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    readLines(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("\n", collect_list(col("line"))).as("text"))
+
+  /** Corpus file count (reference S3: ContentSummary.getFileCount at
+    * :627-631, drives presence-vector width). Driver-side scalar.
+    */
+  def fileCount(spark: SparkSession, dir: String): Int =
+    readLines(spark, dir).select(col("doc_id")).distinct().count().toInt
+
+  /** Stopword side-input (reference S5: DistributedCache file,
+    * whitespace-tokenized, :372-385,423-435). Small by contract ->
+    * collected to the driver for broadcast as a literal set.
+    */
+  def readStopwords(spark: SparkSession, path: String): Seq[String] =
+    spark.read.text(path)
+      .select(explode(split(col("value"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** Centroid side-input (reference S6 + K1: one `[b1,b2,...,bN,]`
+    * bracket-vector per line, :545-557,579-590), N-dimensional
+    * (divergence D3 — the reference hard-parsed only 3 single-digit
+    * dims). center_id = 0-based line order (line_number via a window
+    * over a monotonic id is driver-free and deterministic for the
+    * K-line file).
+    */
+  def readCenters(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .withColumn("fileOrd", monotonically_increasing_id())
+      .withColumn("center_id",
+        (row_number().over(Window.orderBy(col("fileOrd"))) - 1).cast("int"))
+      .select(col("center_id"), parseBracketVector(col("value")).as("cvec"))
+  }
+
+  /** `[1,0,1,]` (trailing comma tolerated) -> ARRAY<DOUBLE>. */
+  def parseBracketVector(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(
+      split(regexp_replace(trim(c), "[\\[\\]]", ""), ","),
+      s => length(s) > 0
+    ).cast("array<double>")
+}
