@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the most recent
+  * right row with `rightTime <= leftTime` within the same key — the
+  * time-series primitive Spark lacks as a built-in operator.
+  *
+  * Implementation is the scalable union+window formulation, not a
+  * per-key collect or an inequality (nested-loop) join:
+  *   1. tag and union both inputs on a common (key, time) spine;
+  *   2. one hash exchange on key + one in-partition sort on
+  *      (time, side) — rows of the right stream sort before co-timed
+  *      left rows, making the match inclusive;
+  *   3. running `last(_, ignoreNulls)` carries the latest right payload
+  *      forward; filter back to left rows.
+  *
+  * Scale: exactly one shuffle of |L|+|R| rows and one sort — the same
+  * cost profile as a sort-merge join; no K×N blowup, no broadcast
+  * requirement, arbitrary key cardinality. Right side should be unique
+  * per (key, time) for deterministic semantics (pre-aggregate if not —
+  * engines disagree on tie-winners otherwise).
+  */
+object AsOfJoin {
+
+  /** @param payload right-side columns to carry onto matched left rows */
+  def asofBackward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      Seq(col(leftKey).as("_k"), col(leftTime).cast("timestamp").as("_t"),
+        lit(1).as("_side")) ++
+        leftCols.map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      Seq(col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
+        lit(0).as("_side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col): _*)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .select(
+        (Seq(col("_side")) ++ leftCols.map(col) ++
+          payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+    carried.filter(col("_side") === 1).drop("_side")
+  }
+}

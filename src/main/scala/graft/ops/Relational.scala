@@ -33,7 +33,7 @@ object Relational {
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q32, q33, q34)
+    q32, q33, q34, q35, q36, q37)
 
   /** TPC-H Q1 shape: full-scan hash aggregate on low-cardinality keys.
     * Scale: partial aggregation collapses 100 TB to ~6 groups map-side;
@@ -532,5 +532,81 @@ object Relational {
         coalesce(lead(col("o_orderkey"), 1).over(seq), lit(-1L))
           .as("next_orderkey"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Set-op composition: UNION (distinct) then INTERSECT. */
+  val q35: QueryDef = QueryDef.sql(
+    "q35_union_intersect",
+    """SELECT nationkey FROM (
+      |  SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0
+      |  UNION
+      |  SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000.0)
+      |INTERSECT
+      |SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey <= 2
+      |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir).filter(col("c_acctbal") > 9000.0)
+      .select(col("c_nationkey").as("nationkey"))
+    val su = Tables.supplier(s, dir).filter(col("s_acctbal") > 9000.0)
+      .select(col("s_nationkey").as("nationkey"))
+    val n = Tables.nation(s, dir).filter(col("n_regionkey") <= 2)
+      .select(col("n_nationkey").as("nationkey"))
+    c.union(su).distinct().intersect(n).orderBy(col("nationkey"))
+  }
+
+  /** Range join: equi key + time-band predicate (lineitems shipped
+    * within 90 days of their order). Catalyst keeps the equi key as the
+    * join key and evaluates the band as a join-side filter — a
+    * sort-merge/shuffled-hash join, never a nested loop.
+    */
+  val q36: QueryDef = QueryDef.sql(
+    "q36_range_join",
+    """SELECT o_orderkey, count(*) AS n_fast,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_fast
+      |FROM orders JOIN lineitem
+      |  ON l_orderkey = o_orderkey
+      |  AND l_shipdate >= o_orderdate
+      |  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+      |WHERE o_custkey < 50
+      |GROUP BY o_orderkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir).filter(col("o_custkey") < 50)
+    Tables.lineitem(s, dir)
+      .join(o,
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") >= col("o_orderdate")
+          && col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAY"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_fast"), money(col("l_quantity")).as("qty_fast"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Backward as-of join (graft.ops.AsOfJoin union+window formulation)
+    * vs DuckDB's native ASOF JOIN: each event picks up the user's most
+    * recent order at-or-before the event time. Right side pre-deduped
+    * per (key, time) so tie-winners are engine-independent.
+    */
+  val q37: QueryDef = QueryDef.sql(
+    "q37_asof_join",
+    """WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      |           FROM orders WHERE o_custkey < 100 GROUP BY 1, 2),
+      |     l AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 100)
+      |SELECT l.event_id, l.user_id,
+      |  coalesce(r.o_orderkey, -1) AS last_orderkey,
+      |  coalesce(strftime(r.o_orderdate, '%Y-%m-%d'), '') AS last_orderday
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.o_custkey AND l.ts >= r.o_orderdate
+      |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+    val r = Tables.orders(s, dir).filter(col("o_custkey") < 100)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val l = Tables.events(s, dir).filter(col("user_id") < 100)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOfJoin.asofBackward(l, r, "user_id", "o_custkey", "ts", "o_orderdate",
+      payload = Seq("o_orderkey", "o_orderdate"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("last_orderkey"),
+        coalesce(date_format(col("o_orderdate"), "yyyy-MM-dd"), lit(""))
+          .as("last_orderday"))
+      .orderBy(col("event_id"))
   }
 }

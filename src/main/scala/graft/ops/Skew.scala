@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers for hot keys at scale.
+  *
+  * AQE's skew-join splitting covers joins; for *aggregations* with
+  * decomposable functions the classic fix is salting: pre-aggregate on
+  * (key, salt) to spread a hot key over `buckets` reducers, then
+  * finish on key. Two exchanges, but each moves only pre-aggregated
+  * rows — at 100 TB this converts a single straggler reducer into
+  * `buckets` parallel ones.
+  */
+object Skew {
+
+  /** Two-phase salted sum/count aggregation.
+    * @param aggs (outColumn, inputColumn) pairs; each becomes
+    *             sum(input) — extend per need (any commutative monoid).
+    */
+  def saltedSumAgg(df: DataFrame, key: Column, buckets: Int,
+                   aggs: (String, Column)*): DataFrame = {
+    val salted = df
+      .withColumn("_salt", pmod(spark_partition_id()
+        + monotonically_increasing_id(), lit(buckets)))
+      .groupBy(key.as("_key"), col("_salt"))
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    salted
+      .groupBy(col("_key"))
+      .agg(sum(col(aggs.head._1)).as(aggs.head._1),
+        aggs.tail.map { case (n, _) => sum(col(n)).as(n) }: _*)
+      .withColumnRenamed("_key", "key")
+  }
+}

@@ -55,4 +55,28 @@ class InvertedIndexSpec extends SparkSpec {
       .collect().map(r => (r._1, r._2) -> r._5).toMap
     assert(w((1L, "bb")) > w((1L, "aa")))
   }
+
+  test("termDocMatrixFast (BitSet TypedImperativeAggregate) == termDocMatrix") {
+    val slow = InvertedIndex.termDocMatrix(toks, n = 3, firstId = 1L)
+      .as[(String, Seq[Int])].collect().toMap
+    val fast = InvertedIndex.termDocMatrixFast(toks, n = 3, firstId = 1L)
+      .as[(String, Seq[Int])].collect().toMap
+    assert(fast == slow)
+  }
+
+  test("termDocMatrixFast ignores out-of-range doc ids (reference threw AIOOBE)") {
+    val t = Seq((0L, "cat"), (99L, "cat")).toDF("doc_id", "term")
+    val m = InvertedIndex.termDocMatrixFast(t, n = 2, firstId = 0L)
+      .as[(String, Seq[Int])].collect().toMap
+    assert(m == Map("cat" -> Seq(1, 0)))
+  }
+
+  test("termDocMatrixFast on the real corpus at sf0.001 matches slow path") {
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+    val t = Normalize.tokens(docs)
+    val n = docs.count().toInt
+    val slow = InvertedIndex.termDocMatrix(t, n).as[(String, Seq[Int])].collect().toMap
+    val fast = InvertedIndex.termDocMatrixFast(t, n).as[(String, Seq[Int])].collect().toMap
+    assert(fast == slow)
+  }
 }

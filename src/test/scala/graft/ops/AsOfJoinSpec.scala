@@ -1,0 +1,43 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  def t(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("backward as-of: latest right row at-or-before each left time, per key") {
+    val quotes = Seq(
+      (1L, t(0), 100.0), (1L, t(10), 110.0), (1L, t(20), 120.0),
+      (2L, t(5), 50.0)).toDF("qkey", "qts", "px")
+    val trades = Seq(
+      (1L, t(0), "exact-at-first"),    // ts == quote ts -> inclusive match
+      (1L, t(15), "between"),          // matches t(10) quote
+      (1L, t(25), "after-last"),       // matches t(20) quote
+      (2L, t(4), "before-any"),        // no quote yet -> null
+      (3L, t(9), "no-key"))            // key never quoted -> null
+      .toDF("tkey", "tts", "label")
+
+    val out = AsOfJoin.asofBackward(trades, quotes,
+      "tkey", "qkey", "tts", "qts", payload = Seq("px"))
+      .select("label", "px").as[(String, Option[Double])].collect().toMap
+
+    assert(out == Map(
+      "exact-at-first" -> Some(100.0),
+      "between" -> Some(110.0),
+      "after-last" -> Some(120.0),
+      "before-any" -> None,
+      "no-key" -> None))
+  }
+
+  test("left rows and columns are preserved") {
+    val l = Seq((1L, t(1), "a"), (1L, t(2), "b")).toDF("k", "ts", "tag")
+    val r = Seq((1L, t(0), 7L)).toDF("k2", "ts2", "v")
+    val out = AsOfJoin.asofBackward(l, r, "k", "k2", "ts", "ts2", Seq("v"))
+    assert(out.count() == 2)
+    assert(out.columns.toSet == Set("k", "ts", "tag", "v"))
+  }
+}
