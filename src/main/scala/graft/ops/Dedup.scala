@@ -24,7 +24,7 @@ object Dedup {
 
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
-  def all: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29)
+  def all: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q50)
 
   /** Exact dedup on a normalized key: keep the lowest doc_id per group.
     * Scale: one hash exchange on the key; with pre-partitioned/bucketed
@@ -274,5 +274,54 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig1").bitwiseXOR(col("sig2"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-duplicates, exact over a bounded slice
+    * (vec_id < 200): the verifier stage of embedding dedup, with the
+    * cosine formula pinned to the engine-neutral fold (see q31).
+    * The unbounded path is [[dedupByEmbedding]] (LSH-bucketed).
+    */
+  val q50: QueryDef = QueryDef.sql(
+    "q50_embedding_neardup",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+      |s AS (
+      |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+      |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS score
+      |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+      |SELECT d1, d2, score FROM s
+      |WHERE score >= 0.35
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    import graft.functions.functions.cosine_similarity
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    e.toDF("d1", "v1")
+      .join(e.toDF("d2", "v2"), col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        cosine_similarity(col("v1"), col("v2")).as("score"))
+      .filter(col("score") >= 0.35)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Production embedding near-dup dedup: sign-LSH buckets make the
+    * pair search an equi-join; exact cosine rescoring inside buckets;
+    * keep-lowest-id policy marks the rest as duplicates. Returns the
+    * surviving rows. Recall is tuned by nPlanes (fewer planes = bigger
+    * buckets = higher recall, more compute).
+    */
+  def dedupByEmbedding(spark: org.apache.spark.sql.SparkSession,
+                       emb: DataFrame, threshold: Double = 0.95,
+                       nPlanes: Int = 8): DataFrame = {
+    import graft.functions.functions.cosine_similarity
+    val ids = emb.columns(0)
+    val e = emb.toDF("id", "v")
+    val pairs = Similarity.lshKnn(spark, e, e, k = Int.MaxValue, nPlanes = nPlanes)
+      .filter(col("score") >= threshold && col("qid") < col("cid"))
+      .select(col("cid").as("dup_id")).distinct()
+    e.join(pairs, e("id") === pairs("dup_id"), "left_anti")
+      .select(col("id").as(ids), col("v"))
   }
 }

@@ -13,7 +13,7 @@ import graft.text.Normalize
 object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
-    q40, q41, q42, q43, q44, q45, q46, q47, q48)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q51, q52)
 
   /** Reference Job 1 end-to-end: normalize (tokenize/punct/stopword/
     * Porter-stem) -> term-document presence matrix (serialized in the
@@ -104,5 +104,28 @@ object NonOracle {
     Multimodal.mediaStats(
       Multimodal.extractFeatures(s,
         Multimodal.attachMedia(Tables.documents(s, dir))))
+  }
+
+  /** Production embedding dedup: LSH-bucketed cosine, keep-lowest-id. */
+  val q51 = QueryDef.rowsOnly("q51_embedding_dedup_prod") { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    Dedup.dedupByEmbedding(s, e, threshold = 0.35, nPlanes = 8)
+      .select(col("vec_id")).orderBy(col("vec_id"))
+  }
+
+  /** Approximate sketches: HLL distinct + approx quantiles per flag
+    * (engine-specific sketch internals -> no oracle).
+    */
+  val q52 = QueryDef.rowsOnly("q52_approx_sketches") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("median_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
+          .as("p99_price"))
+      .orderBy(col("l_returnflag"))
   }
 }

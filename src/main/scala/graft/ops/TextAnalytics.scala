@@ -26,7 +26,7 @@ object TextAnalytics {
     */
   private val probeStops = Seq("the", "a", "an", "and", "of", "to", "is", "in", "it", "on")
 
-  def all: Seq[QueryDef] = Seq(q21, q22, q23, q24)
+  def all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q38, q39)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -157,5 +157,55 @@ object TextAnalytics {
       col("doc_id"), col("lang").as("labeled_lang"),
       greatest(scores: _*).getField("lang").as("predicted_lang"),
       greatest(scores: _*).getField("score").as("lang_score"))
+  }
+
+  /** BPE-ish token counting: letter-runs / digit-runs / single
+    * punctuation, the pre-tokenizer shape of byte-pair encoders —
+    * engine-neutral via identical regexes.
+    */
+  val q38: QueryDef = QueryDef.sql(
+    "q38_bpe_token_count",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("bigint").as("n_bpe_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+          .cast("bigint").as("n_word_tokens"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .cast("bigint").as("n_number_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: Karp-Rabin polynomial rolling hash over
+    * the character stream, mod 1e9+7 — a content fingerprint any
+    * engine can reproduce (unlike xxhash64). One narrow pass.
+    */
+  val q39: QueryDef = QueryDef.sql(
+    "q39_doc_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(regexp_extract_all(text, '.'),
+      |                     c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        aggregate(
+          transform(regexp_extract_all(col("text"), lit("."), lit(0)),
+            c => ascii(c).cast("bigint")),
+          lit(0L),
+          (a, b) => (a * 31L + b) % 1000000007L).as("fingerprint"))
+      .orderBy(col("doc_id"))
   }
 }
