@@ -26,7 +26,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val docs = ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val n = docs.count().toInt
-    InvertedIndex.termDocMatrix(Normalize.tokens(docs), n)
+    InvertedIndex.termDocMatrixFast(Normalize.tokens(docs), n)
       .orderBy(col("term"))
   }
 
