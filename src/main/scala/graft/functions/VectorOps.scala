@@ -80,6 +80,72 @@ object VectorOps {
     out
   }
 
+  /** MinHash signature over an array of strings (shingles): each
+    * element is xxhash64'd once; the j-th permutation is the splitmix64
+    * mix of (h ^ mix64(j+1)) — one byte pass per element + nHashes
+    * cheap mixes, all inside one compiled kernel.
+    */
+  def minhashSig(arr: ArrayData, nHashes: Int): ArrayData = {
+    val out = new Array[Long](nHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var j = 0
+      while (j < nHashes) {
+        val hj = mix64(h ^ mix64(j + 1L))
+        if (hj < out(j)) out(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Fused tokenize -> word-shingle -> MinHash kernel over a raw text
+    * value: whitespace tokens, k-word shingles, each hashed once,
+    * permutations by bit mixing. One compiled pass per document, no
+    * intermediate arrays materialized in the row format.
+    */
+  def shingleMinhashSig(text: org.apache.spark.unsafe.types.UTF8String,
+                        nHashes: Int, k: Int): ArrayData = {
+    val out = new Array[Long](nHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val toks = text.toString.split("\\s+")
+    var nTok = 0
+    var t = 0
+    while (t < toks.length) { if (toks(t).nonEmpty) { toks(nTok) = toks(t); nTok += 1 }; t += 1 }
+    if (nTok > 0) {
+      val m = math.max(nTok - k + 1, 1)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var w = i
+        val end = math.min(i + k, nTok)
+        while (w < end) {
+          if (w > i) sb.append(' ')
+          sb.append(toks(w))
+          w += 1
+        }
+        val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+        var j = 0
+        while (j < nHashes) {
+          val hj = mix64(h ^ mix64(j + 1L))
+          if (hj < out(j)) out(j) = hj
+          j += 1
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** splitmix64 finalizer — public-domain bit mixer. */
   def mix64(v: Long): Long = {
     var z = v + 0x9e3779b97f4a7c15L

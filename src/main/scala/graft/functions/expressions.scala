@@ -98,6 +98,48 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** MinHash signature (ARRAY<BIGINT>, length nHashes) of an
+  * ARRAY<STRING> of shingles — the map-side kernel of MinHash-LSH
+  * dedup. Codegen'd; see VectorOps.minhashSig.
+  */
+case class MinHashSigExpr(child: Expression, nHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.minhashSig(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.minhashSig($c, $nHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** Fused text -> word-shingle -> MinHash signature (see
+  * VectorOps.shingleMinhashSig): the whole dedup map side in one
+  * codegen'd expression over the raw text column.
+  */
+case class ShingleMinHashExpr(child: Expression, nHashes: Int, shingleSize: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.shingleMinhashSig(input.asInstanceOf[UTF8String], nHashes, shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorOps.shingleMinhashSig($c, $nHashes, $shingleSize)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHashExpr =
+    copy(child = newChild)
+}
+
 /** Column-level entry points (the library's scalar-function surface). */
 object functions {
   def porter_stem(c: Column): Column =
@@ -113,6 +155,12 @@ object functions {
 
   def simhash64(c: Column): Column =
     Shim.column(SimHash64Expr(Shim.expression(c)))
+
+  def minhash_sig(c: Column, nHashes: Int): Column =
+    Shim.column(MinHashSigExpr(Shim.expression(c), nHashes))
+
+  def shingle_minhash(c: Column, nHashes: Int, shingleSize: Int): Column =
+    Shim.column(ShingleMinHashExpr(Shim.expression(c), nHashes, shingleSize))
 
   /** Register the functions for SQL use in an existing session
     * (idempotent). For new sessions prefer

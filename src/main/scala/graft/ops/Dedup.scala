@@ -220,27 +220,32 @@ object Dedup {
 
   // --- production-path (engine-hash) variants: the 100 TB path -------
 
-  /** MinHash-LSH candidates using xxhash64 shingles: no dictionary, no
-    * global window — every stage is hash-partitioned and linear in the
-    * corpus. `nHashes` permutations approximated by re-seeding xxhash64.
+  /** Per-document MinHash signature matrix, computed entirely map-side
+    * by the codegen'd [[graft.functions.MinHashSigExpr]] kernel (each
+    * shingle hashed once, permutations derived by bit mixing). A pure
+    * narrow pass — no explode, no shuffle, no dictionary; at 100 TB
+    * signatures stream at scan speed. (The equivalent higher-order
+    * formulation — transform/array_min over xxhash64(s, j) — is ~10x
+    * slower: interpreted lambda eval per (shingle, permutation).)
+    */
+  def minhashSignatures(docs: DataFrame, nHashes: Int = 32,
+                        shingleSize: Int = 3): DataFrame =
+    docs.select(
+      col("doc_id"),
+      graft.functions.functions.shingle_minhash(
+        col("text"), nHashes, shingleSize).as("mh"))
+
+  /** MinHash-LSH candidates: narrow signatures, band signatures as
+    * xxhash64 of each signature slice, then ONE equi-join on
+    * (band, band_sig) — the only shuffle in the whole operator.
     */
   def minhashCandidates(docs: DataFrame, nHashes: Int = 32, bandSize: Int = 4,
                         shingleSize: Int = 3): DataFrame = {
-    val shingled = docs.select(
-      col("doc_id"),
-      explode(shingles(col("text"), shingleSize)).as("shingle"))
-      .distinct()
-    val hashed = shingled
-      .withColumn("j", explode(sequence(lit(0), lit(nHashes - 1))))
-      .select(col("doc_id"), col("j"),
-        xxhash64(col("shingle"), col("j")).as("h"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(col("h")).as("mh"))
-    val bands = hashed
-      .withColumn("band", floor(col("j") / bandSize).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      // xxhash64 over the band's minhashes -> one 64-bit band signature
-      .agg(xxhash64(sort_array(collect_list(struct(col("j"), col("mh"))))).as("band_sig"))
+    val bands = minhashSignatures(docs, nHashes, shingleSize)
+      .withColumn("band", explode(sequence(lit(0), lit(nHashes / bandSize - 1))))
+      .select(col("doc_id"), col("band"),
+        xxhash64(slice(col("mh"), col("band") * bandSize + 1, lit(bandSize)))
+          .as("band_sig"))
     bands.toDF("d1", "band", "sig")
       .join(bands.toDF("d2", "band2", "sig2"),
         col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))

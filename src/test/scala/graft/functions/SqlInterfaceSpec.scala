@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.{functions => gf}
+
+/** The SQL surface: graft's custom expressions callable from spark.sql
+  * after registration (functions.register / GraftExtensions).
+  */
+class SqlInterfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("porter_stem / cosine / simhash64 callable from SQL") {
+    gf.register(spark)
+    Seq(("meetings", Seq(1.0, 0.0), Seq(0.0, 2.0)))
+      .toDF("w", "a", "b").createOrReplaceTempView("t")
+    val r = spark.sql(
+      """SELECT porter_stem(w) AS stem,
+        |  cosine_similarity(a, b) AS cs,
+        |  cosine_distance(a, a) AS cd,
+        |  simhash64(array(1L, 2L, 3L)) AS sh
+        |FROM t""".stripMargin).head()
+    assert(r.getString(0) == "meet")
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  test("registration is idempotent") {
+    gf.register(spark)
+    gf.register(spark)
+    assert(spark.sql("SELECT porter_stem('ponies')").head().getString(0) == "poni")
+  }
+
+  test("end-to-end SQL query over a registered parquet table") {
+    gf.register(spark)
+    graft.ops.Tables.documents(spark, sfDir).createOrReplaceTempView("documents_v")
+    val top = spark.sql(
+      """SELECT porter_stem(tok) AS term, count(*) AS n
+        |FROM (SELECT explode(split(text, '\\s+')) AS tok FROM documents_v)
+        |WHERE length(tok) > 0
+        |GROUP BY term ORDER BY n DESC, term LIMIT 5""".stripMargin)
+      .collect()
+    assert(top.length == 5)
+    assert(top.forall(_.getLong(1) > 0))
+  }
+}
