@@ -13,7 +13,7 @@ import graft.text.Normalize
 object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q51, q52)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q51, q52, q53)
 
   /** Reference Job 1 end-to-end: normalize (tokenize/punct/stopword/
     * Porter-stem) -> term-document presence matrix (serialized in the
@@ -127,5 +127,14 @@ object NonOracle {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
           .as("p99_price"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** IVF ANN: k-means coarse quantizer + probe-limited exact search. */
+  val q53 = QueryDef.rowsOnly("q53_knn_ivf") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    Similarity.ivfKnn(s, emb, emb.filter(col("vec_id") < 10), k = 3,
+      nCells = 8, nProbe = 3, lloydIters = 1)
+      .orderBy(col("qid"), col("rnk"))
   }
 }

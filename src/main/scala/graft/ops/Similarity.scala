@@ -119,4 +119,51 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
+
+  /** IVF (inverted-file) ANN: the corpus is coarse-quantized into
+    * `nCells` k-means cells (2 Lloyd iterations over cosine); a query
+    * probes only its `nProbe` nearest cells and rescans exactly within
+    * them.
+    *
+    * Scale: the cell index is a plain (cell_id -> vectors) partition of
+    * the corpus — build is the k-means assignment (scan-bound, centers
+    * broadcast); search cost drops from O(corpus) to
+    * O(corpus * nProbe / nCells) per query. Cells map naturally to
+    * partition pruning when the corpus is written partitioned by
+    * cell_id. Recall is tuned by nProbe (= nCells gives exact search).
+    */
+  def ivfKnn(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+             k: Int, nCells: Int = 16, nProbe: Int = 4,
+             lloydIters: Int = 2): DataFrame = {
+    import graft.cluster.KMeansAssign
+    val c = corpus.toDF("cid", "cv")
+    // build: coarse quantizer + cell assignment
+    val assigned = KMeansAssign.lloyd(spark, c.toDF("id", "vec"), nCells, lloydIters)
+    val cells = c.join(assigned.select(col("id").as("cid"), col("center_id")), "cid")
+    // probe targets: the true cell centroids (mean per dimension,
+    // computed scale-safely via posexplode — never a whole-group buffer)
+    val centroids = cells
+      .select(col("center_id"), posexplode(col("cv")).as(Seq("pos", "x")))
+      .groupBy(col("center_id"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("center_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("repr"))
+    // probe: nProbe nearest centroids per query by cosine distance
+    val w = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("center_id"))
+    val probes = queries.toDF("qid", "qv")
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qv"), col("center_id"),
+        graft.functions.functions.cosine_distance(col("qv"), col("repr")).as("cdist"))
+      .withColumn("prnk", row_number().over(w))
+      .filter(col("prnk") <= nProbe)
+      .select(col("qid"), col("qv"), col("center_id"))
+    // search: exact rescoring inside probed cells only
+    val ws = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    probes.join(cells, "center_id")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        cosine_similarity(col("qv"), col("cv")).as("score"))
+      .withColumn("rnk", row_number().over(ws))
+      .filter(col("rnk") <= k)
+  }
 }

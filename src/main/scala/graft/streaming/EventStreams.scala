@@ -21,6 +21,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** File-source stream over an events parquet directory (the deploy
+    * shape: new files land, Spark incrementally processes them).
+    * Handles the fixtures' TIMESTAMP(NANOS) the same way the batch
+    * reader does.
+    */
+  def readEventStream(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
   /** Tumbling-window per-type counts with a 30-minute watermark for
     * late data.
     */

@@ -40,4 +40,24 @@ class SimilaritySpec extends SparkSpec {
       .select("qid", "cid").as[(Long, Long)].collect().toMap
     assert(exact.size == 3) // each query has a nearest neighbor
   }
+
+  test("ivfKnn: full probe equals brute force; partial probe has decent recall@1") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 200)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceKnn(queries.toDF("qid", "qv"), emb, k = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    // probing every cell must reproduce exact search
+    val full = Similarity.ivfKnn(spark, emb, queries, k = 1,
+      nCells = 4, nProbe = 4, lloydIters = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    assert(full == exact)
+    // probing half the cells keeps most top-1 neighbors
+    val partial = Similarity.ivfKnn(spark, emb, queries, k = 1,
+      nCells = 4, nProbe = 2, lloydIters = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    val recall = exact.count { case (q, n) => partial.get(q).contains(n) }.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@1 = $recall")
+  }
 }

@@ -64,4 +64,23 @@ class EventStreamsSpec extends SparkSpec {
       assert(sessions.exists(s => s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0))
     } finally query.stop()
   }
+
+  test("file-source stream over the fixture parquet matches batch totals") {
+    // the file stream source needs a directory: stage the fixture file
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = EventStreams.hourlyCounts(
+      EventStreams.readEventStream(spark, dir.toString))
+    val q = stream.writeStream.format("memory").queryName("hourly_file")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_file")
+        .agg(sum("n")).as[Long].head()
+      val batch = graft.ops.Tables.events(spark, sfDir).count()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
