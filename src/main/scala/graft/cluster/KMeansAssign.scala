@@ -81,23 +81,30 @@ object KMeansAssign {
       val centersDf = spark.createDataset(centers.toSeq)
         .toDF("center_id", "cvec")
       assigned = assign(cached, centersDf, idCol, vecCol)
-      // centroid update: explode to (center, dim-pos, value) and mean
-      // per slot — never materializes a group's member vectors in one
-      // buffer, so group size is unbounded (100 TB-safe), and the
-      // per-slot avg runs as partial+final hash aggregation.
-      val newCenters = assigned
-        .join(cached, idCol)
-        .select($"center_id", posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy($"center_id", $"pos").agg(avg($"x").as("m"))
-        .groupBy($"center_id")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
-          s => s.getField("m")).as("cvec"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
-      centers = newCenters
       it += 1
+      // no centroid update after the final assignment — it would be a
+      // full extra pass whose result is discarded
+      if (it < maxIter) {
+        // centroid update: explode to (center, dim-pos, value) and mean
+        // per slot — never materializes a group's member vectors in one
+        // buffer, so group size is unbounded (100 TB-safe), and the
+        // per-slot avg runs as partial+final hash aggregation.
+        val newCenters = assigned
+          .join(cached, idCol)
+          .select($"center_id", posexplode(col(vecCol)).as(Seq("pos", "x")))
+          .groupBy($"center_id", $"pos").agg(avg($"x").as("m"))
+          .groupBy($"center_id")
+          .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+            s => s.getField("m")).as("cvec"))
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        centers = newCenters
+      }
     }
+    // the returned plan no longer needs the cache once materialized by
+    // the caller; blocking=false keeps this fire-and-forget
+    cached.unpersist(blocking = false)
     assigned
   }
 }

@@ -25,30 +25,40 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param payload right-side columns to carry onto matched left rows */
+  /** @param payload right-side columns to carry onto matched left rows
+    *                 (names must not collide with left's columns). The
+    *                 payload travels as ONE struct so a match is always
+    *                 a single consistent right row, even when individual
+    *                 payload values are null. Right rows with a null
+    *                 time are non-matches and are dropped up front.
+    */
   def asofBackward(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       payload: Seq[String]): DataFrame = {
+    require(payload.forall(!left.columns.contains(_)),
+      s"payload columns ${payload.mkString(",")} collide with left columns")
     val leftCols = left.columns.toSeq
     val l = left.select(
       Seq(col(leftKey).as("_k"), col(leftTime).cast("timestamp").as("_t"),
         lit(1).as("_side")) ++
-        leftCols.map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-    val r = right.select(
+        leftCols.map(col) :+
+        lit(null).as("_p"): _*)
+    val r = right.filter(col(rightTime).isNotNull).select(
       Seq(col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
         lit(0).as("_side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("_p"): _*)
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r)
+    val carried = l.unionByName(r, allowMissingColumns = false)
       .select(
-        (Seq(col("_side")) ++ leftCols.map(col) ++
-          payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
-    carried.filter(col("_side") === 1).drop("_side")
+        (Seq(col("_side")) ++ leftCols.map(col) :+
+          last(col("_p"), ignoreNulls = true).over(w).as("_p")): _*)
+    carried.filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"_p.$c").as(c)): _*)
   }
 }

@@ -80,10 +80,13 @@ object Multimodal {
     */
   def sampleFrames(media: DataFrame, nFrames: Int = 8, stride: Int = 2): DataFrame =
     media.select(
-      col("doc_id"),
+      col("doc_id"), col("media"),
       posexplode(sequence(lit(0), lit(nFrames - 1), lit(stride)))
         .as(Seq("pos", "frame_idx")))
-      .select(col("doc_id"), col("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        // stub frame payload: a 4-byte slice per frame index (real
+        // impl: container demux at the sampled frame)
+        substring(col("media"), col("frame_idx") * 4 + 1, lit(4)).as("frame"))
 
   /** Metadata-only projection — must never touch the blob column
     * (verify with .explain: ReadSchema excludes `media`).

@@ -13,7 +13,7 @@ import graft.text.Normalize
 object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q51, q52, q53)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q51, q52, q53, q54)
 
   /** Reference Job 1 end-to-end: normalize (tokenize/punct/stopword/
     * Porter-stem) -> term-document presence matrix (serialized in the
@@ -136,5 +136,10 @@ object NonOracle {
     Similarity.ivfKnn(s, emb, emb.filter(col("vec_id") < 10), k = 3,
       nCells = 8, nProbe = 3, lloydIters = 1)
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Heuristic language-ID over the corpus (profile argmax). */
+  val q54 = QueryDef.rowsOnly("q54_langid") { (s, dir) =>
+    TextAnalytics.langId(Tables.documents(s, dir)).orderBy(col("doc_id"))
   }
 }

@@ -366,7 +366,8 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint")).as("sum_k"),
+        sum(nullif(regexp_extract(col("props"), "\"k\": (\\d+)", 1), lit(""))
+          .cast("bigint")).as("sum_k"),
         money(col("value")).as("sum_value"))
       .orderBy(col("event_type"))
   }

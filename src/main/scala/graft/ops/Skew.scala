@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Two-phase salted sum/count aggregation.
-    * @param aggs (outColumn, inputColumn) pairs; each becomes
-    *             sum(input) — extend per need (any commutative monoid).
+  /** Two-phase salted aggregation for sum-decomposable aggregates.
+    * @param aggs (outName, aggExpr) pairs where aggExpr is the phase-1
+    *             aggregate over (key, salt); phase 2 combines the
+    *             partials with SUM — so aggExpr must be sum() or
+    *             count() (anything whose partials combine by addition).
+    *             Non-additive aggregates (max, avg, distinct) would be
+    *             silently wrong here — compose them from additive
+    *             pieces instead (e.g. avg = salted sum / salted count).
     */
   def saltedSumAgg(df: DataFrame, key: Column, buckets: Int,
                    aggs: (String, Column)*): DataFrame = {

@@ -143,7 +143,11 @@ object TextAnalytics {
 
   def langId(docs: DataFrame): DataFrame = {
     val t = toks(lower(col("text")))
-    val scores = langProfiles.map { case (lang, words) =>
+    // greatest() compares struct fields left to right: score first,
+    // then an explicit priority so ties resolve to the EARLIEST profile
+    // (without it they would resolve to the lexicographically largest
+    // language code — every zero-signal doc would come out "zh").
+    val scores = langProfiles.zipWithIndex.map { case ((lang, words), idx) =>
       val sc =
         if (words.isEmpty)
           // CJK codepoint density
@@ -151,7 +155,8 @@ object TextAnalytics {
             .cast("double")
         else
           size(filter(t, x => array_contains(array(words.map(lit): _*), x))).cast("double")
-      struct(sc.as("score"), lit(lang).as("lang"))
+      struct(sc.as("score"), lit(langProfiles.length - idx).as("prio"),
+        lit(lang).as("lang"))
     }
     docs.select(
       col("doc_id"), col("lang").as("labeled_lang"),

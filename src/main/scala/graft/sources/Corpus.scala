@@ -20,13 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
-  /** dir of `<docId>.<ext>` text files -> (doc_id, line). */
+  /** dir of `<docId>.<ext>` text files -> (doc_id, line). Files whose
+    * names don't match `<digits>.<ext>` are skipped (the cast is
+    * guarded so Spark's default ANSI mode can't fail the whole scan on
+    * a stray readme/checkpoint file).
+    */
   def readLines(spark: SparkSession, dir: String): DataFrame =
     spark.read.text(dir)
       .select(
-        regexp_extract(input_file_name(), "(\\d+)\\.[^/.]*$", 1)
-          .cast("int").as("doc_id"),
+        regexp_extract(input_file_name(), "(\\d+)\\.[^/.]*$", 1).as("_id"),
         col("value").as("line"))
+      .filter(length(col("_id")) > 0)
+      .select(col("_id").cast("int").as("doc_id"), col("line"))
 
   /** dir -> (doc_id, text): whole-document granularity (reference maps
     * per line; per-doc is what the rest of the engine consumes).

@@ -66,38 +66,59 @@ object EventStreams {
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Int, total_value: Double)
 
-  /** Gap-based sessionization via mapGroupsWithState: a session closes
-    * when a user is idle for `gapMinutes` (processing-time timeout in
-    * streaming; in tests driven through a MemoryStream).
+  /** Gap-based sessionization via flatMapGroupsWithState with an
+    * EVENT-TIME timeout: a session closes when a later event arrives
+    * past the gap, or when the watermark passes (last event + gap) —
+    * without the timeout path a churned user's last session would sit
+    * in state forever and never be emitted. Event-time (not
+    * processing-time) keeps the operator deterministic and replayable.
+    * Input must carry a watermark on `ts` (applied here).
     */
   def sessionize(spark: SparkSession, events: Dataset[Event],
-                 gapMinutes: Int = 30): Dataset[Session] = {
+                 gapMinutes: Int = 30,
+                 watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
-          // events within a micro-batch are not ordered: sort the batch
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(st) if t - st.last <= gapMs =>
-                cur = Some(st.copy(last = t, n = st.n + 1, sum = st.sum + e.value))
-              case Some(st) =>
-                closed += Session(userId, new Timestamp(st.start),
-                  new Timestamp(st.last), st.n, st.sum)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: flush and clear
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(st.start),
+              new Timestamp(st.last), st.n, st.sum))
+          } else {
+            // events within a micro-batch are not ordered: sort the batch
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.last <= gapMs =>
+                  cur = Some(st.copy(last = t, n = st.n + 1, sum = st.sum + e.value))
+                case Some(st) =>
+                  closed += Session(userId, new Timestamp(st.start),
+                    new Timestamp(st.last), st.n, st.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              // deadline = last event + gap, clamped above the current
+              // watermark (setTimeoutTimestamp rejects past deadlines
+              // for very late data)
+              state.setTimeoutTimestamp(
+                math.max(st.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 

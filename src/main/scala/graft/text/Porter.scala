@@ -29,7 +29,9 @@ object Porter {
     s.step3()
     s.step4()
     s.step5()
-    if (s.k + 1 == word.length) word else new String(s.b, 0, s.k + 1)
+    // always materialize from the buffer: steps can rewrite characters
+    // in place without changing the length (e.g. step 1c's y -> i)
+    new String(s.b, 0, s.k + 1)
   }
 
   /** Mutable per-call stemming state over a char buffer b[0..k]. */

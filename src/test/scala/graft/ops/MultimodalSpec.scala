@@ -34,10 +34,14 @@ class MultimodalSpec extends SparkSpec {
     assert(f.forall(x => x.n_bytes == 32))
   }
 
-  test("sampleFrames: stride sampling") {
+  test("sampleFrames: stride sampling with per-frame byte-slice payload") {
     val frames = Multimodal.sampleFrames(Multimodal.attachMedia(docs), nFrames = 8, stride = 2)
-      .filter($"doc_id" === 0L).select("frame_idx").as[Int].collect().toList
-    assert(frames == List(0, 2, 4, 6))
+      .filter($"doc_id" === 0L).select("frame_idx", "frame")
+      .as[(Int, Array[Byte])].collect().sortBy(_._1)
+    assert(frames.map(_._1).toList == List(0, 2, 4, 6))
+    assert(frames.forall(_._2.length == 4))
+    // different frames slice different bytes
+    assert(frames(0)._2.toSeq != frames(1)._2.toSeq)
   }
 
   test("mediaStats groups by mime with metadata only") {

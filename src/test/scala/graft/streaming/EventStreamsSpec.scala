@@ -50,7 +50,7 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("streaming: sessionize closes a session when the gap passes") {
+  test("streaming: sessionize closes sessions by gap and by watermark timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
     val query = sessionize(spark, mem.toDS(), gapMinutes = 30)
@@ -59,9 +59,22 @@ class EventStreamsSpec extends SparkSpec {
     try {
       mem.addData(events: _*)
       query.processAllAvailable()
-      val sessions = spark.table("sessions_test").as[Session].collect()
-      // user 1's first session (2 events) closed by the ts(90) event
-      assert(sessions.exists(s => s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0))
+      val afterBatch1 = spark.table("sessions_test").as[Session].collect()
+      // user 1's first session (2 events) closed by the gap to ts(90)
+      assert(afterBatch1.exists(s => s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0))
+
+      // advance the watermark far past every open session's deadline:
+      // open sessions (user 1 @t90, user 2 @t2) must flush via the
+      // event-time timeout
+      mem.addData(Event(99L, ts(600), 42L, "click", 0.0))
+      query.processAllAvailable()
+      mem.addData(Event(100L, ts(610), 42L, "click", 0.0))
+      query.processAllAvailable()
+      val all = spark.table("sessions_test").as[Session].collect()
+      assert(all.exists(s => s.user_id == 1L && s.n_events == 1 && s.total_value == 3.0),
+        s"user 1 trailing session missing: ${all.toList}")
+      assert(all.exists(s => s.user_id == 2L && s.n_events == 1 && s.total_value == 4.0),
+        s"user 2 session missing: ${all.toList}")
     } finally query.stop()
   }
 

@@ -80,7 +80,13 @@ class PorterSpec extends AnyFunSuite {
     "rate" -> "rate",
     "cease" -> "ceas",
     "controll" -> "control",
-    "roll" -> "roll")
+    "roll" -> "roll",
+    // same-length in-place rewrites (step 1c y->i) — regression for the
+    // unchanged-length fast path that used to return the input verbatim
+    "happy" -> "happi",
+    "party" -> "parti",
+    "enjoy" -> "enjoi",
+    "sky" -> "sky")
 
   test("golden stemming vectors") {
     val failures = golden.collect {
