@@ -88,6 +88,41 @@ object Multimodal {
         // impl: container demux at the sampled frame)
         substring(col("media"), col("frame_idx") * 4 + 1, lit(4)).as("frame"))
 
+  case class MediaEmbedding(doc_id: Long, embedding: Array[Double])
+
+  /** ======================= STUB ==============================
+    * Media -> embedding extraction (a real pipeline runs a vision/audio
+    * encoder here). The stub derives a deterministic unit vector from
+    * the payload bytes so the downstream ANN plumbing (partitioning,
+    * kNN, dedup-by-embedding) is exercised with real Spark mechanics.
+    * Batched per partition like extractFeatures (one encoder init per
+    * task in a real deployment).
+    */
+  def embedStub(spark: SparkSession, media: DataFrame,
+                dim: Int = 16): Dataset[MediaEmbedding] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val v = new Array[Double](dim)
+        var h = 0x9e3779b97f4a7c15L
+        var i = 0
+        while (i < r.media.length) { h = h * 31 + r.media(i); i += 1 }
+        var d = 0
+        var norm = 0.0
+        while (d < dim) {
+          h = graft.functions.VectorOps.mix64(h + d)
+          v(d) = (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+          norm += v(d) * v(d)
+          d += 1
+        }
+        val inv = 1.0 / math.sqrt(norm)
+        d = 0
+        while (d < dim) { v(d) *= inv; d += 1 }
+        MediaEmbedding(r.doc_id, v)
+      }
+    }
+  }
+
   /** Metadata-only projection — must never touch the blob column
     * (verify with .explain: ReadSchema excludes `media`).
     */

@@ -13,7 +13,7 @@ import graft.text.Normalize
 object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q51, q52, q53, q54)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q51, q52, q53, q54, q57)
 
   /** Reference Job 1 end-to-end: normalize (tokenize/punct/stopword/
     * Porter-stem) -> term-document presence matrix (serialized in the
@@ -141,5 +141,18 @@ object NonOracle {
   /** Heuristic language-ID over the corpus (profile argmax). */
   val q54 = QueryDef.rowsOnly("q54_langid") { (s, dir) =>
     TextAnalytics.langId(Tables.documents(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** Full multimodal pipeline: attach media -> (stub) embed -> exact
+    * duplicate detection via embedding kNN. Identical payloads produce
+    * identical embeddings, so exact dups surface at similarity 1.
+    */
+  val q57 = QueryDef.rowsOnly("q57_multimodal_embed_knn") { (s, dir) =>
+    val emb = Multimodal.embedStub(s,
+      Multimodal.attachMedia(Tables.documents(s, dir)))
+      .toDF("vec_id", "v")
+    Similarity.bruteForceKnn(
+      emb.filter(col("vec_id") < 10).toDF("qid", "qv"), emb, k = 3)
+      .orderBy(col("qid"), col("rnk"))
   }
 }

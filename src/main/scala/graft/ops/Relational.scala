@@ -33,7 +33,7 @@ object Relational {
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q32, q33, q34, q35, q36, q37)
+    q32, q33, q34, q35, q36, q37, q55, q56)
 
   /** TPC-H Q1 shape: full-scan hash aggregate on low-cardinality keys.
     * Scale: partial aggregation collapses 100 TB to ~6 groups map-side;
@@ -609,5 +609,62 @@ object Relational {
         coalesce(date_format(col("o_orderdate"), "yyyy-MM-dd"), lit(""))
           .as("last_orderday"))
       .orderBy(col("event_id"))
+  }
+
+  /** Full outer join: per-nation customer and supplier counts, keeping
+    * nations that only have one side. Keys coalesced to a total value
+    * so null ordering/hashing never differs across engines.
+    */
+  val q55: QueryDef = QueryDef.sql(
+    "q55_full_outer",
+    """SELECT coalesce(c.nk, s.nk) AS nationkey,
+      |  coalesce(c.n_cust, 0) AS n_cust,
+      |  coalesce(s.n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+      |      FROM customer WHERE c_acctbal > 9000.0 GROUP BY nk) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey AS nk, count(*) AS n_supp
+      |      FROM supplier WHERE s_acctbal > 8000.0 GROUP BY nk) s
+      |  ON c.nk = s.nk
+      |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir).filter(col("c_acctbal") > 9000.0)
+      .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cust"))
+    val su = Tables.supplier(s, dir).filter(col("s_acctbal") > 8000.0)
+      .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("nk_c") === col("nk_s"), "full_outer")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Date arithmetic + null-grouping semantics: ship latency in days,
+    * grouped with an injected null bucket (both engines group nulls
+    * together; the sentinel keeps hashing engine-neutral).
+    */
+  val q56: QueryDef = QueryDef.sql(
+    "q56_date_math",
+    """SELECT coalesce(CAST(nullif(l_discount, 0.0) AS VARCHAR), '(zero)') AS disc_bucket,
+      |  count(*) AS n,
+      |  CAST(sum(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS total_latency_days,
+      |  CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS min_latency,
+      |  CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_latency
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_custkey < 200
+      |GROUP BY disc_bucket
+      |ORDER BY disc_bucket""".stripMargin) { (s, dir) =>
+    val latency = datediff(col("l_shipdate"), col("o_orderdate")).cast("bigint")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_custkey") < 200),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(coalesce(nullif(col("l_discount"), lit(0.0)).cast("string"),
+        lit("(zero)")).as("disc_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(latency).as("total_latency_days"),
+        min(latency).as("min_latency"),
+        max(latency).as("max_latency"))
+      .orderBy(col("disc_bucket"))
   }
 }
