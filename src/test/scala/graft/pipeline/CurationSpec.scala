@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate: quality, language, exact-dup and near-dup stages all bite") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river", "en"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river", "en"), // exact dup
+      (2L, "the quick brown fox jumps over the lazy dog near the creek", "en"), // near dup
+      (3L, "too short", "en"),                                                  // quality
+      (4L, "!!! ??? ... !!! ??? ... !!! ??? ... !!! ??? ... ,,, ;;; :::", "en"), // punct
+      (5L, "ein ganz anderer text ueber etwas voellig anderes hier drin", "de"), // lang
+      (6L, "a completely different document talking about spark engines here", "en"))
+      .toDF("doc_id", "text", "lang")
+
+    val (curated, r) = Curation.curate(spark, docs,
+      minTokens = 5, maxPunctRatio = 0.2, keepLangs = Seq("en"),
+      nHashes = 32, bandSize = 4)
+
+    assert(r.input == 7)
+    assert(r.afterQuality == 5, r)         // drops 3 (short) and 4 (punct)
+    assert(r.afterLang == 4, r)            // drops 5 (de)
+    assert(r.afterExact == 3, r)           // collapses 0/1
+    assert(r.afterNearDup <= 3 && r.afterNearDup >= 2, r) // 2 near-dups 0/2
+    val ids = curated.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(0L) && ids.contains(6L))
+    assert(!ids.contains(1L))
+  }
+
+  test("curate on the fixture corpus is monotone and keeps real data") {
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+    val (curated, r) = Curation.curate(spark, docs, minTokens = 4,
+      maxPunctRatio = 0.5)
+    assert(r.input >= r.afterQuality)
+    assert(r.afterQuality >= r.afterLang)
+    assert(r.afterLang >= r.afterExact)
+    assert(r.afterExact >= r.afterNearDup)
+    assert(r.afterNearDup > 0)
+    assert(curated.columns.toSet == docs.columns.toSet)
+  }
+}
