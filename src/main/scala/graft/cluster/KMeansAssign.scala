@@ -58,6 +58,20 @@ object KMeansAssign {
       .select(col("cluster_id"), col(centerIdCol), col("size"), col("members"))
   }
 
+  /** Mean vector per assigned center: explode to (center, dim-pos,
+    * value) and average per slot — never materializes a group's member
+    * vectors in one buffer, so group size is unbounded (100 TB-safe),
+    * and the per-slot avg runs as partial+final hash aggregation.
+    * Input must carry `center_id` and the vector column.
+    */
+  def centroidMeans(assignedPoints: DataFrame, vecCol: String): DataFrame =
+    assignedPoints
+      .select(col("center_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("center_id"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("center_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cvec"))
+
   /** Full Lloyd iteration generalization (the reference only does the
     * assignment step; a real engine wants the loop): k-means with
     * cosine distance over unit-normalized vectors. Centroid update =
@@ -85,26 +99,19 @@ object KMeansAssign {
       // no centroid update after the final assignment — it would be a
       // full extra pass whose result is discarded
       if (it < maxIter) {
-        // centroid update: explode to (center, dim-pos, value) and mean
-        // per slot — never materializes a group's member vectors in one
-        // buffer, so group size is unbounded (100 TB-safe), and the
-        // per-slot avg runs as partial+final hash aggregation.
-        val newCenters = assigned
-          .join(cached, idCol)
-          .select($"center_id", posexplode(col(vecCol)).as(Seq("pos", "x")))
-          .groupBy($"center_id", $"pos").agg(avg($"x").as("m"))
-          .groupBy($"center_id")
-          .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
-            s => s.getField("m")).as("cvec"))
+        val newCenters = centroidMeans(assigned.join(cached, idCol), vecCol)
           .collect()
           .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
           .sortBy(_._1)
         centers = newCenters
       }
     }
-    // the returned plan no longer needs the cache once materialized by
-    // the caller; blocking=false keeps this fire-and-forget
+    // pin the (small) final assignment before releasing the cached
+    // input: otherwise the returned plan would recompute the whole
+    // lineage on the caller's first action with the cache already gone
+    val result = assigned.cache()
+    result.count()
     cached.unpersist(blocking = false)
-    assigned
+    result
   }
 }

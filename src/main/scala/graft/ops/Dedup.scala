@@ -241,6 +241,8 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, nHashes: Int = 32, bandSize: Int = 4,
                         shingleSize: Int = 3): DataFrame = {
+    require(nHashes >= bandSize && nHashes % bandSize == 0,
+      s"nHashes ($nHashes) must be a positive multiple of bandSize ($bandSize)")
     val bands = minhashSignatures(docs, nHashes, shingleSize)
       .withColumn("band", explode(sequence(lit(0), lit(nHashes / bandSize - 1))))
       .select(col("doc_id"), col("band"),
@@ -320,13 +322,12 @@ object Dedup {
   def dedupByEmbedding(spark: org.apache.spark.sql.SparkSession,
                        emb: DataFrame, threshold: Double = 0.95,
                        nPlanes: Int = 8): DataFrame = {
-    import graft.functions.functions.cosine_similarity
-    val ids = emb.columns(0)
+    val Array(idName, vecName) = emb.columns
     val e = emb.toDF("id", "v")
     val pairs = Similarity.lshKnn(spark, e, e, k = Int.MaxValue, nPlanes = nPlanes)
       .filter(col("score") >= threshold && col("qid") < col("cid"))
       .select(col("cid").as("dup_id")).distinct()
     e.join(pairs, e("id") === pairs("dup_id"), "left_anti")
-      .select(col("id").as(ids), col("v"))
+      .select(col("id").as(idName), col("v").as(vecName))
   }
 }

@@ -140,14 +140,10 @@ object Similarity {
     // build: coarse quantizer + cell assignment
     val assigned = KMeansAssign.lloyd(spark, c.toDF("id", "vec"), nCells, lloydIters)
     val cells = c.join(assigned.select(col("id").as("cid"), col("center_id")), "cid")
-    // probe targets: the true cell centroids (mean per dimension,
-    // computed scale-safely via posexplode — never a whole-group buffer)
-    val centroids = cells
-      .select(col("center_id"), posexplode(col("cv")).as(Seq("pos", "x")))
-      .groupBy(col("center_id"), col("pos")).agg(avg(col("x")).as("m"))
-      .groupBy(col("center_id"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("repr"))
+    // probe targets: the true cell centroids (shared scale-safe
+    // mean-per-dimension aggregation)
+    val centroids = KMeansAssign.centroidMeans(cells, "cv")
+      .withColumnRenamed("cvec", "repr")
     // probe: nProbe nearest centroids per query by cosine distance
     val w = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("center_id"))
     val probes = queries.toDF("qid", "qv")

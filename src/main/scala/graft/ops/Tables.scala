@@ -20,8 +20,14 @@ object Tables {
     * normalize to a TimestampType column (microsecond precision) here so
     * every downstream operator sees a real timestamp.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    val df = load(s, dir, "events")
+  def events(s: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(load(s, dir, "events"))
+
+  /** Shared by the batch and streaming event readers: when the nanos
+    * timestamp surfaced as a raw long (nanosAsLong), convert to a
+    * microsecond TimestampType column.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
@@ -29,7 +35,6 @@ object Tables {
             org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => df
     }
-  }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 

@@ -23,12 +23,20 @@ object Curation {
     * @param minTokens   quality floor: minimum whitespace tokens
     * @param maxPunctRatio quality ceiling on punctuation density
     * @param keepLangs   language allowlist (empty = keep all)
-    * @return (curated docs, per-stage report)
+    * @param minSigAgreement fraction of MinHash slots that must agree
+    *        before a candidate pair counts as a near-dup (MinHash slot
+    *        agreement is an unbiased Jaccard estimate, so 0.7 ~ Jaccard
+    *        0.7) — raw LSH band collisions alone would delete
+    *        non-duplicates on false positives
+    * @return (curated docs, per-stage report). The curated frame is
+    *         left persisted (the caller materializes it next); earlier
+    *         stage caches are released before returning.
     */
   def curate(spark: SparkSession, docs: DataFrame,
              minTokens: Int = 8, maxPunctRatio: Double = 0.2,
              keepLangs: Seq[String] = Nil,
-             nHashes: Int = 32, bandSize: Int = 4): (DataFrame, Report) = {
+             nHashes: Int = 32, bandSize: Int = 4,
+             minSigAgreement: Double = 0.7): (DataFrame, Report) = {
     val input = docs.count()
 
     // 1. quality: narrow per-doc metrics, no shuffle
@@ -49,19 +57,32 @@ object Curation {
       else quality.filter(col("lang").isin(keepLangs: _*))
     val afterLang = langed.count()
 
-    // 3. exact dedup: keep lowest doc_id per exact text (one exchange)
+    // 3. exact dedup: keep lowest doc_id per exact text (one exchange).
+    // Cache: stages 4's candidate join and the final anti-join both
+    // reread this frame.
     val exactKeep = langed
       .groupBy(col("text").as("_t"))
       .agg(min(col("doc_id")).as("_keep"))
       .select(col("_keep").as("doc_id"))
-    val exact = langed.join(exactKeep, "doc_id")
+    val exact = langed.join(exactKeep, "doc_id").cache()
     val afterExact = exact.count()
 
-    // 4. near-dup: LSH candidates, drop the higher doc_id of each pair
-    val dupIds = Dedup.minhashCandidates(exact, nHashes, bandSize)
+    // 4. near-dup: LSH candidates VERIFIED by signature agreement
+    // (estimated Jaccard), then drop the higher doc_id of each pair
+    val sigs = Dedup.minhashSignatures(exact, nHashes)
+    val candidates = Dedup.minhashCandidates(exact, nHashes, bandSize)
+    val agree = zip_with(col("mh1"), col("mh2"),
+      (a, b) => when(a === b, 1).otherwise(0))
+    val dupIds = candidates
+      .join(sigs.toDF("d1j", "mh1"), col("d1j") === col("d1"))
+      .join(sigs.toDF("d2j", "mh2"), col("d2j") === col("d2"))
+      .withColumn("_est_jaccard",
+        aggregate(agree, lit(0), (acc, x) => acc + x) / lit(nHashes))
+      .filter(col("_est_jaccard") >= minSigAgreement)
       .select(col("d2").as("doc_id")).distinct()
-    val curated = exact.join(dupIds, Seq("doc_id"), "left_anti")
+    val curated = exact.join(dupIds, Seq("doc_id"), "left_anti").cache()
     val afterNearDup = curated.count()
+    exact.unpersist(blocking = false)
 
     (curated, Report(input, afterQuality, afterLang, afterExact, afterNearDup))
   }

@@ -29,15 +29,11 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String,
                       maxFilesPerTrigger: Int = 1): DataFrame = {
     val schema = spark.read.parquet(dir).schema
-    val raw = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
-    schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    graft.ops.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir))
   }
 
   /** Tumbling-window per-type counts with a 30-minute watermark for
@@ -113,9 +109,12 @@ object EventStreams {
               state.update(st)
               // deadline = last event + gap, clamped above the current
               // watermark (setTimeoutTimestamp rejects past deadlines
-              // for very late data)
-              state.setTimeoutTimestamp(
-                math.max(st.last + gapMs, state.getCurrentWatermarkMs() + 1))
+              // for very late data). In BATCH execution the watermark
+              // node is eliminated and getCurrentWatermarkMs throws —
+              // timeouts never fire there, so any deadline works.
+              val wm = scala.util.Try(state.getCurrentWatermarkMs())
+                .getOrElse(Long.MinValue)
+              state.setTimeoutTimestamp(math.max(st.last + gapMs, wm + 1))
             }
             closed.result().iterator
           }

@@ -27,11 +27,20 @@ class BucketingSpec extends SparkSpec {
     try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  /** shared fixture: both tests read these tables; lazy so the write
+    * happens once regardless of which test runs first
+    */
+  private lazy val bucketedTables: Unit = {
+    Bucketing.writeBucketed(graft.ops.Tables.lineitem(spark, sfDir),
+      "li_bucketed", "l_orderkey", 4)
+    Bucketing.writeBucketed(graft.ops.Tables.orders(spark, sfDir),
+      "o_bucketed", "o_orderkey", 4)
+  }
+
   test("bucketed fact-fact join plans with zero exchanges") { withoutAqe {
+    bucketedTables
     val li = graft.ops.Tables.lineitem(spark, sfDir)
     val o = graft.ops.Tables.orders(spark, sfDir)
-    Bucketing.writeBucketed(li, "li_bucketed", "l_orderkey", 4)
-    Bucketing.writeBucketed(o, "o_bucketed", "o_orderkey", 4)
 
     val joined = Bucketing.bucketedEquiJoin(
       spark, "li_bucketed", "o_bucketed", "l_orderkey", "o_orderkey")
@@ -51,6 +60,7 @@ class BucketingSpec extends SparkSpec {
   } }
 
   test("bucketed aggregation on the bucket key needs no exchange") { withoutAqe {
+    bucketedTables
     val agg = spark.table("li_bucketed")
       .groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("q"))

@@ -96,4 +96,10 @@ class EventStreamsSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("sessionize also runs in BATCH mode (event-time timeout is a no-op there)") {
+    val out = sessionize(spark, events.toDS(), gapMinutes = 30).collect()
+    // batch emits only gap-closed sessions (no watermark to flush tails)
+    assert(out.exists(s => s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0))
+  }
 }
