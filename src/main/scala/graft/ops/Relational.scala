@@ -33,7 +33,7 @@ object Relational {
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q32, q33, q34, q35, q36, q37, q55, q56)
+    q32, q33, q34, q35, q36, q37, q55, q56, q58, q59)
 
   /** TPC-H Q1 shape: full-scan hash aggregate on low-cardinality keys.
     * Scale: partial aggregation collapses 100 TB to ~6 groups map-side;
@@ -666,5 +666,77 @@ object Relational {
         min(latency).as("min_latency"),
         max(latency).as("max_latency"))
       .orderBy(col("disc_bucket"))
+  }
+
+  /** Dispersion/correlation statistics from EXACT decimal sums (the
+    * textbook one-pass formulas over Σx, Σx², Σxy), so both engines
+    * derive identical doubles — the built-in stddev/corr aggregates
+    * accumulate in floating point with engine-specific order and
+    * cannot hash-match.
+    */
+  val q58: QueryDef = QueryDef.sql(
+    "q58_exact_stats",
+    """SELECT l_returnflag, n,
+      |  sqrt((sx2 - sx * sx / n) / (n - 1)) AS stddev_qty,
+      |  (sxy - sx * sy / n)
+      |    / (sqrt(sx2 - sx * sx / n) * sqrt(sy2 - sy * sy / n)) AS corr_qty_price
+      |FROM (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val qd = dec(col("l_quantity"))
+    val pd = dec(col("l_extendedprice"))
+    val base = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(qd).cast("double").as("sx"),
+        sum(qd * qd).cast("double").as("sx2"),
+        sum(pd).cast("double").as("sy"),
+        sum(pd * pd).cast("double").as("sy2"),
+        sum(qd * pd).cast("double").as("sxy"))
+    base.select(
+      col("l_returnflag"), col("n"),
+      sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+        .as("stddev_qty"),
+      ((col("sxy") - col("sx") * col("sy") / col("n"))
+        / (sqrt(col("sx2") - col("sx") * col("sx") / col("n"))
+          * sqrt(col("sy2") - col("sy") * col("sy") / col("n"))))
+        .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact median as an order statistic (row_number against the group
+    * count) — engine-neutral, unlike interpolating percentile
+    * aggregates. Median order value per customer segment-ish bucket.
+    */
+  val q59: QueryDef = QueryDef.sql(
+    "q59_median_orderstat",
+    """SELECT o_orderpriority, n, median_price FROM (
+      |  SELECT o_orderpriority, o_totalprice AS median_price, rn, n
+      |  FROM (
+      |    SELECT o_orderpriority, o_totalprice,
+      |      row_number() OVER (PARTITION BY o_orderpriority
+      |                         ORDER BY o_totalprice, o_orderkey) AS rn,
+      |      count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |    FROM orders))
+      |WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val wOrd = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_orderpriority"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_totalprice").as("median_price"),
+        row_number().over(wOrd).as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .filter(col("rn") === floor((col("n") + 1) / 2).cast("bigint"))
+      .select(col("o_orderpriority"), col("n"), col("median_price"))
+      .orderBy(col("o_orderpriority"))
   }
 }
