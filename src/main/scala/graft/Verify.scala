@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local-mode knob: the biggest dimension-ish side (orders at
+      // sf0.1, ~5 MB parquet / ~20 MB in memory) is broadcastable;
+      // on a real cluster this stays default and the bucketed layout
+      // (see Bucketing) removes the fact-fact exchange instead
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
