@@ -33,7 +33,7 @@ object Relational {
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q32, q33, q34, q35, q36, q37, q55, q56, q58, q59)
+    q32, q33, q34, q35, q36, q37, q55, q56, q58, q59, q60, q61)
 
   /** TPC-H Q1 shape: full-scan hash aggregate on low-cardinality keys.
     * Scale: partial aggregation collapses 100 TB to ~6 groups map-side;
@@ -738,5 +738,62 @@ object Relational {
       .filter(col("rn") === floor((col("n") + 1) / 2).cast("bigint"))
       .select(col("o_orderpriority"), col("n"), col("median_price"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** Correlated scalar subquery through the engine's SQL entry path
+    * (temp views + spark.sql) — Catalyst decorrelates it to an outer
+    * join + aggregate; DuckDB runs the same text modulo quoting.
+    */
+  val q60: QueryDef = QueryDef.sql(
+    "q60_correlated_subquery",
+    """SELECT c_custkey, c_name,
+      |  (SELECT count(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey
+      |     AND o.o_totalprice > 300000.0) AS n_big_orders
+      |FROM customer c
+      |WHERE c_custkey < 100
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_totalprice > 300000.0) AS n_big_orders
+        |FROM customer c
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Session windows over the event stream table via the built-in
+    * session_window (batch mode) vs the classic gaps-and-islands SQL.
+    * Spark's session end = last event + gap, so only start/count are
+    * compared (engine-neutral).
+    */
+  val q61: QueryDef = QueryDef.sql(
+    "q61_session_windows",
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events WHERE user_id < 20),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("user_id") < 20)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
   }
 }
