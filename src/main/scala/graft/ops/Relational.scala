@@ -753,14 +753,16 @@ object Relational {
       |FROM customer c
       |WHERE c_custkey < 100
       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
-    Tables.customer(s, dir).createOrReplaceTempView("customer")
-    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    // scoped names: never register views named after base tables in the
+    // shared long-lived session (they would shadow future SQL lookups)
+    Tables.customer(s, dir).createOrReplaceTempView("graft_q60_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q60_orders")
     s.sql(
       """SELECT c_custkey, c_name,
-        |  (SELECT count(*) FROM orders o
+        |  (SELECT count(*) FROM graft_q60_orders o
         |   WHERE o.o_custkey = c.c_custkey
         |     AND o.o_totalprice > 300000.0) AS n_big_orders
-        |FROM customer c
+        |FROM graft_q60_customer c
         |WHERE c_custkey < 100
         |ORDER BY c_custkey""".stripMargin)
   }
@@ -768,14 +770,15 @@ object Relational {
   /** Session windows over the event stream table via the built-in
     * session_window (batch mode) vs the classic gaps-and-islands SQL.
     * Spark's session end = last event + gap, so only start/count are
-    * compared (engine-neutral).
+    * compared; the SQL breaks on gap >= 30min to match session_window's
+    * half-open [start, last+gap) merge semantics at the exact boundary.
     */
   val q61: QueryDef = QueryDef.sql(
     "q61_session_windows",
     """WITH marked AS (
       |  SELECT user_id, ts, event_id,
       |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
       |  FROM events WHERE user_id < 20),
       |sess AS (
       |  SELECT user_id, ts,
