@@ -677,9 +677,9 @@ object Relational {
   val q58: QueryDef = QueryDef.sql(
     "q58_exact_stats",
     """SELECT l_returnflag, n,
-      |  sqrt((sx2 - sx * sx / n) / (n - 1)) AS stddev_qty,
-      |  (sxy - sx * sy / n)
-      |    / (sqrt(sx2 - sx * sx / n) * sqrt(sy2 - sy * sy / n)) AS corr_qty_price
+      |  round(sqrt((sx2 - sx * sx / n) / (n - 1)), 9) AS stddev_qty,
+      |  round((sxy - sx * sy / n)
+      |    / (sqrt(sx2 - sx * sx / n) * sqrt(sy2 - sy * sy / n)), 9) AS corr_qty_price
       |FROM (
       |  SELECT l_returnflag,
       |    CAST(count(*) AS DOUBLE) AS n,
@@ -701,13 +701,16 @@ object Relational {
         sum(pd).cast("double").as("sy"),
         sum(pd * pd).cast("double").as("sy2"),
         sum(qd * pd).cast("double").as("sxy"))
+    // round(9): the inputs are exact, but C++ (DuckDB) may contract
+    // multiply-adds where the JVM cannot — derived stats can differ in
+    // the last ulp; 9 decimals absorbs that without real precision loss
     base.select(
       col("l_returnflag"), col("n"),
-      sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+      round(sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 9)
         .as("stddev_qty"),
-      ((col("sxy") - col("sx") * col("sy") / col("n"))
+      round((col("sxy") - col("sx") * col("sy") / col("n"))
         / (sqrt(col("sx2") - col("sx") * col("sx") / col("n"))
-          * sqrt(col("sy2") - col("sy") * col("sy") / col("n"))))
+          * sqrt(col("sy2") - col("sy") * col("sy") / col("n"))), 9)
         .as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
   }
