@@ -33,7 +33,7 @@ object Relational {
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q32, q33, q34, q35, q36, q37, q55, q56, q58, q59, q60, q61)
+    q32, q33, q34, q35, q36, q37, q55, q56, q58, q59, q60, q61, q62)
 
   /** TPC-H Q1 shape: full-scan hash aggregate on low-cardinality keys.
     * Scale: partial aggregation collapses 100 TB to ~6 groups map-side;
@@ -801,5 +801,33 @@ object Relational {
         date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Explicit GROUPING SETS (disjoint per-column totals + grand total)
+    * with grouping() markers — the generalization rollup/cube are
+    * sugar for, through the SQL entry path.
+    */
+  val q62: QueryDef = QueryDef.sql(
+    "q62_grouping_sets",
+    """SELECT coalesce(l_returnflag, '(all)') AS rf,
+      |  coalesce(l_linestatus, '(all)') AS ls,
+      |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q62_lineitem")
+    s.sql(
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |  coalesce(l_linestatus, '(all)') AS ls,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM graft_q62_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
   }
 }
