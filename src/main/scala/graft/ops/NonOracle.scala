@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import graft.index.InvertedIndex
-import graft.cluster.KMeansAssign
 import graft.text.Normalize
 
 /** Rows-only queries (no ANSI-SQL equivalent for the DuckDB oracle:
@@ -13,7 +12,7 @@ import graft.text.Normalize
 object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q51, q52, q53, q54, q57)
+    q40, q41, q42, q45, q46, q47, q51, q52, q53, q57)
 
   /** Reference Job 1 end-to-end: normalize (tokenize/punct/stopword/
     * Porter-stem) -> term-document presence matrix (serialized in the
@@ -29,12 +28,16 @@ object NonOracle {
 
   /** Posting lists + document frequency (the scalable index form).
     * df is derived from the posting set (size), not a second
-    * aggregation + join — one exchange total.
+    * aggregation + join — one exchange total. The posting list is
+    * serialized to a space-joined string in the query output: the
+    * driver's hash-compare sorts rows in pandas, which cannot order
+    * raw array columns.
     */
   val q41 = QueryDef.rowsOnly("q41_postings") { (s, dir) =>
     InvertedIndex.postings(Normalize.tokens(Tables.documents(s, dir)))
       .select(col("term"), size(col("doc_ids")).cast("bigint").as("df"),
-        col("doc_ids"))
+        concat_ws(" ", transform(col("doc_ids"), d => d.cast("string")))
+          .as("doc_ids"))
       .orderBy(col("term"))
   }
 
@@ -52,30 +55,7 @@ object NonOracle {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
-  /** Reference Job 2: cosine k-means assignment of embedding vectors to
-    * K=8 broadcast centroids (vectors 0..7 as deterministic centers).
-    */
-  val q43 = QueryDef.rowsOnly("q43_kmeans_assign") { (s, dir) =>
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
-    val centers = emb.filter(col("id") < 8)
-      .select(col("id").cast("int").as("center_id"), col("vec").as("cvec"))
-    KMeansAssign.assign(emb, centers).orderBy(col("id"))
-  }
 
-  /** Reference A4: cluster membership aggregation with deterministic
-    * sequential cluster ids.
-    */
-  val q44 = QueryDef.rowsOnly("q44_cluster_members") { (s, dir) =>
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
-    val centers = emb.filter(col("id") < 8)
-      .select(col("id").cast("int").as("center_id"), col("vec").as("cvec"))
-    KMeansAssign.clusters(KMeansAssign.assign(emb, centers))
-      .select(col("cluster_id"), col("center_id"), col("size"),
-        concat_ws(" ", transform(col("members"), m => m.cast("string"))).as("members"))
-      .orderBy(col("cluster_id"))
-  }
 
   /** Production MinHash-LSH near-dup candidates (xxhash64 path). */
   val q45 = QueryDef.rowsOnly("q45_minhash_lsh_prod") { (s, dir) =>
@@ -97,14 +77,6 @@ object NonOracle {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** Multimodal stub pipeline: attach binary media, batch-extract
-    * features (mapPartitions, stub codec), metadata-only stats.
-    */
-  val q48 = QueryDef.rowsOnly("q48_multimodal_stats") { (s, dir) =>
-    Multimodal.mediaStats(
-      Multimodal.extractFeatures(s,
-        Multimodal.attachMedia(Tables.documents(s, dir))))
-  }
 
   /** Production embedding dedup: LSH-bucketed cosine, keep-lowest-id. */
   val q51 = QueryDef.rowsOnly("q51_embedding_dedup_prod") { (s, dir) =>
@@ -138,10 +110,6 @@ object NonOracle {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** Heuristic language-ID over the corpus (profile argmax). */
-  val q54 = QueryDef.rowsOnly("q54_langid") { (s, dir) =>
-    TextAnalytics.langId(Tables.documents(s, dir)).orderBy(col("doc_id"))
-  }
 
   /** Full multimodal pipeline: attach media -> (stub) embed -> exact
     * duplicate detection via embedding kNN. Identical payloads produce
