@@ -1,62 +1,20 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import graft.index.InvertedIndex
-import graft.text.Normalize
 
-/** Rows-only queries (no ANSI-SQL equivalent for the DuckDB oracle:
-  * Porter stemming, k-means assignment, engine-hash dedup, LSH ANN,
-  * multimodal stubs). Correctness for these comes from the unit and
-  * golden tests in src/test; the driver records a rows>0 check.
+/** Rows-only queries — the remaining operators whose semantics depend
+  * on engine-internal hashing (xxhash64 MinHash/SimHash, sign-LSH
+  * planes, HLL/quantile sketches) or on iterative driver loops (IVF's
+  * Lloyd quantizer), which no single ANSI-SQL statement reproduces.
+  * Correctness for these comes from the unit and golden tests in
+  * src/test (plus oracle-checked arithmetic twins: q27/q28/q29 for
+  * MinHash/LSH/SimHash, q31 for exact kNN); the driver records a
+  * rows>0 check.
   */
 object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
-    q40, q41, q42, q45, q46, q47, q51, q52, q53, q57)
-
-  /** Reference Job 1 end-to-end: normalize (tokenize/punct/stopword/
-    * Porter-stem) -> term-document presence matrix (serialized in the
-    * reference's `[b1,...,bN,]` byte format for the demo).
-    */
-  val q40 = QueryDef.rowsOnly("q40_inverted_index") { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    val n = docs.count().toInt
-    InvertedIndex.referenceFormat(
-      InvertedIndex.termDocMatrix(Normalize.tokens(docs), n))
-      .orderBy(col("term"))
-  }
-
-  /** Posting lists + document frequency (the scalable index form).
-    * df is derived from the posting set (size), not a second
-    * aggregation + join — one exchange total. The posting list is
-    * serialized to a space-joined string in the query output: the
-    * driver's hash-compare sorts rows in pandas, which cannot order
-    * raw array columns.
-    */
-  val q41 = QueryDef.rowsOnly("q41_postings") { (s, dir) =>
-    InvertedIndex.postings(Normalize.tokens(Tables.documents(s, dir)))
-      .select(col("term"), size(col("doc_ids")).cast("bigint").as("df"),
-        concat_ws(" ", transform(col("doc_ids"), d => d.cast("string")))
-          .as("doc_ids"))
-      .orderBy(col("term"))
-  }
-
-  /** TF-IDF: top weighted terms per document (first 50 docs). */
-  val q42 = QueryDef.rowsOnly("q42_tfidf_top_terms") { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir)
-    val n = docs.count()
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("term"))
-    InvertedIndex.tfidf(Normalize.tokens(docs), n)
-      .filter(col("doc_id") < 50)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .orderBy(col("doc_id"), col("rnk"))
-  }
-
-
-
+    q45, q46, q47, q51, q52, q53, q57)
   /** Production MinHash-LSH near-dup candidates (xxhash64 path). */
   val q45 = QueryDef.rowsOnly("q45_minhash_lsh_prod") { (s, dir) =>
     Dedup.minhashCandidates(Tables.documents(s, dir).filter(col("doc_id") < 500))
