@@ -18,16 +18,17 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup on the tiny SF: JIT-compiles Spark's scan/agg/join/
-    // codegen paths once so timed numbers reflect steady-state execution,
-    // not first-query class loading (which a long-lived cluster never pays).
+    // Untimed warmup on the tiny SF: run every query shape once so the
+    // timed numbers reflect steady-state execution. Spark compiles each
+    // distinct whole-stage-codegen unit on first use (janino) and JITs
+    // the scan/agg/join paths — one-time costs a long-lived cluster
+    // never pays per query. Warmup at sf0.001 compiles the identical
+    // generated code (codegen is keyed on plan shape, not data size),
+    // so the sf0.1 timed pass measures execution, not compilation.
     val warmupDir = "/root/testdata/sf0.001"
-    Seq("q01_pricing_summary", "q31_knn_bruteforce", "q40_inverted_index")
-      .foreach { n =>
-        SparkEntry.queries.get(n).foreach { fn =>
-          try fn(spark, warmupDir).count() catch { case _: Throwable => () }
-        }
-      }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+    }
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -72,46 +72,59 @@ object KMeansAssign {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("cvec"))
 
+  /** Narrow nearest-center assignment against a driver-side center set:
+    * the K centroids ride into the generated code as a reference object
+    * (the reference's DistributedCache broadcast pattern, without even
+    * a BroadcastExchange), so assignment is a pure codegen'd map —
+    * the points never shuffle. Output: the input columns plus
+    * (center_id, dist). This is the shape to use whenever the centers
+    * already live on the driver (Lloyd loops, IVF quantizers).
+    */
+  def assignMap(points: DataFrame, centers: Array[Array[Double]],
+                vecCol: String = "vec"): DataFrame =
+    points
+      .withColumn("nc", graft.functions.functions.nearest_center(col(vecCol), centers))
+      .withColumn("center_id", col("nc.center_id"))
+      .withColumn("dist", col("nc.dist"))
+      .drop("nc")
+
+  /** Driver-side Lloyd refinement: deterministic init (first k points
+    * by id), then `iters - 1` update steps, each a narrow assignMap
+    * pass + the scale-safe per-slot mean + a K-row collect. A center
+    * whose cell goes empty keeps its previous position (standard
+    * practice; keeps ids dense and stable). Returns the K centroids.
+    */
+  def lloydCenters(points: DataFrame, k: Int, iters: Int,
+                   idCol: String = "id", vecCol: String = "vec"): Array[Array[Double]] = {
+    var centers: Array[Array[Double]] = points.orderBy(col(idCol)).limit(k)
+      .orderBy(col(idCol))
+      .select(col(vecCol))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var it = 1
+    while (it < iters) {
+      val means = centroidMeans(assignMap(points, centers, vecCol), vecCol)
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      centers = Array.tabulate(centers.length)(i => means.getOrElse(i, centers(i)))
+      it += 1
+    }
+    centers
+  }
+
   /** Full Lloyd iteration generalization (the reference only does the
     * assignment step; a real engine wants the loop): k-means with
-    * cosine distance over unit-normalized vectors. Centroid update =
-    * arithmetic mean of member vectors, renormalized (spherical
-    * k-means). Iterations run as a driver loop over lazy plans with
-    * each new centroid set collected (K rows) and re-broadcast.
+    * cosine distance. Centroid update = arithmetic mean of member
+    * vectors. Iterations run as a driver loop: each pass is a narrow
+    * broadcast-map assignment (zero shuffle of the points) + the
+    * partial/final per-slot mean aggregation, with only the K new
+    * centroids collected and re-shipped. The returned frame is a lazy
+    * narrow plan over the input — nothing is cached or materialized.
     */
   def lloyd(spark: SparkSession, points: DataFrame, k: Int, maxIter: Int,
             idCol: String = "id", vecCol: String = "vec"): DataFrame = {
-    import spark.implicits._
-    // deterministic init: first k points by id
-    var centers = points.orderBy(col(idCol)).limit(k)
-      .orderBy(col(idCol))
-      .select(col(vecCol).as("cvec"))
-      .collect().map(_.getSeq[Double](0).toArray)
-      .zipWithIndex.map { case (v, i) => (i, v) }
-    var it = 0
-    var assigned: DataFrame = null
-    val cached = points.cache()
-    while (it < maxIter) {
-      val centersDf = spark.createDataset(centers.toSeq)
-        .toDF("center_id", "cvec")
-      assigned = assign(cached, centersDf, idCol, vecCol)
-      it += 1
-      // no centroid update after the final assignment — it would be a
-      // full extra pass whose result is discarded
-      if (it < maxIter) {
-        val newCenters = centroidMeans(assigned.join(cached, idCol), vecCol)
-          .collect()
-          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-          .sortBy(_._1)
-        centers = newCenters
-      }
-    }
-    // pin the (small) final assignment before releasing the cached
-    // input: otherwise the returned plan would recompute the whole
-    // lineage on the caller's first action with the cache already gone
-    val result = assigned.cache()
-    result.count()
-    cached.unpersist(blocking = false)
-    result
+    val centers = lloydCenters(points, k, maxIter, idCol, vecCol)
+    assignMap(points, centers, vecCol)
+      .select(col(idCol), col("dist"), col("center_id"))
   }
 }

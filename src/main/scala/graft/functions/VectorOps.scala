@@ -146,6 +146,40 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Nearest of `centers` (K rows x dim) to `v` by cosine distance;
+    * returns a (center_id INT, dist DOUBLE) InternalRow. Deterministic
+    * tie-break on the lower center index (strict `<`), matching the
+    * `min(struct(dist, center_id))` argmin in KMeansAssign.assign.
+    */
+  def nearestCenter(v: ArrayData,
+                    centers: Array[Array[Double]]): org.apache.spark.sql.catalyst.InternalRow = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      val n = math.min(v.numElements(), ctr.length)
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = v.getDouble(i)
+        val y = ctr(i)
+        dot += x * y
+        na += x * x
+        nb += y * y
+        i += 1
+      }
+      val sim = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      val d = 1.0 - sim
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, bestD))
+  }
+
   /** splitmix64 finalizer — public-domain bit mixer. */
   def mix64(v: Long): Long = {
     var z = v + 0x9e3779b97f4a7c15L

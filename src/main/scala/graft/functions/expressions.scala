@@ -140,6 +140,34 @@ case class ShingleMinHashExpr(child: Expression, nHashes: Int, shingleSize: Int)
     copy(child = newChild)
 }
 
+/** Nearest-centroid argmin against a driver-side center set. The
+  * centers ride into the generated code as a reference object — the
+  * reference's DistributedCache broadcast pattern (ProcessData.java:
+  * 487-503,521-534) without even a BroadcastExchange — so assignment
+  * is a pure codegen'd map over the points: zero shuffle of the big
+  * side. Returns struct(center_id INT, dist DOUBLE).
+  */
+case class NearestCenterExpr(child: Expression, centers: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("center_id", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+  override def prettyName: String = "nearest_center"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.nearestCenter(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], centers)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centers", centers, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.nearestCenter($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCenterExpr =
+    copy(child = newChild)
+}
+
 /** Column-level entry points (the library's scalar-function surface). */
 object functions {
   def porter_stem(c: Column): Column =
@@ -161,6 +189,9 @@ object functions {
 
   def shingle_minhash(c: Column, nHashes: Int, shingleSize: Int): Column =
     Shim.column(ShingleMinHashExpr(Shim.expression(c), nHashes, shingleSize))
+
+  def nearest_center(c: Column, centers: Array[Array[Double]]): Column =
+    Shim.column(NearestCenterExpr(Shim.expression(c), centers))
 
   /** Register the functions for SQL use in an existing session
     * (idempotent). For new sessions prefer

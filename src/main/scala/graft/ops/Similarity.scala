@@ -137,9 +137,11 @@ object Similarity {
              lloydIters: Int = 2): DataFrame = {
     import graft.cluster.KMeansAssign
     val c = corpus.toDF("cid", "cv")
-    // build: coarse quantizer + cell assignment
-    val assigned = KMeansAssign.lloyd(spark, c.toDF("id", "vec"), nCells, lloydIters)
-    val cells = c.join(assigned.select(col("id").as("cid"), col("center_id")), "cid")
+    // build: Lloyd-refined coarse quantizer (K-row driver state), then
+    // cell assignment as a narrow broadcast map — the corpus never
+    // shuffles during the build
+    val centers = KMeansAssign.lloydCenters(c, nCells, lloydIters, "cid", "cv")
+    val cells = KMeansAssign.assignMap(c, centers, "cv").drop("dist")
     // probe targets: the true cell centroids (shared scale-safe
     // mean-per-dimension aggregation)
     val centroids = KMeansAssign.centroidMeans(cells, "cv")
@@ -153,9 +155,11 @@ object Similarity {
       .withColumn("prnk", row_number().over(w))
       .filter(col("prnk") <= nProbe)
       .select(col("qid"), col("qv"), col("center_id"))
-    // search: exact rescoring inside probed cells only
+    // search: exact rescoring inside probed cells only. The probe set
+    // is |Q| * nProbe rows — broadcast it so the cells side streams
+    // map-side instead of shuffling on center_id.
     val ws = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-    probes.join(cells, "center_id")
+    cells.join(broadcast(probes), "center_id")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         cosine_similarity(col("qv"), col("cv")).as("score"))
