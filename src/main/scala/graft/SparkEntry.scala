@@ -17,8 +17,8 @@ import graft.text.Normalize
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    Relational.all ++ TextAnalytics.all ++ Dedup.all ++ Similarity.all ++
-      MlOracle.all ++ IndexOracle.all ++ NonOracle.all
+    Relational.all ++ Extended.all ++ TextAnalytics.all ++ Dedup.all ++
+      Similarity.all ++ MlOracle.all ++ IndexOracle.all ++ NonOracle.all
 
   /** Flagship: reference Job 1 (normalize -> term-document matrix) over
     * the sf0.001 documents corpus; driver smoke-checks rows>0.

@@ -1,0 +1,327 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second relational/pipeline suite: pivot/unpivot reshaping, URL
+  * parsing over synthesized web-log lines (the reference domain is
+  * web-browsing logs), window rank distributions, deterministic
+  * sampling for training-data curation, JSON->map plumbing,
+  * higher-order array functions, word bigrams, and the salted
+  * aggregation helper surfaced as a checked query. Every query here is
+  * oracle-checked against DuckDB (same determinism contract as
+  * [[Relational]]: total ORDER BY, decimal money, identical double
+  * formulas both sides).
+  */
+object Extended {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def money(c: Column): Column = sum(dec(c)).cast("double")
+
+  def all: Seq[QueryDef] = Seq(
+    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+
+  /** Relational pivot via the first-class DataFrame API (`.pivot` with
+    * explicit values — no extra pass to discover them): quantity per
+    * linestatus x returnflag. Scale: same plan as conditional
+    * aggregation (one partial+final hash agg); explicit pivot values
+    * keep it a single job.
+    */
+  val q63: QueryDef = QueryDef.sql(
+    "q63_pivot",
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+      |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(dec(col("l_quantity"))).cast("double"))
+      .select(col("l_linestatus"), col("A").as("qty_a"),
+        col("N").as("qty_n"), col("R").as("qty_r"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** The inverse reshape: wide per-status counts melted back to long
+    * form with the first-class `unpivot` (no UNION of self-scans — one
+    * pass; at scale this matters because the UNION form re-reads the
+    * fact table once per measure).
+    */
+  val q64: QueryDef = QueryDef.sql(
+    "q64_unpivot",
+    """WITH wide AS (
+      |  SELECT o_orderpriority,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, status, n FROM (
+      |  SELECT o_orderpriority, 'n_f' AS status, n_f AS n FROM wide
+      |  UNION ALL SELECT o_orderpriority, 'n_o', n_o FROM wide
+      |  UNION ALL SELECT o_orderpriority, 'n_p', n_p FROM wide)
+      |ORDER BY o_orderpriority, status""".stripMargin) { (s, dir) =>
+    val wide = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
+    wide.unpivot(
+      Array(col("o_orderpriority")),
+      Array(col("n_f"), col("n_o"), col("n_p")),
+      "status", "n")
+      .orderBy(col("o_orderpriority"), col("status"))
+  }
+
+  /** Web-log URL analytics (the reference's home domain): synthesize a
+    * deterministic request URL per event, split it with the built-in
+    * `parse_url` (HOST / PATH are codegen'd string ops — no UDF), and
+    * aggregate traffic per page. The DuckDB twin builds the identical
+    * string and splits it with regexes. Scale: pure narrow string work
+    * fused into the scan stage; the per-page aggregate is partial+final.
+    */
+  val q65: QueryDef = QueryDef.sql(
+    "q65_url_parse",
+    """WITH logs AS (
+      |  SELECT concat('https://www.site', user_id % 8, '.example.com/',
+      |                event_type, '/p', event_id % 50, '.html?uid=', user_id) AS url,
+      |         user_id
+      |  FROM events)
+      |SELECT
+      |  regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+      |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+      |  CAST(count(*) AS BIGINT) AS n_hits,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM logs
+      |GROUP BY host, path
+      |ORDER BY host, path""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(
+        concat(lit("https://www.site"), pmod(col("user_id"), lit(8)),
+          lit(".example.com/"), col("event_type"), lit("/p"),
+          pmod(col("event_id"), lit(50)), lit(".html?uid="), col("user_id"))
+          .as("url"),
+        col("user_id"))
+      .select(
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        col("user_id"))
+      .groupBy(col("host"), col("path"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("host"), col("path"))
+  }
+
+  /** Rank-distribution windows: ntile quartiles, percent_rank and
+    * cume_dist per order-month, summarized per (month, quartile). The
+    * window is PARTITIONED by month — at scale each partition's sort is
+    * local; there is no global single-partition window. Unique
+    * tie-break (totalprice, orderkey) pins every rank; percent_rank is
+    * the same (rank-1)/(n-1) integer division in both engines, so the
+    * doubles are bit-identical.
+    */
+  val q66: QueryDef = QueryDef.sql(
+    "q66_rank_distribution",
+    """WITH w AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_totalprice,
+      |    ntile(4)       OVER win AS quartile,
+      |    percent_rank() OVER win AS pr,
+      |    cume_dist()    OVER win AS cd
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  WINDOW win AS (PARTITION BY strftime(o_orderdate, '%Y-%m')
+      |                 ORDER BY o_totalprice, o_orderkey))
+      |SELECT month, quartile,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  max(pr) AS pr_max, max(cd) AS cd_max
+      |FROM w
+      |GROUP BY month, quartile
+      |ORDER BY month, quartile""".stripMargin) { (s, dir) =>
+    val month = date_format(col("o_orderdate"), "yyyy-MM")
+    val win = Window.partitionBy(month)
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(month.as("month"), col("o_totalprice"),
+        ntile(4).over(win).cast("bigint").as("quartile"),
+        percent_rank().over(win).as("pr"),
+        cume_dist().over(win).as("cd"))
+      .groupBy(col("month"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        money(col("o_totalprice")).as("revenue"),
+        max(col("pr")).as("pr_max"), max(col("cd")).as("cd_max"))
+      .orderBy(col("month"), col("quartile"))
+  }
+
+  /** Deterministic stratified sampling — the training-data curation
+    * primitive (hold-out splits, per-source caps). The sample key is an
+    * explicit Knuth-multiplicative hash both engines compute exactly in
+    * BIGINT arithmetic (no engine RNG, so the sample is reproducible
+    * anywhere), and the per-stratum cap is a partitioned window top-k.
+    * Scale: narrow hash + one exchange on source; no global sort.
+    */
+  val q67: QueryDef = QueryDef.sql(
+    "q67_stratified_sample",
+    """WITH h AS (
+      |  SELECT source, doc_id,
+      |    (doc_id * 2654435761) % 4294967296 AS hkey
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, hkey,
+      |    row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS rn
+      |  FROM h)
+      |SELECT source, doc_id, hkey, rn
+      |FROM r WHERE rn <= 20
+      |ORDER BY source, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)).as("hkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .orderBy(col("source"), col("rn"))
+  }
+
+  /** Histogram-as-map: per-language document-length histogram built as
+    * a real MapType column (map_from_entries over sorted buckets), then
+    * serialized entry-wise to a canonical string for the cross-engine
+    * hash (raw MAP columns can't be row-sorted by the driver's compare).
+    * Scale: two partial+final aggregations, KB-sized output.
+    */
+  val q68: QueryDef = QueryDef.sql(
+    "q68_length_histogram",
+    """WITH b AS (
+      |  SELECT lang, (n_chars // 200) * 200 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY lang, bucket)
+      |SELECT lang,
+      |  string_agg(bucket || '=' || n, ',' ORDER BY bucket) AS histogram,
+      |  CAST(sum(n) AS BIGINT) AS n_docs
+      |FROM b GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val hist = map_from_entries(
+      array_sort(collect_list(struct(col("bucket"), col("n")))))
+    Tables.documents(s, dir)
+      .groupBy(col("lang"), (floor(col("n_chars") / 200) * 200).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(
+        concat_ws(",", transform(map_entries(hist),
+          e => concat(e.getField("key"), lit("="), e.getField("value"))))
+          .as("histogram"),
+        sum(col("n")).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  /** JSON property extraction through a real MapType: `from_json` the
+    * props column into map<string,bigint>, pull the key with
+    * element_at, bucket and aggregate. The DuckDB twin extracts the
+    * same value by regex. Scale: narrow parse fused into the scan; the
+    * aggregate is tiny.
+    */
+  val q69: QueryDef = QueryDef.sql(
+    "q69_json_map",
+    """SELECT
+      |  (TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) // 10) * 10 AS k_bucket,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY k_bucket
+      |ORDER BY k_bucket""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(
+        element_at(from_json(col("props"), lit("map<string,bigint>")), "k")
+          .as("k"),
+        col("value"))
+      .groupBy((floor(col("k") / 10) * 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), money(col("value")).as("sum_value"))
+      .orderBy(col("k_bucket"))
+  }
+
+  /** Higher-order array functions over the embedding vectors: filter /
+    * transform / positional fold — all codegen'd builtins, no UDF.
+    * n_pos and max_abs are order-independent; rev_dot pins the fold
+    * order (index loop) identically in both engines.
+    */
+  val q70: QueryDef = QueryDef.sql(
+    "q70_array_lambdas",
+    """SELECT vec_id,
+      |  CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS BIGINT) AS n_pos,
+      |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+      |  COALESCE(list_position(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) > 0.5), true), 0) AS first_gt,
+      |  list_sum(list_transform(range(1, len(embedding) + 1),
+      |    i -> CAST(embedding[i] AS DOUBLE)
+      |         * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))) AS rev_dot
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val v = col("embedding").cast("array<double>")
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        size(filter(v, x => x > 0)).cast("bigint").as("n_pos"),
+        array_max(transform(v, x => abs(x))).as("max_abs"),
+        array_position(transform(v, x => x > 0.5), true).as("first_gt"),
+        aggregate(zip_with(v, reverse(v), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x).as("rev_dot"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Word bigram counts over the corpus — the n-gram statistics pass of
+    * a language-model data pipeline. Tokens come from one
+    * regexp_extract_all; bigrams are built positionally (no
+    * self-join). Scale: narrow generate + one partial+final count; the
+    * global top-k is a TakeOrdered, not a full sort.
+    */
+  val q71: QueryDef = QueryDef.sql(
+    "q71_bigrams",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+      |  FROM toks WHERE len(t) >= 2)
+      |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+      |FROM bg GROUP BY bigram
+      |ORDER BY n DESC, bigram LIMIT 25""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat(element_at(col("t"), i), lit(" "),
+          element_at(col("t"), i + 1)))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(25)
+  }
+
+  /** The skew-mitigation helper surfaced as a checked query: two-phase
+    * salted aggregation over (hot) supplier keys. Salting is semantics-
+    * preserving for additive aggregates, so the oracle is the plain
+    * one-phase GROUP BY — the hash-match proves the rewrite exact.
+    * Scale: a hot key spreads over `buckets` reducers in phase 1; both
+    * exchanges move pre-aggregated rows only.
+    */
+  val q72: QueryDef = QueryDef.sql(
+    "q72_salted_agg",
+    """SELECT l_suppkey AS key,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |ORDER BY key""".stripMargin) { (s, dir) =>
+    Skew.saltedSumAgg(Tables.lineitem(s, dir), col("l_suppkey"), buckets = 8,
+      "n" -> count(lit(1)),
+      "revenue" -> sum(dec(col("l_extendedprice"))))
+      .select(col("key"), col("n").cast("bigint").as("n"),
+        col("revenue").cast("double").as("revenue"))
+      .orderBy(col("key"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExtendedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q63 pivot equals the conditional-aggregation form") {
+    val pivoted = Extended.q63.build(spark, sfDir)
+    val manual = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("l_returnflag") === "A",
+          col("l_quantity").cast("decimal(18,2)"))).cast("double").as("qty_a"),
+        sum(when(col("l_returnflag") === "N",
+          col("l_quantity").cast("decimal(18,2)"))).cast("double").as("qty_n"),
+        sum(when(col("l_returnflag") === "R",
+          col("l_quantity").cast("decimal(18,2)"))).cast("double").as("qty_r"))
+      .orderBy(col("l_linestatus"))
+    assert(pivoted.collect().toSeq == manual.collect().toSeq)
+  }
+
+  test("q64 unpivot is the exact inverse reshape of the wide aggregate") {
+    val long = Extended.q64.build(spark, sfDir)
+      .as[(String, String, Long)].collect()
+    assert(long.map(_._2).distinct.sorted.toSeq == Seq("n_f", "n_o", "n_p"))
+    // every (priority, status) cell appears exactly once
+    assert(long.map(r => (r._1, r._2)).distinct.length == long.length)
+  }
+
+  test("q65 parse_url splits host and path consistently") {
+    val rows = Extended.q65.build(spark, sfDir)
+      .select("host", "path").as[(String, String)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (h, p) =>
+      h.matches("www\\.site\\d\\.example\\.com") && p.startsWith("/") &&
+        !p.contains("?")
+    })
+  }
+
+  test("q67 stratified sample is deterministic and capped per stratum") {
+    val a = Extended.q67.build(spark, sfDir).collect().toSeq
+    val b = Extended.q67.build(spark, sfDir).collect().toSeq
+    assert(a == b) // no RNG anywhere — bit-stable across runs
+    val perSource = a.groupBy(_.getString(0)).view.mapValues(_.size)
+    assert(perSource.values.forall(_ <= 20))
+  }
+
+  test("q72 salted aggregation matches the plain one-phase GROUP BY") {
+    val salted = Extended.q72.build(spark, sfDir)
+    val plain = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy(col("key"))
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+}
