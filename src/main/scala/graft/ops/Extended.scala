@@ -20,7 +20,7 @@ object Extended {
   private def money(c: Column): Column = sum(dec(c)).cast("double")
 
   def all: Seq[QueryDef] = Seq(
-    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
 
   /** Relational pivot via the first-class DataFrame API (`.pivot` with
     * explicit values — no extra pass to discover them): quantity per
@@ -323,5 +323,36 @@ object Extended {
       .select(col("key"), col("n").cast("bigint").as("n"),
         col("revenue").cast("double").as("revenue"))
       .orderBy(col("key"))
+  }
+
+  /** RANGE-frame window: per-customer trailing-30-day order revenue.
+    * The frame is value-based (epoch-day RANGE, not ROWS), so ties and
+    * gaps in order dates are handled identically in both engines; the
+    * trailing sum stays exact through DECIMAL. Scale: partitioned by
+    * customer — local sorts only, no global window.
+    */
+  val q73: QueryDef = QueryDef.sql(
+    "q73_range_frame",
+    """SELECT o_custkey, o_orderkey,
+      |  date_diff('day', DATE '1990-01-01', o_orderdate) AS day,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate)
+      |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS trailing_30d
+      |FROM orders
+      |WHERE o_custkey < 300
+      |ORDER BY o_custkey, day, o_orderkey""".stripMargin) { (s, dir) =>
+    val day = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-29, Window.currentRow)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 300)
+      .select(col("o_custkey"), col("o_orderkey"), day.as("day"),
+        col("o_totalprice"))
+      .withColumn("trailing_30d",
+        sum(dec(col("o_totalprice"))).over(w).cast("double"))
+      .drop("o_totalprice")
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
   }
 }

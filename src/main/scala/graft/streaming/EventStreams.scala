@@ -121,6 +121,44 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop repeated event_ids arriving within the
+    * watermark horizon (at-least-once upstream -> exactly-once
+    * downstream). `dropDuplicatesWithinWatermark` keeps per-key state
+    * only until the watermark passes, so state is bounded — the
+    * streaming twin of the batch `dropDuplicates` dedup path.
+    */
+  def dedupStream(events: DataFrame,
+                  watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's click(s) in the preceding `maxLagMinutes`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire join state — the canonical bounded-state
+    * stream-stream join. Works identically on batch frames.
+    */
+  def attributionJoin(events: DataFrame,
+                      maxLagMinutes: Int = 60,
+                      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    clicks.join(purchases,
+      expr(s"""c_user = p_user
+              |AND purchase_ts >= click_ts
+              |AND purchase_ts <= click_ts + INTERVAL $maxLagMinutes MINUTES"""
+        .stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Batch-mode sessionization of the same semantics via window
     * functions (lag + cumulative session-id), for the stored events
     * table — demonstrates the batch/stream duality of the operator.

@@ -102,4 +102,53 @@ class EventStreamsSpec extends SparkSpec {
     // batch emits only gap-closed sessions (no watermark to flush tails)
     assert(out.exists(s => s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0))
   }
+
+  test("dedupStream drops repeated event_ids within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      // event_id 1 delivered three times (at-least-once upstream)
+      mem.addData(
+        Event(1L, ts(0), 1L, "click", 1.0),
+        Event(1L, ts(0), 1L, "click", 1.0),
+        Event(2L, ts(1), 1L, "view", 2.0))
+      query.processAllAvailable()
+      mem.addData(Event(1L, ts(2), 1L, "click", 1.0))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id").as[Long].collect()
+      assert(ids.sorted.toSeq == Seq(1L, 2L), s"got ${ids.toList}")
+    } finally query.stop()
+  }
+
+  test("attributionJoin pairs purchases with prior clicks inside the lag window") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = attributionJoin(mem.toDF(), maxLagMinutes = 60)
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(10L, ts(0), 1L, "click", 0.0),
+        Event(11L, ts(30), 1L, "purchase", 9.99),   // within 60min of click 10
+        Event(12L, ts(200), 1L, "purchase", 5.00),  // too late for click 10
+        Event(13L, ts(5), 2L, "purchase", 1.00))    // other user: no click
+      query.processAllAvailable()
+      val rows = spark.table("attr_test")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((10L, 11L)), s"got $rows")
+    } finally query.stop()
+  }
+
+  test("attributionJoin has identical semantics on a batch frame") {
+    val batch = attributionJoin(
+      Seq(
+        Event(10L, ts(0), 1L, "click", 0.0),
+        Event(11L, ts(30), 1L, "purchase", 9.99),
+        Event(12L, ts(200), 1L, "purchase", 5.00)).toDF())
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(batch == Set((10L, 11L)))
+  }
 }
