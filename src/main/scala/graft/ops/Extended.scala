@@ -20,7 +20,7 @@ object Extended {
   private def money(c: Column): Column = sum(dec(c)).cast("double")
 
   def all: Seq[QueryDef] = Seq(
-    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
+    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
 
   /** Relational pivot via the first-class DataFrame API (`.pivot` with
     * explicit values — no extra pass to discover them): quantity per
@@ -354,5 +354,49 @@ object Extended {
         sum(dec(col("o_totalprice"))).over(w).cast("double"))
       .drop("o_totalprice")
       .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+  }
+
+  /** Gap-filled time series: a generated calendar spine (sequence of
+    * months x order priorities) LEFT-joined against the monthly
+    * aggregate, missing months coalesced to zero — the standard
+    * dense-reporting reshape. Scale: the spine is rows(K months x K
+    * priorities) — broadcast side; the fact aggregate is partial+final
+    * before the join, so the join input is tiny.
+    */
+  val q74: QueryDef = QueryDef.sql(
+    "q74_gap_fill",
+    """WITH spine AS (
+      |  SELECT strftime(m, '%Y-%m') AS month, o_orderpriority
+      |  FROM (SELECT unnest(generate_series(DATE '1995-01-01',
+      |                 DATE '1998-12-01', INTERVAL 1 MONTH)) AS m),
+      |       (SELECT DISTINCT o_orderpriority FROM orders)),
+      |agg AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY month, o_orderpriority)
+      |SELECT spine.month, spine.o_orderpriority,
+      |  COALESCE(agg.n, 0) AS n,
+      |  CAST(COALESCE(agg.rev, 0) AS DOUBLE) AS revenue
+      |FROM spine LEFT JOIN agg
+      |  ON spine.month = agg.month
+      | AND spine.o_orderpriority = agg.o_orderpriority
+      |ORDER BY spine.month, spine.o_orderpriority""".stripMargin) { (s, dir) =>
+    val months = s.range(1).select(explode(sequence(
+      lit("1995-01-01").cast("date"), lit("1998-12-01").cast("date"),
+      expr("INTERVAL 1 MONTH"))).as("m"))
+      .select(date_format(col("m"), "yyyy-MM").as("month"))
+    val prios = Tables.orders(s, dir).select(col("o_orderpriority")).distinct()
+    val agg = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("rev"))
+    months.crossJoin(prios)
+      .join(agg, Seq("month", "o_orderpriority"), "left")
+      .select(col("month"), col("o_orderpriority"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("rev"), lit(0).cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy(col("month"), col("o_orderpriority"))
   }
 }
