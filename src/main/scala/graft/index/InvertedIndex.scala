@@ -60,14 +60,23 @@ object InvertedIndex {
     tokens.groupBy(col("term"))
       .agg(count_distinct(col("doc_id")).as("df"))
 
-  /** TF-IDF weighted postings: (doc_id, term, tf, df, tfidf). */
+  /** TF-IDF weighted postings: (doc_id, term, tf, df, tfidf).
+    *
+    * df is a window count over the tf aggregate (tf has one row per
+    * (doc, term), so rows-per-term = distinct docs containing the
+    * term). Single lineage: the tokenize/stem pipeline and the tf
+    * aggregation run ONCE — no self-join of two re-derived branches
+    * (which Spark would execute as two full scans: the pruned
+    * aggregates differ, defeating ReuseExchange). Scale: the window
+    * partitions by term — the same shuffle a tf⋈df join would need,
+    * minus the second scan and the broadcast; per-term partitions are
+    * bounded by the corpus doc count.
+    */
   def tfidf(tokens: DataFrame, nDocs: Long): DataFrame = {
-    val tf = tokens.groupBy(col("doc_id"), col("term"))
+    import org.apache.spark.sql.expressions.Window
+    tokens.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = docFreq(tokens)
-    // term dictionary is small relative to postings: broadcast when it
-    // fits, else Catalyst/AQE picks a shuffled hash join on `term`.
-    tf.join(df, "term")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .withColumn("tfidf",
         col("tf") * log(lit(nDocs.toDouble + 1.0) / (col("df") + 1.0)))
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
