@@ -42,11 +42,15 @@ object Bench {
     // The driver parses the metric line out of a bounded tail buffer of
     // the sbt output (last ~2000 chars, with sbt's own epilogue after
     // ours) — keep the whole line comfortably inside that window:
-    // 2-decimal per-query times, numeric sf, no whitespace.
+    // per-query keys shortened to their qNN prefix (full names are in
+    // SparkEntry.queries / CORRECTNESS), 2-decimal times, numeric sf,
+    // no whitespace. At 74 queries the full-name form would overflow
+    // the window and the driver would record parsed=null.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def short(name: String): String = name.takeWhile(_ != '_')
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

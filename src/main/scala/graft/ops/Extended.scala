@@ -20,7 +20,7 @@ object Extended {
   private def money(c: Column): Column = sum(dec(c)).cast("double")
 
   def all: Seq[QueryDef] = Seq(
-    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
+    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
 
   /** Relational pivot via the first-class DataFrame API (`.pivot` with
     * explicit values — no extra pass to discover them): quantity per
@@ -398,5 +398,33 @@ object Extended {
         coalesce(col("rev"), lit(0).cast("decimal(18,2)")).cast("double")
           .as("revenue"))
       .orderBy(col("month"), col("o_orderpriority"))
+  }
+
+  /** Fuzzy string matching — the edit-distance flavor of near-dup
+    * detection (catalog/entity resolution in a curation pipeline).
+    * Bounded-subset self-join on part names with `levenshtein` (both
+    * engines implement the same Wagner-Fischer distance). Scale path:
+    * cap the candidate set first (here a key range; in production a
+    * blocking key like first-k chars or a MinHash bucket), never a raw
+    * corpus self-join; the filtered cross join broadcasts the bounded
+    * side.
+    */
+  val q75: QueryDef = QueryDef.sql(
+    "q75_fuzzy_pairs",
+    """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 150)
+      |SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 12
+      |ORDER BY k1, k2""".stripMargin) { (s, dir) =>
+    val p = Tables.part(s, dir).filter(col("p_partkey") <= 150)
+      .select(col("p_partkey"), col("p_name"))
+    val a = p.toDF("k1", "n1")
+    val b = p.toDF("k2", "n2")
+    a.join(broadcast(b), col("k1") < col("k2"))
+      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("bigint"))
+      .filter(col("dist") <= 12)
+      .select(col("k1"), col("k2"), col("dist"))
+      .orderBy(col("k1"), col("k2"))
   }
 }
