@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Recall of the PRODUCTION dedup paths (xxhash64 MinHash-LSH, SimHash
+  * banding — rows-only in the oracle because DuckDB can't reproduce the
+  * engine hash) against exact ground truth computed on the real fixture
+  * corpus. This closes the verification gap for the non-oracle queries:
+  * the approximate candidate generators must recover the planted
+  * near-duplicates that an exact pass finds.
+  */
+class DedupRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+    .filter(col("doc_id") < 200)
+
+  /** Exact 3-word-shingle-set Jaccard over every pair — the SAME
+    * similarity the MinHash signature estimates (token-set Jaccard
+    * would be a different metric: the templated fixture corpus has
+    * near-identical vocabularies but distinct phrasing). Quadratic is
+    * fine in a test; production verifies only LSH candidates.
+    */
+  private def exactPairs(minJaccard: Double): Set[(Long, Long)] = {
+    val t = docs
+      .select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 3)).as("term"))
+      .distinct()
+    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = t.toDF("d1", "term")
+      .join(t.toDF("d2", "term2"),
+        col("term") === col("term2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common") / (col("n1") + col("n2") - col("n_common"))
+    inter
+      .join(sz.toDF("dk1", "n1"), col("dk1") === col("d1"))
+      .join(sz.toDF("dk2", "n2"), col("dk2") === col("d2"))
+      .filter(jac >= minJaccard)
+      .select(col("d1"), col("d2")).as[(Long, Long)].collect().toSet
+  }
+
+  test("minhashCandidates recovers the exact Jaccard>=0.8 pairs on the fixture corpus") {
+    val truth = exactPairs(0.8)
+    assert(truth.nonEmpty, "fixture corpus has no planted near-dups at 0.8")
+    val cand = Dedup.minhashCandidates(docs)
+      .as[(Long, Long)].collect().toSet
+    val missed = truth -- cand
+    val recall = 1.0 - missed.size.toDouble / truth.size
+    assert(recall >= 0.9,
+      s"LSH recall $recall; missed ${missed.take(5)} of ${truth.size}")
+  }
+
+  /** The corpus has no byte-identical docs (only templated near-dups),
+    * so the SimHash check is precision: a pair the operator flags as
+    * hamming-close must actually share most of its vocabulary. SimHash
+    * is computed over distinct token ids, so token-set Jaccard is the
+    * matching ground-truth metric here (not shingles).
+    */
+  test("simhashPairs precision: low-hamming pairs share high token-set Jaccard") {
+    val flagged = Dedup.simhashPairs(docs, maxHamming = 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(flagged.nonEmpty, "no simhash pairs on the fixture corpus")
+    val t = docs
+      .select(col("doc_id"), explode(TextAnalytics.toks(col("text"))).as("term"))
+      .distinct()
+    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = t.toDF("d1", "term")
+      .join(t.toDF("d2", "term2"),
+        col("term") === col("term2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common") / (col("n1") + col("n2") - col("n_common"))
+    val similar = inter
+      .join(sz.toDF("dk1", "n1"), col("dk1") === col("d1"))
+      .join(sz.toDF("dk2", "n2"), col("dk2") === col("d2"))
+      .filter(jac >= 0.5)
+      .select(col("d1"), col("d2")).as[(Long, Long)].collect().toSet
+    val falsePos = flagged -- similar
+    val precision = 1.0 - falsePos.size.toDouble / flagged.size
+    assert(precision >= 0.9,
+      s"simhash precision $precision; false positives ${falsePos.take(5)}")
+  }
+}
