@@ -88,6 +88,33 @@ object Multimodal {
         // impl: container demux at the sampled frame)
         substring(col("media"), col("frame_idx") * 4 + 1, lit(4)).as("frame"))
 
+  case class ResizedMedia(doc_id: Long, mime: String, media: Array[Byte],
+                          width: Int, height: Int)
+
+  /** Batched resize-to-target: decode (STUB), scale to fit
+    * (maxW, maxH) preserving aspect ratio, re-encode (STUB: the payload
+    * is passed through; a real impl re-encodes pixels). The Spark shape
+    * is the contract — iterator-in/iterator-out mapPartitions so one
+    * scaler instance serves the whole task, output dims in pruned
+    * metadata columns so downstream filters (e.g. drop tiny images)
+    * never touch bytes.
+    */
+  def resize(spark: SparkSession, media: DataFrame,
+             maxW: Int = 256, maxH: Int = 256): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-task scaler init would go here (STUB: none needed)
+      rows.map { r =>
+        val (w, h, _, _) = StubCodec.decode(r.media)
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val nw = math.max(1, math.round(w * scale).toInt)
+        val nh = math.max(1, math.round(h * scale).toInt)
+        // ===== STUB: real impl re-encodes the scaled pixel buffer =====
+        ResizedMedia(r.doc_id, r.mime, r.media, nw, nh)
+      }
+    }
+  }
+
   case class MediaEmbedding(doc_id: Long, embedding: Array[Double])
 
   /** ======================= STUB ==============================

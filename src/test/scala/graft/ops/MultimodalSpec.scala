@@ -50,4 +50,19 @@ class MultimodalSpec extends SparkSpec {
     val n = stats.agg(sum("n")).as[Long].head()
     assert(n == 3)
   }
+
+  test("resize: aspect ratio preserved, fits target box, bytes batched per partition") {
+    val out = Multimodal.resize(spark, Multimodal.attachMedia(docs),
+      maxW = 100, maxH = 100).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.width <= 100 && r.height <= 100)
+      assert(r.width >= 1 && r.height >= 1)
+      val (w, h, _, _) = Multimodal.StubCodec.decode(r.media)
+      // scaled dims keep the original aspect ratio within rounding
+      val scale = math.min(1.0, math.min(100.0 / w, 100.0 / h))
+      assert(r.width == math.max(1, math.round(w * scale).toInt))
+      assert(r.height == math.max(1, math.round(h * scale).toInt))
+    }
+  }
 }
