@@ -22,10 +22,15 @@ object RunReference {
   def main(args: Array[String]): Unit = {
     require(args.length == 4,
       "usage: RunReference <input-dir> <output-dir> <stopwords-file> <centers-file>")
-    val Array(inDir, outDir, stopFile, centersFile) = args
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, args(0), args(1), args(2), args(3))
+    spark.stop()
+  }
 
+  /** The pipeline body, callable with an existing session (tests). */
+  def run(spark: org.apache.spark.sql.SparkSession, inDir: String,
+          outDir: String, stopFile: String, centersFile: String): Unit = {
     val docs = graft.sources.Corpus.readDocs(spark, inDir)
     val stop = graft.sources.Corpus.readStopwords(spark, stopFile)
     val n = graft.sources.Corpus.fileCount(spark, inDir)
@@ -47,7 +52,5 @@ object RunReference {
       .select(col("cluster_id").cast("string").as("k"),
         concat_ws(" ", col("members")).as("v"))
     graft.sources.Sinks.writeTsv(clusters, s"$outDir/kmeansOutput6")
-
-    spark.stop()
   }
 }
