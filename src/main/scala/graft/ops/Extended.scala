@@ -20,7 +20,8 @@ object Extended {
   private def money(c: Column): Column = sum(dec(c)).cast("double")
 
   def all: Seq[QueryDef] = Seq(
-    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
+    q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
+    q76, q77)
 
   /** Relational pivot via the first-class DataFrame API (`.pivot` with
     * explicit values — no extra pass to discover them): quantity per
@@ -426,5 +427,62 @@ object Extended {
       .filter(col("dist") <= 12)
       .select(col("k1"), col("k2"), col("dist"))
       .orderBy(col("k1"), col("k2"))
+  }
+
+  /** Forward-fill imputation: carry each user's last non-null
+    * purchase value forward across their event timeline
+    * (`last(..., ignoreNulls)` over an unbounded-preceding frame) —
+    * the standard sparse-to-dense time-series repair. Scale:
+    * partitioned by user, local sorts only.
+    */
+  val q76: QueryDef = QueryDef.sql(
+    "q76_forward_fill",
+    """SELECT user_id, event_id,
+      |  CAST(COALESCE(last_value(CASE WHEN event_type = 'purchase' THEN
+      |    CAST(value AS DECIMAL(18,2)) END IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+      |    AS DOUBLE) AS last_purchase
+      |FROM events
+      |WHERE user_id < 40
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), col("event_id"),
+        // -1 sentinel for "no purchase yet": cross-engine NULL
+        // stringification differs, and the sentinel is unambiguous here
+        coalesce(
+          last(when(col("event_type") === "purchase", dec(col("value"))),
+            ignoreNulls = true).over(w),
+          lit(-1).cast("decimal(18,2)")).cast("double").as("last_purchase"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Boolean / conditional aggregates: count_if, bool_and/bool_or,
+    * any-value-free deterministic forms — per order priority. Both
+    * engines share these names and semantics.
+    */
+  val q77: QueryDef = QueryDef.sql(
+    "q77_bool_aggs",
+    """SELECT o_orderpriority,
+      |  CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+      |  bool_and(o_totalprice > 0) AS all_positive,
+      |  bool_or(o_orderstatus = 'P') AS any_pending,
+      |  CAST(max(CASE WHEN o_orderstatus = 'P'
+      |    THEN o_orderkey END) AS BIGINT) AS max_pending_key
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count_if(col("o_totalprice") > 100000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_orderstatus") === "P").as("any_pending"),
+        max(when(col("o_orderstatus") === "P", col("o_orderkey")))
+          .cast("bigint").as("max_pending_key"))
+      .orderBy(col("o_orderpriority"))
   }
 }
