@@ -34,6 +34,27 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files (computed from the source's actual
+    * on-disk size, min 1 partition). The chronic ingest problem at
+    * scale — streaming/micro-batch writers leave thousands of KB-sized
+    * files whose per-file open/footer cost dominates scans; periodic
+    * compaction restores scan bandwidth. Returns the output file count.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inDir)).getLength
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(parts)
+      .write.mode("overwrite").parquet(outDir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(_.getPath.getName.startsWith("part-"))
+  }
+
   /** Header CSV interchange sink/source pair. Reading back with the
     * writer's schema (not inference) keeps types exact and skips the
     * sampling pass a 100 TB inference would cost.

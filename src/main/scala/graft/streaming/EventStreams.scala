@@ -159,6 +159,22 @@ object EventStreams {
         col("purchase_id"), col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Checkpointed parquet sink for any of the streaming transforms:
+    * exactly-once file output via the checkpoint's write-ahead commit
+    * log — a restarted query resumes from the checkpoint and never
+    * duplicates committed batches. `Trigger.AvailableNow` drains the
+    * available input then stops (the batch-backfill deploy shape).
+    */
+  def writeParquetStream(df: DataFrame, outDir: String,
+                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Batch-mode sessionization of the same semantics via window
     * functions (lag + cumulative session-id), for the stored events
     * table — demonstrates the batch/stream duality of the operator.

@@ -151,4 +151,33 @@ class EventStreamsSpec extends SparkSpec {
       .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
     assert(batch == Set((10L, 11L)))
   }
+
+  test("writeParquetStream: checkpointed sink is exactly-once across restarts") {
+    val in = java.nio.file.Files.createTempDirectory("graft-sink-in")
+    val out = java.nio.file.Files.createTempDirectory("graft-sink-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-ckpt").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      in.resolve("part-0.parquet"))
+
+    def drain(): Unit = {
+      val q = EventStreams.writeParquetStream(
+        EventStreams.readEventStream(spark, in.toString)
+          .select(col("event_id"), col("ts"), col("user_id")),
+        out, ckpt)
+      q.awaitTermination()
+    }
+    drain()
+    val batchRows = graft.ops.Tables.events(spark, sfDir).count()
+    assert(spark.read.parquet(out).count() == batchRows)
+
+    // restart from the same checkpoint with one new input file: only
+    // the new file's rows are appended, committed batches never replay
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      in.resolve("part-1.parquet"))
+    drain()
+    assert(spark.read.parquet(out).count() == 2 * batchRows)
+    assert(spark.read.parquet(out).select("event_id").distinct().count() == batchRows)
+  }
 }
