@@ -218,11 +218,28 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 }
 
 object GraftExtensions {
+  /** SQL-literal int argument (e.g. `minhash_sig(arr, 64)`). */
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case f if f.foldable =>
+      f.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$fn: expected an integer literal, got $other")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: size arguments must be literals")
+  }
+
   private[functions] def register(
       f: (String, Seq[Expression] => Expression) => Unit): Unit = {
     f("porter_stem", es => PorterStemExpr(es.head))
     f("cosine_similarity", es => CosineSimilarityExpr(es(0), es(1)))
     f("cosine_distance", es => CosineDistanceExpr(es(0), es(1)))
     f("simhash64", es => SimHash64Expr(es.head))
+    f("minhash_sig", es =>
+      MinHashSigExpr(es(0), intArg(es(1), "minhash_sig")))
+    f("shingle_minhash", es => ShingleMinHashExpr(
+      es(0), intArg(es(1), "shingle_minhash"), intArg(es(2), "shingle_minhash")))
   }
 }

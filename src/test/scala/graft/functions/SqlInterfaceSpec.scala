@@ -24,6 +24,22 @@ class SqlInterfaceSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.0)
   }
 
+  test("minhash kernels callable from SQL with literal size args") {
+    gf.register(spark)
+    val r = spark.sql(
+      """SELECT minhash_sig(array('a b c', 'b c d'), 8) AS mh,
+        |  shingle_minhash('the quick brown fox jumps', 8, 3) AS smh""".stripMargin)
+      .head()
+    assert(r.getSeq[Long](0).length == 8)
+    assert(r.getSeq[Long](1).length == 8)
+    // the fused kernel agrees with explicit shingling + minhash_sig
+    val both = spark.sql(
+      """SELECT shingle_minhash('a b c d', 4, 2) AS fused,
+        |  minhash_sig(array('a b', 'b c', 'c d'), 4) AS staged""".stripMargin)
+      .head()
+    assert(both.getSeq[Long](0) == both.getSeq[Long](1))
+  }
+
   test("registration is idempotent") {
     gf.register(spark)
     gf.register(spark)
