@@ -17,7 +17,8 @@ import graft.ops.{Dedup, TextAnalytics}
 object Curation {
 
   case class Report(input: Long, afterQuality: Long, afterLang: Long,
-                    afterExact: Long, afterNearDup: Long)
+                    afterExact: Long, afterNearDup: Long,
+                    afterBalance: Long)
 
   /** @param docs        (doc_id, text, lang, ...) table
     * @param minTokens   quality floor: minimum whitespace tokens
@@ -28,6 +29,10 @@ object Curation {
     *        agreement is an unbiased Jaccard estimate, so 0.7 ~ Jaccard
     *        0.7) — raw LSH band collisions alone would delete
     *        non-duplicates on false positives
+    * @param maxPerSource 0 = no balancing; otherwise cap each source at
+    *        this many docs, chosen by the deterministic sampling hash
+    *        (reproducible on any engine, no RNG) — the source-mix
+    *        balancing stage of a training corpus
     * @return (curated docs, per-stage report). The curated frame is
     *         left persisted (the caller materializes it next); earlier
     *         stage caches are released before returning.
@@ -36,7 +41,8 @@ object Curation {
              minTokens: Int = 8, maxPunctRatio: Double = 0.2,
              keepLangs: Seq[String] = Nil,
              nHashes: Int = 32, bandSize: Int = 4,
-             minSigAgreement: Double = 0.7): (DataFrame, Report) = {
+             minSigAgreement: Double = 0.7,
+             maxPerSource: Int = 0): (DataFrame, Report) = {
     val input = docs.count()
 
     // 1. quality: narrow per-doc metrics, no shuffle
@@ -80,10 +86,26 @@ object Curation {
         aggregate(agree, lit(0), (acc, x) => acc + x) / lit(nHashes))
       .filter(col("_est_jaccard") >= minSigAgreement)
       .select(col("d2").as("doc_id")).distinct()
-    val curated = exact.join(dupIds, Seq("doc_id"), "left_anti").cache()
-    val afterNearDup = curated.count()
+    val deduped = exact.join(dupIds, Seq("doc_id"), "left_anti")
+    val afterNearDup = deduped.count()
+
+    // 5. optional source balancing: deterministic per-source cap
+    // (partitioned window over the arithmetic sample hash — no RNG, so
+    // the kept set is stable across runs and engines)
+    val curated = (if (maxPerSource > 0 && deduped.columns.contains("source")) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("_hkey"), col("doc_id"))
+      deduped
+        .withColumn("_hkey", (col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= maxPerSource)
+        .drop("_hkey", "_rn")
+    } else deduped).cache()
+    val afterBalance = curated.count()
     exact.unpersist(blocking = false)
 
-    (curated, Report(input, afterQuality, afterLang, afterExact, afterNearDup))
+    (curated,
+      Report(input, afterQuality, afterLang, afterExact, afterNearDup, afterBalance))
   }
 }

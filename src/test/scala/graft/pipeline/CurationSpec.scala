@@ -41,4 +41,19 @@ class CurationSpec extends SparkSpec {
     assert(r.afterNearDup > 0)
     assert(curated.columns.toSet == docs.columns.toSet)
   }
+
+  test("source balancing caps every source deterministically") {
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+    val (curated, r) = Curation.curate(spark, docs, minTokens = 4,
+      maxPunctRatio = 0.5, maxPerSource = 10)
+    assert(r.afterBalance <= r.afterNearDup)
+    val perSource = curated.groupBy("source").count()
+      .select("count").as[Long].collect()
+    assert(perSource.nonEmpty && perSource.forall(_ <= 10))
+    // deterministic: a second run keeps the identical doc set
+    val (again, _) = Curation.curate(spark, docs, minTokens = 4,
+      maxPunctRatio = 0.5, maxPerSource = 10)
+    assert(curated.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
 }
