@@ -49,6 +49,8 @@ object Bench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def short(name: String): String = name.takeWhile(_ != '_')
+    require(results.keys.map(short).toSet.size == results.size,
+      "qNN bench-key prefixes collide; JSON would drop a timing")
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -96,20 +96,26 @@ object KMeansAssign {
     */
   def lloydCenters(points: DataFrame, k: Int, iters: Int,
                    idCol: String = "id", vecCol: String = "vec"): Array[Array[Double]] = {
-    var centers: Array[Array[Double]] = points.orderBy(col(idCol)).limit(k)
-      .orderBy(col(idCol))
-      .select(col(vecCol))
-      .collect().map(_.getSeq[Double](0).toArray)
-    var it = 1
-    while (it < iters) {
-      val means = centroidMeans(assignMap(points, centers, vecCol), vecCol)
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-        .toMap
-      centers = Array.tabulate(centers.length)(i => means.getOrElse(i, centers(i)))
-      it += 1
-    }
-    centers
+    // multi-iteration loops re-scan the input once per update step:
+    // pin it for the loop's lifetime (a single-iteration call reads the
+    // source twice either way — init + caller — and skips the cache)
+    val pts = if (iters > 1) points.cache() else points
+    try {
+      var centers: Array[Array[Double]] = pts.orderBy(col(idCol)).limit(k)
+        .orderBy(col(idCol))
+        .select(col(vecCol))
+        .collect().map(_.getSeq[Double](0).toArray)
+      var it = 1
+      while (it < iters) {
+        val means = centroidMeans(assignMap(pts, centers, vecCol), vecCol)
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+          .toMap
+        centers = Array.tabulate(centers.length)(i => means.getOrElse(i, centers(i)))
+        it += 1
+      }
+      centers
+    } finally if (iters > 1) pts.unpersist(blocking = false)
   }
 
   /** Full Lloyd iteration generalization (the reference only does the

@@ -182,7 +182,7 @@ object Extended {
     val w = Window.partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
     Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
-        ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)).as("hkey"))
+        Sampling.hkey(col("doc_id")).as("hkey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 20)
       .orderBy(col("source"), col("rn"))
@@ -256,9 +256,9 @@ object Extended {
       |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
       |  COALESCE(list_position(list_transform(embedding,
       |    x -> CAST(x AS DOUBLE) > 0.5), true), 0) AS first_gt,
-      |  list_sum(list_transform(range(1, len(embedding) + 1),
+      |  COALESCE(list_sum(list_transform(range(1, len(embedding) + 1),
       |    i -> CAST(embedding[i] AS DOUBLE)
-      |         * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))) AS rev_dot
+      |         * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))), 0.0) AS rev_dot
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val v = col("embedding").cast("array<double>")

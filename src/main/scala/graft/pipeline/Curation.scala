@@ -86,24 +86,28 @@ object Curation {
         aggregate(agree, lit(0), (acc, x) => acc + x) / lit(nHashes))
       .filter(col("_est_jaccard") >= minSigAgreement)
       .select(col("d2").as("doc_id")).distinct()
-    val deduped = exact.join(dupIds, Seq("doc_id"), "left_anti")
-    val afterNearDup = deduped.count()
+    val deduped = exact.join(dupIds, Seq("doc_id"), "left_anti").cache()
+    val afterNearDup = deduped.count() // pins the LSH stage: the balance
+    // stage and the caller's materialization must not recompute it
 
     // 5. optional source balancing: deterministic per-source cap
     // (partitioned window over the arithmetic sample hash — no RNG, so
     // the kept set is stable across runs and engines)
-    val curated = (if (maxPerSource > 0 && deduped.columns.contains("source")) {
+    if (maxPerSource > 0) require(deduped.columns.contains("source"),
+      "maxPerSource balancing needs a 'source' column")
+    val curated = (if (maxPerSource > 0) {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("source"))
         .orderBy(col("_hkey"), col("doc_id"))
       deduped
-        .withColumn("_hkey", (col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+        .withColumn("_hkey", graft.ops.Sampling.hkey(col("doc_id")))
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") <= maxPerSource)
         .drop("_hkey", "_rn")
     } else deduped).cache()
     val afterBalance = curated.count()
     exact.unpersist(blocking = false)
+    deduped.unpersist(blocking = false)
 
     (curated,
       Report(input, afterQuality, afterLang, afterExact, afterNearDup, afterBalance))

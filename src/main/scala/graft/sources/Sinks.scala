@@ -45,6 +45,13 @@ object Sinks {
               targetBytes: Long = 128L * 1024 * 1024): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    // in-place compaction would let the overwrite delete the source
+    // before the lazy scan reads it — require distinct, non-nested dirs
+    val inQ = fs.makeQualified(new org.apache.hadoop.fs.Path(inDir))
+    val outQ = fs.makeQualified(new org.apache.hadoop.fs.Path(outDir))
+    require(inQ != outQ && !outQ.toString.startsWith(inQ.toString + "/")
+        && !inQ.toString.startsWith(outQ.toString + "/"),
+      s"compact: outDir must not overlap inDir ($inQ vs $outQ)")
     val totalBytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(inDir)).getLength
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)

@@ -14,7 +14,9 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoi
 class PlanAuditSpec extends SparkSpec {
 
   private def executed(df: DataFrame) = {
-    df.count() // force AQE to finalize the adaptive plan
+    // execute THIS frame so AQE finalizes the inspected plan (count()
+    // would run a separate QueryExecution and leave this one initial)
+    df.collect()
     df.queryExecution.executedPlan
   }
 
