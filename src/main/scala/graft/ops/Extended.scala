@@ -21,7 +21,7 @@ object Extended {
 
   def all: Seq[QueryDef] = Seq(
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77)
+    q76, q77, q78, q79)
 
   /** Relational pivot via the first-class DataFrame API (`.pivot` with
     * explicit values — no extra pass to discover them): quantity per
@@ -484,5 +484,62 @@ object Extended {
         max(when(col("o_orderstatus") === "P", col("o_orderkey")))
           .cast("bigint").as("max_pending_key"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** Bag-semantics set operations: EXCEPT ALL / INTERSECT ALL keep
+    * duplicate multiplicity (q11/q35 cover the distinct forms). The
+    * multiset of per-order line counts on the two sides differs in how
+    * many times each count value appears — exactly what ALL preserves
+    * and DISTINCT erases.
+    */
+  val q78: QueryDef = QueryDef.sql(
+    "q78_set_ops_all",
+    """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45),
+      |b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT 'except_all' AS op, k, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, k, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+      |ORDER BY op, k""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val a = li.filter(col("l_quantity") > 45).select(col("l_suppkey").as("k"))
+    val b = li.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k"))
+    val ex = a.exceptAll(b).groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("k"), col("n"))
+    val in = a.intersectAll(b).groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("k"), col("n"))
+    ex.unionAll(in).orderBy(col("op"), col("k"))
+  }
+
+  /** NOT IN three-valued logic: one NULL in the subquery makes
+    * `x NOT IN (...)` UNKNOWN for every row (zero rows survive), while
+    * the NOT EXISTS form is null-safe and keeps its rows — the classic
+    * SQL-semantics trap, asserted identically on both engines in one
+    * two-row summary.
+    */
+  val q79: QueryDef = QueryDef.sql(
+    "q79_not_in_nulls",
+    """SELECT 'not_in_with_null' AS variant, CAST(count(*) AS BIGINT) AS n
+      |FROM customer WHERE c_nationkey NOT IN
+      |  (SELECT NULLIF(n_nationkey, 3) FROM nation)
+      |UNION ALL
+      |SELECT 'not_exists', CAST(count(*) AS BIGINT)
+      |FROM customer c WHERE NOT EXISTS
+      |  (SELECT 1 FROM nation n
+      |   WHERE NULLIF(n.n_nationkey, 3) = c.c_nationkey)
+      |ORDER BY variant""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).createOrReplaceTempView("graft_q79_customer")
+    Tables.nation(s, dir).createOrReplaceTempView("graft_q79_nation")
+    s.sql(
+      """SELECT 'not_in_with_null' AS variant, CAST(count(*) AS BIGINT) AS n
+        |FROM graft_q79_customer WHERE c_nationkey NOT IN
+        |  (SELECT NULLIF(n_nationkey, 3) FROM graft_q79_nation)
+        |UNION ALL
+        |SELECT 'not_exists', CAST(count(*) AS BIGINT)
+        |FROM graft_q79_customer c WHERE NOT EXISTS
+        |  (SELECT 1 FROM graft_q79_nation n
+        |   WHERE NULLIF(n.n_nationkey, 3) = c.c_nationkey)
+        |ORDER BY variant""".stripMargin)
   }
 }
