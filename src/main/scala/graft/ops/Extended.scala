@@ -21,7 +21,7 @@ object Extended {
 
   def all: Seq[QueryDef] = Seq(
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79)
+    q76, q77, q78, q79, q80, q81)
 
   /** Relational pivot via the first-class DataFrame API (`.pivot` with
     * explicit values — no extra pass to discover them): quantity per
@@ -541,5 +541,92 @@ object Extended {
         |  (SELECT 1 FROM graft_q79_nation n
         |   WHERE NULLIF(n.n_nationkey, 3) = c.c_nationkey)
         |ORDER BY variant""".stripMargin)
+  }
+
+  /** Linear-regression aggregates from exact decimal sums (the q58
+    * precedent): slope / intercept / r² of price on quantity per
+    * returnflag, with the identical literal formula over
+    * decimal-exact Σx, Σx², Σy, Σy², Σxy on both engines so the
+    * doubles are bit-identical — the built-in regr_* functions
+    * accumulate in engine-specific order and would not hash-match.
+    */
+  val q80: QueryDef = QueryDef.sql(
+    "q80_regression",
+    """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 9) AS slope,
+      |  round((sy - sx * ((n * sxy - sx * sy) / (n * sx2 - sx * sx))) / n, 9)
+      |    AS intercept,
+      |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |    / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 9) AS r2
+      |FROM (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy2,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val qd = dec(col("l_quantity"))
+    val pd = col("l_extendedprice").cast("decimal(12,2)")
+    val base = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(qd).cast("double").as("sx"),
+        sum(qd * qd).cast("double").as("sx2"),
+        sum(pd).cast("double").as("sy"),
+        sum(pd * pd).cast("double").as("sy2"),
+        sum(qd * pd).cast("double").as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sx2") - col("sx") * col("sx"))
+    base.select(col("l_returnflag"), col("n").cast("bigint").as("n"),
+      round(slope, 9).as("slope"),
+      round((col("sy") - col("sx") * slope) / col("n"), 9).as("intercept"),
+      round(((col("n") * col("sxy") - col("sx") * col("sy"))
+          * (col("n") * col("sxy") - col("sx") * col("sy")))
+        / ((col("n") * col("sx2") - col("sx") * col("sx"))
+          * (col("n") * col("sy2") - col("sy") * col("sy"))), 9).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q21 shape: suppliers whose lineitems are the ONLY late ones
+    * on a multi-supplier order — a semi-join (another supplier shipped
+    * the same order) stacked on an anti-join (no other supplier was
+    * late) over the same fact table, the classic multi-correlation
+    * stress. Scale: both correlations are equi-joins on l_orderkey;
+    * the fact shuffles once per correlated branch.
+    */
+  val q81: QueryDef = QueryDef.sql(
+    "q81_only_late_supplier",
+    """SELECT l1.l_suppkey, CAST(count(*) AS BIGINT) AS n_waiting
+      |FROM lineitem l1
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY l1.l_suppkey
+      |ORDER BY n_waiting DESC, l_suppkey
+      |LIMIT 50""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q81_lineitem")
+    s.sql(
+      """SELECT l1.l_suppkey, CAST(count(*) AS BIGINT) AS n_waiting
+        |FROM graft_q81_lineitem l1
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM graft_q81_lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_q81_lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY l1.l_suppkey
+        |ORDER BY n_waiting DESC, l_suppkey
+        |LIMIT 50""".stripMargin)
   }
 }
