@@ -75,10 +75,17 @@ object Corpus {
       .select(col("center_id"), parseBracketVector(col("value")).as("cvec"))
   }
 
-  /** `[1,0,1,]` (trailing comma tolerated) -> ARRAY<DOUBLE>. */
+  /** `[1,0,1,]` (trailing comma tolerated) -> ARRAY<DOUBLE>.
+    * Malformed elements become null INSTEAD of failing the scan
+    * (ANSI mode makes a bare cast throw on junk; at scale one corrupt
+    * line must never kill the job) — the numeric guard keeps the cast
+    * on the valid-branch only.
+    */
   def parseBracketVector(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    filter(
-      split(regexp_replace(trim(c), "[\\[\\]]", ""), ","),
-      s => length(s) > 0
-    ).cast("array<double>")
+    transform(
+      filter(
+        split(regexp_replace(trim(c), "[\\[\\]]", ""), ","),
+        s => length(s) > 0),
+      s => when(trim(s).rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"),
+        trim(s).cast("double")))
 }
