@@ -147,8 +147,15 @@ case class ShingleMinHashExpr(child: Expression, nHashes: Int, shingleSize: Int)
   * is a pure codegen'd map over the points: zero shuffle of the big
   * side. Returns struct(center_id INT, dist DOUBLE).
   */
-case class NearestCenterExpr(child: Expression, centers: Array[Array[Double]])
+case class NearestCenterExpr(child: Expression, centers: Seq[Seq[Double]])
     extends UnaryExpression with ExpectsInputTypes {
+  // Seq (not Array) field: case-class equality is then structural, so
+  // two instances over equal-content centers canonicalize equal and
+  // Catalyst's subexpression/exchange reuse applies. The primitive
+  // array form the kernel wants is derived once.
+  @transient private lazy val centersArr: Array[Array[Double]] =
+    centers.map(_.toArray).toArray
+
   override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = StructType(Seq(
     StructField("center_id", IntegerType, nullable = false),
@@ -157,10 +164,10 @@ case class NearestCenterExpr(child: Expression, centers: Array[Array[Double]])
 
   override def nullSafeEval(input: Any): Any =
     VectorOps.nearestCenter(
-      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], centers)
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], centersArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("centers", centers, "double[][]")
+    val ref = ctx.addReferenceObj("centers", centersArr, "double[][]")
     defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.nearestCenter($c, $ref)")
   }
 
@@ -191,7 +198,8 @@ object functions {
     Shim.column(ShingleMinHashExpr(Shim.expression(c), nHashes, shingleSize))
 
   def nearest_center(c: Column, centers: Array[Array[Double]]): Column =
-    Shim.column(NearestCenterExpr(Shim.expression(c), centers))
+    Shim.column(NearestCenterExpr(Shim.expression(c),
+      centers.map(_.toIndexedSeq).toIndexedSeq))
 
   /** Register the functions for SQL use in an existing session
     * (idempotent). For new sessions prefer

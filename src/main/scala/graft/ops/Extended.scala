@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object Extended {
 
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
-  private def money(c: Column): Column = sum(dec(c)).cast("double")
+  // exact money arithmetic — single shared definition point, see Exact
+  import Exact.{dec, money}
 
   def all: Seq[QueryDef] = Seq(
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,

@@ -18,17 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** Exact money arithmetic: through DECIMAL, never float sums.
-    * Products are computed decimal x decimal (not double->decimal of the
-    * product) because engines disagree on how a double product rounds
-    * into a decimal; decimal multiplication is exact in both.
-    * DECIMAL(12,2) x DECIMAL(4,2) keeps every intermediate inside both
-    * engines' 38-digit width.
-    */
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
-  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
-  private def frac(c: Column): Column = c.cast("decimal(4,2)")
-  private def money(c: Column): Column = sum(dec(c)).cast("double")
+  // exact money arithmetic — single shared definition point, see Exact
+  import Exact.{dec, dec2, frac, money}
 
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,

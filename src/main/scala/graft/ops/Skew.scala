@@ -25,9 +25,16 @@ object Skew {
     */
   def saltedSumAgg(df: DataFrame, key: Column, buckets: Int,
                    aggs: (String, Column)*): DataFrame = {
+    // the salt must be DETERMINISTIC per row content: a salt built from
+    // partition id / monotonically_increasing_id changes on stage
+    // retry, and recomputed map tasks would then route rows to
+    // different buckets than already-fetched outputs assumed (the
+    // classic repartition-correctness hazard) — sums could silently
+    // drop or double-count. Hashing the full row spreads a hot key
+    // across buckets just as well, reproducibly.
     val salted = df
-      .withColumn("_salt", pmod(spark_partition_id()
-        + monotonically_increasing_id(), lit(buckets)))
+      .withColumn("_salt",
+        pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)))
       .groupBy(key.as("_key"), col("_salt"))
       .agg(aggs.head._2.as(aggs.head._1),
         aggs.tail.map { case (n, c) => c.as(n) }: _*)

@@ -107,7 +107,9 @@ object Curation {
     } else deduped).cache()
     val afterBalance = curated.count()
     exact.unpersist(blocking = false)
-    deduped.unpersist(blocking = false)
+    // with maxPerSource=0, curated IS deduped — releasing it would
+    // break the "returned frame stays persisted" contract
+    if (!(curated eq deduped)) deduped.unpersist(blocking = false)
 
     (curated,
       Report(input, afterQuality, afterLang, afterExact, afterNearDup, afterBalance))

@@ -27,8 +27,12 @@ object Corpus {
     */
   def readLines(spark: SparkSession, dir: String): DataFrame =
     spark.read.text(dir)
+      // the filename must be ENTIRELY `<digits>.<ext>` (anchored at the
+      // path separator — `readme2.txt` must not ingest as doc 2), and
+      // the id capped at 9 digits so the int cast can never overflow
+      // (ANSI mode would otherwise fail the whole scan on one file)
       .select(
-        regexp_extract(input_file_name(), "(\\d+)\\.[^/.]*$", 1).as("_id"),
+        regexp_extract(input_file_name(), "(?:^|/)(\\d{1,9})\\.[^/.]*$", 1).as("_id"),
         col("value").as("line"))
       .filter(length(col("_id")) > 0)
       .select(col("_id").cast("int").as("doc_id"), col("line"))

@@ -96,7 +96,11 @@ object EventStreams {
               val t = e.ts.getTime
               cur match {
                 case Some(st) if t - st.last <= gapMs =>
-                  cur = Some(st.copy(last = t, n = st.n + 1, sum = st.sum + e.value))
+                  // admissible late data (within the watermark) may be
+                  // out of order ACROSS micro-batches: never move the
+                  // session bounds backwards
+                  cur = Some(st.copy(start = math.min(st.start, t),
+                    last = math.max(st.last, t), n = st.n + 1, sum = st.sum + e.value))
                 case Some(st) =>
                   closed += Session(userId, new Timestamp(st.start),
                     new Timestamp(st.last), st.n, st.sum)
@@ -184,11 +188,15 @@ object EventStreams {
     val gapSec = gapMinutes * 60L
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
+    // a user's first row (lag null) starts session 1 explicitly — a
+    // null-condition when() would fall to otherwise(0), not to null
+    val prev = lag(col("ts"), 1).over(byUser)
     val newSession =
-      when(unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser))
-        > gapSec, 1).otherwise(0)
+      when(prev.isNull
+        || unix_timestamp(col("ts")) - unix_timestamp(prev) > gapSec, 1)
+        .otherwise(0)
     events
-      .withColumn("is_new", coalesce(newSession, lit(1)))
+      .withColumn("is_new", newSession)
       .withColumn("session_seq",
         sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_seq"))

@@ -27,8 +27,13 @@ class RobustnessSpec extends SparkSpec {
     java.nio.file.Files.write(dir.resolve("1.txt"), "alpha beta".getBytes)
     java.nio.file.Files.write(dir.resolve("README"), "not a doc".getBytes)
     java.nio.file.Files.write(dir.resolve("_checkpoint.tmp"), "x".getBytes)
+    // trailing digits must NOT ingest under a bogus id (anchored regex)
+    java.nio.file.Files.write(dir.resolve("readme2.txt"), "impostor".getBytes)
+    // id beyond Int range must be skipped, not crash the ANSI cast
+    java.nio.file.Files.write(dir.resolve("99999999999.txt"), "too big".getBytes)
     val docs = Corpus.readDocs(spark, dir.toString).collect()
     assert(docs.map(_.getInt(0)).toSeq == Seq(1))
+    assert(!docs.exists(_.getString(1).contains("impostor")))
   }
 
   test("from_json on malformed props yields null, and aggregation survives") {
