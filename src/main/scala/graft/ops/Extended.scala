@@ -21,7 +21,7 @@ object Extended {
 
   def all: Seq[QueryDef] = Seq(
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81)
+    q76, q77, q78, q79, q80, q81, q82, q83)
 
   /** Relational pivot via the first-class DataFrame API (`.pivot` with
     * explicit values — no extra pass to discover them): quantity per
@@ -628,5 +628,65 @@ object Extended {
         |GROUP BY l1.l_suppkey
         |ORDER BY n_waiting DESC, l_suppkey
         |LIMIT 50""".stripMargin)
+  }
+
+  /** Bitwise function surface: AND/OR/XOR, shifts, popcount over key
+    * integers — the primitive layer under the SimHash/banding dedup
+    * operators, exercised directly and hash-checked (pure BIGINT
+    * arithmetic, identical in any engine).
+    */
+  val q82: QueryDef = QueryDef.sql(
+    "q82_bitops",
+    """SELECT l_orderkey,
+      |  CAST(l_orderkey & l_partkey AS BIGINT) AS k_and,
+      |  CAST(l_orderkey | l_partkey AS BIGINT) AS k_or,
+      |  CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS k_xor,
+      |  CAST(l_partkey << 3 AS BIGINT) AS k_shl,
+      |  CAST(l_orderkey >> 2 AS BIGINT) AS k_shr,
+      |  CAST(bit_count(l_orderkey) AS BIGINT) AS k_pop
+      |FROM lineitem
+      |WHERE l_orderkey < 400 AND l_linenumber = 1
+      |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 400 && col("l_linenumber") === 1)
+      .select(col("l_orderkey"),
+        col("l_orderkey").bitwiseAND(col("l_partkey")).as("k_and"),
+        col("l_orderkey").bitwiseOR(col("l_partkey")).as("k_or"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("k_xor"),
+        shiftleft(col("l_partkey"), 3).as("k_shl"),
+        shiftright(col("l_orderkey"), 2).as("k_shr"),
+        bit_count(col("l_orderkey")).cast("bigint").as("k_pop"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** Array set operations over token arrays: distinct-union /
+    * intersect / except against a fixed keyword list, results sorted
+    * for cross-engine hashing (Spark and DuckDB disagree on preserved
+    * order, not membership).
+    */
+  val q83: QueryDef = QueryDef.sql(
+    "q83_array_setops",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '')) AS toks
+      |  FROM documents WHERE doc_id < 50)
+      |SELECT doc_id,
+      |  COALESCE(array_to_string(list_sort(list_intersect(toks,
+      |    ['the','and','data','model','learning'])), ' '), '') AS kw_hits,
+      |  CAST(len(list_filter(toks,
+      |    x -> NOT list_contains(['the','and','data','model','learning'], x)))
+      |    AS BIGINT) AS n_other
+      |FROM t
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val kws = array(Seq("the", "and", "data", "model", "learning").map(lit): _*)
+    val toks = array_distinct(filter(
+      split(lower(col("text")), "\\s+"), x => x =!= ""))
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        concat_ws(" ", array_sort(array_intersect(toks, kws))).as("kw_hits"),
+        size(array_except(toks, kws)).cast("bigint").as("n_other"))
+      .orderBy(col("doc_id"))
   }
 }
