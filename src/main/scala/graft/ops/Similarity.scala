@@ -85,10 +85,20 @@ object Similarity {
   /** Sign-random-projection LSH ANN: deterministic hyperplanes from the
     * splitmix64 mixer, bucket = sign-bit pattern, candidate join within
     * bucket, exact rescoring, window top-k.
+    *
+    * MULTI-PROBE: a true neighbor whose signature differs by one plane
+    * lands one bit-flip away, so each query also probes every bucket at
+    * hamming distance <= `probeFlips` (0 = single-bucket). Probing
+    * multiplies only the (small) query side by 1+nPlanes candidates per
+    * flip level — the corpus is hashed once — and lifts recall@1
+    * roughly from p^n to p^n + n·p^(n-1)(1-p) for per-plane agreement
+    * p. This is the standard recall/cost knob of sign-LSH.
     */
   def lshKnn(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-             k: Int, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+             k: Int, nPlanes: Int = 12, dim: Int = 64,
+             probeFlips: Int = 1): DataFrame = {
     import spark.implicits._
+    require(probeFlips >= 0 && probeFlips <= 1, "probeFlips in {0, 1}")
     val planes: Array[Array[Double]] = Array.tabulate(nPlanes, dim) { (p, d) =>
       // uniform in [-1, 1) from the mixed bits — deterministic, seedless
       (VectorOps.mix64(p.toLong * 131071L + d) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
@@ -110,10 +120,19 @@ object Similarity {
       sig
     }
     val bc = corpus.toDF("cid", "cv").withColumn("bucket", bucketOf(col("cv")))
-    val bq = queries.toDF("qid", "qv").withColumn("bucket", bucketOf(col("qv")))
+    val bq0 = queries.toDF("qid", "qv").withColumn("sig", bucketOf(col("qv")))
+    val bq =
+      if (probeFlips == 0) bq0.withColumn("bucket", col("sig"))
+      else bq0.select(col("qid"), col("qv"),
+        explode(concat(array(col("sig")),
+          transform(sequence(lit(0), lit(nPlanes - 1)),
+            p => col("sig").bitwiseXOR(pow(lit(2), p).cast("int"))))).as("bucket"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     bq.join(bc, "bucket")
       .filter(col("qid") =!= col("cid"))
+      // a candidate can surface from several probed buckets: dedupe
+      // before scoring so the window sees each pair once
+      .select(col("qid"), col("qv"), col("cid"), col("cv")).dropDuplicates("qid", "cid")
       .select(col("qid"), col("cid"),
         cosine_similarity(col("qv"), col("cv")).as("score"))
       .withColumn("rnk", row_number().over(w))

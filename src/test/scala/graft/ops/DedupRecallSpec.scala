@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Recall of the PRODUCTION dedup paths (xxhash64 MinHash-LSH, SimHash
@@ -16,16 +17,16 @@ class DedupRecallSpec extends SparkSpec {
   private lazy val docs = Tables.documents(spark, sfDir)
     .filter(col("doc_id") < 200)
 
-  /** Exact 3-word-shingle-set Jaccard over every pair — the SAME
-    * similarity the MinHash signature estimates (token-set Jaccard
-    * would be a different metric: the templated fixture corpus has
-    * near-identical vocabularies but distinct phrasing). Quadratic is
-    * fine in a test; production verifies only LSH candidates.
+  /** Exact pairwise set-Jaccard over every doc pair, parameterized by
+    * the tokenizer so each sketch is judged against ITS OWN metric:
+    * 3-word shingles for MinHash, distinct tokens for SimHash.
+    * Quadratic is fine in a test; production verifies only LSH
+    * candidates.
     */
-  private def exactPairs(minJaccard: Double): Set[(Long, Long)] = {
+  private def exactPairs(tokenizer: Column => Column,
+                         minJaccard: Double): Set[(Long, Long)] = {
     val t = docs
-      .select(col("doc_id"),
-        explode(Dedup.shingles(col("text"), 3)).as("term"))
+      .select(col("doc_id"), explode(tokenizer(col("text"))).as("term"))
       .distinct()
     val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = t.toDF("d1", "term")
@@ -41,7 +42,10 @@ class DedupRecallSpec extends SparkSpec {
   }
 
   test("minhashCandidates recovers the exact Jaccard>=0.8 pairs on the fixture corpus") {
-    val truth = exactPairs(0.8)
+    // MinHash estimates SHINGLE-set Jaccard (token-set similarity is a
+    // different metric: the templated corpus shares vocabulary but not
+    // phrasing)
+    val truth = exactPairs(Dedup.shingles(_, 3), 0.8)
     assert(truth.nonEmpty, "fixture corpus has no planted near-dups at 0.8")
     val cand = Dedup.minhashCandidates(docs)
       .as[(Long, Long)].collect().toSet
@@ -61,20 +65,7 @@ class DedupRecallSpec extends SparkSpec {
     val flagged = Dedup.simhashPairs(docs, maxHamming = 4)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(flagged.nonEmpty, "no simhash pairs on the fixture corpus")
-    val t = docs
-      .select(col("doc_id"), explode(TextAnalytics.toks(col("text"))).as("term"))
-      .distinct()
-    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = t.toDF("d1", "term")
-      .join(t.toDF("d2", "term2"),
-        col("term") === col("term2") && col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
-    val jac = col("n_common") / (col("n1") + col("n2") - col("n_common"))
-    val similar = inter
-      .join(sz.toDF("dk1", "n1"), col("dk1") === col("d1"))
-      .join(sz.toDF("dk2", "n2"), col("dk2") === col("d2"))
-      .filter(jac >= 0.5)
-      .select(col("d1"), col("d2")).as[(Long, Long)].collect().toSet
+    val similar = exactPairs(TextAnalytics.toks, 0.5)
     val falsePos = flagged -- similar
     val precision = 1.0 - falsePos.size.toDouble / flagged.size
     assert(precision >= 0.9,

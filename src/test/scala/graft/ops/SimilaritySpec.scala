@@ -26,19 +26,43 @@ class SimilaritySpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val res = Similarity.lshKnn(spark, emb, emb.filter(col("vec_id") < 5), k = 3, nPlanes = 4)
-    val rows = res.select("qid", "cid", "score").as[(Long, Long, Double)].collect()
+    val rows = res.select("qid", "cid", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect()
     assert(rows.nonEmpty)
     assert(rows.groupBy(_._1).forall(_._2.length <= 3))
     assert(rows.forall(r => r._1 != r._2))
+    // scores are real cosines (bounded) and ranks order them descending
+    assert(rows.forall(r => r._3 >= -1.0000001 && r._3 <= 1.0000001))
+    rows.groupBy(_._1).values.foreach { rs =>
+      val byRank = rs.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"scores not descending by rank: ${rs.toList}")
+    }
+    // the scores must be the TRUE cosine of the returned pair, not an
+    // artifact of the bucketing path
+    val lookup = emb.as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.foreach { case (q, c, s, _) =>
+      assert(math.abs(s - cos(lookup(q), lookup(c))) < 1e-9)
+    }
   }
 
-  test("lsh recall vs brute force on real embeddings (same-bucket neighbors rank correctly)") {
+  test("lsh recall vs brute force on real embeddings") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val queries = emb.filter(col("vec_id") < 3)
+    val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceKnn(queries.toDF("qid", "qv"), emb, k = 1)
       .select("qid", "cid").as[(Long, Long)].collect().toMap
-    assert(exact.size == 3) // each query has a nearest neighbor
+    assert(exact.size == 20) // each query has a nearest neighbor
+    // few planes -> big buckets -> recall@1 should be high
+    val approx = Similarity.lshKnn(spark, emb, queries, k = 1, nPlanes = 4)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    val recall = exact.count { case (q, n) => approx.get(q).contains(n) }
+      .toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall@1 = $recall vs exact")
   }
 
   test("ivfKnn: full probe equals brute force; partial probe has decent recall@1") {

@@ -49,4 +49,14 @@ class SkewJoinSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("saltedSumAgg equals plain aggregation") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (1L, 30.0)).toDF("k", "v")
+    val salted = Skew.saltedSumAgg(df, col("k"), buckets = 4,
+      ("total", sum(col("v"))), ("cnt", count(lit(1))))
+      .select("key", "total", "cnt").as[(Long, Double, Long)].collect()
+      .map { case (k, t, c) => k -> (t, c) }.toMap
+    assert(salted == Map(1L -> (60.0, 3L), 2L -> (5.0, 1L)))
+  }
 }

@@ -29,9 +29,9 @@ class EventStreamsSpec extends SparkSpec {
   test("hourlyCounts on batch data matches manual aggregation") {
     val out = hourlyCounts(events.toDF())
       .select("event_type", "n").as[(String, Long)].collect().toSet
-    // hour bucket of ts(0)..ts(5) same hour; ts(90) next hour
-    assert(out.contains(("click", 3L)) || out.contains(("click", 2L)))
-    assert(out.exists(_._1 == "view"))
+    // UTC epoch-aligned 1h windows: ts(0)=22:13, ts(2)=22:15, ts(5)=22:18
+    // share one window (3 clicks); ts(90)=23:43 is the lone view
+    assert(out == Set(("click", 3L), ("view", 1L)), out)
   }
 
   test("streaming: windowed counts with watermark through MemoryStream") {
