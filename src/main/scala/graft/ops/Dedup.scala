@@ -324,7 +324,12 @@ object Dedup {
                        nPlanes: Int = 8): DataFrame = {
     val Array(idName, vecName) = emb.columns
     val e = emb.toDF("id", "v")
-    val pairs = Similarity.lshKnn(spark, e, e, k = Int.MaxValue, nPlanes = nPlanes)
+    // single-bucket probing: at a 0.95+ cosine threshold the duplicate
+    // pair's signatures agree on every plane with high probability, and
+    // multi-probe would multiply the SELF-join's corpus-sized query
+    // side by (1 + nPlanes) — the kNN recall knob is wrong for dedup
+    val pairs = Similarity.lshKnn(spark, e, e, k = Int.MaxValue,
+      nPlanes = nPlanes, probeFlips = 0)
       .filter(col("score") >= threshold && col("qid") < col("cid"))
       .select(col("cid").as("dup_id")).distinct()
     e.join(pairs, e("id") === pairs("dup_id"), "left_anti")
