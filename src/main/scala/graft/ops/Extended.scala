@@ -21,7 +21,7 @@ object Extended {
 
   def all: Seq[QueryDef] = Seq(
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84)
 
   /** Relational pivot via the first-class DataFrame API (`.pivot` with
     * explicit values — no extra pass to discover them): quantity per
@@ -688,5 +688,30 @@ object Extended {
         concat_ws(" ", array_sort(array_intersect(toks, kws))).as("kw_hits"),
         size(array_except(toks, kws)).cast("bigint").as("n_other"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Semi-structured data through the VARIANT type (Spark 4): props
+    * parsed once into variant, fields pulled with typed variant_get —
+    * the open-schema ingestion path (no up-front schema, binary-encoded
+    * storage, typed extraction at query time). The DuckDB twin extracts
+    * the same value from the raw JSON text; outputs are plain BIGINTs
+    * so the cross-engine hash applies.
+    */
+  val q84: QueryDef = QueryDef.sql(
+    "q84_variant",
+    """SELECT
+      |  TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 7 AS k_mod,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_min,
+      |  CAST(max(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_max
+      |FROM events
+      |GROUP BY k_mod
+      |ORDER BY k_mod""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(try_variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+      .groupBy((col("k") % 7).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy(col("k_mod"))
   }
 }
