@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Efficiency-regression harness: measures ACTUAL shuffle traffic via
+  * a task-metrics listener. The fact table at sf0.001 is ~6k lineitem
+  * rows / ~100 KB; partial aggregation and broadcast joins must keep
+  * the wire traffic group-sized (KBs), so a generous ceiling still
+  * catches a regression that shuffles fact-table rows (which would be
+  * 100s of KB here and TBs at production scale).
+  */
+class ShuffleBytesSpec extends SparkSpec {
+
+  private def shuffleBytes(body: => Unit): Long = {
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) total.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      // listener events are async: give the bus a moment to drain
+      // (local mode delivers within milliseconds; poll generously)
+      var waited = 0
+      while (total.get() == 0 && waited < 2000) {
+        Thread.sleep(100); waited += 100
+      }
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    total.get()
+  }
+
+  test("q01 full-scan aggregate shuffles only group-sized partials") {
+    val bytes = shuffleBytes {
+      Relational.q01.build(spark, sfDir).collect()
+    }
+    // ~6 groups x 4 partitions of partial rows + the sort exchange:
+    // a few KB. 64 KB flags a plan that shuffles fact rows.
+    assert(bytes > 0, "expected at least the aggregate exchange")
+    assert(bytes < 64 * 1024, s"q01 shuffled $bytes bytes")
+  }
+
+  test("q05 star join shuffles no fact rows (broadcast dims + partial agg)") {
+    val bytes = shuffleBytes {
+      Relational.q05.build(spark, sfDir).collect()
+    }
+    assert(bytes < 64 * 1024, s"q05 shuffled $bytes bytes")
+  }
+
+  test("nearest-center assignment shuffles nothing at all") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("vec"))
+    val centers = Array.tabulate(4, 8)((i, j) => (i * 8 + j + 1).toDouble)
+    val bytes = shuffleBytes {
+      graft.cluster.KMeansAssign.assignMap(emb, centers).collect()
+    }
+    assert(bytes == 0, s"assignment shuffled $bytes bytes")
+  }
+}
