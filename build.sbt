@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the metric JSON line from the tail of the sbt
+// output. sbt's default LoggedOutput prefixes every forked-stdout line
+// with "[info] ", which defeats a parser expecting a raw JSON line —
+// pass the child's stdout/stderr through untouched instead, and drop
+// the "[success] Total time" epilogue so the metric line printed by
+// graft.Bench is the last thing on stdout.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -17,7 +17,10 @@ object Bench {
       // (see Bucketing) removes the fact-fact exchange instead
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: executor-side WARN spam (e.g. WindowExec's
+    // single-partition notice) would otherwise land in the same bounded
+    // tail buffer the driver parses the metric line out of.
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed warmup on the tiny SF: run every query shape once so the
     // timed numbers reflect steady-state execution. Spark compiles each
     // distinct whole-stage-codegen unit on first use (janino) and JITs
@@ -58,7 +61,13 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfNum}""")
+    val metricLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfNum}"""
+    // Stop Spark BEFORE printing so nothing (shutdown hooks, executor
+    // teardown) can write after the metric line — it must be the final
+    // stdout line for the driver's tail parser.
     spark.stop()
+    println(metricLine)
+    System.out.flush()
   }
 }

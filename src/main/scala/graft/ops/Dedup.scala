@@ -11,9 +11,10 @@ import graft.functions.functions.simhash64
   *
   * Portability note for the oracle-checked variants: MinHash/SimHash
   * normally use an engine hash (xxhash64) that DuckDB can't reproduce,
-  * so the oracle queries first build a deterministic term dictionary
-  * (dense_rank over sorted distinct tokens) and hash the *ids* with
-  * plain modular arithmetic — identical in any SQL engine. The
+  * so the oracle queries derive term ids with the q39 Karp-Rabin
+  * polynomial hash of the term text and hash the *ids* with plain
+  * modular arithmetic — identical in any SQL engine, no global
+  * dictionary window, no dictionary join. The
   * production-path variants (`minhashCandidates`, `simhashPairs`) use
   * xxhash64 directly: no dictionary, no global window, fully
   * shuffle-parallel — that is the 100 TB path.
@@ -86,23 +87,38 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  // --- portable MinHash over a deterministic term dictionary ---------
+  // --- portable MinHash over content-derived term ids ----------------
 
   /** Engine-neutral token-id assignment + 16 modular MinHashes.
     * h_j(tid) = ((2j+1)*tid + 97j + 13) mod 1000003, minhash_j = min.
+    *
+    * Term ids are the q39 Karp-Rabin polynomial hash of the term text
+    * (mod 1e9+7): content-derived, so there is no global dictionary
+    * window and no dictionary join — the id assignment is a narrow
+    * per-row expression DuckDB reproduces with the identical fold.
+    * (Hash collisions merge terms, identically on both engines.) The
+    * production path uses xxhash64 and needs no ids at all.
     */
-  private def dictTokens(s: SparkSession, dir: String, maxDoc: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val t = Tables.documents(s, dir)
+  private val duckTid =
+    """list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(regexp_extract_all(term, '.'),
+      |                     c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
+  private def krTermId(c: Column): Column =
+    aggregate(
+      transform(regexp_extract_all(c, lit("."), lit(0)),
+        ch => ascii(ch).cast("bigint")),
+      lit(0L),
+      (a, b) => (a * 31L + b) % 1000000007L)
+
+  private def dictTokens(s: SparkSession, dir: String, maxDoc: Int): DataFrame =
+    Tables.documents(s, dir)
       .filter(col("doc_id") < maxDoc)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .distinct()
-    // global dictionary window: fine for a vocabulary (small by nature);
-    // the production path uses xxhash64 and needs no dictionary at all.
-    val dict = t.select(col("term")).distinct()
-      .withColumn("tid", dense_rank().over(Window.orderBy(col("term"))).cast("bigint"))
-    t.join(dict, "term")
-  }
+      .withColumn("tid", krTermId(col("term")))
 
   private def minhashes(tokens: DataFrame, nHashes: Int): DataFrame =
     tokens
@@ -123,15 +139,13 @@ object Dedup {
        |  SELECT DISTINCT doc_id, term FROM (
        |    SELECT doc_id, unnest($duckToks) AS term
        |    FROM documents WHERE doc_id < 200)),
-       |dict AS (
-       |  SELECT term, dense_rank() OVER (ORDER BY term) AS tid
-       |  FROM (SELECT DISTINCT term FROM t)),
+       |d AS (SELECT doc_id, $duckTid AS tid FROM t),
        |mh AS (
-       |  SELECT t.doc_id, g.j,
+       |  SELECT d.doc_id, g.j,
        |    min(((2*g.j + 1) * d.tid + 97*g.j + 13) % 1000003) AS mh
-       |  FROM t JOIN dict d USING (term)
+       |  FROM d
        |  CROSS JOIN (SELECT unnest(range(16)) AS j) g
-       |  GROUP BY t.doc_id, g.j)
+       |  GROUP BY d.doc_id, g.j)
        |SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
        |FROM mh GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     minhashes(dictTokens(s, dir, 200), 16)
@@ -150,15 +164,13 @@ object Dedup {
        |  SELECT DISTINCT doc_id, term FROM (
        |    SELECT doc_id, unnest($duckToks) AS term
        |    FROM documents WHERE doc_id < 200)),
-       |dict AS (
-       |  SELECT term, dense_rank() OVER (ORDER BY term) AS tid
-       |  FROM (SELECT DISTINCT term FROM t)),
+       |d AS (SELECT doc_id, $duckTid AS tid FROM t),
        |mh AS (
-       |  SELECT t.doc_id, g.j,
+       |  SELECT d.doc_id, g.j,
        |    min(((2*g.j + 1) * d.tid + 97*g.j + 13) % 1000003) AS mh
-       |  FROM t JOIN dict d USING (term)
+       |  FROM d
        |  CROSS JOIN (SELECT unnest(range(16)) AS j) g
-       |  GROUP BY t.doc_id, g.j),
+       |  GROUP BY d.doc_id, g.j),
        |bands AS (
        |  SELECT doc_id, CAST(floor(j / 4) AS BIGINT) AS band,
        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig
@@ -190,17 +202,15 @@ object Dedup {
        |  SELECT DISTINCT doc_id, term FROM (
        |    SELECT doc_id, unnest($duckToks) AS term
        |    FROM documents WHERE doc_id < 200)),
-       |dict AS (
-       |  SELECT term, dense_rank() OVER (ORDER BY term) AS tid
-       |  FROM (SELECT DISTINCT term FROM t)),
+       |d AS (SELECT doc_id, $duckTid AS tid FROM t),
        |bits AS (
-       |  SELECT t.doc_id, g.j,
+       |  SELECT d.doc_id, g.j,
        |    CASE WHEN sum(CASE WHEN ((d.tid * (2*g.j + 13)) % 7919) % 2 = 1
        |                       THEN 1 ELSE -1 END) > 0
        |         THEN '1' ELSE '0' END AS bit
-       |  FROM t JOIN dict d USING (term)
+       |  FROM d
        |  CROSS JOIN (SELECT unnest(range(16)) AS j) g
-       |  GROUP BY t.doc_id, g.j)
+       |  GROUP BY d.doc_id, g.j)
        |SELECT doc_id, string_agg(bit, '' ORDER BY j) AS sig
        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val bits = dictTokens(s, dir, 200)
