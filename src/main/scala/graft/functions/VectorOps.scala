@@ -180,6 +180,27 @@ object VectorOps {
       Array[Any](best, bestD))
   }
 
+  /** Sign-random-projection bucket of `v` against `planes` (nPlanes x
+    * dim): bit p of the result is set when dot(planes(p), v) >= 0.
+    * The sign-LSH hashing kernel shared by the interpreted and codegen
+    * paths of [[SignBucketExpr]]. Dimensions beyond min(|v|, dim) are
+    * ignored (callers validate dims; see SignBucketExpr).
+    */
+  def signBucket(v: ArrayData, planes: Array[Array[Double]]): Int = {
+    var sig = 0
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val n = math.min(pl.length, v.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += pl(i) * v.getDouble(i); i += 1 }
+      if (s >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
   /** splitmix64 finalizer — public-domain bit mixer. */
   def mix64(v: Long): Long = {
     var z = v + 0x9e3779b97f4a7c15L

@@ -175,6 +175,42 @@ case class NearestCenterExpr(child: Expression, centers: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Sign-random-projection LSH bucket id against a driver-side
+  * hyperplane set (nPlanes x dim; bit p set when dot(plane_p, v) >= 0).
+  * Like [[NearestCenterExpr]], the planes ride into the generated code
+  * via addReferenceObj, so bucketing is pure whole-stage codegen — no
+  * ScalaUDF boxing/SafeProjection round-trip in the 100 TB ANN hashing
+  * path (the map side of lshKnn / dedupByEmbedding).
+  */
+case class SignBucketExpr(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(planes.nonEmpty && planes.length <= 31,
+    s"sign_bucket needs 1..31 planes (bucket is an Int), got ${planes.length}")
+  require(planes.map(_.length).distinct.size == 1,
+    "sign_bucket planes must share one dimension")
+
+  // Seq field for structural equality (canonicalization / reuse);
+  // primitive form derived once for the kernel.
+  @transient private lazy val planesArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sign_bucket"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.signBucket(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planesArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planesArr, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.signBucket($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBucketExpr =
+    copy(child = newChild)
+}
+
 /** Column-level entry points (the library's scalar-function surface). */
 object functions {
   def porter_stem(c: Column): Column =
@@ -200,6 +236,10 @@ object functions {
   def nearest_center(c: Column, centers: Array[Array[Double]]): Column =
     Shim.column(NearestCenterExpr(Shim.expression(c),
       centers.map(_.toIndexedSeq).toIndexedSeq))
+
+  def sign_bucket(c: Column, planes: Array[Array[Double]]): Column =
+    Shim.column(SignBucketExpr(Shim.expression(c),
+      planes.map(_.toIndexedSeq).toIndexedSeq))
 
   /** Register the functions for SQL use in an existing session
     * (idempotent). For new sessions prefer

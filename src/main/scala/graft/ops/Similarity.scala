@@ -82,51 +82,50 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** All XOR masks over `nPlanes` bits with popcount <= `flips`, in
+    * deterministic (flip-count, lexicographic) order — the probe
+    * neighborhood of a sign-LSH signature. Size is sum_{i<=flips}
+    * C(nPlanes, i); callers keep `flips` small (0-3), so the list is
+    * driver-side tiny and inlines as a literal array.
+    */
+  private[ops] def probeMasks(nPlanes: Int, flips: Int): Seq[Int] =
+    0 +: (1 to flips).flatMap(f =>
+      (0 until nPlanes).combinations(f)
+        .map(_.foldLeft(0)((m, b) => m | (1 << b))).toSeq)
+
   /** Sign-random-projection LSH ANN: deterministic hyperplanes from the
     * splitmix64 mixer, bucket = sign-bit pattern, candidate join within
-    * bucket, exact rescoring, window top-k.
+    * bucket, exact rescoring, window top-k. Bucketing is the codegen'd
+    * [[graft.functions.SignBucketExpr]] — the planes ride into the
+    * generated code as a reference object, so corpus hashing (the 100 TB
+    * side) is a pure narrow map with no ScalaUDF in the plan.
     *
-    * MULTI-PROBE: a true neighbor whose signature differs by one plane
-    * lands one bit-flip away, so each query also probes every bucket at
-    * hamming distance <= `probeFlips` (0 = single-bucket). Probing
-    * multiplies only the (small) query side by 1+nPlanes candidates per
-    * flip level — the corpus is hashed once — and lifts recall@1
-    * roughly from p^n to p^n + n·p^(n-1)(1-p) for per-plane agreement
-    * p. This is the standard recall/cost knob of sign-LSH.
+    * MULTI-PROBE: a true neighbor whose signature differs on a few
+    * planes lands a few bit-flips away, so each query also probes every
+    * bucket within hamming distance <= `probeFlips` (0 = single-bucket).
+    * Probing multiplies only the (small) query side by the probe count
+    * (sum of C(nPlanes, i) for i <= probeFlips) — the corpus is hashed
+    * once — lifting recall toward 1 at the standard multi-probe
+    * cost/recall trade (Lv et al., VLDB'07).
     */
   def lshKnn(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
              k: Int, nPlanes: Int = 12, dim: Int = 64,
              probeFlips: Int = 1): DataFrame = {
-    import spark.implicits._
-    require(probeFlips >= 0 && probeFlips <= 1, "probeFlips in {0, 1}")
+    require(nPlanes >= 1 && nPlanes <= 31, s"nPlanes in 1..31, got $nPlanes")
+    require(probeFlips >= 0 && probeFlips <= nPlanes,
+      s"probeFlips in 0..nPlanes, got $probeFlips")
     val planes: Array[Array[Double]] = Array.tabulate(nPlanes, dim) { (p, d) =>
       // uniform in [-1, 1) from the mixed bits — deterministic, seedless
       (VectorOps.mix64(p.toLong * 131071L + d) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
-    val planesB = spark.sparkContext.broadcast(planes)
-    val bucketOf = udf { (v: Seq[Double]) =>
-      val ps = planesB.value
-      var sig = 0
-      var p = 0
-      while (p < ps.length) {
-        var s = 0.0
-        var i = 0
-        val pl = ps(p)
-        val n = math.min(pl.length, v.length)
-        while (i < n) { s += pl(i) * v(i); i += 1 }
-        if (s >= 0) sig |= (1 << p)
-        p += 1
-      }
-      sig
-    }
+    val bucketOf = graft.functions.functions.sign_bucket(_: org.apache.spark.sql.Column, planes)
     val bc = corpus.toDF("cid", "cv").withColumn("bucket", bucketOf(col("cv")))
     val bq0 = queries.toDF("qid", "qv").withColumn("sig", bucketOf(col("qv")))
     val bq =
       if (probeFlips == 0) bq0.withColumn("bucket", col("sig"))
       else bq0.select(col("qid"), col("qv"),
-        explode(concat(array(col("sig")),
-          transform(sequence(lit(0), lit(nPlanes - 1)),
-            p => col("sig").bitwiseXOR(pow(lit(2), p).cast("int"))))).as("bucket"))
+        explode(array(probeMasks(nPlanes, probeFlips)
+          .map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     bq.join(bc, "bucket")
       .filter(col("qid") =!= col("cid"))

@@ -91,6 +91,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(bcast == 1, "expected one broadcast nested-loop join for queries x corpus")
   }
 
+  test("LSH ANN and embedding dedup plans contain no ScalaUDF (bucketing is codegen)") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("v"))
+    val knn = Similarity.lshKnn(spark, emb,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5), k = 3)
+    val dedup = Dedup.dedupByEmbedding(spark, emb, threshold = 0.95)
+    for ((name, df) <- Seq("lshKnn" -> knn, "dedupByEmbedding" -> dedup)) {
+      val udfs = collectNodes(df).flatMap(_.expressions).flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      })
+      assert(udfs.isEmpty, s"$name plan contains ScalaUDF: $udfs")
+    }
+  }
+
   test("nearest-center assignment is a pure map: zero exchanges") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("vec_id").as("id"),

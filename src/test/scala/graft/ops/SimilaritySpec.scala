@@ -65,6 +65,55 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall@1 = $recall vs exact")
   }
 
+  test("probeMasks enumerates exactly the hamming ball, deterministically") {
+    // |ball(n, p)| = sum C(n, i); all masks distinct, popcount <= p
+    val m0 = Similarity.probeMasks(12, 0)
+    assert(m0 == Seq(0))
+    val m1 = Similarity.probeMasks(12, 1)
+    assert(m1.size == 13 && m1.head == 0)
+    assert(m1.tail == (0 until 12).map(1 << _))
+    val m2 = Similarity.probeMasks(12, 2)
+    assert(m2.size == 1 + 12 + 66)
+    assert(m2.distinct.size == m2.size)
+    assert(m2.forall(m => Integer.bitCount(m) <= 2))
+    assert(Similarity.probeMasks(3, 3).size == 8) // full hypercube
+  }
+
+  test("deeper multi-probe: recall@1 monotone in probe depth; >= 0.7 at tuned bucket density") {
+    // The test embeddings are near-random (nearest-neighbor cosine
+    // ~0.3, per-plane agreement ~0.6), so recall follows the sign-LSH
+    // binomial exactly: at nPlanes=12 the hamming-2 ball captures only
+    // ~8% of true neighbors (measured 0.2 here); recall comes either
+    // from deeper probes or from sizing nPlanes to the corpus (the
+    // production rule: nPlanes ~ log2(corpus / target bucket size)).
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(queries.toDF("qid", "qv"), emb, k = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    def recallAt(nPlanes: Int, flips: Int): Double = {
+      val approx = Similarity.lshKnn(spark, emb, queries, k = 1,
+        nPlanes = nPlanes, probeFlips = flips)
+        .select("qid", "cid").as[(Long, Long)].collect().toMap
+      exact.count { case (q, n) => approx.get(q).contains(n) }.toDouble / exact.size
+    }
+    // tuned bucket density (2^6 = 64 buckets over ~500 vectors): the
+    // hamming-2 ball recovers most true neighbors
+    assert(recallAt(6, 2) >= 0.7, "recall@1 at nPlanes=6, 2 flips")
+    // over-partitioned (12 planes): recall is monotone in probe depth
+    // (more probed buckets can only add candidates) and deep probing
+    // recovers what shallow probing lost
+    val r1 = recallAt(12, 1)
+    val r2 = recallAt(12, 2)
+    val r5 = recallAt(12, 5)
+    assert(r1 <= r2 + 1e-9 && r2 <= r5 + 1e-9, s"recall not monotone: $r1, $r2, $r5")
+    assert(r5 >= 0.7, s"recall@1 with 5 flips = $r5")
+    // every query still produces at most k rows
+    val out = Similarity.lshKnn(spark, emb, queries, k = 1, nPlanes = 12, probeFlips = 2)
+      .groupBy("qid").count().as[(Long, Long)].collect()
+    assert(out.forall(_._2 <= 1))
+  }
+
   test("ivfKnn: full probe equals brute force; partial probe has decent recall@1") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
