@@ -95,27 +95,53 @@ object KMeansAssign {
     * practice; keeps ids dense and stable). Returns the K centroids.
     */
   def lloydCenters(points: DataFrame, k: Int, iters: Int,
-                   idCol: String = "id", vecCol: String = "vec"): Array[Array[Double]] = {
+                   idCol: String = "id", vecCol: String = "vec"): Array[Array[Double]] =
+    lloydConverge(points, k, iters, idCol, vecCol)._1
+
+  /** [[lloydCenters]] with a convergence stop: update steps end early
+    * once the largest centroid shift (L-inf over all centers and
+    * dimensions) drops to `tol` or below — a converged clustering pays
+    * one final no-shift pass instead of `maxIter` scans. Returns
+    * (centroids, updateStepsRun).
+    */
+  def lloydConverge(points: DataFrame, k: Int, maxIter: Int,
+                    idCol: String = "id", vecCol: String = "vec",
+                    tol: Double = 1e-9): (Array[Array[Double]], Int) = {
     // multi-iteration loops re-scan the input once per update step:
     // pin it for the loop's lifetime (a single-iteration call reads the
     // source twice either way — init + caller — and skips the cache)
-    val pts = if (iters > 1) points.cache() else points
+    val pts = if (maxIter > 1) points.cache() else points
     try {
       var centers: Array[Array[Double]] = pts.orderBy(col(idCol)).limit(k)
         .orderBy(col(idCol))
         .select(col(vecCol))
         .collect().map(_.getSeq[Double](0).toArray)
       var it = 1
-      while (it < iters) {
+      var steps = 0
+      var converged = false
+      while (it < maxIter && !converged) {
         val means = centroidMeans(assignMap(pts, centers, vecCol), vecCol)
           .collect()
           .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
           .toMap
-        centers = Array.tabulate(centers.length)(i => means.getOrElse(i, centers(i)))
+        val next = Array.tabulate(centers.length)(i => means.getOrElse(i, centers(i)))
+        var shift = 0.0
+        var c = 0
+        while (c < centers.length) {
+          val a = centers(c)
+          val b = next(c)
+          val n = math.min(a.length, b.length)
+          var d = 0
+          while (d < n) { shift = math.max(shift, math.abs(a(d) - b(d))); d += 1 }
+          c += 1
+        }
+        centers = next
+        steps += 1
+        converged = shift <= tol
         it += 1
       }
-      centers
-    } finally if (iters > 1) pts.unpersist(blocking = false)
+      (centers, steps)
+    } finally if (maxIter > 1) pts.unpersist(blocking = false)
   }
 
   /** Full Lloyd iteration generalization (the reference only does the

@@ -150,6 +150,10 @@ object VectorOps {
     * returns a (center_id INT, dist DOUBLE) InternalRow. Deterministic
     * tie-break on the lower center index (strict `<`), matching the
     * `min(struct(dist, center_id))` argmin in KMeansAssign.assign.
+    * Callers guarantee a non-empty, dimension-consistent center set
+    * (NearestCenterExpr validates at construction); a point vector
+    * shorter/longer than the centers scores over the common prefix
+    * (documented truncation — row-local junk must not kill the scan).
     */
   def nearestCenter(v: ArrayData,
                     centers: Array[Array[Double]]): org.apache.spark.sql.catalyst.InternalRow = {

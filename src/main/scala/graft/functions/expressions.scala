@@ -149,6 +149,12 @@ case class ShingleMinHashExpr(child: Expression, nHashes: Int, shingleSize: Int)
   */
 case class NearestCenterExpr(child: Expression, centers: Seq[Seq[Double]])
     extends UnaryExpression with ExpectsInputTypes {
+  require(centers.nonEmpty,
+    "nearest_center needs a non-empty center set (an empty set would " +
+      "assign every point (center_id=0, dist=Inf) — an error, not a result)")
+  require(centers.map(_.length).distinct.size == 1,
+    "nearest_center centers must share one dimension")
+
   // Seq (not Array) field: case-class equality is then structural, so
   // two instances over equal-content centers canonicalize equal and
   // Catalyst's subexpression/exchange reuse applies. The primitive

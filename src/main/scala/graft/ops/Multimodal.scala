@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * typed metadata, batch feature extraction, and frame sampling.
   *
   * The Spark-side shape is real and tested — schema, partition-size
-  * control, batched per-partition processing; only the codec itself is
-  * a STUB (this container has no image/audio libraries), clearly marked
-  * in [[StubCodec]]: it derives deterministic fake dimensions/features
-  * from the bytes so the pipeline is end-to-end testable.
+  * control, batched per-partition processing. Real image formats
+  * (PNG/JPEG/GIF/BMP) decode and rescale through the JDK's
+  * `javax.imageio` ([[Codec]]); payloads with no JDK decoder
+  * (audio/video, the synthetic fixture blobs) fall back to the
+  * clearly-marked [[StubCodec]], which derives deterministic fake
+  * dimensions/features from the bytes so the pipeline stays total and
+  * end-to-end testable.
   *
   * Scale notes: media rows are large — the knobs that matter are
   * (a) `spark.sql.files.maxPartitionBytes` so a partition of blobs fits
@@ -27,12 +30,76 @@ object Multimodal {
       width: Int, height: Int, channels: Int, brightness: Double)
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
+  /** Image decoding. Real formats (PNG/JPEG/GIF/BMP) decode through the
+    * JDK's `javax.imageio` — no external libraries needed; payloads
+    * ImageIO cannot parse (unknown containers, the synthetic fixture
+    * blobs) fall back to the deterministic [[StubCodec]] so the
+    * pipeline stays total. Decoders are cheap to invoke per row;
+    * per-task init (mapPartitions) still applies for codecs that need
+    * warm state (a video demuxer would).
+    */
+  object Codec {
+    /** bytes -> (width, height, channels, mean-luminance in [0,1]). */
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) StubCodec.decode(bytes)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val channels = img.getColorModel.getNumComponents
+        // Rec.601 luma averaged over a bounded pixel grid (<= 64x64
+        // samples) so huge frames cost O(1), not O(pixels)
+        val stepX = math.max(1, w / 64)
+        val stepY = math.max(1, h / 64)
+        var sum = 0.0
+        var n = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+            n += 1
+            x += stepX
+          }
+          y += stepY
+        }
+        (w, h, channels, if (n == 0) 0.0 else sum / n)
+      }
+    }
+
+    /** Scale a decodable image to exactly (w, h) and re-encode as PNG;
+      * non-decodable payloads pass through unchanged (stub fallback).
+      */
+    def reencodeScaled(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) bytes
+      else {
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(
+          img.getScaledInstance(w, h, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+        finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    }
+  }
+
   /** ======================= STUB ==============================
-    * Deterministic fake decoder standing in for an image library
-    * (libjpeg / ffmpeg / PIL are not in this container). Real
-    * implementation would decode `bytes` and measure the frame; the
-    * stub derives stable pseudo-features from the byte content, so
-    * plumbing, schemas and tests are real even though pixels are not.
+    * Deterministic fallback for payloads with no real decoder in this
+    * container (audio/video formats; the fixtures' synthetic blobs).
+    * Derives stable pseudo-features from the byte content, so plumbing,
+    * schemas and tests are real even when pixels are not.
     */
   object StubCodec {
     def decode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
@@ -66,9 +133,9 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-task decoder init would go here (STUB: none needed)
+      // per-task decoder init would go here (ImageIO is stateless)
       rows.map { r =>
-        val (w, h, c, b) = StubCodec.decode(r.media)
+        val (w, h, c, b) = Codec.decode(r.media)
         MediaFeatures(r.doc_id, r.mime, r.media.length, w, h, c, b)
       }
     }
@@ -91,26 +158,30 @@ object Multimodal {
   case class ResizedMedia(doc_id: Long, mime: String, media: Array[Byte],
                           width: Int, height: Int)
 
-  /** Batched resize-to-target: decode (STUB), scale to fit
-    * (maxW, maxH) preserving aspect ratio, re-encode (STUB: the payload
-    * is passed through; a real impl re-encodes pixels). The Spark shape
-    * is the contract — iterator-in/iterator-out mapPartitions so one
-    * scaler instance serves the whole task, output dims in pruned
-    * metadata columns so downstream filters (e.g. drop tiny images)
-    * never touch bytes.
+  /** Batched resize-to-target: decode, scale to fit (maxW, maxH)
+    * preserving aspect ratio, re-encode. Decodable images are really
+    * rescaled and re-encoded as PNG via ImageIO; stub payloads pass
+    * their bytes through (dimensions still computed so downstream
+    * filters work). The Spark shape is the contract —
+    * iterator-in/iterator-out mapPartitions so one scaler instance
+    * serves the whole task, output dims in pruned metadata columns so
+    * downstream filters (e.g. drop tiny images) never touch bytes.
     */
   def resize(spark: SparkSession, media: DataFrame,
              maxW: Int = 256, maxH: Int = 256): Dataset[ResizedMedia] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-task scaler init would go here (STUB: none needed)
+      // per-task scaler init would go here (ImageIO is stateless)
       rows.map { r =>
-        val (w, h, _, _) = StubCodec.decode(r.media)
+        val (w, h, _, _) = Codec.decode(r.media)
         val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
         val nw = math.max(1, math.round(w * scale).toInt)
         val nh = math.max(1, math.round(h * scale).toInt)
-        // ===== STUB: real impl re-encodes the scaled pixel buffer =====
-        ResizedMedia(r.doc_id, r.mime, r.media, nw, nh)
+        val payload =
+          if (scale < 1.0) Codec.reencodeScaled(r.media, nw, nh) else r.media
+        val outMime =
+          if ((payload ne r.media)) "image/png" else r.mime
+        ResizedMedia(r.doc_id, outMime, payload, nw, nh)
       }
     }
   }

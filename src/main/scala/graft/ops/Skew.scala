@@ -30,11 +30,34 @@ object Skew {
     // retry, and recomputed map tasks would then route rows to
     // different buckets than already-fetched outputs assumed (the
     // classic repartition-correctness hazard) — sums could silently
-    // drop or double-count. Hashing the full row spreads a hot key
+    // drop or double-count. Hashing the row content spreads a hot key
     // across buckets just as well, reproducibly.
+    //
+    // Known limitation of content-derived salts: EXACT-duplicate rows
+    // of a hot key all hash to one bucket, so a key whose volume is
+    // dominated by identical rows degrades back to a single reducer.
+    // That trade is deliberate — the retry-safe alternatives all
+    // reintroduce nondeterminism. If duplicated-row hot keys are the
+    // actual workload, pre-aggregate the duplicates first
+    // (groupBy(all columns).count) and salt the distinct rows.
+    //
+    // xxhash64 fails analysis on MapType inputs (maps are unorderable /
+    // unhashable in Spark): salt only over hashable columns. The key
+    // column(s) are always hashable-or-failing anyway (groupBy would
+    // reject them), and dropping a map column from the SALT merely
+    // coarsens the spread, never the result.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltCols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(saltCols.nonEmpty,
+      "saltedSumAgg: no hashable columns to derive a deterministic salt from")
     val salted = df
       .withColumn("_salt",
-        pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)))
+        pmod(xxhash64(saltCols: _*), lit(buckets.toLong)))
       .groupBy(key.as("_key"), col("_salt"))
       .agg(aggs.head._2.as(aggs.head._1),
         aggs.tail.map { case (n, c) => c.as(n) }: _*)

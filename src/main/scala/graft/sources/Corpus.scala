@@ -39,11 +39,28 @@ object Corpus {
 
   /** dir -> (doc_id, text): whole-document granularity (reference maps
     * per line; per-doc is what the rest of the engine consumes).
+    *
+    * Ingests via the `binaryFile` datasource, which reads each file as
+    * ONE row (files are never split), so a document's text is its file
+    * content verbatim — byte-exact regardless of file size or
+    * `maxPartitionBytes`. The previous line-scan +
+    * `collect_list(line)` reconstruction had no in-file sort key: a
+    * file larger than one split could interleave lines from different
+    * splits (arrival order), silently corrupting order-sensitive
+    * downstream ops (fingerprints, shingles). Whole-file granularity is
+    * also the semantic contract of the reference corpus (one doc per
+    * file). Scale: one row per file — fine for documents (a single doc
+    * approaching 2 GB would need a chunked ingest instead); the listing
+    * parallelizes like any file index.
     */
   def readDocs(spark: SparkSession, dir: String): DataFrame =
-    readLines(spark, dir)
-      .groupBy(col("doc_id"))
-      .agg(concat_ws("\n", collect_list(col("line"))).as("text"))
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "(?:^|/)(\\d{1,9})\\.[^/.]*$", 1).as("_id"),
+        col("content"))
+      .filter(length(col("_id")) > 0)
+      .select(col("_id").cast("int").as("doc_id"),
+        decode(col("content"), "UTF-8").as("text"))
 
   /** Corpus file count (reference S3: ContentSummary.getFileCount at
     * :627-631, drives presence-vector width). Driver-side scalar.
@@ -77,19 +94,29 @@ object Corpus {
       .withColumn("center_id",
         (row_number().over(Window.orderBy(col("fileOrd"))) - 1).cast("int"))
       .select(col("center_id"), parseBracketVector(col("value")).as("cvec"))
+      // a corrupt center line parses to a NULL vector: drop it rather
+      // than feed nulls to the distance kernels (center ids keep their
+      // line positions — a dropped line leaves a gap, not a shift)
+      .filter(col("cvec").isNotNull)
   }
 
   /** `[1,0,1,]` (trailing comma tolerated) -> ARRAY<DOUBLE>.
-    * Malformed elements become null INSTEAD of failing the scan
-    * (ANSI mode makes a bare cast throw on junk; at scale one corrupt
-    * line must never kill the job) — the numeric guard keeps the cast
-    * on the valid-branch only.
+    * A line with ANY malformed element parses to NULL (whole-vector,
+    * row-local) INSTEAD of failing the scan (ANSI mode makes a bare
+    * cast throw on junk; at scale one corrupt line must never kill the
+    * job). Whole-vector null — not null elements — because the
+    * primitive distance kernels (cosine, nearestCenter) read elements
+    * with getDouble, where a null element would silently score as 0.0;
+    * a null vector instead flows through the expressions' null
+    * handling and surfaces as a null result the caller can filter.
     */
-  def parseBracketVector(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    transform(
+  def parseBracketVector(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val parsed = transform(
       filter(
         split(regexp_replace(trim(c), "[\\[\\]]", ""), ","),
         s => length(s) > 0),
       s => when(trim(s).rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"),
         trim(s).cast("double")))
+    when(forall(parsed, x => x.isNotNull), parsed)
+  }
 }

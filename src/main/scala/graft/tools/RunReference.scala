@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * args — `input-dir output-dir stopwords-file centers-file` — running
   * Job 1 (inverted index) and Job 2 (cosine k-means assignment) over a
   * directory of `<docId>.<ext>` text files, writing the reference's
-  * `key \t value` text outputs:
+  * `key \t value` text outputs at the reference's own layout
+  * (ProcessData.java:656,674 — Job 1 part files at the output-dir root,
+  * Job 2 nested under it):
   *
-  *   output-dir/index/          term \t [b1,...,bN,]   (Job 1, byte-compatible)
-  *   output-dir/kmeansOutput6/  clusterId \t members   (Job 2, same nesting name)
+  *   output-dir/               term \t [b1,...,bN,]   (Job 1, byte-compatible)
+  *   output-dir/kmeansOutput6/ clusterId \t members   (Job 2, same nesting name)
   *
   * Differences from the reference are the documented intended-semantics
   * fixes (SURVEY.md §7 D1-D4): true argmin, real squares in the norm,
@@ -40,8 +42,11 @@ object RunReference {
     val matrix = graft.index.InvertedIndex
       .termDocMatrixFast(tokens, n, firstId = 1L) // reference ids are 1-based
       .orderBy(col("term"))
+    // reference layout: Job 1 output lands at the output-dir ROOT
+    // (FileOutputFormat.setOutputPath(job, args[1])), so consumers of
+    // the reference's file layout find the index part files in place
     graft.sources.Sinks.writeTsv(
-      graft.index.InvertedIndex.referenceFormat(matrix), s"$outDir/index")
+      graft.index.InvertedIndex.referenceFormat(matrix), outDir)
 
     // Job 2: assign each term's vector to its nearest centroid
     val centers = graft.sources.Corpus.readCenters(spark, centersFile)

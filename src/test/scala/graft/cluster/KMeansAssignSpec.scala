@@ -58,6 +58,25 @@ class KMeansAssignSpec extends SparkSpec {
     assert(members == (1L to 50L).toSet)
   }
 
+  test("lloydConverge stops early on a converged input with unchanged assignment") {
+    // Two exact point masses whose first-k init IS the fixed point:
+    // the first update step measures zero centroid shift, so the loop
+    // must stop after 1 step no matter how large maxIter is.
+    val pts = (Seq.tabulate(10)(i => (i.toLong * 2, Seq(1.0, 0.0))) ++
+      Seq.tabulate(10)(i => (i.toLong * 2 + 1, Seq(0.0, 1.0)))).toDF("id", "vec")
+    val (centers, steps) = KMeansAssign.lloydConverge(pts, k = 2, maxIter = 50)
+    assert(steps == 1, s"converged input ran $steps update steps")
+    assert(centers(0).toSeq == Seq(1.0, 0.0) && centers(1).toSeq == Seq(0.0, 1.0))
+    // and the early stop changes nothing vs running more iterations
+    val more = KMeansAssign.lloydCenters(pts, k = 2, iters = 5)
+    assert(centers.map(_.toSeq).toSeq == more.map(_.toSeq).toSeq)
+    val a1 = KMeansAssign.assignMap(pts, centers).select("id", "center_id")
+      .as[(Long, Int)].collect().toMap
+    val a2 = KMeansAssign.assignMap(pts, more).select("id", "center_id")
+      .as[(Long, Int)].collect().toMap
+    assert(a1 == a2)
+  }
+
   test("lloyd converges on two obvious 2-D clusters") {
     val pts = (Seq.tabulate(20)(i => (i.toLong, Seq(10.0 + i % 3, 1.0))) ++
       Seq.tabulate(20)(i => (20L + i, Seq(-5.0, 8.0 + i % 3)))).toDF("id", "vec")

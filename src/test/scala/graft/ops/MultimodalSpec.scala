@@ -51,6 +51,37 @@ class MultimodalSpec extends SparkSpec {
     assert(n == 3)
   }
 
+  test("real PNG decodes to true dimensions and really rescales") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val white = png(320, 200, 0xffffff)
+    val black = png(8, 8, 0x000000)
+    val media = Seq((1L, "image/png", white), (2L, "image/png", black))
+      .toDF("doc_id", "mime", "media")
+    val f = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
+    assert(f(0).width == 320 && f(0).height == 200 && f(0).channels == 3)
+    assert(f(0).brightness > 0.99)
+    assert(f(1).width == 8 && f(1).height == 8)
+    assert(f(1).brightness < 0.01)
+    // resize really rescales and re-encodes: the output payload decodes
+    // at the new dimensions and keeps its (white) content
+    val out = Multimodal.resize(spark, media, maxW = 100, maxH = 100)
+      .collect().sortBy(_.doc_id)
+    assert(out(0).width == 100 && out(0).height == 63) // 320x200 fit in 100-box
+    assert(out(0).mime == "image/png")
+    val (w2, h2, _, b2) = Multimodal.Codec.decode(out(0).media)
+    assert(w2 == 100 && h2 == 63)
+    assert(b2 > 0.98)
+    // images already inside the box are not upscaled or re-encoded
+    assert(out(1).width == 8 && out(1).media.sameElements(black))
+  }
+
   test("resize: aspect ratio preserved, fits target box, bytes batched per partition") {
     val out = Multimodal.resize(spark, Multimodal.attachMedia(docs),
       maxW = 100, maxH = 100).collect()

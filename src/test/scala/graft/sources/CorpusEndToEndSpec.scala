@@ -73,6 +73,26 @@ class CorpusEndToEndSpec extends SparkSpec {
       2 -> Seq("agre", "mat", "meet")))
   }
 
+  test("a file spanning many splits reconstructs byte-identically") {
+    // Guard against line-scan reassembly: with a per-line ingest and no
+    // in-file sort key, a file larger than maxPartitionBytes could
+    // interleave lines from different splits. Whole-file ingest must
+    // return the exact bytes no matter how small the split size is.
+    val dir = Files.createTempDirectory("graft-split")
+    val content = (0 until 20000)
+      .map(i => f"line$i%08d ${"x" * 80}").mkString("", "\n", "\n")
+    Files.writeString(dir.resolve("7.txt"), content) // ~1.8 MB
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, (64 * 1024).toString) // would be ~30 line-scan splits
+    try {
+      val docs = Corpus.readDocs(spark, dir.toString).collect()
+      assert(docs.length == 1)
+      assert(docs(0).getInt(0) == 7)
+      assert(docs(0).getString(1) == content, "reconstructed text differs from file bytes")
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   test("reference-format TSV sink round-trips through the job-2 scan") {
     val (docsDir, stopPath, _) = writeCorpus()
     val out = Files.createTempDirectory("graft-sink").resolve("job1").toString

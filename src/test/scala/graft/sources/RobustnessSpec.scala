@@ -10,16 +10,45 @@ import org.apache.spark.sql.functions._
 class RobustnessSpec extends SparkSpec {
   import spark.implicits._
 
-  test("bracket-vector parse: junk degrades to null elements, not a thrown scan") {
-    val rows = Seq("[1,2,3,]", "[]", "", "[a,b]", "nonsense", "[1.5,-2]")
+  test("bracket-vector parse: junk degrades to a NULL vector, not a thrown scan") {
+    val rows = Seq("[1,2,3,]", "[]", "", "[a,b]", "nonsense", "[1.5,-2]", "[1,x,3]")
       .toDF("v")
       .select(Corpus.parseBracketVector(col("v")).as("parsed"))
       .collect()
-    // well-formed rows parse; garbage yields null elements or empty
+    // well-formed rows parse; any junk element nulls the WHOLE vector
+    // (null elements would silently read as 0.0 in the getDouble
+    // kernels — a null vector surfaces instead of corrupting distances)
     assert(rows(0).getSeq[Double](0) == Seq(1.0, 2.0, 3.0))
     assert(rows(1).getSeq[Double](0).isEmpty)
     assert(rows(5).getSeq[Double](0) == Seq(1.5, -2.0))
-    assert(rows(3).getSeq[Any](0).forall(_ == null)) // [a,b] -> [null,null]
+    assert(rows(3).isNullAt(0)) // [a,b]
+    assert(rows(4).isNullAt(0)) // nonsense
+    assert(rows(6).isNullAt(0)) // [1,x,3] — one bad element nulls all
+  }
+
+  test("distance kernels surface null (not silent 0.0) for unparseable vectors") {
+    val df = Seq(("[1,0,]", "[1,0,]"), ("[1,junk,]", "[1,0,]"))
+      .toDF("a", "b")
+      .select(Corpus.parseBracketVector(col("a")).as("va"),
+        Corpus.parseBracketVector(col("b")).as("vb"))
+    val sims = df.select(
+      graft.functions.functions.cosine_similarity(col("va"), col("vb"))).collect()
+    assert(sims(0).getDouble(0) == 1.0)
+    assert(sims(1).isNullAt(0), "junk vector must yield null, not a fake score")
+    val assigned = graft.cluster.KMeansAssign.assignMap(
+      df.select(col("va").as("vec")), Array(Array(1.0, 0.0)))
+    val centers = assigned.select("center_id").collect()
+    assert(centers(0).getInt(0) == 0)
+    assert(centers(1).isNullAt(0), "junk vector must not be assigned a center")
+  }
+
+  test("corrupt center lines are dropped; surviving ids keep line order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-centers")
+    java.nio.file.Files.write(dir.resolve("centers.txt"),
+      "[1,0,]\n[bad,line]\n[0,1,]\n".getBytes)
+    val c = Corpus.readCenters(spark, dir.resolve("centers.txt").toString)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(c == Map(0 -> Seq(1.0, 0.0), 2 -> Seq(0.0, 1.0))) // id 1 gap, no shift
   }
 
   test("corpus scan skips non-numeric filenames instead of failing the job") {

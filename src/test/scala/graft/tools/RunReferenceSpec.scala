@@ -34,7 +34,8 @@ class RunReferenceSpec extends SparkSpec {
 
     // NB: stopwords.txt/centers.txt live in the corpus dir but have no
     // numeric filename, so the source skips them (guarded id parse).
-    assert(lines("index") == Seq(
+    // Job 1 output sits at the output-dir ROOT — the reference's layout.
+    assert(lines("") == Seq(
       "cat\t[1,0,1,]",
       "dog\t[0,1,1,]",
       "fast\t[0,1,0,]",
