@@ -25,7 +25,7 @@ object Dedup {
 
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
-  def all: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q50)
+  def all: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q50, q85)
 
   /** Exact dedup on a normalized key: keep the lowest doc_id per group.
     * Scale: one hash exchange on the key; with pre-partitioned/bucketed
@@ -321,6 +321,124 @@ object Dedup {
         cosine_similarity(col("v1"), col("v2")).as("score"))
       .filter(col("score") >= 0.35)
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Connected components over an undirected edge list (a, b) by
+    * iterative min-label propagation: every vertex starts as its own
+    * label; each round a vertex takes the minimum label among itself
+    * and its neighbors; fixpoint = component id is the component's
+    * minimum vertex id. Convergence needs at most `diameter` rounds,
+    * checked per round with a changed-label count and stopped early.
+    *
+    * This is the stage a real dedup pipeline runs AFTER pair
+    * verification: near-dup pairs form chains (A~B, B~C but not A~C),
+    * and keep-one-per-pair policies double-drop or double-keep on
+    * chains — the correct policy is one canonical doc per COMPONENT.
+    *
+    * Each round ALSO pointer-jumps (label(v) <- label(label(v)) — the
+    * label's own label is always present because labels cover every
+    * vertex), which squares the propagation distance per round:
+    * convergence in O(log diameter) rounds instead of O(diameter), the
+    * same doubling trick as the classic MR large-star/small-star
+    * algorithm. A 20-hop chain resolves in ~5 rounds.
+    *
+    * Scale: each round is one join against the (pre-shuffled, cached)
+    * symmetric edge list + one label self-join + a min-aggregate — all
+    * hash-partitioned on vertex id. Label frames are localCheckpoint'd
+    * per round to truncate the growing plan lineage.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val e = pairs.toDF("a", "b")
+    val sym = e.union(e.select(col("b"), col("a")))
+      .toDF("src", "dst").distinct().cache()
+    try {
+      var labels = sym.select(col("src").as("v")).distinct()
+        .withColumn("label", col("v"))
+      // convergence via the label-sum invariant: labels only ever
+      // DECREASE (min of self+neighbors), so sum(label) is strictly
+      // monotone until the fixpoint — an unchanged sum IS convergence.
+      // One scalar aggregate per round instead of a join+count job.
+      var prevSum = Option.empty[Long]
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIter) {
+        // min label among self and neighbors
+        val viaNbr = sym.join(labels, sym("dst") === labels("v"))
+          .select(sym("src").as("v"), col("label"))
+        val hop = labels.select(col("v"), col("label")).union(viaNbr)
+          .groupBy(col("v")).agg(min(col("label")).as("label"))
+        // pointer jump: adopt the label's own (<=) label
+        labels = hop.toDF("v", "l1")
+          .join(hop.toDF("lv", "label"), col("l1") === col("lv"))
+          .select(col("v"), col("label"))
+          .localCheckpoint(false) // truncate lineage each round
+        val s = labels.agg(sum(col("label"))).head().getLong(0)
+        converged = prevSum.contains(s)
+        prevSum = Some(s)
+        it += 1
+      }
+      labels.select(col("v"), col("label").as("component"))
+    } finally sym.unpersist(blocking = false)
+  }
+
+  /** Near-dup clustering (q85): verified Jaccard pairs (the q26
+    * semantics at a 0.7 threshold over doc_id < 100 — the synthetic
+    * corpus shares one small vocabulary, so 0.5 would collapse
+    * everything into a single component) grouped
+    * into connected components; one output row per component with its
+    * canonical (minimum) doc id as cluster_id and the sorted member
+    * list. DuckDB twin: a recursive CTE computing min reachable vertex.
+    */
+  val q85: QueryDef = QueryDef.sql(
+    "q85_dedup_clusters",
+    s"""WITH RECURSIVE t AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest($duckToks) AS term
+       |    FROM documents WHERE doc_id < 100)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+       |  FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY d1, d2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sz s1 ON s1.doc_id = d1
+       |  JOIN sz s2 ON s2.doc_id = d2
+       |  WHERE n_common / (s1.n + s2.n - n_common) >= 0.7),
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM pairs
+       |  UNION SELECT d2 AS a, d1 AS b FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.v = e.b),
+       |comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+       |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .distinct()
+    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = t.toDF("d1", "term")
+      .join(t.toDF("d2", "term2"), col("term") === col("term2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common") / (col("n1") + col("n2") - col("n_common"))
+    val pairs = inter
+      .join(sz.toDF("dk1", "n1"), col("dk1") === col("d1"))
+      .join(sz.toDF("dk2", "n2"), col("dk2") === col("d2"))
+      .filter(jac >= 0.7)
+      .select(col("d1"), col("d2"))
+    connectedComponents(pairs)
+      .groupBy(col("component").as("cluster_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_members"),
+        concat_ws(",",
+          transform(array_sort(collect_list(col("v"))), x => x.cast("string")))
+          .as("members"))
+      .orderBy(col("cluster_id"))
   }
 
   /** Production embedding near-dup dedup: sign-LSH buckets make the

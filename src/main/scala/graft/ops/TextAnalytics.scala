@@ -26,7 +26,7 @@ object TextAnalytics {
     */
   private val probeStops = Seq("the", "a", "an", "and", "of", "to", "is", "in", "it", "on")
 
-  def all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q38, q39)
+  def all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q38, q39, q86)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -162,6 +162,49 @@ object TextAnalytics {
       col("doc_id"), col("lang").as("labeled_lang"),
       greatest(scores: _*).getField("lang").as("predicted_lang"),
       greatest(scores: _*).getField("score").as("lang_score"))
+  }
+
+  /** Repetition metrics (q86) — the Gopher-rules boilerplate signals a
+    * pre-training filter runs per document: duplicate-trigram fraction
+    * (1 - distinct/total word 3-grams) and top-token fraction (share of
+    * the most frequent token). Pure column arithmetic, narrow, scan
+    * speed; both formulas literal-identical in the DuckDB twin so the
+    * doubles hash-match. The top-token scan is O(distinct * tokens) per
+    * doc — bounded by doc length, not corpus size.
+    */
+  val q86: QueryDef = QueryDef.sql(
+    "q86_repetition_stats",
+    s"""SELECT doc_id,
+       |  CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(g) AS BIGINT) AS n_3grams,
+       |  1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+       |    AS dup_3gram_ratio,
+       |  CAST(list_max(list_transform(list_distinct(t),
+       |      x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
+       |    / CAST(len(t) AS DOUBLE) AS top_token_ratio
+       |FROM (
+       |  SELECT doc_id, t,
+       |    list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+       |      i -> array_to_string(t[i+1:i+3], ' ')) AS g
+       |  FROM (SELECT doc_id, $duckToks AS t FROM documents))
+       |WHERE len(t) > 0
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("g",
+        transform(sequence(lit(0), greatest(size(col("t")) - 3, lit(0))),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(3)))))
+      .filter(size(col("t")) > 0)
+    base.select(
+      col("doc_id"),
+      size(col("t")).cast("bigint").as("n_tokens"),
+      size(col("g")).cast("bigint").as("n_3grams"),
+      (lit(1.0) - size(array_distinct(col("g"))).cast("double")
+        / size(col("g")).cast("double")).as("dup_3gram_ratio"),
+      (array_max(transform(array_distinct(col("t")),
+        x => size(filter(col("t"), y => y === x)))).cast("double")
+        / size(col("t")).cast("double")).as("top_token_ratio"))
+      .orderBy(col("doc_id"))
   }
 
   /** BPE-ish token counting: letter-runs / digit-runs / single

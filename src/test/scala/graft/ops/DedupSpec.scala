@@ -30,6 +30,27 @@ class DedupSpec extends SparkSpec {
     assert(!m.contains((0L, 3L)))
   }
 
+  test("connectedComponents: chains collapse to one component, islands stay apart") {
+    // chain 1-2-3-4 (no direct 1-4 edge) + pair 10-11 + pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: long path converges (diameter rounds, early stop)") {
+    // path 0-1-2-...-9: diameter 9, must still resolve to min=0
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs, maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(0L))
+    assert(comp.keySet == (0L to 9L).toSet)
+  }
+
   test("shingles produces n-grams in order") {
     val s = docs.filter($"doc_id" === 3L)
       .select(Dedup.shingles($"text", 3)).as[Seq[String]].head()
