@@ -93,10 +93,13 @@ object KMeansAssign {
     * pass + the scale-safe per-slot mean + a K-row collect. A center
     * whose cell goes empty keeps its previous position (standard
     * practice; keeps ids dense and stable). Returns the K centroids.
+    * tol = 0.0 keeps the historical fixed-iteration semantics exactly:
+    * the loop only stops early on a bit-identical fixpoint, where the
+    * remaining iterations could not change anything anyway.
     */
   def lloydCenters(points: DataFrame, k: Int, iters: Int,
                    idCol: String = "id", vecCol: String = "vec"): Array[Array[Double]] =
-    lloydConverge(points, k, iters, idCol, vecCol)._1
+    lloydConverge(points, k, iters, idCol, vecCol, tol = 0.0)._1
 
   /** [[lloydCenters]] with a convergence stop: update steps end early
     * once the largest centroid shift (L-inf over all centers and

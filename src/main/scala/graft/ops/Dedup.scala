@@ -25,7 +25,7 @@ object Dedup {
 
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
-  def all: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q50, q85)
+  def all: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q50, q85, q87)
 
   /** Exact dedup on a normalized key: keep the lowest doc_id per group.
     * Scale: one hash exchange on the key; with pre-partitioned/bucketed
@@ -84,6 +84,57 @@ object Dedup {
       .join(sz.toDF("dk2", "n2"), col("dk2") === col("d2"))
       .select(col("d1"), col("d2"), col("n_common"), jac.as("jaccard"))
       .filter(jac >= 0.5)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Word n-gram Jaccard near-dup (q87): the sequence-sensitive
+    * variant of q26 — similarity over distinct word BIGRAM sets, so
+    * shared vocabulary alone no longer pairs documents (on this corpus
+    * unigram Jaccard >= 0.5 yields thousands of pairs; bigram >= 0.1
+    * yields a handful — word order is the signal). Same shape: explode
+    * shingles, equi-join on shingle, |A ∩ B| / |A ∪ B|. This is the
+    * verifier MinHash-LSH candidates feed (minhashSignatures hashes the
+    * SAME word shingles).
+    */
+  val q87: QueryDef = QueryDef.sql(
+    "q87_ngram_jaccard_pairs",
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckToks AS t
+       |  FROM documents WHERE doc_id < 100),
+       |t AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest(list_filter(
+       |      list_transform(range(0, greatest(len(t) - 2, 0) + 1),
+       |        i -> array_to_string(t[i+1:i+2], ' ')),
+       |      s -> s <> '')) AS sh
+       |    FROM d)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+       |  FROM t a JOIN t b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY d1, d2)
+       |SELECT d1, d2, n_common,
+       |  n_common / (s1.n + s2.n - n_common) AS jaccard
+       |FROM inter
+       |JOIN sz s1 ON s1.doc_id = d1
+       |JOIN sz s2 ON s2.doc_id = d2
+       |WHERE n_common / (s1.n + s2.n - n_common) >= 0.1
+       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("sh"))
+      .distinct()
+    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = t.toDF("d1", "sh")
+      .join(t.toDF("d2", "sh2"), col("sh") === col("sh2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common") / (col("n1") + col("n2") - col("n_common"))
+    inter
+      .join(sz.toDF("dk1", "n1"), col("dk1") === col("d1"))
+      .join(sz.toDF("dk2", "n2"), col("dk2") === col("d2"))
+      .select(col("d1"), col("d2"), col("n_common"), jac.as("jaccard"))
+      .filter(jac >= 0.1)
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -264,7 +315,15 @@ object Dedup {
       .select(col("d1"), col("d2")).distinct()
   }
 
-  /** Word n-gram shingles of a text column. */
+  /** Word n-gram shingles of a text column. Deliberate min-1-window
+    * semantics (matching the fused shingleMinhashSig kernel): a doc
+    * shorter than `n` tokens yields ONE shingle — the whole doc — so
+    * every non-empty doc has a MinHash signature and two identical
+    * short docs still register as duplicates. Consequence for the
+    * Jaccard/repetition queries built on this: sub-n docs compare by
+    * their full text, not by true n-grams (documented, same on both
+    * engines).
+    */
   def shingles(text: Column, n: Int): Column = {
     val t = TextAnalytics.toks(text)
     filter(
@@ -354,27 +413,41 @@ object Dedup {
     try {
       var labels = sym.select(col("src").as("v")).distinct()
         .withColumn("label", col("v"))
-      // convergence via the label-sum invariant: labels only ever
-      // DECREASE (min of self+neighbors), so sum(label) is strictly
-      // monotone until the fixpoint — an unchanged sum IS convergence.
-      // One scalar aggregate per round instead of a join+count job.
-      var prevSum = Option.empty[Long]
+      // Convergence = a round in which no vertex's label changed. The
+      // previous label rides through the round as `old` (each vertex
+      // contributes exactly one self row, so max(old) recovers it; the
+      // neighbor rows carry null), and the changed count is a scalar
+      // aggregate on the SAME frame the next round consumes — no extra
+      // join, no numeric assumptions on the id type (a label-sum check
+      // would overflow 64-bit hash ids and need numeric labels).
+      val idType = labels.schema("label").dataType
       var it = 0
       var converged = false
       while (!converged && it < maxIter) {
         // min label among self and neighbors
         val viaNbr = sym.join(labels, sym("dst") === labels("v"))
           .select(sym("src").as("v"), col("label"))
-        val hop = labels.select(col("v"), col("label")).union(viaNbr)
-          .groupBy(col("v")).agg(min(col("label")).as("label"))
+        val hop = labels
+          .select(col("v"), col("label"), col("label").as("old"))
+          .union(viaNbr.select(col("v"), col("label"),
+            lit(null).cast(idType).as("old")))
+          .groupBy(col("v"))
+          .agg(min(col("label")).as("l1"), max(col("old")).as("old"))
         // pointer jump: adopt the label's own (<=) label
-        labels = hop.toDF("v", "l1")
-          .join(hop.toDF("lv", "label"), col("l1") === col("lv"))
-          .select(col("v"), col("label"))
+        labels = hop
+          .join(hop.select(col("v").as("lv"), col("l1").as("label")),
+            col("l1") === col("lv"))
+          .select(col("v"), col("label"), col("old"))
           .localCheckpoint(false) // truncate lineage each round
-        val s = labels.agg(sum(col("label"))).head().getLong(0)
-        converged = prevSum.contains(s)
-        prevSum = Some(s)
+        // an unchanged HOP step is the neighbor-min fixpoint (the jump
+        // can only restate labels the hop already settled); counting
+        // hop deltas (l1 vs old) also covers the jump's effect because
+        // label <= l1 <= old — count final label vs old directly
+        val changed = labels
+          .agg(count(when(col("label") =!= col("old"), 1)))
+          .head().getLong(0)
+        labels = labels.drop("old")
+        converged = changed == 0L
         it += 1
       }
       labels.select(col("v"), col("label").as("component"))

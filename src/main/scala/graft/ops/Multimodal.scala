@@ -39,11 +39,17 @@ object Multimodal {
     * warm state (a video demuxer would).
     */
   object Codec {
+    /** bytes -> decoded image, or null when no JDK reader applies. */
+    def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+
     /** bytes -> (width, height, channels, mean-luminance in [0,1]). */
-    def decode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: Exception => null }
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Double) =
+      measure(decodeImage(bytes), bytes)
+
+    private[Multimodal] def measure(img: java.awt.image.BufferedImage,
+                                    bytes: Array[Byte]): (Int, Int, Int, Double) = {
       if (img == null) StubCodec.decode(bytes)
       else {
         val w = img.getWidth
@@ -73,25 +79,26 @@ object Multimodal {
       }
     }
 
-    /** Scale a decodable image to exactly (w, h) and re-encode as PNG;
-      * non-decodable payloads pass through unchanged (stub fallback).
+    /** Scale an already-decoded image to exactly (w, h) and re-encode
+      * as PNG. Draws the source BufferedImage directly with bilinear
+      * interpolation — `Image.getScaledInstance` would hand a lazy
+      * ToolkitImage to a null-observer drawImage, which can re-encode a
+      * partially-drawn (black) frame; the BufferedImage overload is
+      * synchronous by contract.
       */
-    def reencodeScaled(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: Exception => null }
-      if (img == null) bytes
-      else {
-        val out = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = out.createGraphics()
-        try g.drawImage(
-          img.getScaledInstance(w, h, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
-        finally g.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", bos)
-        bos.toByteArray
-      }
+    def reencodeScaled(img: java.awt.image.BufferedImage,
+                       w: Int, h: Int): Array[Byte] = {
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
     }
   }
 
@@ -173,15 +180,16 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       // per-task scaler init would go here (ImageIO is stateless)
       rows.map { r =>
-        val (w, h, _, _) = Codec.decode(r.media)
+        // decode ONCE; dims and the rescale source share the image
+        val img = Codec.decodeImage(r.media)
+        val (w, h, _, _) = Codec.measure(img, r.media)
         val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
         val nw = math.max(1, math.round(w * scale).toInt)
         val nh = math.max(1, math.round(h * scale).toInt)
-        val payload =
-          if (scale < 1.0) Codec.reencodeScaled(r.media, nw, nh) else r.media
-        val outMime =
-          if ((payload ne r.media)) "image/png" else r.mime
-        ResizedMedia(r.doc_id, outMime, payload, nw, nh)
+        if (img != null && scale < 1.0)
+          ResizedMedia(r.doc_id, "image/png", Codec.reencodeScaled(img, nw, nh), nw, nh)
+        else
+          ResizedMedia(r.doc_id, r.mime, r.media, nw, nh)
       }
     }
   }

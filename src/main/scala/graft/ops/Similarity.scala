@@ -88,10 +88,20 @@ object Similarity {
     * C(nPlanes, i); callers keep `flips` small (0-3), so the list is
     * driver-side tiny and inlines as a literal array.
     */
-  private[ops] def probeMasks(nPlanes: Int, flips: Int): Seq[Int] =
+  private[ops] def probeMasks(nPlanes: Int, flips: Int): Seq[Int] = {
+    // bound the ball BEFORE enumerating: sum C(n, i) grows to 2^n, and
+    // a runaway probe depth would OOM the driver building the mask list
+    // (and bloat the literal array past what codegen tolerates)
+    val count = (1 to flips).foldLeft((BigInt(1), BigInt(1))) {
+      case ((total, c), i) => val ci = c * (nPlanes - i + 1) / i; (total + ci, ci)
+    }._1
+    require(count <= 4096,
+      s"probe ball of $count buckets (nPlanes=$nPlanes, flips=$flips) " +
+        "exceeds 4096 — deep probing at this width is a scan, not LSH")
     0 +: (1 to flips).flatMap(f =>
       (0 until nPlanes).combinations(f)
         .map(_.foldLeft(0)((m, b) => m | (1 << b))).toSeq)
+  }
 
   /** Sign-random-projection LSH ANN: deterministic hyperplanes from the
     * splitmix64 mixer, bucket = sign-bit pattern, candidate join within

@@ -59,8 +59,13 @@ object Corpus {
         regexp_extract(col("path"), "(?:^|/)(\\d{1,9})\\.[^/.]*$", 1).as("_id"),
         col("content"))
       .filter(length(col("_id")) > 0)
+      // binary -> string via CAST, not decode(): the cast wraps the raw
+      // bytes like spark.read.text does, so a file with invalid UTF-8
+      // sequences degrades row-locally instead of failing the scan
+      // (Spark 4's decode() throws MALFORMED_CHARACTER_CODING under
+      // default ANSI semantics — one latin-1 file must not kill the job)
       .select(col("_id").cast("int").as("doc_id"),
-        decode(col("content"), "UTF-8").as("text"))
+        col("content").cast("string").as("text"))
 
   /** Corpus file count (reference S3: ContentSummary.getFileCount at
     * :627-631, drives presence-vector width). Driver-side scalar.

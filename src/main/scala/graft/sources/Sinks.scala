@@ -11,13 +11,15 @@ object Sinks {
 
   /** Reference byte-format text sink: `key \t value` lines. The two
     * columns are stringified; pass a pre-formatted DataFrame for exact
-    * byte compatibility (e.g. InvertedIndex.referenceFormat).
+    * byte compatibility (e.g. InvertedIndex.referenceFormat). `mode`
+    * follows DataFrameWriter ("overwrite" default; RunReference passes
+    * "error" to refuse clobbering an existing dir like Hadoop MR does).
     */
-  def writeTsv(df: DataFrame, path: String): Unit = {
+  def writeTsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit = {
     val Array(k, v) = df.columns
     df.select(concat(col(k).cast("string"), lit("\t"), col(v).cast("string"))
       .as("line"))
-      .write.mode("overwrite").text(path)
+      .write.mode(mode).text(path)
   }
 
   /** Engine-native sink: snappy parquet, optionally partitioned by

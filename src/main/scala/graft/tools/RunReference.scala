@@ -43,10 +43,12 @@ object RunReference {
       .termDocMatrixFast(tokens, n, firstId = 1L) // reference ids are 1-based
       .orderBy(col("term"))
     // reference layout: Job 1 output lands at the output-dir ROOT
-    // (FileOutputFormat.setOutputPath(job, args[1])), so consumers of
-    // the reference's file layout find the index part files in place
+    // (FileOutputFormat.setOutputPath(job, args[1])). mode=error
+    // matches Hadoop MR's refusal to touch an existing output dir —
+    // with the root layout an overwrite would silently wipe whatever
+    // the user's directory already held.
     graft.sources.Sinks.writeTsv(
-      graft.index.InvertedIndex.referenceFormat(matrix), outDir)
+      graft.index.InvertedIndex.referenceFormat(matrix), outDir, mode = "error")
 
     // Job 2: assign each term's vector to its nearest centroid
     val centers = graft.sources.Corpus.readCenters(spark, centersFile)
@@ -56,6 +58,6 @@ object RunReference {
     val clusters = graft.cluster.KMeansAssign.clusters(assigned)
       .select(col("cluster_id").cast("string").as("k"),
         concat_ws(" ", col("members")).as("v"))
-    graft.sources.Sinks.writeTsv(clusters, s"$outDir/kmeansOutput6")
+    graft.sources.Sinks.writeTsv(clusters, s"$outDir/kmeansOutput6", mode = "error")
   }
 }

@@ -65,6 +65,27 @@ class RobustnessSpec extends SparkSpec {
     assert(!docs.exists(_.getString(1).contains("impostor")))
   }
 
+  test("a non-UTF-8 file degrades row-locally instead of failing the corpus scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enc")
+    java.nio.file.Files.write(dir.resolve("1.txt"), "plain ascii".getBytes("UTF-8"))
+    // latin-1 'é' = 0xE9: an invalid UTF-8 sequence
+    java.nio.file.Files.write(dir.resolve("2.txt"),
+      Array[Byte]('c', 'a', 'f', 0xE9.toByte, ' ', 'o', 'k'))
+    val docs = Corpus.readDocs(spark, dir.toString).collect()
+    assert(docs.length == 2, "the malformed file must not kill the scan")
+    assert(docs.find(_.getInt(0) == 1).get.getString(1) == "plain ascii")
+    // the bad byte degrades within its own row only
+    assert(docs.find(_.getInt(0) == 2).get.getString(1).startsWith("caf"))
+  }
+
+  test("connectedComponents of an empty pair set is empty, not a crash") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    assert(graft.ops.Dedup.connectedComponents(empty).count() == 0)
+  }
+
   test("from_json on malformed props yields null, and aggregation survives") {
     val rows = Seq("""{"k": 7}""", """{"k": """, "", "plain text", """{"j": 1}""")
       .toDF("props")

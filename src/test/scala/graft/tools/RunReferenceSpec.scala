@@ -19,7 +19,10 @@ class RunReferenceSpec extends SparkSpec {
     write(in.resolve("3.txt"), "cats and dogs running\n")
     write(in.resolve("stopwords.txt"), "the a and are\n")
     write(in.resolve("centers.txt"), "[1,0,0,]\n[0,0,1,]\n")
-    val out = java.nio.file.Files.createTempDirectory("refout").toString
+    // a NOT-yet-existing path: the CLI refuses to write into an
+    // existing output dir (mode=error, matching Hadoop MR)
+    val out = java.nio.file.Files.createTempDirectory("refout")
+      .resolve("out").toString
 
     RunReference.run(spark, in.toString, out,
       in.resolve("stopwords.txt").toString, in.resolve("centers.txt").toString)
