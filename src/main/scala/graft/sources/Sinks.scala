@@ -75,6 +75,17 @@ object Sinks {
               schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** ORC columnar sink/source pair (bundled with Spark): the second
+    * columnar interchange format after parquet — same pushdown/pruning
+    * machinery (predicate pushdown via ORC SearchArguments, column
+    * projection, splittable stripes), for estates standardized on ORC.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JSON-lines interchange sink/source pair (one object per line —
     * splittable, so a 100 TB directory still parallelizes by line
     * ranges, unlike multi-line JSON).

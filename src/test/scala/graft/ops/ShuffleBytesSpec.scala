@@ -51,6 +51,29 @@ class ShuffleBytesSpec extends SparkSpec {
     assert(bytes < 64 * 1024, s"q05 shuffled $bytes bytes")
   }
 
+  test("q86 repetition metrics shuffle only the final sort (narrow per-doc math)") {
+    val bytes = shuffleBytes {
+      TextAnalytics.q86.build(spark, sfDir).collect()
+    }
+    // per-doc arithmetic is narrow; the only exchange is the ORDER BY
+    // over ~100 result rows (plus range-partitioning sampling)
+    assert(bytes < 128 * 1024, s"q86 shuffled $bytes bytes")
+  }
+
+  test("connectedComponents rounds shuffle label-sized rows, not edge payloads") {
+    import spark.implicits._
+    // 200 vertices, ~400 edges of (long, long): label frames are
+    // ~vertex-count rows per round; a regression that shuffles
+    // edge x label blowups or materialized payloads would be MBs
+    val pairs = (0L until 199L).map(i => (i, i + 1)) ++
+      (0L until 100L).map(i => (i * 2, i * 2 + 1))
+    val bytes = shuffleBytes {
+      Dedup.connectedComponents(pairs.toDF("a", "b")).collect()
+    }
+    assert(bytes > 0)
+    assert(bytes < 2 * 1024 * 1024, s"components shuffled $bytes bytes")
+  }
+
   test("nearest-center assignment shuffles nothing at all") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("vec_id").as("id"),

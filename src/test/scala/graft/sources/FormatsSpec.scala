@@ -34,6 +34,25 @@ class FormatsSpec extends SparkSpec {
       sample.orderBy("o_orderkey").collect().toSeq)
   }
 
+  test("ORC roundtrip preserves rows/schema and pushes filters to the scan") {
+    val dir = tmp("graft-orc")
+    Sinks.writeOrc(sample, dir)
+    val back = Sinks.readOrc(spark, dir)
+    assert(back.schema == sample.schema)
+    assert(back.orderBy("o_orderkey").collect().toSeq ==
+      sample.orderBy("o_orderkey").collect().toSeq)
+    // same pushdown machinery as parquet: the selective filter must
+    // reach the ORC scan, not run as a post-scan Filter only
+    val q = back.filter(col("o_totalprice") > 100000.0)
+    q.count()
+    val scans = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThan"), s"no ORC filter pushdown: $pushed")
+  }
+
   test("parquet schema evolution: mergeSchema unions columns across file generations") {
     val dir = tmp("graft-evolve")
     Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/gen=1")
