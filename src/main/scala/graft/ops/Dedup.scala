@@ -424,25 +424,34 @@ object Dedup {
       var it = 0
       var converged = false
       while (!converged && it < maxIter) {
-        // min label among self and neighbors
+        // min label among self and neighbors; `old` rides along (each
+        // vertex contributes exactly one self row; max over the one
+        // non-null recovers it) so convergence is a delta count on the
+        // same frame — no extra join, no numeric-id assumptions
         val viaNbr = sym.join(labels, sym("dst") === labels("v"))
           .select(sym("src").as("v"), col("label"))
+        // hop is referenced TWICE by the pointer jump below — without
+        // a materialization boundary each reference recomputes the
+        // whole aggregation (AQE gives no ReuseExchange here because
+        // the two sides prune different columns, the TF-IDF lesson),
+        // and chaining rounds lazily compounds it exponentially.
+        // Checkpointing hop (not the join) makes the jump a cheap join
+        // of cached blocks and truncates lineage per round.
         val hop = labels
           .select(col("v"), col("label"), col("label").as("old"))
           .union(viaNbr.select(col("v"), col("label"),
             lit(null).cast(idType).as("old")))
           .groupBy(col("v"))
           .agg(min(col("label")).as("l1"), max(col("old")).as("old"))
+          .localCheckpoint(false)
         // pointer jump: adopt the label's own (<=) label
         labels = hop
           .join(hop.select(col("v").as("lv"), col("l1").as("label")),
             col("l1") === col("lv"))
           .select(col("v"), col("label"), col("old"))
-          .localCheckpoint(false) // truncate lineage each round
         // an unchanged HOP step is the neighbor-min fixpoint (the jump
-        // can only restate labels the hop already settled); counting
-        // hop deltas (l1 vs old) also covers the jump's effect because
-        // label <= l1 <= old — count final label vs old directly
+        // can only restate labels the hop already settled,
+        // label <= l1 <= old) — count final label vs old
         val changed = labels
           .agg(count(when(col("label") =!= col("old"), 1)))
           .head().getLong(0)

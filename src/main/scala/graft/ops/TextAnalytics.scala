@@ -26,7 +26,7 @@ object TextAnalytics {
     */
   private val probeStops = Seq("the", "a", "an", "and", "of", "to", "is", "in", "it", "on")
 
-  def all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q38, q39, q86)
+  def all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q38, q39, q86, q88)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -230,6 +230,48 @@ object TextAnalytics {
         size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
           .cast("bigint").as("n_number_tokens"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Sequence packing (q88): assign each document to the fixed-size
+    * token bin its START offset falls in within a deterministic
+    * per-source stream — the concatenate-and-chunk packing a
+    * pretraining pipeline runs to fill fixed-length contexts (docs may
+    * span a boundary; the bin owns the doc that starts in it).
+    *
+    * Scale: the running sum is a window PARTITIONED by the stream key
+    * (source), never global — each stream packs independently and in
+    * parallel, which is also the semantics you want (shards of a
+    * corpus pack separately). Deterministic: stream order is doc_id.
+    */
+  def packSequences(docs: DataFrame, targetTokens: Int,
+                    streamCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(streamCol)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col(streamCol), toks(col("text")).as("t"))
+      .select(col("doc_id"), col(streamCol),
+        size(col("t")).cast("bigint").as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("start_offset") / targetTokens))
+  }
+
+  val q88: QueryDef = QueryDef.sql(
+    "q88_sequence_packing",
+    s"""SELECT doc_id, source, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS start_offset,
+       |  CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT)
+       |    AS bin_id
+       |FROM (
+       |  SELECT doc_id, source, CAST(len($duckToks) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+    packSequences(Tables.documents(s, dir), targetTokens = 512)
+      .orderBy(col("source"), col("doc_id"))
   }
 
   /** Document fingerprinting: Karp-Rabin polynomial rolling hash over

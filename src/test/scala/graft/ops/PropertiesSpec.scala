@@ -96,4 +96,34 @@ class PropertiesSpec extends SparkSpec {
     assert(clusters.length == clusters.distinct.length) // no point twice
     assert(clusters.toSet == assigned.select("id").as[Long].collect().toSet)
   }
+
+  test("property: signBucket expression matches a plain Scala fold; scale-invariant; bounded") {
+    val dim = 8
+    val nPlanes = 6
+    val planes = Array.tabulate(nPlanes, dim)((p, d) =>
+      (graft.functions.VectorOps.mix64(p.toLong * 977L + d) >>> 11).toDouble
+        / (1L << 53).toDouble * 2.0 - 1.0)
+    val vecGen: Gen[Seq[Double]] =
+      Gen.listOfN(dim, Gen.choose(-5.0, 5.0)).map(_.toSeq)
+    val vecs = samples(vecGen, 60).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("id", "v")
+    val got = df.select(col("id"),
+        graft.functions.functions.sign_bucket(col("v"), planes).as("b"))
+      .as[(Long, Int)].collect().toMap
+    def ref(v: Seq[Double]): Int =
+      planes.zipWithIndex.foldLeft(0) { case (sig, (pl, p)) =>
+        val dot = pl.zip(v).map { case (a, b) => a * b }.sum
+        if (dot >= 0) sig | (1 << p) else sig
+      }
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == ref(v), s"id=$id")
+      assert(got(id) >= 0 && got(id) < (1 << nPlanes))
+    }
+    // positive scaling never changes a sign pattern (cosine-LSH core)
+    val scaled = vecs.map { case (id, v) => (id, v.map(_ * 7.5)) }.toDF("id", "v")
+      .select(col("id"),
+        graft.functions.functions.sign_bucket(col("v"), planes).as("b"))
+      .as[(Long, Int)].collect().toMap
+    assert(scaled == got)
+  }
 }
