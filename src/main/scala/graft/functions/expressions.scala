@@ -217,6 +217,48 @@ case class SignBucketExpr(child: Expression, planes: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Bloom-filter membership against a driver-side
+  * `org.apache.spark.util.sketch.BloomFilter` (built distributed via
+  * `df.stat.bloomFilter`'s treeAggregate — the big side never
+  * shuffles). The filter rides into generated code as a reference
+  * object like [[NearestCenterExpr]]'s centers; the probe is then a
+  * pure codegen'd map over the incoming rows. Accepts LONG or STRING
+  * keys (the two shapes `BloomFilter.put` hashes natively).
+  */
+case class BloomMightContainExpr(child: Expression,
+                                 bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_might_contain needs BIGINT or STRING, got $other")
+    }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(input: Any): Any = input match {
+    case l: Long => bloom.mightContainLong(l)
+    case s: UTF8String => bloom.mightContainBinary(s.getBytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    child.dataType match {
+      case LongType =>
+        defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+      case _ =>
+        defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary($c.getBytes())")
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
+    copy(child = newChild)
+}
+
 /** Column-level entry points (the library's scalar-function surface). */
 object functions {
   def porter_stem(c: Column): Column =
@@ -246,6 +288,10 @@ object functions {
   def sign_bucket(c: Column, planes: Array[Array[Double]]): Column =
     Shim.column(SignBucketExpr(Shim.expression(c),
       planes.map(_.toIndexedSeq).toIndexedSeq))
+
+  def bloom_might_contain(c: Column,
+                          bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    Shim.column(BloomMightContainExpr(Shim.expression(c), bloom))
 
   /** Register the functions for SQL use in an existing session
     * (idempotent). For new sessions prefer

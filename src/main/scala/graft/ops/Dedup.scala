@@ -382,6 +382,38 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Incremental dedup of an incoming batch against a HISTORICAL
+    * corpus, without ever shuffling either side on the key:
+    *
+    *  1. build a Bloom filter of the history's keys — Spark's
+    *     `stat.bloomFilter` treeAggregates per-partition filters, so
+    *     the history is scanned once, map-side, zero shuffle;
+    *  2. probe incoming rows with the codegen'd
+    *     [[graft.functions.BloomMightContainExpr]] (filter broadcast
+    *     as a codegen reference object) — definite-new rows pass
+    *     narrow, at scan speed;
+    *  3. only the might-contain sliver (true dups + fpp false
+    *     positives) pays an exact LEFT ANTI join against the history
+    *     to reject the false positives.
+    *
+    * At 100 TB-of-history / small-batch-incoming this turns the
+    * daily-ingest dedup from a full history shuffle into one history
+    * scan + a join whose left side is |dups| + fpp * |incoming|.
+    * Exact semantics (the verification join removes every FP); the
+    * only tunables are memory-vs-fpp.
+    */
+  def dedupAgainstHistory(incoming: DataFrame, history: DataFrame,
+                          keyCol: String, expectedItems: Long = 1000000L,
+                          fpp: Double = 0.03): DataFrame = {
+    val bloom = history.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val mc = graft.functions.functions.bloom_might_contain(col(keyCol), bloom)
+    val definiteNew = incoming.filter(!mc)
+    val suspects = incoming.filter(mc)
+    val survivors = suspects.join(
+      history.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    definiteNew.unionByName(survivors)
+  }
+
   /** Connected components over an undirected edge list (a, b) by
     * iterative min-label propagation: every vertex starts as its own
     * label; each round a vertex takes the minimum label among itself

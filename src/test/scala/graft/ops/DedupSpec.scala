@@ -30,6 +30,32 @@ class DedupSpec extends SparkSpec {
     assert(!m.contains((0L, 3L)))
   }
 
+  test("dedupAgainstHistory: exact result (bloom FPs rejected), new rows survive") {
+    val history = (0L until 500L).map(i => (i, s"hist doc $i")).toDF("doc_id", "text")
+    // incoming: 50 dups of history + 50 genuinely new ids
+    val incoming = ((450L until 500L) ++ (1000L until 1050L))
+      .map(i => (i, s"inc doc $i")).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstHistory(incoming, history, "doc_id",
+      expectedItems = 500L, fpp = 0.05)
+      .select("doc_id").as[Long].collect().toSet
+    // EXACT: every true dup dropped, every new id kept — regardless of
+    // what the bloom's false positives were
+    assert(out == (1000L until 1050L).toSet)
+    // and the probe expression is codegen, not a UDF
+    val probed = incoming.filter(graft.functions.functions.bloom_might_contain(
+      org.apache.spark.sql.functions.col("doc_id"),
+      history.stat.bloomFilter("doc_id", 500L, 0.05)))
+    val udfs = probed.queryExecution.executedPlan.expressions.flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+    })
+    assert(udfs.isEmpty)
+    // string keys work through the same expression
+    val outS = Dedup.dedupAgainstHistory(
+      incoming.select("text"), history.select("text"), "text",
+      expectedItems = 500L, fpp = 0.05).count()
+    assert(outS == 100L) // all incoming texts differ from history texts
+  }
+
   test("connectedComponents: chains collapse to one component, islands stay apart") {
     // chain 1-2-3-4 (no direct 1-4 edge) + pair 10-11 + pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))

@@ -74,6 +74,21 @@ class ShuffleBytesSpec extends SparkSpec {
     assert(bytes < 2 * 1024 * 1024, s"components shuffled $bytes bytes")
   }
 
+  test("dedupAgainstHistory shuffles only the suspect sliver, not the history") {
+    import spark.implicits._
+    val history = (0L until 2000L).map(i => (i, s"hist $i")).toDF("doc_id", "text")
+    // 20 dups in 1000 incoming: the exact-verify join's left side is
+    // |dups| + fpp-sized, so wire traffic must be sliver-scale even
+    // though history is 2000 rows (bloom build is treeAggregate-only)
+    val incoming = ((1980L until 2000L) ++ (10000L until 10980L))
+      .map(i => (i, s"inc $i")).toDF("doc_id", "text")
+    val bytes = shuffleBytes {
+      Dedup.dedupAgainstHistory(incoming, history, "doc_id",
+        expectedItems = 2000L, fpp = 0.01).collect()
+    }
+    assert(bytes < 64 * 1024, s"bloom dedup shuffled $bytes bytes")
+  }
+
   test("nearest-center assignment shuffles nothing at all") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
