@@ -397,21 +397,34 @@ object Dedup {
     *     to reject the false positives.
     *
     * At 100 TB-of-history / small-batch-incoming this turns the
-    * daily-ingest dedup from a full history shuffle into one history
-    * scan + a join whose left side is |dups| + fpp * |incoming|.
-    * Exact semantics (the verification join removes every FP); the
-    * only tunables are memory-vs-fpp.
+    * daily-ingest dedup from a full history shuffle into two map-side
+    * history scans (bloom build; suspect-key semi-join) plus joins
+    * whose non-broadcast side is only ever the incoming batch. Exact
+    * semantics, including NULL keys: a NULL key matches nothing in an
+    * anti-join, so null-key rows are kept (the bloom probe yields NULL
+    * for them; they never enter the suspect set).
     */
   def dedupAgainstHistory(incoming: DataFrame, history: DataFrame,
                           keyCol: String, expectedItems: Long = 1000000L,
                           fpp: Double = 0.03): DataFrame = {
     val bloom = history.stat.bloomFilter(keyCol, expectedItems, fpp)
     val mc = graft.functions.functions.bloom_might_contain(col(keyCol), bloom)
-    val definiteNew = incoming.filter(!mc)
-    val suspects = incoming.filter(mc)
-    val survivors = suspects.join(
-      history.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-    definiteNew.unionByName(survivors)
+    // suspect keys: |true dups| + fpp*|incoming| — sliver-sized by
+    // construction (this traversal of the incoming plan is
+    // column-pruned to the key)
+    val suspectKeys = incoming
+      .filter(coalesce(mc, lit(false)))
+      .select(col(keyCol)).distinct()
+    // confirm against history WITHOUT shuffling it: broadcast the
+    // sliver and left-semi the history's key column map-side; the
+    // output (keys that really are in history) is <= the sliver
+    val confirmed = history.select(col(keyCol))
+      .join(broadcast(suspectKeys), Seq(keyCol), "left_semi")
+      .distinct()
+    // final answer in ONE pass over incoming: drop exactly the
+    // confirmed-dup keys (broadcast anti-join; false positives were
+    // eliminated by the semi-join, null keys survive)
+    incoming.join(broadcast(confirmed), Seq(keyCol), "left_anti")
   }
 
   /** Connected components over an undirected edge list (a, b) by
@@ -476,11 +489,15 @@ object Dedup {
           .groupBy(col("v"))
           .agg(min(col("label")).as("l1"), max(col("old")).as("old"))
           .localCheckpoint(false)
-        // pointer jump: adopt the label's own (<=) label
+        // pointer jump: adopt the label's own (<=) label. ALSO
+        // checkpointed: the next round references labels twice (self
+        // row + neighbor branch) and the changed count makes a third —
+        // uncached, each reference would re-run the jump join.
         labels = hop
           .join(hop.select(col("v").as("lv"), col("l1").as("label")),
             col("l1") === col("lv"))
           .select(col("v"), col("label"), col("old"))
+          .localCheckpoint(false)
         // an unchanged HOP step is the neighbor-min fixpoint (the jump
         // can only restate labels the hop already settled,
         // label <= l1 <= old) — count final label vs old

@@ -30,18 +30,21 @@ class DedupSpec extends SparkSpec {
     assert(!m.contains((0L, 3L)))
   }
 
-  test("dedupAgainstHistory: exact result (bloom FPs rejected), new rows survive") {
+  test("dedupAgainstHistory: exact result (bloom FPs rejected), null keys kept") {
     val history = (0L until 500L).map(i => (i, s"hist doc $i")).toDF("doc_id", "text")
-    // incoming: 50 dups of history + 50 genuinely new ids
-    val incoming = ((450L until 500L) ++ (1000L until 1050L))
-      .map(i => (i, s"inc doc $i")).toDF("doc_id", "text")
+    // incoming: 50 dups of history + 50 genuinely new ids + a null key
+    val incoming = (((450L until 500L) ++ (1000L until 1050L))
+      .map(i => (Some(i), s"inc doc $i")) :+ ((None: Option[Long]) -> "null key"))
+      .map { case (k, t) => (k, t) }.toDF("doc_id", "text")
     val out = Dedup.dedupAgainstHistory(incoming, history, "doc_id",
-      expectedItems = 500L, fpp = 0.05)
-      .select("doc_id").as[Long].collect().toSet
-    // EXACT: every true dup dropped, every new id kept — regardless of
-    // what the bloom's false positives were
-    assert(out == (1000L until 1050L).toSet)
-    // and the probe expression is codegen, not a UDF
+      expectedItems = 500L, fpp = 0.05).collect()
+    // EXACT anti-join semantics: every true dup dropped, every new id
+    // kept — and the null-key row survives (null matches nothing),
+    // same as incoming.join(history, key, "left_anti")
+    assert(out.count(_.isNullAt(0)) == 1)
+    assert(out.filterNot(_.isNullAt(0)).map(_.getLong(0)).toSet ==
+      (1000L until 1050L).toSet)
+    // the probe expression is codegen, not a UDF
     val probed = incoming.filter(graft.functions.functions.bloom_might_contain(
       org.apache.spark.sql.functions.col("doc_id"),
       history.stat.bloomFilter("doc_id", 500L, 0.05)))
@@ -49,11 +52,13 @@ class DedupSpec extends SparkSpec {
       case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
     })
     assert(udfs.isEmpty)
-    // string keys work through the same expression
-    val outS = Dedup.dedupAgainstHistory(
-      incoming.select("text"), history.select("text"), "text",
-      expectedItems = 500L, fpp = 0.05).count()
-    assert(outS == 100L) // all incoming texts differ from history texts
+    // string keys: true dups must be DETECTED (overlap), new kept
+    val histS = history.select("text")
+    val incS = Seq("hist doc 0", "hist doc 499", "brand new text a", "brand new text b")
+      .toDF("text")
+    val outS = Dedup.dedupAgainstHistory(incS, histS, "text",
+      expectedItems = 500L, fpp = 0.05).as[String].collect().toSet
+    assert(outS == Set("brand new text a", "brand new text b"))
   }
 
   test("connectedComponents: chains collapse to one component, islands stay apart") {

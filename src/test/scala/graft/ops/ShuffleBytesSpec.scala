@@ -86,6 +86,9 @@ class ShuffleBytesSpec extends SparkSpec {
       Dedup.dedupAgainstHistory(incoming, history, "doc_id",
         expectedItems = 2000L, fpp = 0.01).collect()
     }
+    // floor guards a probe that silently matches nothing (zero shuffle
+    // would mean the suspect-key distinct never ran on real suspects)
+    assert(bytes > 0, "expected the sliver-sized suspect-key exchange")
     assert(bytes < 64 * 1024, s"bloom dedup shuffled $bytes bytes")
   }
 
