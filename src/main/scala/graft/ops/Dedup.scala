@@ -25,7 +25,7 @@ object Dedup {
 
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
-  def all: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q50, q85, q87)
+  def all: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89)
 
   /** Exact dedup on a normalized key: keep the lowest doc_id per group.
     * Scale: one hash exchange on the key; with pre-partitioned/bucketed
@@ -136,6 +136,51 @@ object Dedup {
       .select(col("d1"), col("d2"), col("n_common"), jac.as("jaccard"))
       .filter(jac >= 0.1)
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Benchmark-contamination report (q89): corpus docs (doc_id < 450)
+    * sharing distinct word 4-gram shingles with the held-out slice
+    * (doc_id >= 450, standing in for an eval set) and how many. The
+    * detection side of [[graft.pipeline.Curation.decontaminate]] —
+    * benchmark shingles broadcast, corpus streams narrow.
+    */
+  val q89: QueryDef = QueryDef.sql(
+    "q89_decontamination",
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckToks AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct(list_filter(
+       |    list_transform(range(0, greatest(len(t) - 4, 0) + 1),
+       |      i -> array_to_string(t[i+1:i+4], ' ')), s -> s <> ''))) AS sh
+       |  FROM d),
+       |bench AS (SELECT DISTINCT sh FROM g WHERE doc_id >= 450)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM g JOIN bench USING (sh)
+       |WHERE g.doc_id < 450
+       |GROUP BY g.doc_id
+       |ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+    // REPARTITION BEFORE THE HEAVY MAP: the fixture's documents file is
+    // one parquet row group = one scan task, and per-doc shingling is
+    // the dominant cost — a ~10 MB text shuffle unlocks every core
+    // (measured 4.8s -> ~1s at sf0.1). The same reasoning holds on a
+    // cluster whenever input files are fewer than cores. Each side
+    // filters BEFORE shingling so the doubly-referenced scan never
+    // shingles the other side's rows.
+    def shingleSet(df: DataFrame) = df
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), 4))).as("sh"))
+    val docs = Tables.documents(s, dir)
+    val bench = shingleSet(docs.filter(col("doc_id") >= 450))
+      .select(col("sh")).distinct()
+    // no broadcast hint: a real benchmark set is small (AQE broadcasts
+    // it), but THIS fixture inverts the sizes (held-out slice is 10x
+    // the corpus slice) — let AQE pick the smaller side either way
+    shingleSet(docs.filter(col("doc_id") < 450))
+      .join(bench, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_shared"))
+      .orderBy(col("doc_id"))
   }
 
   // --- portable MinHash over content-derived term ids ----------------

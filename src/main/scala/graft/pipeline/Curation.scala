@@ -114,4 +114,32 @@ object Curation {
     (curated,
       Report(input, afterQuality, afterLang, afterExact, afterNearDup, afterBalance))
   }
+
+  /** Benchmark decontamination: drop corpus documents sharing at least
+    * `minShared` distinct word `n`-gram shingles with a held-out
+    * benchmark/eval set — the train/test-overlap removal every
+    * pretraining pipeline runs before training.
+    *
+    * Scale shape: benchmarks are small by nature, so their distinct
+    * shingle set is BROADCAST; the corpus streams through one narrow
+    * shingle explode + a broadcast join — the 100 TB side never
+    * shuffles. Contaminated doc ids (a sliver) come back as a second
+    * broadcast for the anti-join.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String = "text", n: Int = 4,
+                    minShared: Long = 1L): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(array_distinct(Dedup.shingles(col(textCol), n))).as("sh"))
+      .distinct()
+    val contaminated = corpus
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("sh"))
+      .join(broadcast(benchShingles), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"))
+    corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+  }
 }

@@ -5,6 +5,24 @@ import graft.SparkSpec
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("decontaminate drops exactly the docs sharing n-grams with the benchmark") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),          // clean
+      (1L, "the quick brown fox jumps over the lazy dog"),  // contains bench 4-gram
+      (2L, "one two three four five six seven"),            // clean
+      (3L, "totally benign text quick brown fox jumps ok")) // contains bench 4-gram
+      .toDF("doc_id", "text")
+    val benchmark = Seq((100L, "a benchmark prompt with quick brown fox jumps inside"))
+      .toDF("doc_id", "text")
+    val kept = Curation.decontaminate(corpus, benchmark, n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L))
+    // higher threshold: docs sharing only ONE 4-gram survive
+    val lenient = Curation.decontaminate(corpus, benchmark, n = 4, minShared = 3L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lenient.contains(3L)) // only one shared 4-gram window
+  }
+
   test("curate: quality, language, exact-dup and near-dup stages all bite") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog near the river", "en"),
