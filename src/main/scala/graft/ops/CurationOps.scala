@@ -1,0 +1,272 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGriesAgg.misra_gries
+
+/** Corpus-curation operators beyond the per-document analytics in
+  * TextAnalytics: context-window chunking, PII redaction, corpus-
+  * frequency scoring, per-language quality quantile filtering, mixture
+  * rebalancing, and sketch-based heavy hitters — the transformations a
+  * pretraining pipeline runs between "scored documents" and "training
+  * sequences". All are oracle-checked (exact integer/engine-neutral
+  * arithmetic; doubles only via literal-identical formulas).
+  */
+object CurationOps {
+
+  import TextAnalytics.toks
+
+  private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  def all: Seq[QueryDef] = Seq(q90, q91, q92, q93, q94, q95)
+
+  /** Context-window chunking (q90): split each document's token stream
+    * into fixed windows of 32 tokens with stride 24 (8-token overlap),
+    * the chunk shape retrieval/embedding pipelines feed to encoders.
+    * Narrow: fan-out is bounded by per-doc length (no shuffle at all
+    * before the result sort); at 100 TB this runs at scan speed.
+    */
+  val q90: QueryDef = QueryDef.sql(
+    "q90_doc_chunking",
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckToks AS t FROM documents),
+       |s AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0),
+       |c AS (
+       |  SELECT doc_id, t, n, unnest(range(0, n, 24)) AS start
+       |  FROM s)
+       |SELECT doc_id,
+       |  CAST(start // 24 AS BIGINT) AS chunk_id,
+       |  array_to_string(t[start + 1 : start + 32], ' ') AS chunk_text,
+       |  CAST(least(32, n - start) AS BIGINT) AS n_chunk_tokens
+       |FROM c
+       |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast("bigint"))
+      .filter(col("n") > 0)
+      // starts 0, 24, 48, ... <= n-1 == DuckDB range(0, n, 24)
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1, lit(24L))).as("start"))
+      .select(
+        col("doc_id"),
+        expr("start div 24").as("chunk_id"),
+        concat_ws(" ", slice(col("t"), (col("start") + 1).cast("int"), lit(32)))
+          .as("chunk_text"),
+        least(lit(32L), col("n") - col("start")).as("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  // PII patterns: shared by the Spark and DuckDB sides (Java regex and
+  // RE2 agree on these constructs — classes, bounded repeats, \b).
+  private val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val phonePat = """\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"""
+  private val ipPat = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+
+  /** PII redaction (q91): scrub emails, phone numbers, and IPv4
+    * addresses to typed placeholder tokens, counting the hits. The
+    * input is synthesized deterministically from the customer table on
+    * BOTH engines (the fixtures carry no real PII), so every pattern
+    * demonstrably fires; the operator itself is the narrow redaction
+    * chain a curation pipeline runs at scan speed over raw text.
+    */
+  val q91: QueryDef = QueryDef.sql(
+    "q91_pii_redaction",
+    s"""WITH notes AS (
+       |  SELECT c_custkey,
+       |    'contact ' || c_name || ' at user' || c_custkey ||
+       |    '@example.com or +1-555-' ||
+       |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+       |    ' from 10.0.' || (c_custkey % 256) || '.' || (c_custkey % 100)
+       |      AS note
+       |  FROM customer)
+       |SELECT c_custkey,
+       |  CAST(len(regexp_extract_all(note, '$emailPat')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(note, '$phonePat')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(note, '$ipPat')) AS BIGINT) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(note,
+       |    '$emailPat', '<EMAIL>', 'g'),
+       |    '$phonePat', '<PHONE>', 'g'),
+       |    '$ipPat', '<IP>', 'g') AS clean_note
+       |FROM notes
+       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val key = col("c_custkey")
+    val note = concat(
+      lit("contact "), col("c_name"), lit(" at user"), key.cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad((key % 10000).cast("string"), 4, "0"),
+      lit(" from 10.0."), (key % 256).cast("string"), lit("."),
+      (key % 100).cast("string"))
+    Tables.customer(s, dir)
+      .select(key, note.as("note"))
+      .select(
+        key,
+        size(regexp_extract_all(col("note"), lit(emailPat), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("note"), lit(phonePat), lit(0)))
+          .cast("bigint").as("n_phones"),
+        size(regexp_extract_all(col("note"), lit(ipPat), lit(0)))
+          .cast("bigint").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("note"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>"),
+          ipPat, "<IP>").as("clean_note"))
+      .orderBy(key)
+  }
+
+  /** Corpus-frequency scoring (q92): join each token back to its
+    * corpus-wide frequency and aggregate per document — the
+    * frequency-profile signal (a perplexity proxy with integer-exact
+    * arithmetic) behind "too rare = garbage / too common = boilerplate"
+    * filters. Scale: the term-frequency table is vocabulary-sized, so
+    * the join back is a BROADCAST (tokens never shuffle); the only
+    * wide ops are the two partial+final aggregates. Doubles appear
+    * only in the final single division (deterministic on both engines).
+    */
+  val q92: QueryDef = QueryDef.sql(
+    "q92_token_rarity",
+    s"""WITH tf AS (
+       |  SELECT doc_id, unnest($duckToks) AS term FROM documents),
+       |c AS (SELECT term, CAST(count(*) AS BIGINT) AS tfreq FROM tf GROUP BY term)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(tfreq) AS BIGINT) AS sum_freq,
+       |  CAST(min(tfreq) AS BIGINT) AS min_freq,
+       |  CAST(sum(tfreq) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_freq
+       |FROM tf JOIN c USING (term)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val c = tf.groupBy(col("term")).agg(count(lit(1)).as("tfreq"))
+    tf.join(broadcast(c), "term")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("tfreq")).as("sum_freq"),
+        min(col("tfreq")).as("min_freq"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_freq"), col("min_freq"),
+        (col("sum_freq") / col("n_tokens")).as("avg_freq"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language quality quantile filter (q93): keep documents at or
+    * above the 25th percentile of q23's quality score WITHIN their
+    * language — quantile thresholds per stratum, not global, so a
+    * low-resource language is not wiped out by a high-resource one's
+    * score distribution. The window partitions by lang (never global);
+    * ties break on doc_id so percent_rank is deterministic.
+    */
+  val q93: QueryDef = QueryDef.sql(
+    "q93_quality_quantile_filter",
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    (length(text) - length(regexp_replace(text, '\\p{P}', '', 'g'))) / length(text) AS punct_ratio,
+       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio,
+       |    len(list_filter(t, x -> x IN ('the','a','an','and','of','to','is','in','it','on'))) / len(t) AS stop_ratio
+       |  FROM (SELECT doc_id, lang, text, $duckToks AS t FROM documents)),
+       |q AS (
+       |  SELECT doc_id, lang,
+       |    (1.0 - punct_ratio) * (1.0 - digit_ratio)
+       |      * least(1.0, n_tokens / 64.0)
+       |      * (0.5 + stop_ratio) AS qscore
+       |  FROM base),
+       |r AS (
+       |  SELECT doc_id, lang, qscore,
+       |    percent_rank() OVER (PARTITION BY lang ORDER BY qscore, doc_id) AS pr
+       |  FROM q)
+       |SELECT doc_id, lang, qscore, pr
+       |FROM r WHERE pr >= 0.25
+       |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("lang")).orderBy(col("qscore"), col("doc_id"))
+    TextAnalytics.qualityBase(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), col("qscore"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.25)
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** Mixture rebalancing (q94): downsample each source to match a
+    * target mixture (sources src0-src9 weighted 7%, src10-src19 3% —
+    * encoded as `length(source) = 4`, exact on this fixture's naming).
+    * T = max total size s.t. every source can fill its share, computed
+    * in pure integer arithmetic; each source keeps its first
+    * floor(w*T/100) docs in deterministic hash order (Sampling.hkey, no
+    * engine RNG). Scale: per-source counts are a partial+final agg;
+    * the keep decision is a rank within each source partition against
+    * a broadcast 20-row cap table — no global window anywhere.
+    */
+  val q94: QueryDef = QueryDef.sql(
+    "q94_mixture_sampling",
+    """WITH c AS (
+      |  SELECT source, count(*) AS n_s,
+      |    CASE WHEN length(source) = 4 THEN 7 ELSE 3 END AS wt
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT min((n_s * 100) // wt) AS t_total FROM c),
+      |k AS (
+      |  SELECT source, CAST((wt * (SELECT t_total FROM t)) // 100 AS BIGINT) AS keep_n
+      |  FROM c),
+      |r AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+      |  FROM documents)
+      |SELECT r.source, r.doc_id, CAST(r.rn AS BIGINT) AS rn, k.keep_n
+      |FROM r JOIN k ON k.source = r.source
+      |WHERE r.rn <= k.keep_n
+      |ORDER BY r.source, r.rn""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val c = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("wt", when(length(col("source")) === 4, 7L).otherwise(3L))
+      .withColumn("cap", expr("(n_s * 100) div wt"))
+    val t = c.agg(min(col("cap")).as("t_total"))
+    val k = c.crossJoin(t)
+      .select(col("source"), expr("(wt * t_total) div 100").as("keep_n"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(graft.ops.Sampling.hkey(col("doc_id")), col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .join(broadcast(k), "source")
+      .filter(col("rn") <= col("keep_n"))
+      .select(col("source"), col("doc_id"), col("rn"), col("keep_n"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  /** Sketch-verified heavy hitters (q95): pass 1 folds the token
+    * stream into a k=30-counter Misra-Gries summary (bounded memory,
+    * mergeable partials — the shuffle carries at most k counters per
+    * partition); pass 2 exactly counts ONLY the <= k candidates (a
+    * narrow isin filter) and keeps those above the N/k frequency
+    * threshold. The MG guarantee (every item with count > N/(k+1)
+    * survives pass 1) makes the two-pass result EXACTLY equal to the
+    * full group-by the oracle runs — that equality is what the hash
+    * check proves. This is the 100 TB shape: the full-vocabulary
+    * group-by never happens on the engine side.
+    */
+  val q95: QueryDef = QueryDef.sql(
+    "q95_heavy_hitters",
+    s"""WITH t AS (SELECT unnest($duckToks) AS term FROM documents),
+       |tot AS (SELECT count(*) AS n FROM t)
+       |SELECT term, CAST(count(*) AS BIGINT) AS cnt
+       |FROM t GROUP BY term
+       |HAVING count(*) * 30 > (SELECT n FROM tot)
+       |ORDER BY cnt DESC, term""".stripMargin) { (s, dir) =>
+    val terms = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("term"))
+    val sketch = terms
+      .agg(misra_gries(col("term"), 30).as("cand"), count(lit(1)).as("n_total"))
+      .head()
+    val cand: Seq[String] = sketch.getSeq[String](0)
+    val nTotal = sketch.getLong(1)
+    terms
+      .filter(col("term").isin(cand: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 30 > nTotal)
+      .orderBy(col("cnt").desc, col("term"))
+  }
+}

@@ -71,6 +71,30 @@ object TextAnalytics {
       .limit(20)
   }
 
+  /** Per-doc quality base shared by q23 and the quantile filter (q93):
+    * ratio columns plus the composite qscore, all narrow column
+    * arithmetic whose literal formula the DuckDB twins repeat verbatim
+    * so the doubles hash-match.
+    */
+  def qualityBase(docs: DataFrame): DataFrame = {
+    val stopsArr = array(probeStops.map(lit): _*)
+    docs
+      .select(col("doc_id"), col("lang"), col("text"), toks(col("text")).as("t"))
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("t")).cast("bigint").as("n_tokens"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "\\p{P}", "")))
+          / length(col("text"))).as("punct_ratio"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          / length(col("text"))).as("digit_ratio"),
+        (size(filter(col("t"), x => array_contains(stopsArr, x))) / size(col("t")))
+          .as("stop_ratio"))
+      .withColumn("qscore",
+        (lit(1.0) - col("punct_ratio")) * (lit(1.0) - col("digit_ratio"))
+          * least(lit(1.0), col("n_tokens") / 64.0)
+          * (lit(0.5) + col("stop_ratio")))
+  }
+
   /** Quality scoring: punctuation/digit/stopword ratios and a composite
     * score — the classic pre-training heuristic filter, as pure column
     * arithmetic (identical literal formula on both engines).
@@ -89,24 +113,10 @@ object TextAnalytics {
        |    len(list_filter(t, x -> x IN ('the','a','an','and','of','to','is','in','it','on'))) / len(t) AS stop_ratio
        |  FROM (SELECT doc_id, text, $duckToks AS t FROM documents))
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val stopsArr = array(probeStops.map(lit): _*)
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
+    qualityBase(Tables.documents(s, dir))
       .select(
-        col("doc_id"),
-        size(col("t")).cast("bigint").as("n_tokens"),
-        ((length(col("text")) - length(regexp_replace(col("text"), "\\p{P}", "")))
-          / length(col("text"))).as("punct_ratio"),
-        ((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
-          / length(col("text"))).as("digit_ratio"),
-        (size(filter(col("t"), x => array_contains(stopsArr, x))) / size(col("t")))
-          .as("stop_ratio"))
-    base.select(
-      col("doc_id"), col("n_tokens"), col("punct_ratio"), col("digit_ratio"),
-      col("stop_ratio"),
-      ((lit(1.0) - col("punct_ratio")) * (lit(1.0) - col("digit_ratio"))
-        * least(lit(1.0), col("n_tokens") / 64.0)
-        * (lit(0.5) + col("stop_ratio"))).as("qscore"))
+        col("doc_id"), col("n_tokens"), col("punct_ratio"), col("digit_ratio"),
+        col("stop_ratio"), col("qscore"))
       .orderBy(col("doc_id"))
   }
 

@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the curation query batch (q90-q95) beyond the oracle
+  * hash-check: chunk coverage/reassembly, redaction completeness,
+  * frequency-score invariants, stratified quantile-filter behavior,
+  * mixture proportions, and sketch-vs-exact heavy-hitter equality.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("q90 chunks cover every token and reassemble each document") {
+    val chunks = CurationOps.q90.build(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    val originals = docs
+      .select(col("doc_id"), TextAnalytics.toks(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(chunks.keySet == originals.filter(_._2.nonEmpty).keySet)
+    originals.foreach { case (id, toks) =>
+      val rows = chunks(id)
+      // stride arithmetic: starts at 0,24,... <= n-1
+      assert(rows.length == (toks.length - 1) / 24 + 1, s"doc $id chunk count")
+      // stride-24 prefixes of each chunk reassemble the token stream
+      val reassembled = rows.flatMap { r =>
+        r.getString(2).split(" ").take(24)
+      }
+      assert(reassembled.toSeq == toks, s"doc $id reassembly")
+      // every chunk except possibly the last is full-width only if
+      // enough tokens remain; sizes match least(32, n - start)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val expected = math.min(32, toks.length - i * 24)
+        assert(r.getLong(3) == expected, s"doc $id chunk $i size")
+        assert(r.getString(2).split(" ").length == expected)
+      }
+    }
+  }
+
+  test("q91 redacts every synthesized email/phone/ip and counts them") {
+    val rows = CurationOps.q91.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1, "one email per note")
+      assert(r.getLong(2) == 1, "one phone per note")
+      assert(r.getLong(3) == 1, "one ip per note")
+      val clean = r.getString(4)
+      assert(clean.contains("<EMAIL>") && clean.contains("<PHONE>")
+        && clean.contains("<IP>"))
+      assert(!clean.matches(".*[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}.*"),
+        s"ip survived: $clean")
+      assert(!clean.contains("@"), s"email survived: $clean")
+      assert(!clean.matches(""".*\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}.*"""),
+        s"phone survived: $clean")
+    }
+  }
+
+  test("q92 frequency-score invariants hold against directly computed counts") {
+    val out = CurationOps.q92.build(spark, sfDir).collect()
+    val tokCounts = docs
+      .select(col("doc_id"), TextAnalytics.toks(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val corpusFreq = tokCounts.values.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.length == tokCounts.count(_._2.nonEmpty))
+    out.foreach { r =>
+      val (id, n, sumF, minF, avgF) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      val toks = tokCounts(id)
+      assert(n == toks.length)
+      assert(sumF == toks.map(corpusFreq).sum, s"doc $id sum_freq")
+      assert(minF == toks.map(corpusFreq).min, s"doc $id min_freq")
+      assert(avgF == sumF.toDouble / n)
+    }
+  }
+
+  test("q93 keeps exactly the top-75% quality docs within each language") {
+    val kept = CurationOps.q93.build(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val all = TextAnalytics.qualityBase(docs)
+      .select(col("lang"), col("doc_id"), col("qscore")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    all.foreach { case (lang, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2)).map(_._2)
+      val n = ordered.length
+      // percent_rank >= 0.25  <=>  rank-1 >= 0.25*(n-1)
+      val expected = ordered.zipWithIndex.collect {
+        case (id, i) if i >= 0.25 * (n - 1) => id
+      }.toSet
+      assert(kept.getOrElse(lang, Set.empty) == expected, s"lang $lang")
+    }
+  }
+
+  test("q94 mixture: per-source keeps floor(w*T/100) in deterministic hash order") {
+    val out = CurationOps.q94.build(spark, sfDir).collect()
+    val bySource = out.groupBy(_.getString(0))
+    val counts = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wt = counts.keys.map(s => s -> (if (s.length == 4) 7L else 3L)).toMap
+    val t = counts.map { case (s, n) => n * 100 / wt(s) }.min
+    bySource.foreach { case (src, rows) =>
+      val keepN = wt(src) * t / 100
+      assert(rows.length == keepN, s"$src kept ${rows.length}, want $keepN")
+      assert(rows.forall(_.getLong(3) == keepN))
+    }
+    // the mixture actually rebalances: heavy sources keep more
+    val kept4 = bySource.filter(_._1.length == 4).values.map(_.length).toSeq
+    val kept5 = bySource.filter(_._1.length == 5).values.map(_.length).toSeq
+    assert(kept4.nonEmpty && kept5.nonEmpty && kept4.min > kept5.max)
+    // deterministic: a second run selects the same doc ids
+    val again = CurationOps.q94.build(spark, sfDir).collect()
+    assert(again.map(_.getLong(1)).toSeq == out.map(_.getLong(1)).toSeq)
+  }
+
+  test("q95 sketch-verified heavy hitters equal the exact full group-by") {
+    val sketch = CurationOps.q95.build(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val terms = docs.select(explode(TextAnalytics.toks(col("text"))).as("term"))
+    val n = terms.count()
+    val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 30 > n)
+      .orderBy(col("cnt").desc, col("term"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(sketch.toSeq == exact.toSeq)
+    assert(exact.nonEmpty, "fixture should produce at least one heavy hitter")
+  }
+}
