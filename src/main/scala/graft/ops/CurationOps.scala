@@ -19,7 +19,79 @@ object CurationOps {
 
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
-  def all: Seq[QueryDef] = Seq(q90, q91, q92, q93, q94, q95)
+  def all: Seq[QueryDef] = Seq(q49, q90, q91, q92, q93, q94, q95)
+
+  /** Cross-document boilerplate removal (q49): the line-level dedup
+    * step of CCNet/RefinedWeb-style curation — text fragments repeated
+    * across many documents (headers, footers, navigation chrome) are
+    * struck from every document while the per-document order of the
+    * surviving text is preserved. The fixture corpus has no line
+    * structure, so "fragment" here is a non-overlapping 3-token chunk;
+    * a chunk is boilerplate when it appears in >= 3 distinct documents.
+    *
+    * Scale: chunking is narrow (scan speed); the boilerplate set is
+    * df-thresholded, i.e. heavy-hitter-sized — orders of magnitude
+    * smaller than the corpus — so the removal is a BROADCAST anti-join
+    * and chunks never shuffle for it. The only wide ops are the two
+    * partial+final aggregates (chunk df, per-doc reassembly). Per-doc
+    * reassembly sorts a bounded per-document list (array_sort on the
+    * collected (start, chunk) structs), never a global window.
+    */
+  val q49: QueryDef = QueryDef.sql(
+    "q49_boilerplate_removal",
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckToks AS t FROM documents),
+       |s AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0),
+       |ch AS (
+       |  SELECT doc_id, start,
+       |    array_to_string(t[start + 1 : start + 3], ' ') AS chunk
+       |  FROM (SELECT doc_id, t, unnest(range(0, n, 3)) AS start FROM s)),
+       |boiler AS (
+       |  SELECT chunk FROM ch GROUP BY chunk
+       |  HAVING count(DISTINCT doc_id) >= 3),
+       |kept AS (
+       |  SELECT doc_id, start, chunk FROM ch
+       |  WHERE chunk NOT IN (SELECT chunk FROM boiler)),
+       |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+       |ka AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(chunk, ' ' ORDER BY start) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(t.n_chunks AS BIGINT) AS n_chunks,
+       |  CAST(t.n_chunks - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(ka.clean_text, '') AS clean_text
+       |FROM tot t LEFT JOIN ka USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val ch = Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast("bigint"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), col("n") - 1, lit(3L))).as("start"))
+      .select(col("doc_id"), col("start"),
+        concat_ws(" ", slice(col("t"), (col("start") + 1).cast("int"), lit(3)))
+          .as("chunk"))
+    val boiler = ch.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 3)
+      .select(col("chunk"))
+    val kept = ch.join(broadcast(boiler), Seq("chunk"), "left_anti")
+    val tot = ch.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val ka = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("start"), col("chunk")))),
+          x => x.getField("chunk"))).as("clean_text"))
+    tot.join(ka, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_chunks").cast("bigint").as("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L)))
+          .cast("bigint").as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Context-window chunking (q90): split each document's token stream
     * into fixed windows of 32 tokens with stride 24 (8-token overlap),
