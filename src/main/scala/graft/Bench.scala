@@ -39,7 +39,20 @@ object Bench {
       }
     }
     val failed = scala.collection.mutable.ListBuffer[String]()
+    // Per-query isolation: a ~100-query single-JVM run accumulates
+    // garbage across queries (checkpoint blocks, broadcasts, shuffle
+    // buffers), and a major GC landing inside a timed query produced
+    // 4x outliers on whichever queries ran late (measured: q95 3.6s in
+    // a full run vs 0.55s isolated, same code). Dropping leftover
+    // cached RDDs and forcing collection BETWEEN queries charges each
+    // query its own work, the way a per-query cluster job would be.
+    def isolate(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      isolate()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>

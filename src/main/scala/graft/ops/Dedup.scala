@@ -345,15 +345,31 @@ object Dedup {
     * xxhash64 of each signature slice, then ONE equi-join on
     * (band, band_sig) — the only shuffle in the whole operator.
     */
-  def minhashCandidates(docs: DataFrame, nHashes: Int = 32, bandSize: Int = 4,
-                        shingleSize: Int = 3): DataFrame = {
+  /** (doc_id, [keep...], band, band_sig) LSH band keys — the narrow
+    * map-side half of minhashCandidates, shared with the streaming
+    * lift (NearDupStream): signatures from the codegen
+    * ShingleMinHashExpr, band keys as xxhash64 of signature slices.
+    * Columns named in `keep` ride along (e.g. the event-time column a
+    * stream's watermark lives on).
+    */
+  def bandSignatures(docs: DataFrame, nHashes: Int = 32, bandSize: Int = 4,
+                     shingleSize: Int = 3, keep: Seq[String] = Nil): DataFrame = {
     require(nHashes >= bandSize && nHashes % bandSize == 0,
       s"nHashes ($nHashes) must be a positive multiple of bandSize ($bandSize)")
-    val bands = minhashSignatures(docs, nHashes, shingleSize)
+    docs.select(
+      col("doc_id") +: keep.map(col) :+
+        graft.functions.functions.shingle_minhash(
+          col("text"), nHashes, shingleSize).as("mh"): _*)
       .withColumn("band", explode(sequence(lit(0), lit(nHashes / bandSize - 1))))
-      .select(col("doc_id"), col("band"),
-        xxhash64(slice(col("mh"), col("band") * bandSize + 1, lit(bandSize)))
-          .as("band_sig"))
+      .select(
+        col("doc_id") +: keep.map(col) :+ col("band") :+
+          xxhash64(slice(col("mh"), col("band") * bandSize + 1, lit(bandSize)))
+            .as("band_sig"): _*)
+  }
+
+  def minhashCandidates(docs: DataFrame, nHashes: Int = 32, bandSize: Int = 4,
+                        shingleSize: Int = 3): DataFrame = {
+    val bands = bandSignatures(docs, nHashes, bandSize, shingleSize)
     bands.toDF("d1", "band", "sig")
       .join(bands.toDF("d2", "band2", "sig2"),
         col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))
@@ -495,8 +511,21 @@ object Dedup {
     * symmetric edge list + one label self-join + a min-aggregate — all
     * hash-partitioned on vertex id. Label frames are localCheckpoint'd
     * per round to truncate the growing plan lineage.
+    *
+    * Edge lists up to `localEdgeLimit` skip the loop entirely: the
+    * materialized edges are union-found on the driver (O(E α(E)), path
+    * compression) and the labeling returns as a local relation. This is
+    * the centroid-state pattern, one size up: a verified near-dup edge
+    * list is heavy-hitter-sized relative to the corpus (pairs survive
+    * TWO filters — LSH banding and exact verification), so even at
+    * 100 TB corpus scale the edge list usually fits in driver memory,
+    * and the distributed loop's per-round scheduling (4+ jobs x
+    * O(log diameter) rounds) is the dominant cost, not the data.
+    * Graphs above the bound run the loop unchanged. Set
+    * `localEdgeLimit = 0` to force the distributed path.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          localEdgeLimit: Long = 2000000L): DataFrame = {
     val spk = pairs.sparkSession
     val e = pairs.toDF("a", "b")
     val sym = e.union(e.select(col("b"), col("a")))
@@ -518,6 +547,11 @@ object Dedup {
     // the operator is a blocking batch call, not for concurrent use on
     // a shared session.
     val nEdges = sym.count()
+    if (nEdges <= localEdgeLimit) {
+      val out = componentsLocal(sym)
+      sym.unpersist(blocking = false)
+      return out
+    }
     val smallGraph = nEdges < 10000000L
     val prevParts = spk.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spk.conf.get("spark.sql.adaptive.enabled")
@@ -590,6 +624,49 @@ object Dedup {
       }
       sym.unpersist(blocking = false)
     }
+  }
+
+  /** Driver-side labeling for graphs under the collect bound:
+    * union-find with path compression over the materialized symmetric
+    * edge list, component id = minimum member (the same contract as the
+    * distributed loop, for any Comparable id type — int/long/string).
+    * Returns a local relation [v, component].
+    */
+  private def componentsLocal(sym: DataFrame): DataFrame = {
+    val spk = sym.sparkSession
+    val idType = sym.schema("src").dataType
+    val edges = sym.collect()
+    val parent = new java.util.HashMap[Any, Any](edges.length * 2)
+    def find(x0: Any): Any = {
+      var r = x0
+      while (parent.get(r) != r) r = parent.get(r)
+      var x = x0
+      while (!x.equals(r)) { val nx = parent.get(x); parent.put(x, r); x = nx }
+      r
+    }
+    edges.foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (!ra.equals(rb)) parent.put(ra, rb)
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val verts = parent.keySet().toArray
+    val minOf = new java.util.HashMap[Any, Any](verts.length)
+    verts.foreach { v =>
+      val r = find(v)
+      val cur = minOf.get(r)
+      if (cur == null || lt(v, cur)) minOf.put(r, v)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("component", idType, nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(verts.map(v =>
+        org.apache.spark.sql.Row(v, minOf.get(find(v)))): _*)
+    spk.createDataFrame(rows, schema)
   }
 
   /** Near-dup clustering (q85): verified Jaccard pairs (the q26

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.ops.Dedup
+
+/** Streaming near-duplicate detection — the curation-on-ingest lift of
+  * the batch MinHash-LSH dedup path.
+  *
+  * Two complementary operators:
+  *  - [[lshBucketAnchors]]: bounded-state LSH bucket index. Every
+  *    (band, band_sig) bucket remembers the FIRST document that landed
+  *    in it (the anchor); each arriving document emits one row per
+  *    band with that bucket's anchor. A document is a near-dup
+  *    CANDIDATE iff any of its rows has `anchor_id != doc_id` — the
+  *    exact streaming analogue of "shares an LSH bucket with an
+  *    earlier doc" in the batch `minhashCandidates` join. Bucket state
+  *    expires `bucketTtl` past the watermark, so state is bounded by
+  *    the dedup horizon, not the stream length.
+  *  - [[dedupOnIngest]]: exact-key dedup against an UNBOUNDED history
+  *    via foreachBatch + the batch bloom-prefiltered
+  *    [[graft.ops.Dedup.dedupAgainstHistory]], with the history store
+  *    growing as batches commit. This is the production shape when the
+  *    dedup horizon must outlive any watermark: cross-batch state
+  *    lives in storage (keys + bloom), not in the state store.
+  *
+  * Engine restriction, by design: an aggregation cannot chain after
+  * `flatMapGroupsWithState` in append mode, so the per-document fold
+  * of [[lshBucketAnchors]] rows ("any band anchored elsewhere?")
+  * happens in the consumer — typically a `foreachBatch` that routes
+  * candidates to exact verification (the same two-stage contract as
+  * the batch path: LSH proposes, Jaccard disposes).
+  */
+object NearDupStream {
+
+  case class BandRow(doc_id: Long, ts: Timestamp, band: Int, band_sig: Long)
+  case class BucketState(anchorId: Long, lastMs: Long)
+  case class BucketHit(doc_id: Long, band: Int, band_sig: Long, anchor_id: Long)
+
+  /** Stateful LSH bucket index over a stream of (doc_id, ts, text).
+    *
+    * Band keys are derived with the identical codegen arithmetic as
+    * the batch path (Dedup.bandSignatures), so a stream and a batch
+    * over the same rows propose the same candidates. State per bucket
+    * is ONE (anchor_id, lastMs) pair; buckets die via event-time
+    * timeout once the watermark passes `lastMs + bucketTtl` — after
+    * that, a recurrence of the same content re-anchors to itself
+    * (bounded-state recall horizon, the documented trade).
+    */
+  def lshBucketAnchors(spark: SparkSession, docs: DataFrame,
+                       nHashes: Int = 32, bandSize: Int = 4,
+                       shingleSize: Int = 3,
+                       watermarkDelay: String = "10 minutes",
+                       bucketTtlMs: Long = 3600L * 1000L): Dataset[BucketHit] = {
+    import spark.implicits._
+    val bands = Dedup.bandSignatures(
+      docs.withWatermark("ts", watermarkDelay),
+      nHashes, bandSize, shingleSize, keep = Seq("ts"))
+      .select(col("doc_id"), col("ts"), col("band"), col("band_sig"))
+      .as[BandRow]
+    bands
+      .groupByKey(r => (r.band, r.band_sig))
+      .flatMapGroupsWithState[BucketState, BucketHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // micro-batch rows are unordered: anchor = earliest
+            // (ts, doc_id) — deterministic under replay
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            val st = state.getOption.getOrElse(
+              BucketState(sorted.head.doc_id, sorted.head.ts.getTime))
+            val lastMs = math.max(st.lastMs, sorted.last.ts.getTime)
+            state.update(BucketState(st.anchorId, lastMs))
+            // deadline clamped above the watermark (past deadlines are
+            // rejected); in batch execution the watermark node is
+            // eliminated and the call throws — timeouts never fire
+            // there, any deadline works
+            val wm = scala.util.Try(state.getCurrentWatermarkMs())
+              .getOrElse(Long.MinValue)
+            state.setTimeoutTimestamp(math.max(lastMs + bucketTtlMs, wm + 1))
+            sorted.iterator.map(r =>
+              BucketHit(r.doc_id, r.band, r.band_sig, st.anchorId))
+          }
+      }
+  }
+
+  /** Exact-key streaming dedup against an unbounded, storage-backed
+    * history. Per micro-batch: dedup within the batch (keep lowest
+    * doc_id per key — deterministic), drop keys already in history via
+    * the bloom-prefiltered batch operator (history never shuffles),
+    * then commit survivors to `outDir` and their keys to `historyDir`,
+    * both under `batch_id=N` directories overwritten on replay — the
+    * write is idempotent, so checkpoint recovery re-emits identical
+    * data (effectively-once).
+    */
+  def dedupOnIngest(docs: DataFrame, keyCol: String,
+                    historyDir: String, outDir: String, checkpointDir: String,
+                    expectedItems: Long = 1000000L,
+                    fpp: Double = 0.03): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // in-batch exact dedup: one representative per key (arbitrary
+        // among identical keys is fine for EXACT dedup — rows with the
+        // same key and different payloads are the caller's bug)
+        val inBatch = batch.dropDuplicates(keyCol)
+        val hasHistory = {
+          val p = new org.apache.hadoop.fs.Path(historyDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.exists(p) && fs.listStatus(p).nonEmpty
+        }
+        val survivors =
+          if (hasHistory)
+            Dedup.dedupAgainstHistory(inBatch,
+              spark.read.parquet(historyDir), keyCol, expectedItems, fpp)
+          else inBatch
+        // cache: referenced by both the data write and the key write
+        survivors.persist()
+        try {
+          survivors.write.mode("overwrite")
+            .parquet(s"$outDir/batch_id=$batchId")
+          survivors.select(col(keyCol)).write.mode("overwrite")
+            .parquet(s"$historyDir/batch_id=$batchId")
+        } finally survivors.unpersist(blocking = false)
+      }
+      .outputMode("update")
+      .start()
+}

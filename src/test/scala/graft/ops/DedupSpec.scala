@@ -74,12 +74,33 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connectedComponents: long path converges (diameter rounds, early stop)") {
-    // path 0-1-2-...-9: diameter 9, must still resolve to min=0
+    // path 0-1-2-...-9: diameter 9, must still resolve to min=0.
+    // localEdgeLimit=0 forces the distributed loop — the driver
+    // union-find fast path would otherwise absorb test-sized graphs.
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
-    val comp = Dedup.connectedComponents(pairs, maxIter = 15)
+    val comp = Dedup.connectedComponents(pairs, maxIter = 15, localEdgeLimit = 0L)
       .as[(Long, Long)].collect().toMap
     assert(comp.values.toSet == Set(0L))
     assert(comp.keySet == (0L to 9L).toSet)
+  }
+
+  test("connectedComponents: driver union-find agrees with the distributed loop") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(400)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local.nonEmpty)
+  }
+
+  test("connectedComponents: non-numeric (string) ids label by min member") {
+    val pairs = Seq(("b", "a"), ("c", "b"), ("y", "x")).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(comp == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
   test("shingles produces n-grams in order") {

@@ -67,8 +67,10 @@ class ShuffleBytesSpec extends SparkSpec {
     // edge x label blowups or materialized payloads would be MBs
     val pairs = (0L until 199L).map(i => (i, i + 1)) ++
       (0L until 100L).map(i => (i * 2, i * 2 + 1))
+    // localEdgeLimit=0: gate the DISTRIBUTED loop's wire traffic (the
+    // default would take the driver union-find path at this size)
     val bytes = shuffleBytes {
-      Dedup.connectedComponents(pairs.toDF("a", "b")).collect()
+      Dedup.connectedComponents(pairs.toDF("a", "b"), localEdgeLimit = 0L).collect()
     }
     assert(bytes > 0)
     assert(bytes < 2 * 1024 * 1024, s"components shuffled $bytes bytes")

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class InDoc(doc_id: Long, ts: Timestamp, text: String)
+case class KeyedDoc(doc_id: Long, text: String)
+
+class NearDupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // NOTE times start well after the epoch: a row whose event time sits
+  // exactly AT the current watermark (the initial watermark is 0) is
+  // dropped as late BEFORE the stateful operator — a doc at t(0) in
+  // the first micro-batch silently vanishes.
+  private def t(minutes: Long) = new Timestamp((100 + minutes) * 60000L)
+
+  // doc 2 is a near-dup of doc 1 (one word changed); 3 is unrelated
+  private val base = Seq(
+    InDoc(1L, t(0), "spark streams deduplicate documents with minhash bands here"),
+    InDoc(2L, t(1), "spark streams deduplicate documents with minhash buckets here"),
+    InDoc(3L, t(1), "completely different text about gardens and orchids in spring"))
+
+  test("lshBucketAnchors flags the same candidate docs as the batch LSH join") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[InDoc]
+    val q = NearDupStream.lshBucketAnchors(spark, mem.toDF(),
+      nHashes = 16, bandSize = 2, shingleSize = 2)
+      .writeStream.format("memory").queryName("anchors")
+      .outputMode("append").start()
+    try {
+      mem.addData(base: _*)
+      q.processAllAvailable()
+      val hits = spark.table("anchors")
+        .as[NearDupStream.BucketHit].collect().toSeq
+      // every doc emits one row per band (a missing doc here means its
+      // rows were dropped as late — see the t() note above)
+      assert(hits.map(_.doc_id).toSet == Set(1L, 2L, 3L))
+      assert(hits.groupBy(_.doc_id).forall(_._2.size == 8))
+      val flagged = hits.filter(h => h.anchor_id != h.doc_id)
+        .map(_.doc_id).toSet
+      // batch contract: docs that share a bucket with an earlier doc
+      // (arrival order == id order here) are exactly the batch join's
+      // higher-id candidates
+      val batchFlagged = graft.ops.Dedup.minhashCandidates(
+        base.toDF().select(col("doc_id"), col("text")),
+        nHashes = 16, bandSize = 2, shingleSize = 2)
+        .select(col("d2")).as[Long].collect().toSet
+      assert(flagged == batchFlagged)
+      assert(flagged.contains(2L) && !flagged.contains(3L))
+      // anchors point at the bucket's first arrival
+      assert(hits.filter(h => h.doc_id == 2L && h.anchor_id != 2L)
+        .forall(_.anchor_id == 1L))
+    } finally q.stop()
+  }
+
+  test("bucket state expires past watermark + ttl: recurrence re-anchors to itself") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[InDoc]
+    val q = NearDupStream.lshBucketAnchors(spark, mem.toDF(),
+      nHashes = 16, bandSize = 2, shingleSize = 2,
+      watermarkDelay = "1 minutes", bucketTtlMs = 5L * 60000L)
+      .writeStream.format("memory").queryName("anchors_ttl")
+      .outputMode("append").start()
+    try {
+      mem.addData(InDoc(1L, t(0),
+        "spark streams deduplicate documents with minhash bands here"))
+      q.processAllAvailable()
+      // push the watermark far past t(0) + ttl: buckets for doc 1 die
+      mem.addData(InDoc(50L, t(1000),
+        "completely different text about gardens and orchids in spring"))
+      q.processAllAvailable()
+      // identical content to doc 1, inside the new watermark: its
+      // buckets are gone, so it must anchor to itself (horizon trade)
+      mem.addData(InDoc(60L, t(1001),
+        "spark streams deduplicate documents with minhash bands here"))
+      q.processAllAvailable()
+      val hits = spark.table("anchors_ttl")
+        .as[NearDupStream.BucketHit].collect().toSeq
+      assert(hits.filter(_.doc_id == 60L).forall(_.anchor_id == 60L))
+    } finally q.stop()
+  }
+
+  test("dedupOnIngest drops cross-batch duplicate keys via the history store") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("neardup-ingest").toString
+    val mem = MemoryStream[KeyedDoc]
+    val q = NearDupStream.dedupOnIngest(mem.toDF(), "doc_id",
+      s"$dir/history", s"$dir/out", s"$dir/ckpt",
+      expectedItems = 1000L, fpp = 0.01)
+    try {
+      mem.addData(KeyedDoc(1L, "a"), KeyedDoc(2L, "b"), KeyedDoc(2L, "b"))
+      q.processAllAvailable()
+      mem.addData(KeyedDoc(2L, "b"), KeyedDoc(3L, "c"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+        .select(col("doc_id")).as[Long].collect().toSeq
+      // batch 1 kept {1,2} (in-batch dup of 2 collapsed); batch 2 kept
+      // only {3} (2 already in history)
+      assert(out.sorted == Seq(1L, 2L, 3L))
+      val hist = spark.read.parquet(s"$dir/history")
+        .select(col("doc_id")).as[Long].collect().toSeq
+      assert(hist.sorted == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
