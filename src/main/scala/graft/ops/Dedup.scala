@@ -341,10 +341,6 @@ object Dedup {
       graft.functions.functions.shingle_minhash(
         col("text"), nHashes, shingleSize).as("mh"))
 
-  /** MinHash-LSH candidates: narrow signatures, band signatures as
-    * xxhash64 of each signature slice, then ONE equi-join on
-    * (band, band_sig) — the only shuffle in the whole operator.
-    */
   /** (doc_id, [keep...], band, band_sig) LSH band keys — the narrow
     * map-side half of minhashCandidates, shared with the streaming
     * lift (NearDupStream): signatures from the codegen
@@ -367,6 +363,10 @@ object Dedup {
             .as("band_sig"): _*)
   }
 
+  /** MinHash-LSH candidates: narrow signatures, band signatures as
+    * xxhash64 of each signature slice, then ONE equi-join on
+    * (band, band_sig) — the only shuffle in the whole operator.
+    */
   def minhashCandidates(docs: DataFrame, nHashes: Int = 32, bandSize: Int = 4,
                         shingleSize: Int = 3): DataFrame = {
     val bands = bandSignatures(docs, nHashes, bandSize, shingleSize)
@@ -523,9 +523,14 @@ object Dedup {
     * O(log diameter) rounds) is the dominant cost, not the data.
     * Graphs above the bound run the loop unchanged. Set
     * `localEdgeLimit = 0` to force the distributed path.
+    *
+    * The limit counts SYMMETRIC edges (each input pair twice, after
+    * dedup), so the default admits ~500k input pairs — roughly 100 MB
+    * of collected rows + boxed-key maps, sized for a multi-GB driver;
+    * raise it only with driver memory to match.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
-                          localEdgeLimit: Long = 2000000L): DataFrame = {
+                          localEdgeLimit: Long = 1000000L): DataFrame = {
     val spk = pairs.sparkSession
     val e = pairs.toDF("a", "b")
     val sym = e.union(e.select(col("b"), col("a")))
@@ -651,8 +656,17 @@ object Dedup {
       val ra = find(a); val rb = find(b)
       if (!ra.equals(rb)) parent.put(ra, rb)
     }
-    def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    // String ids must order by UTF-8 BYTES to agree with the
+    // distributed loop's min() (Spark compares UTF8String binary);
+    // Java String.compareTo orders by UTF-16 code unit and disagrees
+    // on supplementary characters (surrogate 0xD800 < 0xFFFF).
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        java.util.Arrays.compareUnsigned(xb, yb) < 0
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     val verts = parent.keySet().toArray
     val minOf = new java.util.HashMap[Any, Any](verts.length)
     verts.foreach { v =>

@@ -92,13 +92,15 @@ object NearDupStream {
   }
 
   /** Exact-key streaming dedup against an unbounded, storage-backed
-    * history. Per micro-batch: dedup within the batch (keep lowest
-    * doc_id per key — deterministic), drop keys already in history via
-    * the bloom-prefiltered batch operator (history never shuffles),
-    * then commit survivors to `outDir` and their keys to `historyDir`,
-    * both under `batch_id=N` directories overwritten on replay — the
-    * write is idempotent, so checkpoint recovery re-emits identical
-    * data (effectively-once).
+    * history. Per micro-batch: dedup within the batch (deterministic
+    * keep: the row-wise minimum over all columns per key), drop keys
+    * already in STRICTLY OLDER batches of the history via the
+    * bloom-prefiltered batch operator (history never shuffles), then
+    * commit survivors to `outDir` and their keys to `historyDir`, both
+    * under `batch_id=N` directories overwritten on replay. Excluding
+    * the current batch's own history partition from the read plus the
+    * deterministic keep make the pair of writes idempotent under
+    * checkpoint-recovery replay (effectively-once).
     */
   def dedupOnIngest(docs: DataFrame, keyCol: String,
                     historyDir: String, outDir: String, checkpointDir: String,
@@ -108,19 +110,40 @@ object NearDupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // in-batch exact dedup: one representative per key (arbitrary
-        // among identical keys is fine for EXACT dedup — rows with the
-        // same key and different payloads are the caller's bug)
-        val inBatch = batch.dropDuplicates(keyCol)
-        val hasHistory = {
+        // in-batch exact dedup, DETERMINISTIC representative: the
+        // row-wise minimum over all columns per key, so a replayed
+        // batch re-emits byte-identical survivors even when the same
+        // key arrives with different payloads
+        val others = batch.columns.filter(_ != keyCol).map(col).toSeq
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(others: _*)
+        val inBatch =
+          if (others.isEmpty) batch.dropDuplicates(keyCol)
+          else batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        // Replay safety: read ONLY batches strictly older than this
+        // one. A crash after the history write but before the
+        // streaming checkpoint commits replays this batchId — if the
+        // history read included the batch's own keys, the replay would
+        // dedup the batch against itself, emit zero survivors, and
+        // overwrite both outputs with empty data.
+        val priorBatches = {
           val p = new org.apache.hadoop.fs.Path(historyDir)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.exists(p) && fs.listStatus(p).nonEmpty
+          if (!fs.exists(p)) Array.empty[String]
+          else fs.listStatus(p).map(_.getPath)
+            .filter { d =>
+              val n = d.getName
+              n.startsWith("batch_id=") &&
+                scala.util.Try(n.stripPrefix("batch_id=").toLong)
+                  .toOption.exists(_ < batchId)
+            }
+            .map(_.toString)
         }
         val survivors =
-          if (hasHistory)
+          if (priorBatches.nonEmpty)
             Dedup.dedupAgainstHistory(inBatch,
-              spark.read.parquet(historyDir), keyCol, expectedItems, fpp)
+              spark.read.parquet(priorBatches: _*), keyCol, expectedItems, fpp)
           else inBatch
         // cache: referenced by both the data write and the key write
         survivors.persist()

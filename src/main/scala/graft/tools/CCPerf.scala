@@ -51,7 +51,12 @@ object CCPerf {
         times.map(t => f"${t._1}%7.3f").mkString(" "))
     }
 
+    // default dispatch (union-find for a pair set this small) AND the
+    // distributed loop (forced) — the loop variants below compare
+    // against "loop", not "current"
     time("current", 3)(graft.ops.Dedup.connectedComponents(pairs))
+    time("loop", 3)(
+      graft.ops.Dedup.connectedComponents(pairs, localEdgeLimit = 0L))
 
     // Variant: per-round instrumentation of the current shape
     def instrumented(pairsDf: DataFrame, maxIter: Int = 25): DataFrame = {

@@ -6,15 +6,20 @@ import org.apache.spark.sql.SparkSession
   * same session config as graft.Bench, to separate real plan
   * regressions from run-to-run variance (GC, page cache, JIT).
   *
-  * Usage: runMain graft.tools.TimeQueries <reps> <qprefix> [<qprefix>...]
-  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32).
+  * Usage: runMain graft.tools.TimeQueries [<reps>] <qprefix> [<qprefix>...]
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS — both
+  * defaulted IDENTICALLY to graft.Bench, so timings explain bench runs.
   */
 object TimeQueries {
   def main(args: Array[String]): Unit = {
-    val reps = args.headOption.map(_.toInt).getOrElse(3)
-    val prefixes = args.drop(1).toSeq
+    // leading integer = reps; a non-numeric first arg is a query prefix
+    val reps = args.headOption.flatMap(a => scala.util.Try(a.toInt).toOption)
+      .getOrElse(3)
+    val prefixes =
+      (if (args.headOption.exists(a => scala.util.Try(a.toInt).isSuccess))
+        args.drop(1) else args).toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -92,15 +92,16 @@ class NearDupStreamSpec extends SparkSpec {
       s"$dir/history", s"$dir/out", s"$dir/ckpt",
       expectedItems = 1000L, fpp = 0.01)
     try {
-      mem.addData(KeyedDoc(1L, "a"), KeyedDoc(2L, "b"), KeyedDoc(2L, "b"))
+      mem.addData(KeyedDoc(1L, "a"), KeyedDoc(2L, "b"), KeyedDoc(2L, "a2"))
       q.processAllAvailable()
       mem.addData(KeyedDoc(2L, "b"), KeyedDoc(3L, "c"))
       q.processAllAvailable()
       val out = spark.read.parquet(s"$dir/out")
-        .select(col("doc_id")).as[Long].collect().toSeq
-      // batch 1 kept {1,2} (in-batch dup of 2 collapsed); batch 2 kept
-      // only {3} (2 already in history)
-      assert(out.sorted == Seq(1L, 2L, 3L))
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+      // batch 1 kept {1,2} — key 2's in-batch dup collapsed to the
+      // row-wise MIN payload ("a2" < "b"), the deterministic keep;
+      // batch 2 kept only {3} (2 already in history)
+      assert(out.sortBy(_._1) == Seq(1L -> "a", 2L -> "a2", 3L -> "c"))
       val hist = spark.read.parquet(s"$dir/history")
         .select(col("doc_id")).as[Long].collect().toSeq
       assert(hist.sorted == Seq(1L, 2L, 3L))
