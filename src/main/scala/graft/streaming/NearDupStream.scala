@@ -109,6 +109,21 @@ object NearDupStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, keyCol, historyDir, outDir,
+          expectedItems, fpp)
+      }
+      .outputMode("update")
+      .start()
+
+  /** One micro-batch of [[dedupOnIngest]], named so the replay contract
+    * is directly testable: calling it twice with the same batchId must
+    * write identical data (crash-recovery replays the last uncommitted
+    * batch).
+    */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+                                      keyCol: String, historyDir: String,
+                                      outDir: String, expectedItems: Long,
+                                      fpp: Double): Unit = {
         val spark = batch.sparkSession
         // in-batch exact dedup, DETERMINISTIC representative: the
         // row-wise minimum over all columns per key, so a replayed
@@ -153,7 +168,5 @@ object NearDupStream {
           survivors.select(col(keyCol)).write.mode("overwrite")
             .parquet(s"$historyDir/batch_id=$batchId")
         } finally survivors.unpersist(blocking = false)
-      }
-      .outputMode("update")
-      .start()
+  }
 }

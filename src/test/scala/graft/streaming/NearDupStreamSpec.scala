@@ -107,4 +107,24 @@ class NearDupStreamSpec extends SparkSpec {
       assert(hist.sorted == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("processBatch replay is idempotent: a batch never dedups against its own keys") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup-replay").toString
+    def run(batch: Seq[KeyedDoc], id: Long): Unit =
+      NearDupStream.processBatch(batch.toDF(), id, "doc_id",
+        s"$dir/history", s"$dir/out", 1000L, 0.01)
+    run(Seq(KeyedDoc(1L, "a"), KeyedDoc(2L, "b")), 0L)
+    // crash before checkpoint commit -> the same batchId replays with
+    // its own history partition already on disk; it must re-emit both
+    // rows, not dedup itself to empty
+    run(Seq(KeyedDoc(1L, "a"), KeyedDoc(2L, "b")), 0L)
+    val out0 = spark.read.parquet(s"$dir/out/batch_id=0")
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(out0.sorted == Seq(1L, 2L))
+    // the next batch still dedups against batch 0's history
+    run(Seq(KeyedDoc(2L, "b"), KeyedDoc(3L, "c")), 1L)
+    val out1 = spark.read.parquet(s"$dir/out/batch_id=1")
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(out1 == Seq(3L))
+  }
 }
