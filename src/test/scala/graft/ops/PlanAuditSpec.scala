@@ -106,6 +106,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q49 boilerplate removal strikes chunks via a broadcast anti-join") {
+    val nodes = collectNodes(CurationOps.q49.build(spark, sfDir))
+    // the df-thresholded boilerplate set is heavy-hitter-sized: the
+    // removal join must be a broadcast (LeftAnti BroadcastHashJoin),
+    // never a sort-merge of the full chunk stream
+    val smj = nodes.count(_.isInstanceOf[SortMergeJoinExec])
+    val antiBhj = nodes.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(smj == 0, "boilerplate anti-join degraded to sort-merge")
+    assert(antiBhj.nonEmpty, "expected a broadcast left-anti join")
+  }
+
   test("nearest-center assignment is a pure map: zero exchanges") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
