@@ -142,4 +142,90 @@ object Curation {
       .select(col("doc_id"))
     corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
   }
+
+  /** [[curate]] with ZERO bookkeeping actions: stage counts ride as
+    * `observe` metrics computed DURING the caller's one materialization
+    * instead of six standalone count() jobs. At 100 TB each count() in
+    * [[curate]] is a full pass over a stage's input — the observed
+    * variant's accounting is free (a running aggregate inside the
+    * already-executing plan).
+    *
+    * Same stages and policies as [[curate]] (quality -> language ->
+    * exact dedup -> verified near-dup -> optional balance; the exact
+    * and final frames are cached, earlier caches released by the
+    * caller via the returned frame's lifecycle).
+    *
+    * @return (curated frame, report thunk). The thunk BLOCKS until an
+    *         action has run over the returned frame (e.g.
+    *         `curated.count()` or the caller's write) — call it after
+    *         materializing, not before.
+    */
+  def curateObserved(spark: SparkSession, docs: DataFrame,
+                     minTokens: Int = 8, maxPunctRatio: Double = 0.2,
+                     keepLangs: Seq[String] = Nil,
+                     nHashes: Int = 32, bandSize: Int = 4,
+                     minSigAgreement: Double = 0.7,
+                     maxPerSource: Int = 0): (DataFrame, () => Report) = {
+    import org.apache.spark.sql.Observation
+    val oIn = Observation("curate_input")
+    val oQuality = Observation("curate_quality")
+    val oLang = Observation("curate_lang")
+    val oExact = Observation("curate_exact")
+    val oNearDup = Observation("curate_neardup")
+    val oBalance = Observation("curate_balance")
+    val n = count(lit(1)).as("n")
+
+    val toks = TextAnalytics.toks(col("text"))
+    val quality = docs.observe(oIn, n)
+      .withColumn("_n_tokens", size(toks))
+      .withColumn("_punct_ratio",
+        (length(col("text")) - length(regexp_replace(col("text"), "\\p{P}", "")))
+          / greatest(length(col("text")), lit(1)))
+      .filter(col("_n_tokens") >= minTokens
+        && col("_punct_ratio") <= maxPunctRatio)
+      .drop("_n_tokens", "_punct_ratio")
+      .observe(oQuality, n)
+    val langed =
+      (if (keepLangs.isEmpty) quality
+       else quality.filter(col("lang").isin(keepLangs: _*)))
+        .observe(oLang, n)
+    val exactKeep = langed
+      .groupBy(col("text").as("_t"))
+      .agg(min(col("doc_id")).as("_keep"))
+      .select(col("_keep").as("doc_id"))
+    // cache ABOVE the observe: the three consumers (signatures,
+    // candidates, anti-join) share one computation, so each stage
+    // metric fires exactly once — on the cache build
+    val exact = langed.join(exactKeep, "doc_id").observe(oExact, n).cache()
+    val sigs = Dedup.minhashSignatures(exact, nHashes)
+    val candidates = Dedup.minhashCandidates(exact, nHashes, bandSize)
+    val agree = zip_with(col("mh1"), col("mh2"),
+      (a, b) => when(a === b, 1).otherwise(0))
+    val dupIds = candidates
+      .join(sigs.toDF("d1j", "mh1"), col("d1j") === col("d1"))
+      .join(sigs.toDF("d2j", "mh2"), col("d2j") === col("d2"))
+      .withColumn("_est_jaccard",
+        aggregate(agree, lit(0), (acc, x) => acc + x) / lit(nHashes))
+      .filter(col("_est_jaccard") >= minSigAgreement)
+      .select(col("d2").as("doc_id")).distinct()
+    val deduped = exact.join(dupIds, Seq("doc_id"), "left_anti")
+      .observe(oNearDup, n)
+    if (maxPerSource > 0) require(deduped.columns.contains("source"),
+      "maxPerSource balancing needs a 'source' column")
+    val curated = (if (maxPerSource > 0) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("_hkey"), col("doc_id"))
+      deduped
+        .withColumn("_hkey", graft.ops.Sampling.hkey(col("doc_id")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= maxPerSource)
+        .drop("_hkey", "_rn")
+    } else deduped).observe(oBalance, n).cache()
+
+    def metric(o: Observation): Long =
+      o.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+    (curated, () => Report(metric(oIn), metric(oQuality), metric(oLang),
+      metric(oExact), metric(oNearDup), metric(oBalance)))
+  }
 }

@@ -74,4 +74,43 @@ class CurationSpec extends SparkSpec {
     assert(curated.select("doc_id").as[Long].collect().sorted.toSeq ==
       again.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("curateObserved: observed stage counts equal curate's, with far fewer jobs") {
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+    val (c1, r1) = Curation.curate(spark, docs, minTokens = 4,
+      maxPunctRatio = 0.5, maxPerSource = 10)
+    def countJobs[T](f: => T): (T, Int) = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val out = try f finally spark.sparkContext.removeSparkListener(listener)
+      (out, jobs.get())
+    }
+    // same params as c1 above — fresh frames, so a fair job-count race
+    val ((c1b, _), jobsCounted) = countJobs {
+      Curation.curate(spark, docs, minTokens = 4,
+        maxPunctRatio = 0.5, maxPerSource = 10)
+    }
+    c1b.unpersist(blocking = false)
+    val ((c2, report), jobsObserved) = countJobs {
+      val (c2, thunk) = Curation.curateObserved(spark, docs, minTokens = 4,
+        maxPunctRatio = 0.5, maxPerSource = 10)
+      c2.count() // the single materialization every observation rides
+      (c2, thunk())
+    }
+    assert(report == r1)
+    assert(c2.select("doc_id").as[Long].collect().sorted.toSeq ==
+      c1.select("doc_id").as[Long].collect().sorted.toSeq)
+    // the observed variant does the same pipeline work (AQE stages)
+    // MINUS the six standalone count() jobs and their recomputation
+    assert(jobsObserved < jobsCounted,
+      s"observed=$jobsObserved should undercut counted=$jobsCounted")
+    c1.unpersist(blocking = false)
+    c2.unpersist(blocking = false)
+  }
 }
