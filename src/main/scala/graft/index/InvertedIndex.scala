@@ -90,4 +90,35 @@ object InvertedIndex {
     matrix.select(
       col("term"),
       concat(lit("["), concat_ws(",", col("vec")), lit(",]")).as("line"))
+
+  /** Incremental index maintenance: fold a delta corpus's postings into
+    * an existing index without rebuilding it. Exactly equivalent to
+    * re-running [[postings]] over the union of both corpora (spec'd),
+    * but the existing index is touched only on terms the delta
+    * mentions.
+    *
+    * Scale shape: a full-outer equi-join on `term` + a sorted array
+    * union. An ingest delta's vocabulary is a sliver of the corpus
+    * vocabulary, so with the index stored bucketed by term (see
+    * sources.Bucketing) the join shuffles ONLY the delta side; without
+    * bucketing AQE broadcasts the delta's postings. Either way the
+    * 100 TB-side index never re-aggregates — the difference between
+    * O(delta) and O(corpus) per ingest cycle.
+    *
+    * Deletes are the same join with `array_except`; a tombstone column
+    * would make this a general merge — omitted until something needs it.
+    */
+  def mergePostings(existing: DataFrame, deltaTokens: DataFrame): DataFrame = {
+    val delta = postings(deltaTokens)
+    existing.toDF("term", "old_ids")
+      .join(delta.toDF("term", "new_ids"), Seq("term"), "full_outer")
+      .select(
+        col("term"),
+        // type-agnostic null handling (doc ids may be int or bigint):
+        // a term missing from one side keeps the other side's postings
+        when(col("old_ids").isNull, col("new_ids"))
+          .when(col("new_ids").isNull, col("old_ids"))
+          .otherwise(array_sort(array_union(col("old_ids"), col("new_ids"))))
+          .as("doc_ids"))
+  }
 }

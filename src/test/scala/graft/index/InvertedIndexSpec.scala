@@ -79,4 +79,21 @@ class InvertedIndexSpec extends SparkSpec {
     val fast = InvertedIndex.termDocMatrixFast(t, n).as[(String, Seq[Int])].collect().toMap
     assert(fast == slow)
   }
+
+  test("mergePostings(delta) == full rebuild over the union") {
+    val deltaDocs = Seq(
+      (4L, "cats return with new ponies"),   // extends cat/poni postings
+      (5L, "entirely novel words arrive"))   // new terms
+      .toDF("doc_id", "text")
+    val deltaToks = Normalize.tokens(deltaDocs, stopwords = Seq("the"))
+    val merged = InvertedIndex.mergePostings(InvertedIndex.postings(toks), deltaToks)
+      .as[(String, Seq[Long])].collect().toMap
+    val rebuilt = InvertedIndex.postings(
+      Normalize.tokens(docs.union(deltaDocs), stopwords = Seq("the")))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged == rebuilt)
+    assert(merged("cat") == Seq(1L, 2L, 4L))   // extended posting
+    assert(merged("mat") == Seq(3L))           // untouched posting survives
+    assert(merged.contains("novel"))           // delta-only term appears
+  }
 }
