@@ -11,7 +11,7 @@ import graft.text.Normalize
   */
 object IndexOracle {
 
-  def all: Seq[QueryDef] = Seq(q40, q41, q42)
+  def all: Seq[QueryDef] = Seq(q40, q41, q42, q100)
 
   /** Reference Job 1 end-to-end: normalize (tokenize/punct/stopword/
     * Porter-stem) -> term-document presence matrix (serialized in the
@@ -95,5 +95,31 @@ object IndexOracle {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** Incremental index maintenance (q100): postings built over the
+    * first corpus slice (doc_id < 400), then the remaining documents
+    * folded in via [[InvertedIndex.mergePostings]] — the oracle
+    * recomputes the FULL corpus index directly, so the hash-match
+    * proves merge == rebuild on real data. Raw whitespace tokens (no
+    * stemming) keep the oracle independent of PorterSql here; the
+    * stemmed pipeline is covered by q40-q42.
+    */
+  val q100: QueryDef = QueryDef.sql(
+    "q100_index_merge",
+    """WITH t AS (
+      |  SELECT DISTINCT doc_id, unnest(list_filter(
+      |    string_split_regex(text, '\s+'), x -> x <> '')) AS term
+      |  FROM documents)
+      |SELECT term,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+      |FROM t GROUP BY term ORDER BY term""".stripMargin) { (s, dir) =>
+    val tokens = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalytics.toks(col("text"))).as("term"))
+    val existing = InvertedIndex.postings(tokens.filter(col("doc_id") < 400))
+    InvertedIndex.mergePostings(existing, tokens.filter(col("doc_id") >= 400))
+      .select(col("term"),
+        concat_ws(",", transform(col("doc_ids"), _.cast("string"))).as("doc_ids"))
+      .orderBy(col("term"))
   }
 }
