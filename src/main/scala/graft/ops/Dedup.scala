@@ -385,13 +385,22 @@ object Dedup {
     * their full text, not by true n-grams (documented, same on both
     * engines).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = TextAnalytics.toks(text)
-    filter(
-      transform(sequence(lit(0), greatest(size(t) - n, lit(0))),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))),
-      s => length(s) > 0)
-  }
+  def shingles(text: Column, n: Int): Column =
+    // LET-BIND the token array before the shingle loop. Higher-order
+    // functions are interpreted (not codegen'd, no common-subexpression
+    // elimination), so a lambda body that references the tokenize
+    // EXPRESSION would re-run the regex split once per shingle index —
+    // O(tokens x chars) per document (measured: 84 CPU-seconds to
+    // shingle 1.4 MB of text in q89). `transform(array(t), tt => ...)`
+    // evaluates t exactly once and rebinds it as a lambda variable, an
+    // O(1) lookup per reference.
+    element_at(
+      transform(array(TextAnalytics.toks(text)), t =>
+        filter(
+          transform(sequence(lit(0), greatest(size(t) - n, lit(0))),
+            i => concat_ws(" ", slice(t, i + 1, lit(n)))),
+          s => length(s) > 0)),
+      1)
 
   /** SimHash near-dup pairs via the codegen'd simhash64 expression over
     * xxhash64 term ids; pairs within `maxHamming` bits. The pair join
