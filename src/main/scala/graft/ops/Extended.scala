@@ -21,7 +21,7 @@ object Extended {
 
   def all: Seq[QueryDef] = Seq(
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83, q84)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84, q101)
 
   /** Relational pivot via the first-class DataFrame API (`.pivot` with
     * explicit values — no extra pass to discover them): quantity per
@@ -713,5 +713,38 @@ object Extended {
       .agg(count(lit(1)).as("n"),
         min(col("k")).as("k_min"), max(col("k")).as("k_max"))
       .orderBy(col("k_mod"))
+  }
+
+  /** Range-lookup join with no equi key (GeoIP-table shape): each
+    * event's value against per-supplier [lo, hi) bands, via
+    * [[RangeJoin.pointInInterval]]'s binned equi-join — a shuffled
+    * hash/sort-merge join on the bin, never the nested loop Spark
+    * would otherwise plan for a pure inequality join. The DuckDB twin
+    * runs the naive theta join, proving the binned rewrite exact
+    * (identical double band formulas both sides, money sum through
+    * DECIMAL).
+    */
+  val q101: QueryDef = QueryDef.sql(
+    "q101_range_lookup",
+    """WITH bands AS (
+      |  SELECT s_suppkey, s_acctbal / 25.0 AS lo,
+      |    s_acctbal / 25.0 + (3.0 * CAST(s_suppkey % 7 AS DOUBLE) + 5.0) AS hi
+      |  FROM supplier)
+      |SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN bands ON value >= lo AND value < hi
+      |GROUP BY s_suppkey
+      |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val lo = col("s_acctbal") / lit(25.0)
+    val bands = Tables.supplier(s, dir).select(
+      col("s_suppkey"), lo.as("lo"),
+      (lo + (lit(3.0) * (col("s_suppkey") % 7).cast("double") + lit(5.0)))
+        .as("hi"))
+    val points = Tables.events(s, dir).select(col("value"))
+    RangeJoin.pointInInterval(points, "value", bands, "lo", "hi",
+      binWidth = 10.0)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_events"), money(col("value")).as("sum_value"))
+      .orderBy(col("s_suppkey"))
   }
 }

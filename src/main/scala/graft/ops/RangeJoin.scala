@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval join with NO equi key — the range-lookup shape
+  * (GeoIP/CIDR tables, price bands, time buckets) that web-log
+  * analytics hits constantly and that Spark plans as a broadcast
+  * nested-loop join: O(|points| x |ranges|) comparisons, and an OOM
+  * or a cartesian the moment the range side outgrows the broadcast
+  * threshold.
+  *
+  * Binned formulation instead:
+  *   1. each point maps to exactly one bin: `floor(p / w)`;
+  *   2. each range `[lo, hi)` explodes to the bins it covers:
+  *      `sequence(floor(lo/w), floor(hi/w))`;
+  *   3. equi-join on the bin, then re-check the exact predicate
+  *      `lo <= p < hi`.
+  *
+  * No duplicates by construction (a point owns one bin; a range lists
+  * each covered bin once), no false negatives (floor is monotone under
+  * IEEE division by a positive w, so `lo <= p < hi` implies
+  * `floor(lo/w) <= floor(p/w) <= floor(hi/w)`).
+  *
+  * Scale: the join is a plain shuffled equi-join on a numeric key —
+  * partial-aggregatable, AQE-splittable when a bin is hot. Cost is
+  * `|points| + sum(width_i / w + 2)` candidate rows instead of
+  * `|points| x |ranges|`. Pick `w` near the median range width:
+  * much smaller explodes the range side; much larger piles unrelated
+  * points and ranges into the same bin and the post-filter does the
+  * nested-loop's work locally. [[suggestBinWidth]] computes that
+  * median with one tiny aggregate over the (by-assumption much
+  * smaller) range side.
+  */
+object RangeJoin {
+
+  /** All (point, range) pairs with `lo <= point < hi`, as the joined
+    * row set. Null or empty (`lo >= hi`) ranges and null points drop —
+    * they can match nothing. Column names must not collide.
+    *
+    * @param binWidth bin width in point units; must be > 0 and finite.
+    */
+  def pointInInterval(
+      points: DataFrame, pointCol: String,
+      ranges: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0 && java.lang.Double.isFinite(binWidth),
+      s"binWidth must be positive and finite, got $binWidth")
+    require(points.columns.toSet.intersect(ranges.columns.toSet).isEmpty,
+      "point and range column names collide")
+    val w = lit(binWidth)
+    val p = points.filter(col(pointCol).isNotNull)
+      .withColumn("_bin", floor(col(pointCol) / w))
+    val r = ranges
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) < col(hiCol))
+      .withColumn("_bin",
+        explode(sequence(floor(col(loCol) / w), floor(col(hiCol) / w))))
+    p.join(r, "_bin")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_bin")
+  }
+
+  /** Median range width — the recommended bin width — via one
+    * aggregate over the range side. Driver-side scalar by design: it
+    * parameterizes the plan, the same way AQE reads shuffle stats.
+    * Returns None when the range side has no valid rows.
+    */
+  def suggestBinWidth(
+      ranges: DataFrame, loCol: String, hiCol: String): Option[Double] = {
+    val row = ranges
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) < col(hiCol))
+      .agg(percentile_approx(col(hiCol) - col(loCol), lit(0.5), lit(1000)))
+      .head()
+    if (row.isNullAt(0)) None
+    else Option(row.getDouble(0)).filter(v => v > 0 && java.lang.Double.isFinite(v))
+  }
+}
