@@ -212,4 +212,105 @@ object VectorOps {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
+
+  /** Unit-L2-normalized copy of `v` (zero vector passes through
+    * unchanged — it has no direction and downstream dot products
+    * correctly score it 0).
+    */
+  def unitNormalize(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); out(i) = x; s += x * x; i += 1 }
+    if (s > 0.0) {
+      val inv = 1.0 / math.sqrt(s)
+      i = 0
+      while (i < n) { out(i) *= inv; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Product-quantization encode: split `v` into `codebooks.length`
+    * contiguous subspaces and return, per subspace, the index of the
+    * L2-nearest codeword — the m-byte sketch that stands in for the
+    * full vector during ADC candidate scoring. Subspace j covers
+    * dimensions [j*subDim, (j+1)*subDim); a vector shorter than the
+    * codebook layout scores missing dimensions as 0 (row-local junk
+    * must not kill the scan).
+    */
+  def pqEncode(v: ArrayData, codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val m = codebooks.length
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val subDim = cb(0).length
+      val off = j * subDim
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val w = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = if (off + i < v.numElements()) v.getDouble(off + i) else 0.0
+          val diff = x - w(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  /** Per-query ADC lookup table: lut(j*ksub + c) = dot(q_sub_j,
+    * codeword_{j,c}). Computed ONCE per query (m*ksub*subDim mults);
+    * every candidate afterwards costs only m array lookups
+    * ([[pqAdcDot]]) — the asymmetric-distance-computation split that
+    * makes PQ scanning cheap (Jegou et al., TPAMI'11).
+    */
+  def pqLut(q: ArrayData, codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val subDim = cb(0).length
+      val off = j * subDim
+      var c = 0
+      while (c < ksub) {
+        val w = cb(c)
+        var s = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = if (off + i < q.numElements()) q.getDouble(off + i) else 0.0
+          s += x * w(i)
+          i += 1
+        }
+        out(j * ksub + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC approximate dot product: sum over subspaces of the LUT entry
+    * the candidate's code selects. `ksub` = codewords per subspace
+    * (the LUT stride).
+    */
+  def pqAdcDot(lut: ArrayData, codes: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) { s += lut.getDouble(j * ksub + codes.getInt(j)); j += 1 }
+    s
+  }
 }

@@ -217,6 +217,117 @@ case class SignBucketExpr(child: Expression, planes: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Product-quantization encode against driver-side codebooks
+  * ([m][ksub][subDim]): ARRAY<DOUBLE> -> ARRAY<INT> of m codeword
+  * indices. Like [[NearestCenterExpr]], the codebooks ride into the
+  * generated code as a reference object, so corpus encoding — the
+  * 100 TB side of IVF-PQ index build — is a pure codegen'd narrow map.
+  */
+case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(codebooks.nonEmpty, "pq_encode needs at least one subspace codebook")
+  require(codebooks.forall(_.nonEmpty), "pq_encode: empty subspace codebook")
+  require(codebooks.flatMap(_.map(_.length)).distinct.size == 1 &&
+    codebooks.map(_.length).distinct.size == 1,
+    "pq_encode: codebooks must be rectangular ([m][ksub][subDim])")
+
+  // Seq field: structural case-class equality -> canonicalization and
+  // subexpression/exchange reuse work; primitive form derived once.
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.pqEncode(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cbArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", cbArr, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.pqEncode($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table against the same driver-side codebooks:
+  * ARRAY<DOUBLE> -> ARRAY<DOUBLE> of m*ksub partial dot products (see
+  * VectorOps.pqLut). Evaluated once per QUERY row — the small side.
+  */
+case class PqLutExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_lut needs non-empty codebooks")
+
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.pqLut(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cbArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", cbArr, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.pqLut($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+}
+
+/** ADC approximate dot product: m LUT lookups per candidate instead of
+  * a dim-length dot product — the PQ scan kernel. `ksub` is the LUT
+  * stride (codewords per subspace).
+  */
+case class PqAdcDotExpr(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(ksub > 0, s"ksub must be positive, got $ksub")
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_dot"
+
+  override def nullSafeEval(lut: Any, codes: Any): Any =
+    VectorOps.pqAdcDot(
+      lut.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (l, c) => s"graft.functions.VectorOps.pqAdcDot($l, $c, $ksub)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcDotExpr =
+    copy(left = l, right = r)
+}
+
+/** Unit-L2 normalization of an ARRAY<DOUBLE> (zero vectors pass
+  * through). Normalizing both sides up front turns cosine into a plain
+  * dot product, which is what lets the PQ ADC path rank by cosine.
+  */
+case class UnitNormalizeExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "unit_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.unitNormalize(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.unitNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UnitNormalizeExpr =
+    copy(child = newChild)
+}
+
 /** Bloom-filter membership against a driver-side
   * `org.apache.spark.util.sketch.BloomFilter` (built distributed via
   * `df.stat.bloomFilter`'s treeAggregate — the big side never
@@ -293,6 +404,21 @@ object functions {
                           bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     Shim.column(BloomMightContainExpr(Shim.expression(c), bloom))
 
+  private def cbSeq(cb: Array[Array[Array[Double]]]): Seq[Seq[Seq[Double]]] =
+    cb.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq
+
+  def pq_encode(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Shim.column(PqEncodeExpr(Shim.expression(c), cbSeq(codebooks)))
+
+  def pq_lut(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Shim.column(PqLutExpr(Shim.expression(c), cbSeq(codebooks)))
+
+  def pq_adc_dot(lut: Column, codes: Column, ksub: Int): Column =
+    Shim.column(PqAdcDotExpr(Shim.expression(lut), Shim.expression(codes), ksub))
+
+  def unit_normalize(c: Column): Column =
+    Shim.column(UnitNormalizeExpr(Shim.expression(c)))
+
   /** Register the functions for SQL use in an existing session
     * (idempotent). For new sessions prefer
     * `.withExtensions(new GraftExtensions)`.
@@ -341,5 +467,6 @@ object GraftExtensions {
       MinHashSigExpr(es(0), intArg(es(1), "minhash_sig")))
     f("shingle_minhash", es => ShingleMinHashExpr(
       es(0), intArg(es(1), "shingle_minhash"), intArg(es(2), "shingle_minhash")))
+    f("unit_normalize", es => UnitNormalizeExpr(es.head))
   }
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
-    q45, q46, q47, q51, q52, q53, q57)
+    q45, q46, q47, q51, q52, q53, q57, q102)
   /** Production MinHash-LSH near-dup candidates (xxhash64 path). */
   val q45 = QueryDef.rowsOnly("q45_minhash_lsh_prod") { (s, dir) =>
     Dedup.minhashCandidates(Tables.documents(s, dir).filter(col("doc_id") < 500))
@@ -68,6 +68,19 @@ object NonOracle {
       .orderBy(col("qid"), col("rnk"))
   }
 
+
+  /** IVF-PQ ANN: coarse cells + product-quantized ADC shortlist +
+    * exact re-rank (graft.ops.Pq). Accuracy proven by PqSpec's
+    * recall-vs-brute-force gate; rows-only here (ranking depends on
+    * trained codebooks).
+    */
+  val q102 = QueryDef.rowsOnly("q102_knn_ivfpq") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    Pq.ivfPqKnn(s, emb, emb.filter(col("vec_id") < 10), k = 3,
+      nCells = 8, nProbe = 3, rerank = 24, lloydIters = 1)
+      .orderBy(col("qid"), col("rnk"))
+  }
 
   /** Full multimodal pipeline: attach media -> (stub) embed -> exact
     * duplicate detection via embedding kNN. Identical payloads produce

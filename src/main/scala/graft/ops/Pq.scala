@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.functions.{cosine_similarity, pq_adc_dot, pq_encode, pq_lut, unit_normalize}
+
+/** Product quantization (Jegou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI'11) — the memory-bound scale path
+  * for ANN: each corpus vector is replaced by m codeword indices
+  * (m bytes-ish vs dim*8 bytes), and candidate scoring becomes m table
+  * lookups (ADC) instead of a dim-length dot product.
+  *
+  * Spark shape:
+  *  - TRAIN: per-subspace k-means on a driver-side sample — codebook
+  *    state is m*ksub*subDim doubles (a few KB), the same
+  *    driver-parameterizes-the-plan pattern as Lloyd centers.
+  *  - ENCODE: one narrow codegen'd map over the corpus
+  *    ([[graft.functions.PqEncodeExpr]] — codebooks ride in as a
+  *    codegen reference object; the 100 TB side never shuffles).
+  *  - SEARCH: queries get a per-query LUT (PqLutExpr, once per query),
+  *    candidates score with m lookups (PqAdcDotExpr), top-`rerank`
+  *    survive to an exact re-rank over the full vectors.
+  *
+  * Vectors are unit-normalized up front so dot = cosine: ADC then
+  * ranks by approximate cosine directly, and the exact re-rank uses
+  * the true cosine. At warehouse scale the encoded corpus (cell id +
+  * m ints + the vector) is what you'd persist partitioned by cell;
+  * only the re-rank reads full vectors, and only for candidates.
+  */
+object Pq {
+
+  /** Train per-subspace codebooks with driver-side Lloyd over a
+    * deterministic hash-sample of the corpus (xxhash64 of the id —
+    * seed-stable, scan-pushed filter, no full-data sort). Sample size
+    * is bounded by `sampleN`; k-means over `sampleN * dim` doubles is
+    * driver-trivial for any sane sampleN.
+    *
+    * @return codebooks[m][ksub][subDim] with subDim = dim / m
+    */
+  def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, m: Int, ksub: Int,
+                     sampleN: Int = 2048, iters: Int = 10): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(ksub >= 1, s"ksub must be >= 1, got $ksub")
+    val subDim = dim / m
+    // deterministic pseudo-random subset: order by the id hash, keep N
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h"))
+      .limit(sampleN)
+      .select(col("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pq training sample is empty")
+    Array.tabulate(m) { j =>
+      val off = j * subDim
+      val sub = sample.map { v =>
+        Array.tabulate(subDim)(i => if (off + i < v.length) v(off + i) else 0.0)
+      }
+      lloydDriver(sub, ksub, iters)
+    }
+  }
+
+  /** Plain driver-side Lloyd (L2) over an in-memory sample: init =
+    * evenly-strided sample points (deterministic), empty cells keep
+    * their previous centroid. All driver math — the sample is small by
+    * contract.
+    */
+  private[ops] def lloydDriver(points: Array[Array[Double]], k: Int,
+                               iters: Int): Array[Array[Double]] = {
+    val n = points.length
+    val d = points(0).length
+    var centers = Array.tabulate(math.min(k, n))(c => points(c * n / math.min(k, n)).clone())
+    // fewer distinct points than k: pad by repeating (harmless — dead
+    // codewords are never selected by argmin when a closer one exists)
+    if (centers.length < k) centers = Array.tabulate(k)(c => centers(c % centers.length).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](k, d)
+      val counts = new Array[Int](k)
+      var p = 0
+      while (p < n) {
+        val v = points(p)
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          val w = centers(c)
+          var dist = 0.0
+          var i = 0
+          while (i < d) { val df = v(i) - w(i); dist += df * df; i += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+        p += 1
+      }
+      centers = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centers(c)
+        else Array.tabulate(d)(i => sums(c)(i) / counts(c))
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** IVF-PQ top-k cosine ANN: coarse k-means cells bound the search to
+    * `nProbe` cells per query (as [[Similarity.ivfKnn]]), PQ-ADC ranks
+    * the in-cell candidates with m lookups each, and only the top
+    * `rerank` per query pay an exact cosine. Recall knobs: nProbe
+    * (cell coverage) and rerank (ADC error tolerance).
+    *
+    * corpus: (cid, cv); queries: (qid, qv) — both ARRAY<DOUBLE>.
+    */
+  def ivfPqKnn(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+               k: Int, dim: Int = 64, nCells: Int = 16, nProbe: Int = 4,
+               m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+               lloydIters: Int = 2): DataFrame = {
+    import graft.cluster.KMeansAssign
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val c = corpus.toDF("cid", "cv")
+      .withColumn("cvn", unit_normalize(col("cv")))
+    // coarse quantizer + codebooks: driver-side state, both derived
+    // from the same (cached-for-the-loop) corpus scan pattern
+    val centers = KMeansAssign.lloydCenters(c, nCells, lloydIters, "cid", "cvn")
+    val codebooks = trainCodebooks(c, "cid", "cvn", dim, m, ksub)
+    // encoded index: cell id + m-int code per vector, one narrow
+    // codegen'd map — this is the only pass over the full corpus
+    val cells = KMeansAssign.assignMap(c, centers, "cvn").drop("dist")
+      .withColumn("codes", pq_encode(col("cvn"), codebooks))
+    val centroids = KMeansAssign.centroidMeans(cells, "cvn")
+      .withColumnRenamed("cvec", "repr")
+    // probe plan: nProbe nearest cells per query + the query's LUT
+    val q = queries.toDF("qid", "qv")
+      .withColumn("qvn", unit_normalize(col("qv")))
+      .withColumn("lut", pq_lut(col("qvn"), codebooks))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("center_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qv"), col("lut"), col("center_id"),
+        graft.functions.functions.cosine_distance(col("qvn"), col("repr")).as("cdist"))
+      .withColumn("prnk", row_number().over(wp))
+      .filter(col("prnk") <= nProbe)
+      .select(col("qid"), col("qv"), col("lut"), col("center_id"))
+    // ADC scan inside probed cells (m lookups per candidate), keep
+    // top-`rerank` per query by approximate dot
+    val wa = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
+    val shortlist = cells.join(broadcast(probes), "center_id")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("qv"), col("cid"), col("cv"),
+        pq_adc_dot(col("lut"), col("codes"), ksub).as("adc"))
+      .withColumn("arnk", row_number().over(wa))
+      .filter(col("arnk") <= rerank)
+    // exact re-rank of the shortlist only
+    val wr = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    shortlist
+      .select(col("qid"), col("cid"),
+        cosine_similarity(col("qv"), col("cv")).as("score"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.functions.{pq_adc_dot, pq_encode, pq_lut, unit_normalize}
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Tables.embeddings(spark, sfDir)
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("lloydDriver: deterministic, centers span the data, empty cells hold") {
+    val pts = Array(
+      Array(0.0, 0.0), Array(0.1, 0.0), Array(10.0, 10.0), Array(10.1, 9.9))
+    val c1 = Pq.lloydDriver(pts, 2, 10)
+    val c2 = Pq.lloydDriver(pts, 2, 10)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    // two clear clusters -> one centroid near each
+    assert(c1.exists(c => math.abs(c(0) - 0.05) < 0.1))
+    assert(c1.exists(c => math.abs(c(0) - 10.05) < 0.1))
+    // k > distinct points: padded, not crashed
+    assert(Pq.lloydDriver(Array(Array(1.0), Array(2.0)), 5, 3).length == 5)
+  }
+
+  test("ADC dot via (encode, lut) equals the exact dot against the " +
+    "selected codewords; lossless when codewords = the data") {
+    // codebooks built so every subvector IS a codeword: ADC is then the
+    // exact dot product of the query with the candidate
+    val vecs = Seq(
+      Seq(1.0, 2.0, 3.0, 4.0), Seq(-1.0, 0.5, 2.0, -2.0), Seq(0.0, 0.0, 1.0, 1.0))
+    val m = 2
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      vecs.map(v => Array(v(j * 2), v(j * 2 + 1))).toArray
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val q = Seq(0.5, -1.0, 2.0, 0.25)
+    val got = df
+      .withColumn("codes", pq_encode(col("v"), cb))
+      .withColumn("adc",
+        pq_adc_dot(pq_lut(typedLit(q), cb), col("codes"), vecs.length))
+      .select(col("id"), col("adc")).as[(Long, Double)].collect().toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val exact = v.zip(q).map { case (a, b) => a * b }.sum
+      assert(math.abs(got(i.toLong) - exact) < 1e-12, s"vec $i")
+    }
+  }
+
+  test("unit_normalize: unit norm out, zero vector passes through") {
+    val out = Seq(Seq(3.0, 4.0), Seq(0.0, 0.0))
+      .toDF("v").select(unit_normalize(col("v")).as("u"))
+      .as[Seq[Double]].collect()
+    assert(math.abs(out(0).map(x => x * x).sum - 1.0) < 1e-12)
+    assert(math.abs(out(0).head - 0.6) < 1e-12)
+    assert(out(1) == Seq(0.0, 0.0))
+  }
+
+  test("ivfPqKnn recall@3 vs brute force is high on the fixture corpus") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(queries.toDF("qid", "qv"), emb, 3)
+      .select(col("qid"), col("cid")).as[(Long, Long)].collect().toSet
+    val approx = Pq.ivfPqKnn(spark, emb, queries, k = 3,
+      nCells = 8, nProbe = 4, rerank = 48, lloydIters = 2)
+      .select(col("qid"), col("cid")).as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@3 = $recall")
+    // output shape: exactly 3 rows per query
+    assert(approx.groupBy(_._1).forall(_._2.size == 3))
+  }
+
+  test("ivfPqKnn plan: corpus encode is codegen (no ScalaUDF), probe " +
+    "and shortlist joins broadcast the query side") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val df = Pq.ivfPqKnn(spark, emb, queries, k = 3, nCells = 4,
+      nProbe = 2, rerank = 12, lloydIters = 1)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"ScalaUDF in plan:\n$plan")
+  }
+}
