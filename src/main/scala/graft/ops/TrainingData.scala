@@ -13,7 +13,7 @@ import graft.cluster.KMeansAssign
   */
 object TrainingData {
 
-  def all: Seq[QueryDef] = Seq(q97, q98, q99)
+  def all: Seq[QueryDef] = Seq(q97, q98, q99, q103)
 
   /** Semantic dedup (q97), the SemDeDup shape: cluster embeddings
     * around K broadcast centroids, then compare pairs ONLY within a
@@ -169,5 +169,54 @@ object TrainingData {
           .otherwise("test").as("split"),
         ((col("fingerprint") * 2654435761L) % 1000000007L).as("shuffle_key"))
       .orderBy(col("split"), col("shuffle_key"), col("doc_id"))
+  }
+
+  /** Corpus snapshot refresh via [[Cdc.applyCdc]] (q103): a synthetic
+    * CDC delta — re-crawled docs 300..499 as upserts (seq 2), removals
+    * for doc_id%7 docs under 100 AND a conflicting delete for 300..309
+    * (seq 3, beating the upsert) — applied onto the doc_id<400
+    * snapshot. The DuckDB twin replays the identical window resolution
+    * + anti-join + union, proving MERGE semantics (insert, update,
+    * delete, delete-beats-stale-upsert) end to end.
+    */
+  val q103: QueryDef = QueryDef.sql(
+    "q103_merge_cdc",
+    """WITH snap AS (
+      |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 400),
+      |up AS (
+      |  SELECT doc_id, upper(text) AS text, n_chars, 'U' AS op, 2 AS seq
+      |  FROM documents WHERE doc_id >= 300 AND doc_id < 500),
+      |del AS (
+      |  SELECT doc_id, NULL AS text, NULL AS n_chars, 'D' AS op, 3 AS seq
+      |  FROM documents
+      |  WHERE (doc_id < 100 AND doc_id % 7 = 0)
+      |     OR (doc_id >= 300 AND doc_id < 310)),
+      |delta AS (SELECT * FROM up UNION ALL SELECT * FROM del),
+      |res AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY doc_id
+      |      ORDER BY seq DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END) AS rn
+      |    FROM delta) WHERE rn = 1)
+      |SELECT doc_id, text, n_chars FROM (
+      |  SELECT s.doc_id, s.text, s.n_chars FROM snap s
+      |  WHERE NOT EXISTS (SELECT 1 FROM res r WHERE r.doc_id = s.doc_id)
+      |  UNION ALL
+      |  SELECT doc_id, text, n_chars FROM res WHERE op <> 'D')
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val snap = docs.filter(col("doc_id") < 400)
+    val up = docs.filter(col("doc_id") >= 300 && col("doc_id") < 500)
+      .select(col("doc_id"), upper(col("text")).as("text"), col("n_chars"),
+        lit("U").as("op"), lit(2L).as("seq"))
+    val del = docs
+      .filter((col("doc_id") < 100 && col("doc_id") % 7 === 0) ||
+        (col("doc_id") >= 300 && col("doc_id") < 310))
+      .select(col("doc_id"), lit(null).cast("string").as("text"),
+        lit(null).cast("bigint").as("n_chars"),
+        lit("D").as("op"), lit(3L).as("seq"))
+    Cdc.applyCdc(snap, up.unionByName(del), "doc_id", "op", Some("seq"))
+      .orderBy(col("doc_id"))
   }
 }
