@@ -19,7 +19,7 @@ object CurationOps {
 
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
-  def all: Seq[QueryDef] = Seq(q49, q90, q91, q92, q93, q94, q95)
+  def all: Seq[QueryDef] = Seq(q49, q90, q91, q92, q93, q94, q95, q104)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -340,5 +340,42 @@ object CurationOps {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * 30 > nTotal)
       .orderBy(col("cnt").desc, col("term"))
+  }
+
+  /** HTML -> text extraction (q104): deterministic synthetic HTML
+    * (tags, comment, style/script payloads, entity-encoded prose)
+    * wrapped around each document, then recovered with
+    * [[graft.text.TextExtract.stripHtml]]. The DuckDB twin wraps and
+    * strips with the IDENTICAL RE2-safe pattern chain
+    * (TextExtract.stripHtmlDuckSql), so the hash check proves the
+    * extraction — tag removal, block-element drop, entity decode,
+    * whitespace collapse — end to end. Narrow scan-speed strings;
+    * no shuffle until the final ORDER BY.
+    */
+  val q104: QueryDef = QueryDef.sql(
+    "q104_html_extract", {
+      val html =
+        """'<html><!-- id ' || CAST(doc_id AS VARCHAR) || ' --><head>' ||
+          |'<style>p { color: red }</style></head><body><h1>' || source ||
+          |'</h1><p class="main">' || text || '</p>' ||
+          |'<p>Q&amp;A &lt;raw&gt; &quot;quoted&quot;&nbsp;&#39;s</p>' ||
+          |'<script type="text/javascript">var x = 1 < 2;</script>' ||
+          |'</body></html>'""".stripMargin.replace("\n", " ")
+      s"""SELECT doc_id, ${graft.text.TextExtract.stripHtmlDuckSql(html)} AS extracted
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val html = concat(
+      lit("<html><!-- id "), col("doc_id").cast("string"),
+      lit(" --><head><style>p { color: red }</style></head><body><h1>"),
+      col("source"),
+      lit("</h1><p class=\"main\">"), col("text"), lit("</p>"),
+      lit("<p>Q&amp;A &lt;raw&gt; &quot;quoted&quot;&nbsp;&#39;s</p>"),
+      lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"),
+      lit("</body></html>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.text.TextExtract.stripHtml(html).as("extracted"))
+      .orderBy(col("doc_id"))
   }
 }
