@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Primitive-typed vector kernels shared by the interpreted and
   * codegen paths of the custom Catalyst expressions. Operating on
@@ -312,5 +313,78 @@ object VectorOps {
     var j = 0
     while (j < m) { s += lut.getDouble(j * ksub + codes.getInt(j)); j += 1 }
     s
+  }
+
+  /** One BPE merge step over a symbol array: every adjacent (a, b)
+    * becomes the single symbol a+b, left to right, non-overlapping —
+    * the per-word-type kernel of [[graft.ops.Bpe.train]]'s iteration.
+    */
+  def mergePair(s: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = s.numElements()
+    val out = new Array[Any](n)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      val cur = s.getUTF8String(i)
+      if (i + 1 < n && cur.equals(a) && s.getUTF8String(i + 1).equals(b)) {
+        out(w) = UTF8String.concat(a, b)
+        i += 2
+      } else {
+        out(w) = cur
+        i += 1
+      }
+      w += 1
+    }
+    val trimmed = if (w == out.length) out else {
+      val t = new Array[Any](w); System.arraycopy(out, 0, t, 0, w); t
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(trimmed)
+  }
+
+  /** Greedy BPE segmentation of one word against a trained merge
+    * ranking ("a b" -> rank): start from characters + the "</w>"
+    * end-of-word marker, repeatedly merge the best-ranked adjacent
+    * pair until none applies — the standard inference loop (Sennrich
+    * et al., ACL'16). Words are short; the quadratic-in-|word| driver
+    * loop is row-local and allocation-light.
+    */
+  def bpeSegment(word: UTF8String,
+                 ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val w = word.toString
+    var syms = new java.util.ArrayList[String](w.length + 1)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val len = Character.charCount(cp)
+      syms.add(w.substring(i, i + len))
+      i += len
+    }
+    syms.add("</w>")
+    var done = false
+    while (!done && syms.size > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = ranks.get(syms.get(j) + " " + syms.get(j + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestAt = j }
+        j += 1
+      }
+      if (bestAt < 0) done = true
+      else {
+        val merged = syms.get(bestAt) + syms.get(bestAt + 1)
+        val next = new java.util.ArrayList[String](syms.size - 1)
+        var k = 0
+        while (k < syms.size) {
+          if (k == bestAt) { next.add(merged); k += 2 }
+          else { next.add(syms.get(k)); k += 1 }
+        }
+        syms = next
+      }
+    }
+    val out = new Array[Any](syms.size)
+    var k = 0
+    while (k < syms.size) { out(k) = UTF8String.fromString(syms.get(k)); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

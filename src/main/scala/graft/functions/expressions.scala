@@ -307,6 +307,62 @@ case class PqAdcDotExpr(left: Expression, right: Expression, ksub: Int)
     copy(left = l, right = r)
 }
 
+/** One BPE merge step: ARRAY<STRING> symbols with every adjacent
+  * (a, b) fused to a+b (left-to-right, non-overlapping). The merge
+  * target pair is a per-iteration driver constant, so the whole
+  * training step stays a codegen'd narrow map over word types.
+  */
+case class MergePairExpr(child: Expression, a: String, b: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_merge_pair"
+
+  @transient private lazy val aU = UTF8String.fromString(a)
+  @transient private lazy val bU = UTF8String.fromString(b)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.mergePair(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], aU, bU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("bpeA", aU, "org.apache.spark.unsafe.types.UTF8String")
+    val bRef = ctx.addReferenceObj("bpeB", bU, "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.mergePair($c, $aRef, $bRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MergePairExpr =
+    copy(child = newChild)
+}
+
+/** Greedy BPE segmentation of a STRING word against a trained merge
+  * ranking (riding into codegen as a reference object):
+  * ARRAY<STRING> subword units ending in the "</w>" marker.
+  */
+case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_segment"
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), r) => m.put(a + " " + b, r) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.bpeSegment(input.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.bpeSegment($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegmentExpr =
+    copy(child = newChild)
+}
+
 /** Unit-L2 normalization of an ARRAY<DOUBLE> (zero vectors pass
   * through). Normalizing both sides up front turns cosine into a plain
   * dot product, which is what lets the PQ ADC path rank by cosine.
@@ -418,6 +474,12 @@ object functions {
 
   def unit_normalize(c: Column): Column =
     Shim.column(UnitNormalizeExpr(Shim.expression(c)))
+
+  def bpe_merge_pair(c: Column, a: String, b: String): Column =
+    Shim.column(MergePairExpr(Shim.expression(c), a, b))
+
+  def bpe_segment(c: Column, merges: Seq[(String, String)]): Column =
+    Shim.column(BpeSegmentExpr(Shim.expression(c), merges))
 
   /** Register the functions for SQL use in an existing session
     * (idempotent). For new sessions prefer

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.functions.{bpe_merge_pair, bpe_segment}
+
+/** Distributed BPE tokenizer training (Sennrich et al., "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL'16) —
+  * the tokenizer-fitting step of a pretraining pipeline, shaped for
+  * Spark:
+  *
+  *  - the working set is the WORD-TYPE table (distinct words with
+  *    corpus frequencies), not the corpus: one aggregation reduces
+  *    100 TB of text to a vocabulary-sized frame, and every iteration
+  *    after that touches only word types;
+  *  - each merge iteration is (a) one partial+final aggregate counting
+  *    adjacent symbol pairs weighted by word frequency, (b) a 1-row
+  *    argmax collect, (c) one codegen'd narrow map applying the merge
+  *    ([[graft.functions.MergePairExpr]]); driver state is the merge
+  *    list only;
+  *  - lineage is truncated per iteration (localCheckpoint) so the plan
+  *    does not grow with the merge count — the connectedComponents
+  *    iterative-loop pattern.
+  *
+  * Inference ([[segmentTokens]]) applies the learned ranking greedily
+  * per word via the codegen'd [[graft.functions.BpeSegmentExpr]] — a
+  * narrow scan-speed map, the 100 TB side.
+  */
+object Bpe {
+
+  /** Word-type frequency table of a corpus text column: the one
+    * corpus-sized aggregation in BPE training.
+    */
+  def wordFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(TextAnalytics.toks(col(textCol))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** Learn `nMerges` BPE merges from a (word, freq) table. Ties break
+    * deterministically on (count desc, pair lexicographic). Stops
+    * early when the best pair's weighted count drops below `minCount`
+    * (merging singletons only memorizes the sample).
+    *
+    * DISPATCH (the connectedComponents pattern): a word-type table up
+    * to `driverMaxTypes` rows collects and trains on the driver —
+    * each distributed iteration costs ~150 ms of PLANNING (new plan,
+    * analysis, codegen) regardless of data size, which dwarfs the
+    * compute for vocabulary-sized inputs. Larger vocabularies run the
+    * distributed loop: per iteration one partial+final pair-count
+    * aggregate, a 1-row argmax collect, one codegen'd merge map, and
+    * a lineage truncation. Both paths produce identical merges (same
+    * counts, same tie-break; spec-asserted).
+    */
+  def train(words: DataFrame, nMerges: Int, minCount: Long = 2L,
+            driverMaxTypes: Long = 1L << 17): Seq[(String, String)] = {
+    val spark = words.sparkSession
+    val merges = scala.collection.mutable.ListBuffer[(String, String)]()
+    // initial symbols: characters + the end-of-word marker (split("")
+    // yields code-unit characters; the fixture corpus is ASCII — the
+    // segment kernel handles full code points for inference)
+    val init = words
+      .filter(col("word") =!= "")
+      .select(col("freq"),
+        concat(split(col("word"), ""), array(lit("</w>"))).as("s"))
+      .localCheckpoint(true)
+    val nTypes = init.count()
+    if (nTypes <= driverMaxTypes) {
+      val local = init.collect().map(r =>
+        (r.getLong(0), r.getSeq[String](1).toArray))
+      init.unpersist(blocking = false)
+      return trainDriver(local, nMerges, minCount)
+    }
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nTypes / 65536L + 1L)).toInt
+    var syms = init.repartition(parts).localCheckpoint(true)
+    init.unpersist(blocking = false)
+    try {
+      var it = 0
+      var done = false
+      while (it < nMerges && !done) {
+        // adjacent pair counts, weighted by word frequency. `s` is an
+        // attribute reference here, so the lambda re-reads it O(1) —
+        // see shingles() for why that matters with interpreted HOFs.
+        val top = syms
+          .filter(size(col("s")) >= 2)
+          .select(col("freq"),
+            explode(transform(sequence(lit(0), size(col("s")) - 2), i =>
+              struct(element_at(col("s"), i + 1).as("a"),
+                element_at(col("s"), i + 2).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty || top(0).getLong(2) < minCount) done = true
+        else {
+          val (a, b) = (top(0).getString(0), top(0).getString(1))
+          merges += ((a, b))
+          // apply the merge and truncate lineage so the plan stays
+          // one map deep regardless of the merge count
+          val next = syms
+            .select(col("freq"), bpe_merge_pair(col("s"), a, b).as("s"))
+            .localCheckpoint(true)
+          syms.unpersist(blocking = false)
+          syms = next
+        }
+        it += 1
+      }
+      merges.toList
+    } finally syms.unpersist(blocking = false)
+  }
+
+  /** Driver twin of the distributed loop: identical counting, argmax
+    * tie-break, and merge semantics over an in-memory word-type table.
+    */
+  private[ops] def trainDriver(words: Array[(Long, Array[String])],
+                               nMerges: Int, minCount: Long): Seq[(String, String)] = {
+    val merges = scala.collection.mutable.ListBuffer[(String, String)]()
+    var syms = words
+    var it = 0
+    var done = false
+    while (it < nMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      syms.foreach { case (freq, s) =>
+        var i = 0
+        while (i < s.length - 1) {
+          counts.merge((s(i), s(i + 1)), freq, (x, y) => x + y)
+          i += 1
+        }
+      }
+      var best: (String, String) = null
+      var bestCnt = -1L
+      counts.forEach { (p, c) =>
+        // same order as (cnt desc, a asc, b asc)
+        if (c > bestCnt || (c == bestCnt &&
+          (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestCnt = c
+        }
+      }
+      if (best == null || bestCnt < minCount) done = true
+      else {
+        merges += best
+        val (a, b) = best
+        syms = syms.map { case (freq, s) =>
+          var hit = false
+          var i = 0
+          while (!hit && i < s.length - 1) {
+            hit = s(i) == a && s(i + 1) == b; i += 1
+          }
+          if (!hit) (freq, s)
+          else {
+            val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+            var j = 0
+            while (j < s.length) {
+              if (j + 1 < s.length && s(j) == a && s(j + 1) == b) {
+                out += a + b; j += 2
+              } else { out += s(j); j += 1 }
+            }
+            (freq, out.toArray)
+          }
+        }
+      }
+      it += 1
+    }
+    merges.toList
+  }
+
+  /** Greedy BPE segmentation of every whitespace token of `textCol`:
+    * ARRAY<STRING> of subword units (each word's last unit carries the
+    * "</w>" marker). Narrow codegen'd map — apply-side of the trained
+    * tokenizer.
+    */
+  def segmentTokens(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(TextAnalytics.toks(text), w => bpe_segment(w, merges)))
+}

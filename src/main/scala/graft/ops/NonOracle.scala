@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
-    q45, q46, q47, q51, q52, q53, q57, q102)
+    q45, q46, q47, q51, q52, q53, q57, q102, q105, q106)
   /** Production MinHash-LSH near-dup candidates (xxhash64 path). */
   val q45 = QueryDef.rowsOnly("q45_minhash_lsh_prod") { (s, dir) =>
     Dedup.minhashCandidates(Tables.documents(s, dir).filter(col("doc_id") < 500))
@@ -80,6 +80,43 @@ object NonOracle {
     Pq.ivfPqKnn(s, emb, emb.filter(col("vec_id") < 10), k = 3,
       nCells = 8, nProbe = 3, rerank = 24, lloydIters = 1)
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Incremental distinct-token stats via mergeable HLL state
+    * (graft.ops.Sketches): history sketched once (doc_id < 300), the
+    * delta batch sketched separately, states merged register-wise —
+    * emitted beside the full-rebuild estimate, which it must equal
+    * row for row (SketchMergeSpec asserts it; sketch internals are
+    * engine-specific, so rows-only at the oracle).
+    */
+  val q106 = QueryDef.rowsOnly("q106_sketch_merge") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), explode(TextAnalytics.toks(col("text"))).as("term"),
+        col("doc_id"))
+    val hist = Sketches.distinctSketch(docs.filter(col("doc_id") < 300), "source", "term")
+    val delta = Sketches.distinctSketch(docs.filter(col("doc_id") >= 300), "source", "term")
+    val merged = Sketches.estimates(
+      Sketches.mergeSketchStates(hist, delta, "source"), "source")
+      .withColumnRenamed("n_distinct", "est_incremental")
+    val full = Sketches.estimates(
+      Sketches.distinctSketch(docs, "source", "term"), "source")
+      .withColumnRenamed("n_distinct", "est_rebuild")
+    merged.join(full, "source").orderBy(col("source"))
+  }
+
+  /** Distributed BPE tokenizer training (graft.ops.Bpe): 20 merges
+    * learned over the word-type table of the first 500 docs, emitted
+    * as the ranked merge list. Iterative driver-argmax loop — not
+    * SQL-expressible; semantics gated by BpeSpec (the Sennrich
+    * worked example reproduces exactly).
+    */
+  val q105 = QueryDef.rowsOnly("q105_bpe_train") { (s, dir) =>
+    val words = Bpe.wordFreqs(Tables.documents(s, dir).filter(col("doc_id") < 500))
+    val merges = Bpe.train(words, nMerges = 20)
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), r) => (r.toLong, a, b) }
+      .toDF("rank", "left", "right")
   }
 
   /** Full multimodal pipeline: attach media -> (stub) embed -> exact
