@@ -38,7 +38,7 @@ object Bench {
         try fn(spark, wdir).count() catch { case _: Throwable => () }
       }
     }
-    val failed = scala.collection.mutable.ListBuffer[String]()
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     // Per-query isolation: a ~100-query single-JVM run accumulates
     // garbage across queries (checkpoint blocks, broadcasts, shuffle
     // buffers), and a major GC landing inside a timed query produced
@@ -51,16 +51,34 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       System.gc()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      isolate()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    // Median-of-N timed reps per query: GC isolation alone is not
+    // enough when the whole MACHINE is loaded during the run — single
+    // measurements recorded 3-6x steady state on specific queries
+    // (q89 6.06s recorded vs 0.86-1.2s re-run isolated, same config).
+    // The median of 3 is robust to one arbitrarily bad rep; the
+    // per-query max is kept (summed below, detail on stderr) so a real
+    // tail regression stays visible instead of being median'd away.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val results: Seq[(String, Seq[Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val ts = (1 to reps).map { _ =>
+          isolate()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case e: Throwable =>
+            if (failed.add(name))
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> ts
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    def median(ts: Seq[Double]): Double = ts.sorted.apply((ts.size - 1) / 2)
+    val medians = results.map { case (n, ts) => n -> median(ts) }.toMap
+    results.foreach { case (n, ts) =>
+      System.err.println(s"[bench] $n reps=" +
+        ts.map(t => f"$t%.2f").mkString(","))
+    }
     // The driver parses the metric line out of a bounded tail buffer of
     // the sbt output (last ~2000 chars, with sbt's own epilogue after
     // ours) — keep the whole line comfortably inside that window:
@@ -71,17 +89,21 @@ object Bench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def short(name: String): String = name.takeWhile(_ != '_')
-    require(results.keys.map(short).toSet.size == results.size,
+    require(medians.keys.map(short).toSet.size == medians.size,
       "qNN bench-key prefixes collide; JSON would drop a timing")
-    val qs = results.toSeq.sortBy(_._1)
+    val qs = medians.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    // sum of per-query WORST reps: total stays the robust number, but
+    // a tail regression (one query 5x slower on every rep) still moves
+    // max; per-query rep detail is on stderr above.
+    val maxTotal = results.map { case (_, ts) => ts.max }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
     val metricLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"max":${fmt(maxTotal)},"reps":$reps,"errors":$errs,"sf":$sfNum}"""
     // Stop Spark BEFORE printing so nothing (shutdown hooks, executor
     // teardown) can write after the metric line — it must be the final
     // stdout line for the driver's tail parser.

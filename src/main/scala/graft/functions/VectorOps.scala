@@ -309,9 +309,20 @@ object VectorOps {
     */
   def pqAdcDot(lut: ArrayData, codes: ArrayData, ksub: Int): Double = {
     val m = codes.numElements()
+    // a ksub that disagrees with the LUT layout would silently read the
+    // wrong slot — and on UnsafeArrayData an out-of-range index reads
+    // arbitrary memory rather than throwing. Fail loudly instead.
+    require(ksub > 0 && m.toLong * ksub == lut.numElements(),
+      s"pq_adc_dot: ksub=$ksub inconsistent with m=$m codes " +
+        s"and lut of ${lut.numElements()} entries")
     var s = 0.0
     var j = 0
-    while (j < m) { s += lut.getDouble(j * ksub + codes.getInt(j)); j += 1 }
+    while (j < m) {
+      val c = codes.getInt(j)
+      require(c >= 0 && c < ksub, s"pq_adc_dot: code $c out of [0,$ksub)")
+      s += lut.getDouble(j * ksub + c)
+      j += 1
+    }
     s
   }
 

@@ -56,13 +56,18 @@ object Bpe {
             driverMaxTypes: Long = 1L << 17): Seq[(String, String)] = {
     val spark = words.sparkSession
     val merges = scala.collection.mutable.ListBuffer[(String, String)]()
-    // initial symbols: characters + the end-of-word marker (split("")
-    // yields code-unit characters; the fixture corpus is ASCII — the
-    // segment kernel handles full code points for inference)
+    // initial symbols: CODE POINTS + the end-of-word marker. Java
+    // regex "." matches one code point, so regexp_extract_all keeps a
+    // supplementary character (emoji, rare CJK) as one symbol —
+    // split(word, "") would yield UTF-16 code units, i.e. surrogate
+    // halves that training could merge across into invalid subwords.
+    // This matches the code-point iteration of the bpeSegment
+    // inference kernel (VectorOps.bpeSegment).
     val init = words
       .filter(col("word") =!= "")
       .select(col("freq"),
-        concat(split(col("word"), ""), array(lit("</w>"))).as("s"))
+        concat(regexp_extract_all(col("word"), lit("(?s)."), lit(0)),
+          array(lit("</w>"))).as("s"))
       .localCheckpoint(true)
     val nTypes = init.count()
     if (nTypes <= driverMaxTypes) {
@@ -111,6 +116,13 @@ object Bpe {
     } finally syms.unpersist(blocking = false)
   }
 
+  /** UTF-8 binary (code-point) string comparison — the ordering
+    * Spark's `orderBy` uses on strings.
+    */
+  private def u8Lt(x: String, y: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+
   /** Driver twin of the distributed loop: identical counting, argmax
     * tie-break, and merge semantics over an in-memory word-type table.
     */
@@ -132,9 +144,15 @@ object Bpe {
       var best: (String, String) = null
       var bestCnt = -1L
       counts.forEach { (p, c) =>
-        // same order as (cnt desc, a asc, b asc)
+        // same order as (cnt desc, a asc, b asc) — with `asc` being
+        // Spark's string ordering, i.e. UTF-8 BINARY (code-point)
+        // order, NOT Java's UTF-16 code-unit order: they disagree for
+        // supplementary characters (a surrogate half 0xD800-0xDFFF
+        // sorts between BMP chars in UTF-16 but code points sort
+        // numerically in UTF-8), and the driver and distributed paths
+        // must pick the same merge on count ties.
         if (c > bestCnt || (c == bestCnt &&
-          (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          (u8Lt(p._1, best._1) || (p._1 == best._1 && u8Lt(p._2, best._2))))) {
           best = p; bestCnt = c
         }
       }

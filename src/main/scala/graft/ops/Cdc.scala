@@ -39,9 +39,14 @@ object Cdc {
     // one winner per key: latest sequence; deletes beat upserts on ties
     val w = Window.partitionBy(col(key))
       .orderBy(seq.desc, when(col(opCol) === "D", 0).otherwise(1))
+    // internal rank column: withColumn silently REPLACES an existing
+    // column of the same name, so a fixed "_rn" would clobber real
+    // delta data — pick the first _graft_rn[_i] the delta doesn't have
+    val rn = (Iterator("_graft_rn") ++ Iterator.from(1).map(i => s"_graft_rn_$i"))
+      .find(n => !delta.columns.contains(n)).get
     val resolved = delta
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
     val upserts = resolved.filter(col(opCol) =!= "D").select(cols.map(col): _*)
     snapshot
       .join(resolved.select(col(key)), Seq(key), "left_anti")

@@ -145,9 +145,15 @@ object Pq {
       .filter(col("prnk") <= nProbe)
       .select(col("qid"), col("qv"), col("lut"), col("center_id"))
     // ADC scan inside probed cells (m lookups per candidate), keep
-    // top-`rerank` per query by approximate dot
+    // top-`rerank` per query by approximate dot. No broadcast hint on
+    // the probe side: each probe row carries the query vector AND its
+    // m*ksub-double LUT, so a large serving batch would OOM the driver
+    // if force-broadcast. AQE sees the actual post-window size and
+    // broadcasts the common small-batch case on its own, while a huge
+    // query set degrades gracefully to a shuffled equi-join on
+    // center_id (plan-asserted both ways in PqSpec).
     val wa = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
-    val shortlist = cells.join(broadcast(probes), "center_id")
+    val shortlist = cells.join(probes, "center_id")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("qv"), col("cid"), col("cv"),
         pq_adc_dot(col("lut"), col("codes"), ksub).as("adc"))

@@ -38,27 +38,49 @@ object RangeJoin {
     * row set. Null or empty (`lo >= hi`) ranges and null points drop —
     * they can match nothing. Column names must not collide.
     *
-    * @param binWidth bin width in point units; must be > 0 and finite.
+    * Wide-outlier guard: a single pathological range (an open-ended
+    * sentinel like `hi = 1e12` against a median-derived width) would
+    * explode to `width/w` bin rows — millions of rows from one input
+    * row, and past ~2.1e9 Spark's `sequence` fails the whole job.
+    * Ranges covering more than `maxBinsPerRange` bins are therefore
+    * routed around the explode: they join the point side by the exact
+    * predicate through a broadcast nested-loop LEFTOVER join instead.
+    * By the same assumption that makes binning sensible (widths
+    * concentrated near the median), overflow ranges are rare — the
+    * broadcast side is a sliver — while correctness is preserved for
+    * arbitrary inputs: no OOM, no sequence failure, no dropped match.
+    *
+    * @param binWidth        bin width in point units; > 0, finite.
+    * @param maxBinsPerRange max bins a range may explode to before it
+    *                        is routed to the leftover join; >= 1.
     */
   def pointInInterval(
       points: DataFrame, pointCol: String,
       ranges: DataFrame, loCol: String, hiCol: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double, maxBinsPerRange: Long = 4096L): DataFrame = {
     require(binWidth > 0 && java.lang.Double.isFinite(binWidth),
       s"binWidth must be positive and finite, got $binWidth")
+    require(maxBinsPerRange >= 1L,
+      s"maxBinsPerRange must be >= 1, got $maxBinsPerRange")
     require(points.columns.toSet.intersect(ranges.columns.toSet).isEmpty,
       "point and range column names collide")
     val w = lit(binWidth)
     val p = points.filter(col(pointCol).isNotNull)
-      .withColumn("_bin", floor(col(pointCol) / w))
-    val r = ranges
+    val valid = ranges
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) < col(hiCol))
+    val nBins = floor(col(hiCol) / w) - floor(col(loCol) / w) + 1
+    val r = valid.filter(nBins <= maxBinsPerRange)
       .withColumn("_bin",
         explode(sequence(floor(col(loCol) / w), floor(col(hiCol) / w))))
-    p.join(r, "_bin")
+    val binned = p.withColumn("_bin", floor(col(pointCol) / w))
+      .join(r, "_bin")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("_bin")
+    val leftover = p.join(
+      broadcast(valid.filter(nBins > maxBinsPerRange)),
+      col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+    binned.unionByName(leftover.select(binned.columns.map(col): _*))
   }
 
   /** Median range width — the recommended bin width — via one

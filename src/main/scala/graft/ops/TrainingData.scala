@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.cluster.KMeansAssign
@@ -14,6 +15,42 @@ import graft.cluster.KMeansAssign
 object TrainingData {
 
   def all: Seq[QueryDef] = Seq(q97, q98, q99, q103)
+
+  /** Self-contained SemDeDup library entry: derive the K cluster
+    * centers from the data itself ([[KMeansAssign.lloydCenters]],
+    * deterministic first-k init + Lloyd refinement), assign every
+    * vector with the zero-shuffle broadcast argmin, then drop any
+    * vector whose cluster contains a LOWER-id vector cosine-similar
+    * at `threshold` or above (deterministic keep-lowest; transitively
+    * safe — if survivors x < y were similar, y would have been
+    * dropped by x directly, so no surviving pair within a cluster is
+    * above threshold; spec-asserted). Returns the surviving rows with
+    * their `center_id`.
+    *
+    * q97 keeps its fixture-pinned centers (`id < 8`) so the DuckDB
+    * oracle can replay the exact assignment; this entry is the
+    * production path where centers are learned, not given.
+    *
+    * Scale: Lloyd is narrow scans + K-row collects; the pair join is
+    * bounded by the largest cluster — size K so clusters fit
+    * (SemDeDup uses tens of thousands of clusters at corpus scale).
+    */
+  def semanticDedup(emb: DataFrame, k: Int, threshold: Double = 0.35,
+                    lloydIters: Int = 5,
+                    idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    import graft.functions.functions.cosine_similarity
+    require(k >= 1, s"k must be >= 1, got $k")
+    val centers = KMeansAssign.lloydCenters(emb, k, lloydIters, idCol, vecCol)
+    val av = KMeansAssign.assignMap(emb, centers, vecCol).drop("dist")
+    val dropped = av.select(col(idCol).as("_d1"), col("center_id").as("_c1"),
+        col(vecCol).as("_v1"))
+      .join(av.select(col(idCol).as("_d2"), col("center_id").as("_c2"),
+        col(vecCol).as("_v2")),
+        col("_c1") === col("_c2") && col("_d1") < col("_d2"))
+      .filter(cosine_similarity(col("_v1"), col("_v2")) >= threshold)
+      .select(col("_d2").as(idCol)).distinct()
+    av.join(dropped, Seq(idCol), "left_anti")
+  }
 
   /** Semantic dedup (q97), the SemDeDup shape: cluster embeddings
     * around K broadcast centroids, then compare pairs ONLY within a

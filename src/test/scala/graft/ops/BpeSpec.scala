@@ -27,6 +27,56 @@ class BpeSpec extends SparkSpec {
     assert(driver.size == 12)
   }
 
+  /** Supplementary characters (here U+1D11E MUSICAL SYMBOL G CLEF, two
+    * UTF-16 code units) must stay ONE training symbol: a code-unit
+    * split would learn merges over surrogate halves — invalid subwords
+    * that the code-point-based segment kernel could never apply.
+    */
+  test("training symbols are code points, not UTF-16 code units (𝄞x golden)") {
+    val clef = new String(Character.toChars(0x1D11E))
+    val words = Seq((clef + "x", 3L), (clef + "y", 2L)).toDF("word", "freq")
+    val driver = Bpe.train(words, nMerges = 3, minCount = 1)
+    val distributed = Bpe.train(words, nMerges = 3, minCount = 1, driverMaxTypes = 0L)
+    assert(driver == distributed)
+    // first merge is the shared prefix pair (clef, x|y picks the more
+    // frequent continuation first): every learned symbol must be valid
+    // UTF-16 (no unpaired surrogate halves)
+    driver.flatMap(m => Seq(m._1, m._2)).foreach { s =>
+      assert(!s.exists(c => Character.isSurrogate(c) &&
+        !(s.indices.exists(i => Character.isHighSurrogate(s(i)) &&
+          i + 1 < s.length && Character.isLowSurrogate(s(i + 1))))),
+        s"symbol '$s' contains an unpaired surrogate half")
+      assert(s.codePoints().toArray.forall(Character.isValidCodePoint))
+    }
+    assert(driver.head == ((clef, "x")),
+      s"expected first merge ($clef, x); got ${driver.head}")
+    // segmentation with the learned merges reassembles the original
+    val seg = Seq(clef + "x").toDF("w")
+      .select(bpe_segment(col("w"), driver).as("s"))
+      .as[Seq[String]].head()
+    assert(seg.mkString == clef + "x</w>")
+    assert(seg.head.startsWith(clef), s"segment split the clef: $seg")
+  }
+
+  /** Count-tie argmax must break ties in UTF-8 binary (code point)
+    * order on BOTH paths: Java's UTF-16 code-unit order sorts U+FF5E
+    * (FULLWIDTH TILDE, one code unit 0xFF5E) BEFORE U+1D11E (surrogate
+    * pair starting 0xD834), but code points order 0xFF5E < 0x1D11E the
+    * same way — need a pair where they genuinely disagree: U+E000
+    * (private use, code unit 0xE000) vs U+10000 (pair starting 0xD800).
+    * UTF-16 order: 0xD800 < 0xE000; code-point order: 0xE000 < 0x10000.
+    */
+  test("driver tie-break matches distributed UTF-8 ordering on non-BMP ties") {
+    val pua = new String(Character.toChars(0xE000))
+    val supp = new String(Character.toChars(0x10000))
+    // two words, same freq: pairs (pua,z) and (supp,z) tie at count 1
+    val words = Seq((pua + "z", 1L), (supp + "z", 1L)).toDF("word", "freq")
+    val driver = Bpe.train(words, nMerges = 1, minCount = 1)
+    val distributed = Bpe.train(words, nMerges = 1, minCount = 1, driverMaxTypes = 0L)
+    assert(driver == distributed,
+      s"tie-break diverged: driver=$driver distributed=$distributed")
+  }
+
   test("segment applies learned merges greedily by rank: lowest -> low + est</w>") {
     val merges = Bpe.train(sennrich, nMerges = 5)
     val out = Seq("lowest").toDF("w")

@@ -61,6 +61,31 @@ class DedupRecallSpec extends SparkSpec {
     * is computed over distinct token ids, so token-set Jaccard is the
     * matching ground-truth metric here (not shingles).
     */
+  /** Pigeonhole gate for the multi-band candidate join: a pair within
+    * hamming distance 3 differs in at most 3 of the 4 disjoint 16-bit
+    * bands, so at least one band matches exactly and the pair MUST be
+    * a candidate — recall is 1.0 by construction, not probabilistic.
+    * (The replaced single-high-band scheme missed ~44% of hamming-2
+    * pairs: both flips in the low 48 bits meant no candidate row.)
+    */
+  test("simhash multi-band recall = 1.0 on planted hamming<=3 signature pairs") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).flatMap { i =>
+      val base = rnd.nextLong()
+      var pert = base
+      (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+        pert ^= (1L << rnd.nextInt(64)) // repeats may cancel; still <= 3
+      }
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, pert))
+    }
+    val planted = (0 until 200).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    val found = Dedup.simhashBandPairs(rows.toDF("doc_id", "sig"), maxHamming = 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val missed = planted -- found
+    assert(missed.isEmpty,
+      s"multi-band simhash missed ${missed.size} planted hamming<=3 pairs: ${missed.take(5)}")
+  }
+
   test("simhashPairs precision: low-hamming pairs share high token-set Jaccard") {
     val flagged = Dedup.simhashPairs(docs, maxHamming = 4)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
