@@ -19,7 +19,8 @@ object CurationOps {
 
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
-  def all: Seq[QueryDef] = Seq(q49, q90, q91, q92, q93, q94, q95, q104)
+  def all: Seq[QueryDef] =
+    Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -377,5 +378,169 @@ object CurationOps {
       .select(col("doc_id"),
         graft.text.TextExtract.stripHtml(html).as("extracted"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Span-level exact dedup (q107): strike every repeat of a text span
+    * wherever it occurs — across documents AND within one — keeping
+    * only the globally FIRST occurrence (lowest (doc_id, start)). This
+    * is the span analog of suffix-array dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * q49's boilerplate pass removes high-df chunks from everywhere,
+    * while this keeps one copy of every chunk. Spans are the same
+    * non-overlapping 3-token chunks as q49.
+    *
+    * Scale: chunking is narrow; the keep-first decision is a
+    * row_number window PARTITIONED BY CHUNK — one content-keyed
+    * exchange, each window group is just the identical copies of one
+    * chunk (duplicate-count-sized, never corpus-sized). Per-doc
+    * reassembly is a partial+final agg over bounded per-doc lists. No
+    * broadcast, no window over the corpus.
+    */
+  val q107: QueryDef = QueryDef.sql(
+    "q107_span_dedup",
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckToks AS t FROM documents),
+       |s AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0),
+       |ch AS (
+       |  SELECT doc_id, start,
+       |    array_to_string(t[start + 1 : start + 3], ' ') AS chunk
+       |  FROM (SELECT doc_id, t, unnest(range(0, n, 3)) AS start FROM s)),
+       |r AS (
+       |  SELECT doc_id, start, chunk,
+       |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, start) AS rn
+       |  FROM ch),
+       |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+       |ka AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(chunk, ' ' ORDER BY start) AS clean_text
+       |  FROM r WHERE rn = 1 GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(t.n_chunks AS BIGINT) AS n_chunks,
+       |  CAST(t.n_chunks - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_dups_removed,
+       |  COALESCE(ka.clean_text, '') AS clean_text
+       |FROM tot t LEFT JOIN ka USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val ch = Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast("bigint"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), col("n") - 1, lit(3L))).as("start"))
+      .select(col("doc_id"), col("start"),
+        concat_ws(" ", slice(col("t"), (col("start") + 1).cast("int"), lit(3)))
+          .as("chunk"))
+    val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("start"))
+    val kept = ch.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val tot = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val ka = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("start"), col("chunk")))),
+          x => x.getField("chunk"))).as("clean_text"))
+    tot.join(ka, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_chunks").cast("bigint").as("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L)))
+          .cast("bigint").as("n_dups_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram language-model table (q108): conditional continuation
+    * probabilities P(w2 | w1) = pair_n / left_n with the top-3
+    * continuations per head word over a frequent-head vocabulary
+    * (left_n >= 100) — the count table KenLM-style n-gram training
+    * starts from, and the engine-side statistic behind repetition and
+    * perplexity-proxy filters.
+    *
+    * Scale: bigrams are built ARRAY-LOCALLY (transform over the token
+    * array, no per-token window, no posexplode+self-join) so the
+    * fan-out is narrow; counting is one partial+final agg on (w1,w2);
+    * the head totals derive from the already-aggregated pair table
+    * (vocabulary-sized, not corpus-sized), and the top-3 window
+    * partitions by head word. The double division is exact IEEE on
+    * both engines (long->double conversion + one divide).
+    */
+  val q108: QueryDef = QueryDef.sql(
+    "q108_bigram_lm",
+    s"""WITH d AS (SELECT $duckToks AS t FROM documents),
+       |s AS (SELECT t FROM d WHERE len(t) >= 2),
+       |bi AS (
+       |  SELECT unnest(list_transform(range(1, len(t)),
+       |    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+       |  FROM s),
+       |c AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS pair_n FROM bi GROUP BY 1, 2),
+       |l AS (SELECT w1, sum(pair_n) AS left_n FROM c GROUP BY w1),
+       |r AS (
+       |  SELECT c.w1, c.w2,
+       |    CAST(c.pair_n AS BIGINT) AS pair_n,
+       |    CAST(l.left_n AS BIGINT) AS left_n,
+       |    CAST(c.pair_n AS DOUBLE) / CAST(l.left_n AS DOUBLE) AS cond_p,
+       |    CAST(row_number() OVER (PARTITION BY c.w1
+       |      ORDER BY c.pair_n DESC, c.w2) AS BIGINT) AS rnk
+       |  FROM c JOIN l USING (w1))
+       |SELECT w1, w2, pair_n, left_n, cond_p, rnk
+       |FROM r WHERE left_n >= 100 AND rnk <= 3
+       |ORDER BY w1, rnk""".stripMargin) { (s, dir) =>
+    val bi = Tables.documents(s, dir)
+      .select(toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_n"))
+    val l = c.groupBy(col("w1")).agg(sum(col("pair_n")).as("left_n"))
+    val wr = Window.partitionBy(col("w1"))
+      .orderBy(col("pair_n").desc, col("w2"))
+    c.join(l, "w1")
+      .select(col("w1"), col("w2"),
+        col("pair_n").cast("bigint").as("pair_n"),
+        col("left_n").cast("bigint").as("left_n"),
+        (col("pair_n").cast("double") / col("left_n").cast("double")).as("cond_p"),
+        row_number().over(wr).cast("bigint").as("rnk"))
+      .filter(col("left_n") >= 100 && col("rnk") <= 3)
+      .orderBy(col("w1"), col("rnk"))
+  }
+
+  /** Temperature-scaled source mixture weights (q110): the multilingual
+    * pretraining rebalance — sample source s proportional to
+    * share^(1/T) with T=2, i.e. sqrt, which upweights small sources
+    * (UNIMAX/mT5-style smoothing). Emitted per source: token count,
+    * rel_weight = sqrt(share-of-largest), and boost = rel_weight /
+    * share — the upsampling factor vs proportional sampling.
+    *
+    * sqrt because it is the T=2 temperature AND it is correctly
+    * rounded per IEEE 754 on both engines (libm pow with fractional
+    * exponents is not) — the oracle stays bit-exact. share is computed
+    * against the LARGEST source, not the corpus sum: a sum of doubles
+    * is order-dependent across engines, max is not.
+    *
+    * Scale: one partial+final agg to source granularity (narrow
+    * after that — the source table is tiny), a 1-row max broadcast.
+    */
+  val q110: QueryDef = QueryDef.sql(
+    "q110_source_temperature",
+    s"""WITH c AS (
+       |  SELECT source, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+       |  FROM (SELECT source, $duckToks AS t FROM documents)
+       |  GROUP BY source),
+       |m AS (SELECT max(n_tokens) AS max_n FROM c)
+       |SELECT source, n_tokens,
+       |  sqrt(CAST(n_tokens AS DOUBLE) / CAST(max_n AS DOUBLE)) AS rel_weight,
+       |  sqrt(CAST(n_tokens AS DOUBLE) / CAST(max_n AS DOUBLE))
+       |    / (CAST(n_tokens AS DOUBLE) / CAST(max_n AS DOUBLE)) AS boost
+       |FROM c, m
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    val c = Tables.documents(s, dir)
+      .select(col("source"), size(toks(col("text"))).cast("bigint").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).cast("bigint").as("n_tokens"))
+    val m = c.agg(max(col("n_tokens")).as("max_n"))
+    val share = col("n_tokens").cast("double") / col("max_n").cast("double")
+    c.crossJoin(broadcast(m))
+      .select(col("source"), col("n_tokens"),
+        sqrt(share).as("rel_weight"),
+        (sqrt(share) / share).as("boost"))
+      .orderBy(col("source"))
   }
 }

@@ -21,7 +21,7 @@ object Extended {
 
   def all: Seq[QueryDef] = Seq(
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83, q84, q101)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84, q101, q111)
 
   /** Relational pivot via the first-class DataFrame API (`.pivot` with
     * explicit values — no extra pass to discover them): quantity per
@@ -746,5 +746,40 @@ object Extended {
       .groupBy(col("s_suppkey"))
       .agg(count(lit(1)).as("n_events"), money(col("value")).as("sum_value"))
       .orderBy(col("s_suppkey"))
+  }
+
+  /** Time-windowed event debounce (q111): drop an event when the SAME
+    * (user, event_type) fired within the preceding 5 minutes — the
+    * double-click / retry-storm dedup every clickstream ingest runs.
+    * Lag-based semantics (each event compares to its immediate
+    * predecessor, kept or not): expressible as one window pass, unlike
+    * the stateful "previous KEPT event" chain. Deterministic ties via
+    * (ts, event_id) ordering.
+    *
+    * Scale: one exchange keyed by (user_id, event_type), bounded
+    * per-key sorts — the standard sessionization shape; no global
+    * window, no self-join.
+    */
+  val q111: QueryDef = QueryDef.sql(
+    "q111_event_debounce",
+    """WITH marked AS (
+      |  SELECT user_id, event_type, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id, event_type
+      |                  ORDER BY ts, event_id) AS prev_ts
+      |  FROM events)
+      |SELECT user_id, event_type, event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      |FROM marked
+      |WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 5 MINUTE
+      |ORDER BY user_id, event_type, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 300000000L)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy(col("user_id"), col("event_type"), col("event_id"))
   }
 }

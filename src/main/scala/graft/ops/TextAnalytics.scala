@@ -26,7 +26,7 @@ object TextAnalytics {
     */
   private val probeStops = Seq("the", "a", "an", "and", "of", "to", "is", "in", "it", "on")
 
-  def all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q38, q39, q86, q88)
+  def all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -118,6 +118,50 @@ object TextAnalytics {
       .select(
         col("doc_id"), col("n_tokens"), col("punct_ratio"), col("digit_ratio"),
         col("stop_ratio"), col("qscore"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Linear quality classifier (q109): the fastText/logistic-style
+    * quality gate of a curation pipeline — a fixed-weight linear model
+    * over the q23 heuristic features, squashed to (0,1) and
+    * thresholded. The squash is the RATIONAL sigmoid
+    * 0.5 + 0.5 * z/(1+|z|), not 1/(1+e^-z): libm exp differs across
+    * engines in the last ulp, which would break the bit-exact oracle
+    * hash, while add/mul/divide/abs are exactly specified by IEEE 754
+    * — same doubles on Spark and DuckDB by construction. (Weights are
+    * demo parameterization; a trained model plugs into the same
+    * column expression.) Narrow scan-speed arithmetic; the only wide
+    * op is the final ORDER BY.
+    */
+  val q109: QueryDef = QueryDef.sql(
+    "q109_quality_classifier",
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    (length(text) - length(regexp_replace(text, '\\p{P}', '', 'g'))) / length(text) AS punct_ratio,
+       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio,
+       |    len(list_filter(t, x -> x IN ('the','a','an','and','of','to','is','in','it','on'))) / len(t) AS stop_ratio
+       |  FROM (SELECT doc_id, text, $duckToks AS t FROM documents)),
+       |z AS (
+       |  SELECT doc_id,
+       |    -2.0 + stop_ratio * 6.0 + least(1.0, n_tokens / 64.0) * 2.0
+       |      - punct_ratio * 8.0 - digit_ratio * 4.0 AS z
+       |  FROM f)
+       |SELECT doc_id, z,
+       |  0.5 + 0.5 * (z / (1.0 + abs(z))) AS score,
+       |  CAST(CASE WHEN 0.5 + 0.5 * (z / (1.0 + abs(z))) >= 0.5
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM z
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val z = qualityBase(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        (lit(-2.0) + col("stop_ratio") * 6.0
+          + least(lit(1.0), col("n_tokens") / 64.0) * 2.0
+          - col("punct_ratio") * 8.0 - col("digit_ratio") * 4.0).as("z"))
+    z.select(col("doc_id"), col("z"),
+        (lit(0.5) + lit(0.5) * (col("z") / (lit(1.0) + abs(col("z"))))).as("score"))
+      .withColumn("keep",
+        when(col("score") >= 0.5, 1L).otherwise(0L))
       .orderBy(col("doc_id"))
   }
 

@@ -48,8 +48,13 @@ class BpeSpec extends SparkSpec {
         s"symbol '$s' contains an unpaired surrogate half")
       assert(s.codePoints().toArray.forall(Character.isValidCodePoint))
     }
-    assert(driver.head == ((clef, "x")),
-      s"expected first merge ($clef, x); got ${driver.head}")
+    // expected merge order: (clef,x) and (x,</w>) tie at count 3 and
+    // the UTF-8 tie-break picks the smaller left symbol — "x" (0x78)
+    // sorts before the clef (F0 9D 84 9E) — so (x,</w>) merges first;
+    // then (clef, x</w>) at 3; then (y,</w>) wins its tie with (clef,y)
+    // at 2 the same way. The clef must appear as ONE intact symbol.
+    assert(driver == Seq(("x", "</w>"), (clef, "x</w>"), ("y", "</w>")),
+      s"unexpected merge order: $driver")
     // segmentation with the learned merges reassembles the original
     val seg = Seq(clef + "x").toDF("w")
       .select(bpe_segment(col("w"), driver).as("s"))

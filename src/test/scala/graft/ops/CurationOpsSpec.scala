@@ -115,6 +115,64 @@ class CurationOpsSpec extends SparkSpec {
     assert(again.map(_.getLong(1)).toSeq == out.map(_.getLong(1)).toSeq)
   }
 
+  test("q107 span dedup: every surviving chunk is globally unique; totals partition") {
+    val out = CurationOps.q107.build(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // totals partition: kept + removed == chunks, removal actually fires
+    out.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), s"doc ${r.getLong(0)}")
+    }
+    assert(out.map(_.getLong(2)).sum > 0, "corpus has repeats; none removed")
+    // global uniqueness: the same 3-token chunk never survives twice —
+    // rebuild surviving chunks from clean_text (chunks are 3 tokens
+    // except possibly a shorter tail chunk per doc)
+    val survivors = out.flatMap { r =>
+      r.getString(3).split(" ").filter(_.nonEmpty).grouped(3).map(_.mkString(" "))
+    }
+    // grouped(3) can mis-slice when a doc has a short TAIL chunk, so
+    // check at the strongest granularity that is reconstruction-safe:
+    // full-length chunks
+    val full = survivors.filter(_.split(" ").length == 3)
+    assert(full.length == full.distinct.length,
+      "a 3-token chunk survived span-dedup twice")
+  }
+
+  test("q108 bigram LM: probabilities in (0,1], top-3 per head, heads frequent") {
+    val out = CurationOps.q108.build(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (pairN, leftN, condP, rnk) =
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))
+      assert(leftN >= 100 && pairN <= leftN && rnk >= 1 && rnk <= 3)
+      assert(condP == pairN.toDouble / leftN.toDouble)
+    }
+    // per head: ranks are 1..k with no gaps and cond_p non-increasing
+    out.groupBy(_.getString(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(5))
+      assert(sorted.map(_.getLong(5)).toSeq == (1L to sorted.length))
+      val ps = sorted.map(_.getDouble(4))
+      assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q110 temperature weights: largest source pins 1.0, small sources boosted, monotone") {
+    val out = CurationOps.q110.build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length > 1)
+    out.foreach { case (src, n, rel, boost) =>
+      assert(rel > 0.0 && rel <= 1.0, s"$src rel_weight $rel")
+      assert(boost >= 1.0, s"$src boost $boost < 1 — sqrt smoothing must upweight")
+      assert(n > 0)
+    }
+    assert(out.count(_._3 == 1.0) >= 1, "largest source must have rel_weight 1.0")
+    // monotone in n_tokens; strictly smaller source => strictly larger boost
+    val byN = out.sortBy(_._2)
+    byN.zip(byN.tail).foreach { case (a, b) =>
+      assert(a._3 <= b._3, "rel_weight not monotone in size")
+      if (a._2 < b._2) assert(a._4 >= b._4, "boost not anti-monotone in size")
+    }
+  }
+
   test("q95 sketch-verified heavy hitters equal the exact full group-by") {
     val sketch = CurationOps.q95.build(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1))

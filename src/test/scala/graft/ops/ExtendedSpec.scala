@@ -47,6 +47,31 @@ class ExtendedSpec extends SparkSpec {
     assert(perSource.values.forall(_ <= 20))
   }
 
+  test("q111 debounce: first event per key kept; consecutive kept events > 5 min apart; drops have a close predecessor") {
+    val keptIds = Extended.q111.build(spark, sfDir).collect()
+      .map(_.getLong(2)).toSet
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long, Long)].collect()
+    val gapUs = 300000000L
+    evs.groupBy(e => (e._1, e._2)).values.foreach { group =>
+      val sorted = group.sortBy(e => (e._4, e._3))
+      assert(keptIds.contains(sorted.head._3), "first event of a key must survive")
+      // lag semantics: kept iff gap to immediate predecessor > 5 min
+      sorted.zip(sorted.tail).foreach { case (prev, cur) =>
+        val expectKept = cur._4 - prev._4 > gapUs
+        assert(keptIds.contains(cur._3) == expectKept,
+          s"event ${cur._3} kept=${keptIds.contains(cur._3)} want=$expectKept")
+      }
+      // implied invariant: consecutive KEPT events are > 5 min apart
+      val kept = sorted.filter(e => keptIds.contains(e._3))
+      kept.zip(kept.tail).foreach { case (a, b) =>
+        assert(b._4 - a._4 > gapUs, s"kept pair ${a._3},${b._3} within window")
+      }
+    }
+  }
+
   test("q72 salted aggregation matches the plain one-phase GROUP BY") {
     val salted = Extended.q72.build(spark, sfDir)
     val plain = Tables.lineitem(spark, sfDir)

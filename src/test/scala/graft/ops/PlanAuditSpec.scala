@@ -120,6 +120,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(antiBhj.nonEmpty, "expected a broadcast left-anti join")
   }
 
+  /** Global scale gate: a CartesianProduct anywhere, or a
+    * BroadcastNestedLoopJoin outside the documented scalar/K-row
+    * whitelist, is a 100 TB killer regardless of which query it hides
+    * in — so audit EVERY registered query's executed plan, not just
+    * the headline ones. The whitelist entries are all joins whose
+    * build side is bounded by construction (a handful of query rows, K
+    * centroids, one scalar row), where a nested-loop broadcast is the
+    * correct plan, with the reason recorded here.
+    */
+  test("no query plan contains a cartesian product or an unlisted nested-loop join") {
+    val bnljWhitelist: Map[String, String] = Map(
+      "q31_knn_bruteforce" -> "queries x corpus: bounded query batch broadcasts, corpus streams",
+      "q50_embedding_neardup" -> "exact verifier over a bounded slice (vec_id<200); unbounded path is LSH-bucketed dedupByEmbedding",
+      "q53_knn_ivf" -> "bounded query batch x K centroids probe",
+      "q57_multimodal_embed_knn" -> "bounded query batch x media embeddings",
+      "q74_gap_fill" -> "one-row broadcast holding the scalar (min,max) spine bounds",
+      "q75_fuzzy_pairs" -> "bounded blocking subset (p_partkey<=150) broadcast; production blocks by key first",
+      "q94_mixture_sampling" -> "one-row broadcast holding the scalar mixture total",
+      "q102_knn_ivfpq" -> "bounded query batch x K centroids probe",
+      "q110_source_temperature" -> "one-row broadcast holding the scalar max source size",
+      "q43_kmeans_assign" -> "points x one-row broadcast holding the K centers array",
+      "q44_cluster_members" -> "points x one-row broadcast holding the K centers array",
+      "q97_semantic_dedup" -> "points x one-row broadcast holding the K centers array"
+    )
+    val bad = scala.collection.mutable.ListBuffer[String]()
+    val observedBnlj = scala.collection.mutable.TreeSet[String]()
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val nodes = try collectNodes(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          bad += s"$name: failed to execute (${e.getMessage})"; Nil
+      }
+      if (nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+        bad += s"$name: CartesianProduct"
+      if (nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
+        observedBnlj += name
+    }
+    assert(bad.isEmpty, "scale-killer plan nodes:\n" + bad.mkString("\n"))
+    // exact match both ways: an unlisted BNLJ is a scale killer, and a
+    // whitelist entry whose query no longer nested-loops is rot that
+    // would silently excuse a future regression
+    val unlisted = observedBnlj.toSet -- bnljWhitelist.keySet
+    assert(unlisted.isEmpty,
+      s"BroadcastNestedLoopJoin outside the whitelist: $unlisted")
+    val stale = bnljWhitelist.keySet -- observedBnlj
+    assert(stale.isEmpty,
+      s"whitelist entries whose plans no longer nested-loop: $stale")
+  }
+
   test("nearest-center assignment is a pure map: zero exchanges") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("vec_id").as("id"),

@@ -77,4 +77,44 @@ class PqSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"), s"ScalaUDF in plan:\n$plan")
   }
+
+  /** The shortlist join carries the query vector + m*ksub-double LUT on
+    * the probe side, so it is deliberately UNHINTED: AQE should
+    * broadcast a small serving batch on its own, and a huge query set
+    * must degrade to a shuffled equi-join on center_id instead of
+    * OOMing the driver. Emulate the huge-batch regime by disabling the
+    * broadcast thresholds (the planner state a too-big probe side
+    * produces) and check both plans AND result identity.
+    */
+  test("ivfPqKnn shortlist join: AQE broadcasts the small batch; with " +
+    "broadcast disabled it degrades to a shuffled join, same results") {
+    val queries = emb.filter(col("vec_id") < 5)
+    def run(): (Seq[(Long, Long, Int)], String) = {
+      val df = Pq.ivfPqKnn(spark, emb, queries, k = 3, nCells = 4,
+        nProbe = 2, rerank = 12, lloydIters = 1)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val rows = df.select(col("qid"), col("cid"), col("rnk"))
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      (rows, plan)
+    }
+    val (small, smallPlan) = run()
+    assert(!smallPlan.contains("SortMergeJoin") &&
+      !smallPlan.contains("ShuffledHashJoin"),
+      s"small-batch plan shuffled the shortlist join:\n$smallPlan")
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val (large, largePlan) = run()
+      assert(largePlan.contains("SortMergeJoin") ||
+        largePlan.contains("ShuffledHashJoin"),
+        s"broadcast-disabled run still broadcasts — the huge-batch " +
+          s"degradation path is untested:\n$largePlan")
+      assert(large == small, "join strategy changed the kNN result")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }

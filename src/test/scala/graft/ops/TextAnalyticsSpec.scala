@@ -13,6 +13,23 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(out == "en")
   }
 
+  test("q109 quality classifier: score strictly increasing in z, bounded (0,1), keep = score>=0.5") {
+    val out = TextAnalytics.q109.build(spark, sfDir)
+      .select("z", "score", "keep").as[(Double, Double, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (z, s, k) =>
+      assert(s > 0.0 && s < 1.0, s"score $s out of (0,1)")
+      assert(s == 0.5 + 0.5 * (z / (1.0 + math.abs(z))), "squash formula drift")
+      assert(k == (if (s >= 0.5) 1L else 0L))
+    }
+    // monotone: sort by z, scores must be non-decreasing (rational
+    // sigmoid is strictly increasing; equal z -> equal score)
+    val byZ = out.sortBy(_._1).map(_._2)
+    assert(byZ.zip(byZ.tail).forall { case (a, b) => a <= b })
+    // the gate actually separates: both classes present on the fixture
+    assert(out.exists(_._3 == 1L) && out.exists(_._3 == 0L))
+  }
+
   test("langId: CJK text predicted zh; function words predict their language") {
     val d = Seq(
       (1L, "\u4e2d\u6587\u6587\u672c\u5904\u7406", "zh"),

@@ -46,6 +46,41 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  /** The production SemDeDup entry ([[TrainingData.semanticDedup]])
+    * learns its own centers (Lloyd) instead of q97's fixture-pinned
+    * ones. The contract worth gating is the survivor invariant: after
+    * the keep-lowest pass, NO surviving pair within a cluster is
+    * cosine-similar at/above the threshold (if survivors x < y were
+    * similar, x would have dropped y), plus determinism — Lloyd init
+    * is first-k, so two runs must agree exactly.
+    */
+  test("semanticDedup library path: survivor pairs below threshold within every cluster; deterministic") {
+    val thr = 0.35
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .filter(col("id") < 200)
+    def run() = TrainingData.semanticDedup(emb, k = 6, threshold = thr,
+        lloydIters = 3)
+      .select(col("id"), col("center_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSeq.sorted
+    val survivors = run()
+    assert(survivors.nonEmpty, "semantic dedup dropped everything")
+    assert(survivors.size < 200, "semantic dedup dropped nothing on a corpus with near-dup embeddings")
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    survivors.groupBy(_._2).values.foreach { members =>
+      val ids = members.map(_._1).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length)
+        assert(cos(vecs(ids(i)), vecs(ids(j))) < thr,
+          s"surviving pair (${ids(i)}, ${ids(j)}) above threshold in one cluster")
+    }
+    assert(run() == survivors, "semanticDedup is nondeterministic")
+  }
+
   test("q98 quota cap: never more than 15 per source, and they are that source's best") {
     val kept = TrainingData.q98.build(spark, sfDir).collect()
     val perSource = kept.groupBy(_.getString(0))
