@@ -25,7 +25,8 @@ object Dedup {
 
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
-  def all: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89)
+  def all: Seq[QueryDef] =
+    Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89, q112)
 
   /** Exact dedup on a normalized key: keep the lowest doc_id per group.
     * Scale: one hash exchange on the key; with pre-partitioned/bucketed
@@ -136,6 +137,73 @@ object Dedup {
       .select(col("d1"), col("d2"), col("n_common"), jac.as("jaccard"))
       .filter(jac >= 0.1)
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Cross-source overlap matrix (q112): for every pair of sources,
+    * how many distinct 3-token shingles they share and the overlap
+    * coefficient shared/min(|A|,|B|) — the corpus-level diagnostic
+    * that tells a curation pipeline WHICH feeds duplicate each other
+    * (mirror sites, scraped re-posts) before doc-level dedup runs.
+    *
+    * Shingles present in more than 16 distinct sources are dropped
+    * first: they are boilerplate carrying no pair signal, and the cap
+    * bounds the self-join fan-out per shingle to C(16,2) candidate
+    * pairs — without it one ubiquitous shingle contributes a
+    * sources^2 blowup. The dropped set is df-thresholded (heavy-
+    * hitter-sized), so the strike is a BROADCAST anti-join, the q49
+    * shape. Remaining wide ops: the (source,shingle) distinct, the
+    * pair count agg — all partial+final; per-source sizes are a tiny
+    * frame joined at the end.
+    */
+  val q112: QueryDef = QueryDef.sql(
+    "q112_source_overlap",
+    s"""WITH d AS (SELECT source, $duckToks AS t FROM documents),
+       |sp AS (
+       |  SELECT DISTINCT source, sh FROM (
+       |    SELECT source, unnest(list_filter(
+       |      list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+       |        i -> array_to_string(t[i+1:i+3], ' ')),
+       |      s -> s <> '')) AS sh
+       |    FROM d)),
+       |keep AS (SELECT sh FROM sp GROUP BY sh HAVING count(*) <= 16),
+       |k AS (SELECT source, sh FROM sp JOIN keep USING (sh)),
+       |sz AS (SELECT source, count(*) AS n FROM k GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS s1, b.source AS s2, count(*) AS shared
+       |  FROM k a JOIN k b ON a.sh = b.sh AND a.source < b.source
+       |  GROUP BY s1, s2)
+       |SELECT s1, s2, CAST(shared AS BIGINT) AS shared,
+       |  shared / least(z1.n, z2.n) AS overlap
+       |FROM inter
+       |JOIN sz z1 ON z1.source = s1
+       |JOIN sz z2 ON z2.source = s2
+       |WHERE shared >= 5
+       |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+    val sp = Tables.documents(s, dir)
+      .select(col("source"), explode(shingles(col("text"), 3)).as("sh"))
+      .distinct()
+    val boiler = sp.groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_src"))
+      .filter(col("n_src") > 16)
+      .select(col("sh"))
+    // NOTE: the USING-style anti join moves the key column first, so
+    // rename by NAME, never positionally (toDF) after it
+    val k = sp.join(broadcast(boiler), Seq("sh"), "left_anti")
+      .select(col("source"), col("sh"))
+    val sz = k.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = k.toDF("s1", "sh")
+      .join(k.toDF("s2", "sh2"),
+        col("sh") === col("sh2") && col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("shared"))
+    inter
+      .join(sz.toDF("za", "n1"), col("za") === col("s1"))
+      .join(sz.toDF("zb", "n2"), col("zb") === col("s2"))
+      .select(col("s1"), col("s2"),
+        col("shared").cast("bigint").as("shared"),
+        (col("shared") / least(col("n1"), col("n2"))).as("overlap"))
+      .filter(col("shared") >= 5)
+      .orderBy(col("s1"), col("s2"))
   }
 
   /** Benchmark-contamination report (q89): corpus docs (doc_id < 450)
@@ -373,6 +441,46 @@ object Dedup {
     bands.toDF("d1", "band", "sig")
       .join(bands.toDF("d2", "band2", "sig2"),
         col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** Incremental LSH band-index maintenance: merge a delta corpus into
+    * an existing (doc_id, band, band_sig) index — the persisted form
+    * of [[bandSignatures]] — without recomputing history. Re-ingested
+    * doc_ids are REPLACED (delta wins, MERGE semantics); all other
+    * rows carry over untouched. Merge == full rebuild (spec-proven:
+    * the signature kernel is deterministic).
+    *
+    * Scale: signatures are computed only for the delta; stale rows are
+    * struck by ONE anti equi-join on doc_id (AQE broadcasts the
+    * delta's key set in the common small-delta case); the history is
+    * never rescanned, reshingled, or shuffled on content.
+    */
+  def upsertBandIndex(index: DataFrame, deltaDocs: DataFrame,
+                      nHashes: Int = 32, bandSize: Int = 4,
+                      shingleSize: Int = 3): DataFrame = {
+    val fresh = bandSignatures(deltaDocs, nHashes, bandSize, shingleSize)
+    index
+      .join(fresh.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .unionByName(fresh)
+  }
+
+  /** Probe an LSH band index with an incoming batch: candidate pairs
+    * (batch doc, indexed doc) sharing any band key — the incremental
+    * near-dup check a perpetual ingest runs against its accumulated
+    * index instead of re-running all-pairs LSH. One equi-join on
+    * (band, band_sig); the batch side is the small one.
+    */
+  def probeBandIndex(index: DataFrame, batch: DataFrame,
+                     nHashes: Int = 32, bandSize: Int = 4,
+                     shingleSize: Int = 3): DataFrame = {
+    val b = bandSignatures(batch, nHashes, bandSize, shingleSize)
+      .select(col("doc_id").as("d1"), col("band"), col("band_sig"))
+    val idx = index.select(col("doc_id").as("d2"),
+      col("band").as("band2"), col("band_sig").as("sig2"))
+    b.join(idx,
+        col("band") === col("band2") && col("band_sig") === col("sig2") &&
+          col("d1") =!= col("d2"))
       .select(col("d1"), col("d2")).distinct()
   }
 

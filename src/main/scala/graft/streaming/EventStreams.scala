@@ -137,6 +137,61 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  case class DebState(lastTsUs: Long)
+  case class DebouncedEvent(user_id: Long, event_type: String,
+                            event_id: Long, ts: Timestamp)
+
+  /** Streaming twin of the batch q111 debounce: drop an event when the
+    * SAME (user, event_type) fired within the preceding
+    * `windowMinutes` (lag semantics — each event compares to its
+    * immediate predecessor, kept or not). State per key is ONLY the
+    * last-seen event time (O(1)) and expires via event-time timeout
+    * one window after that event. Expiry is correctness-neutral by
+    * construction: a key whose state timed out can only receive
+    * events more than a window after the last one, which the lag
+    * rule keeps anyway — so the TTL bounds state to recently-active
+    * keys without changing output. Batch-identical for in-order
+    * streams (spec-gated against q111); micro-batch internal order is
+    * restored by a per-key sort, as in [[sessionize]]. Comparisons
+    * are in MICROSECONDS to match the batch unix_micros predicate
+    * exactly at sub-second gaps.
+    */
+  def debounce(spark: SparkSession, events: Dataset[Event],
+               windowMinutes: Int = 5,
+               watermarkDelay: String = "10 minutes"): Dataset[DebouncedEvent] = {
+    import spark.implicits._
+    val gapUs = windowMinutes * 60L * 1000000L
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebState, DebouncedEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Long, String), evs: Iterator[Event], state: GroupState[DebState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var last = state.getOption.map(_.lastTsUs)
+            val out = Seq.newBuilder[DebouncedEvent]
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              if (last.forall(t - _ > gapUs))
+                out += DebouncedEvent(key._1, key._2, e.event_id, e.ts)
+              last = Some(t)
+            }
+            last.foreach { l =>
+              state.update(DebState(l))
+              // see sessionize: deadline clamped above the watermark;
+              // in batch execution timeouts never fire
+              val wm = scala.util.Try(state.getCurrentWatermarkMs())
+                .getOrElse(Long.MinValue)
+              state.setTimeoutTimestamp(math.max(l / 1000 + gapUs / 1000, wm + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join: attribute each purchase to the same
     * user's click(s) in the preceding `maxLagMinutes`. Both sides carry
     * watermarks and the join condition bounds event-time distance, so

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.explode
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -108,5 +109,63 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.shingles($"text", 3)).as[Seq[String]].head()
     assert(s.head == "completely different content")
     assert(s.contains("spark query engines"))
+  }
+
+  test("upsertBandIndex == full rebuild (including a re-ingested doc); probe equals cross-candidates") {
+    val corpus = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val old = corpus.filter($"doc_id" < 100)
+    // delta = new docs + one RE-INGESTED doc with changed text
+    val delta = corpus.filter($"doc_id" >= 100 && $"doc_id" < 150)
+      .unionByName(corpus.filter($"doc_id" === 5)
+        .select($"doc_id",
+          org.apache.spark.sql.functions.concat($"text",
+            org.apache.spark.sql.functions.lit(" edited tail")).as("text")))
+    val merged = Dedup.upsertBandIndex(Dedup.bandSignatures(old), delta)
+      .as[(Long, Int, Long)].collect().toSet
+    // rebuild from scratch on the equivalent final corpus state
+    val finalCorpus = old.filter($"doc_id" =!= 5).unionByName(delta)
+    val rebuilt = Dedup.bandSignatures(finalCorpus)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(merged == rebuilt, "incremental index diverged from full rebuild")
+    // probing the index with a batch finds exactly the full-run pairs
+    // that cross (batch x indexed)
+    val batch = corpus.filter($"doc_id" >= 150 && $"doc_id" < 170)
+    val probed = Dedup.probeBandIndex(Dedup.bandSignatures(finalCorpus), batch)
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashCandidates(finalCorpus.unionByName(batch))
+      .as[(Long, Long)].collect().toSet
+    val batchIds = (150L until 170L).toSet
+    val expect = full.collect {
+      case (a, b) if batchIds(a) && !batchIds(b) => (a, b)
+      case (a, b) if batchIds(b) && !batchIds(a) => (b, a)
+    }
+    assert(probed == expect,
+      s"probe/full diverge: onlyProbe=${(probed -- expect).take(5)} " +
+        s"onlyFull=${(expect -- probed).take(5)}")
+    assert(probed.nonEmpty, "templated fixture must have cross near-dups")
+  }
+
+  test("q112 source overlap matches directly computed shingle-set intersections") {
+    val out = Dedup.q112.build(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.nonEmpty, "templated corpus must share shingles across sources")
+    // recompute from first principles on the fixture
+    val sp = Tables.documents(spark, sfDir)
+      .select($"source", explode(Dedup.shingles($"text", 3)).as("sh"))
+      .distinct().as[(String, String)].collect()
+    val nSrc = sp.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+    val kept = sp.filter(p => nSrc(p._2) <= 16)
+    val bysrc = kept.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val srcs = bysrc.keys.toSeq.sorted
+    val expect = (for {
+      i <- srcs.indices; j <- i + 1 until srcs.length
+      a = srcs(i); b = srcs(j)
+      shared = (bysrc(a) & bysrc(b)).size.toLong
+      if shared >= 5
+    } yield (a, b) -> ((shared,
+      shared.toDouble / math.min(bysrc(a).size, bysrc(b).size)))).toMap
+    assert(out == expect, s"overlap matrix mismatch: got ${out.size} pairs, want ${expect.size}")
   }
 }

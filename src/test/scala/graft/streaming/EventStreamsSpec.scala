@@ -123,6 +123,64 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("debounce stream equals the batch q111 kept set on in-order fixture events") {
+    implicit val sq = spark.sqlContext
+    // real fixture slice, fed to the stream in event-time order
+    val fixture = graft.ops.Tables.events(spark, sfDir)
+      .filter(col("user_id") < 10)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val batchKept = graft.ops.Extended.q111.build(spark, sfDir)
+      .filter(col("user_id") < 10)
+      .select("event_id").as[Long].collect().toSet
+    val mem = MemoryStream[Event]
+    val query = debounce(spark, mem.toDS())
+      .writeStream.format("memory").queryName("debounce_test")
+      .outputMode("append").start()
+    try {
+      // two micro-batches to exercise cross-batch state
+      val (a, b) = fixture.splitAt(fixture.length / 2)
+      mem.addData(a.toIndexedSeq: _*)
+      query.processAllAvailable()
+      mem.addData(b.toIndexedSeq: _*)
+      query.processAllAvailable()
+      // synthetic retry storm on a key the fixture doesn't use,
+      // AFTER all fixture event times (so its watermark can't mark the
+      // fixture late), split ACROSS micro-batches so dropping
+      // exercises carried state: only the first event survives (each
+      // is 1 min after its predecessor)
+      val t0 = fixture.last.ts.getTime
+      def storm(id: Long, offMin: Int) =
+        Event(1000000L + id, new java.sql.Timestamp(t0 + offMin * 60000L),
+          9999L, "retry", 0.0)
+      mem.addData(storm(1, 1))
+      query.processAllAvailable()
+      mem.addData(storm(2, 2), storm(3, 3))
+      query.processAllAvailable()
+      val kept = spark.table("debounce_test")
+        .select("event_id").as[Long].collect().toSet
+      val streamKept = kept.filter(_ < 1000000L)
+      assert(streamKept == batchKept,
+        s"stream/batch diverge: onlyStream=${(streamKept -- batchKept).take(5)} " +
+          s"onlyBatch=${(batchKept -- streamKept).take(5)}")
+      assert(kept.filter(_ >= 1000000L) == Set(1000001L),
+        "retry storm: only the first event may survive, across micro-batches")
+    } finally query.stop()
+  }
+
+  test("debounce also runs in BATCH mode with identical lag semantics") {
+    val fixture = graft.ops.Tables.events(spark, sfDir)
+      .filter(col("user_id") < 10)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).as[Event]
+    val out = debounce(spark, fixture).select("event_id").as[Long].collect().toSet
+    val batchKept = graft.ops.Extended.q111.build(spark, sfDir)
+      .filter(col("user_id") < 10)
+      .select("event_id").as[Long].collect().toSet
+    assert(out == batchKept)
+  }
+
   test("attributionJoin pairs purchases with prior clicks inside the lag window") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
