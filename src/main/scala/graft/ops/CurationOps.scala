@@ -490,10 +490,13 @@ object CurationOps {
           element_at(col("t"), i + 1).as("w2")))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_n"))
-    val l = c.groupBy(col("w1")).agg(sum(col("pair_n")).as("left_n"))
+    // head totals as a window over the (vocabulary-sized) pair table:
+    // a groupBy+join would re-run the whole bigram pipeline for the
+    // totals branch (no exchange reuse across branches), and the
+    // window rides the SAME w1 partitioning the rank below needs
     val wr = Window.partitionBy(col("w1"))
       .orderBy(col("pair_n").desc, col("w2"))
-    c.join(l, "w1")
+    c.withColumn("left_n", sum(col("pair_n")).over(Window.partitionBy(col("w1"))))
       .select(col("w1"), col("w2"),
         col("pair_n").cast("bigint").as("pair_n"),
         col("left_n").cast("bigint").as("left_n"),
