@@ -115,22 +115,100 @@ object Pq {
     *
     * corpus: (cid, cv); queries: (qid, qv) — both ARRAY<DOUBLE>.
     */
+  /** A trained IVF-PQ index: driver-side quantizer state (coarse
+    * centers + per-subspace codebooks) and the encoded corpus
+    * (cid, cv, cvn, center_id, codes) — everything serving needs.
+    */
+  case class PqIndex(centers: Array[Array[Double]],
+                     codebooks: Array[Array[Array[Double]]],
+                     cells: DataFrame)
+
+  /** Train + encode, no search: the offline half of the ANN lifecycle.
+    * Driver-side state is a few KB; the encode is the single narrow
+    * codegen pass over the corpus (see object scaladoc).
+    */
+  def buildIndex(spark: SparkSession, corpus: DataFrame,
+                 dim: Int = 64, nCells: Int = 16, m: Int = 8,
+                 ksub: Int = 16, lloydIters: Int = 2): PqIndex = {
+    import graft.cluster.KMeansAssign
+    val c = corpus.toDF("cid", "cv")
+      .withColumn("cvn", unit_normalize(col("cv")))
+    val centers = KMeansAssign.lloydCenters(c, nCells, lloydIters, "cid", "cvn")
+    val codebooks = trainCodebooks(c, "cid", "cvn", dim, m, ksub)
+    val cells = KMeansAssign.assignMap(c, centers, "cvn").drop("dist")
+      .withColumn("codes", pq_encode(col("cvn"), codebooks))
+    PqIndex(centers, codebooks, cells)
+  }
+
+  /** Persist an index: encoded cells as parquet PARTITIONED BY CELL —
+    * a probe of nProbe cells then prunes at the storage layer (the
+    * IvfLayoutSpec pattern, and the layout you'd ship to a serving
+    * fleet) — plus the driver quantizer state as one small parquet row
+    * of nested arrays (no side files, no custom format).
+    */
+  def saveIndex(idx: PqIndex, path: String): Unit = {
+    idx.cells.write.mode("overwrite")
+      .partitionBy("center_id").parquet(path + "/cells")
+    val spark = idx.cells.sparkSession
+    import spark.implicits._
+    Seq((idx.centers.map(_.toSeq).toSeq,
+        idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("centers", "codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+  }
+
+  /** Load a persisted index; the cells frame is lazy (scans prune by
+    * center_id at serve time).
+    */
+  def loadIndex(spark: SparkSession, path: String): PqIndex = {
+    import scala.collection.{Seq => CSeq}
+    val meta = spark.read.parquet(path + "/meta").collect()(0)
+    // row cells hold mutable.ArraySeq — declare collection.Seq, not
+    // immutable.Seq (getSeq's cast is unchecked erasure)
+    val centers = meta.getSeq[CSeq[Double]](meta.fieldIndex("centers"))
+      .map(_.toArray).toArray
+    val codebooks = meta.getSeq[CSeq[CSeq[Double]]](meta.fieldIndex("codebooks"))
+      .map(_.map(_.toArray).toArray).toArray
+    PqIndex(centers, codebooks, spark.read.parquet(path + "/cells"))
+  }
+
   def ivfPqKnn(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
                k: Int, dim: Int = 64, nCells: Int = 16, nProbe: Int = 4,
                m: Int = 8, ksub: Int = 16, rerank: Int = 32,
                lloydIters: Int = 2): DataFrame = {
+    val idx = buildIndex(spark, corpus, dim, nCells, m, ksub, lloydIters)
+    searchIndex(spark, idx, queries, k, nProbe, rerank)
+  }
+
+  /** Incremental insert: encode a delta batch with the EXISTING
+    * quantizers (centers and codebooks unchanged — standard IVF
+    * maintenance; re-train only on drift) and REPLACE re-ingested ids.
+    * Delta-only work: one narrow assign+encode map over the delta and
+    * one anti equi-join strike on the old cells — the history is never
+    * re-encoded. Same MERGE shape as Dedup.upsertBandIndex.
+    */
+  def insertIntoIndex(idx: PqIndex, delta: DataFrame): PqIndex = {
+    import graft.cluster.KMeansAssign
+    val d = delta.toDF("cid", "cv")
+      .withColumn("cvn", unit_normalize(col("cv")))
+    val enc = KMeansAssign.assignMap(d, idx.centers, "cvn").drop("dist")
+      .withColumn("codes", pq_encode(col("cvn"), idx.codebooks))
+    val kept = idx.cells
+      .join(enc.select(col("cid")).distinct(), Seq("cid"), "left_anti")
+      .select(enc.columns.map(col): _*)
+    PqIndex(idx.centers, idx.codebooks, kept.unionByName(enc))
+  }
+
+  /** The online half: probe + ADC shortlist + exact re-rank against a
+    * built (or loaded) [[PqIndex]].
+    */
+  def searchIndex(spark: SparkSession, idx: PqIndex, queries: DataFrame,
+                  k: Int, nProbe: Int = 4, rerank: Int = 32): DataFrame = {
     import graft.cluster.KMeansAssign
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
-    val c = corpus.toDF("cid", "cv")
-      .withColumn("cvn", unit_normalize(col("cv")))
-    // coarse quantizer + codebooks: driver-side state, both derived
-    // from the same (cached-for-the-loop) corpus scan pattern
-    val centers = KMeansAssign.lloydCenters(c, nCells, lloydIters, "cid", "cvn")
-    val codebooks = trainCodebooks(c, "cid", "cvn", dim, m, ksub)
-    // encoded index: cell id + m-int code per vector, one narrow
-    // codegen'd map — this is the only pass over the full corpus
-    val cells = KMeansAssign.assignMap(c, centers, "cvn").drop("dist")
-      .withColumn("codes", pq_encode(col("cvn"), codebooks))
+    val ksub = idx.codebooks(0).length
+    val codebooks = idx.codebooks
+    val cells = idx.cells
     val centroids = KMeansAssign.centroidMeans(cells, "cvn")
       .withColumnRenamed("cvec", "repr")
     // probe plan: nProbe nearest cells per query + the query's LUT

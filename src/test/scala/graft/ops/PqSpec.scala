@@ -78,6 +78,48 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), s"ScalaUDF in plan:\n$plan")
   }
 
+  /** The full index lifecycle: build -> save (cells partitioned by
+    * center_id) -> load -> search must equal searching the in-memory
+    * index, and an incremental insert must equal re-encoding the final
+    * corpus with the SAME quantizers (IVF maintenance semantics: the
+    * quantizers never move on insert).
+    */
+  test("index lifecycle: save/load/search round-trips; insert == re-encode with same quantizers") {
+    val corpus = emb.filter(col("vec_id") < 400).toDF("cid", "cv")
+    val idx = Pq.buildIndex(spark, corpus, nCells = 4, lloydIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqidx").toString
+    Pq.saveIndex(idx, dir)
+    val loaded = Pq.loadIndex(spark, dir)
+    assert(loaded.centers.map(_.toSeq).toSeq == idx.centers.map(_.toSeq).toSeq)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val queries = emb.filter(col("vec_id") < 5)
+    def hits(i: Pq.PqIndex) =
+      Pq.searchIndex(spark, i, queries, k = 3, nProbe = 2, rerank = 12)
+        .select(col("qid"), col("cid"), col("rnk"))
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(hits(loaded) == hits(idx), "persisted index serves different results")
+    // insert the next 100 vectors (+ re-ingest id 7 with the same
+    // vector): cells must equal a fresh encode of the final corpus
+    // under the ORIGINAL quantizers
+    val delta = emb.filter(col("vec_id") >= 400 || col("vec_id") === 7)
+      .toDF("cid", "cv")
+    val merged = Pq.insertIntoIndex(idx, delta).cells
+      .select(col("cid"), col("center_id"), col("codes"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val reencoded = Pq.insertIntoIndex(
+        Pq.PqIndex(idx.centers, idx.codebooks, idx.cells.limit(0)),
+        emb.toDF("cid", "cv")).cells
+      .select(col("cid"), col("center_id"), col("codes"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(merged == reencoded, "incremental insert diverged from re-encode")
+    // the persisted layout really is cell-partitioned (probe pruning
+    // at the storage layer)
+    val parts = new java.io.File(dir + "/cells").listFiles()
+      .map(_.getName).filter(_.startsWith("center_id="))
+    assert(parts.length == idx.cells.select("center_id").distinct().count())
+  }
+
   /** The shortlist join carries the query vector + m*ksub-double LUT on
     * the probe side, so it is deliberately UNHINTED: AQE should
     * broadcast a small serving batch on its own, and a huge query set
