@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev scaling probe: replicate the driver-generated documents table
+  * `factor`x (doc_ids shifted per replica, a per-replica tag appended
+  * to the text so replicas are not byte-identical) into a /tmp corpus
+  * directory — written as `defaultParallelism` files, the layout a
+  * real corpus has — then time selected full-corpus queries at 1x vs
+  * `factor`x and print the time ratio. Near-linear ratios (and
+  * sub-factor ratios where fixed job overhead amortizes) are the
+  * evidence behind the "narrow ops run at scan speed" claims in
+  * PLANS.md. Non-document tables are copied unchanged, so only
+  * documents-driven queries scale.
+  *
+  * Measurement only — correctness oracles always run against the
+  * untouched driver fixtures.
+  *
+  * Usage: runMain graft.tools.ScaleCheck <sfDir> <factor> [query...]
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val names = if (args.length > 2) args.drop(2).toSeq
+      else Seq("q21_doc_token_stats", "q22_word_freq", "q25_dedup_exact",
+        "q54_langid", "q89_decontamination", "q107_span_dedup",
+        "q108_bigram_lm", "q112_source_overlap")
+    val out = s"/tmp/graft_scale_${factor}x_" +
+      base.replaceAll("[^0-9a-zA-Z.]", "_")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(out).exists()) {
+      val docs = spark.read.parquet(base + "/documents.parquet")
+      val rep = (0 until factor).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+          .withColumn("text", concat(col("text"), lit(s" rep$i")))
+      }.reduce(_ unionByName _)
+      rep.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(out + "/documents.parquet")
+      new java.io.File(base).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          f.getName != "documents.parquet")
+        .foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(out, f.getName),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      println(s"[scale] built ${factor}x corpus at $out")
+    }
+
+    val qs = graft.SparkEntry.queries
+    def time(n: String, dir: String): Double = {
+      qs(n)(spark, dir).count() // warmup/codegen
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        qs(n)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.min
+    }
+    println(f"[scale] ${"query"}%-26s ${"1x"}%7s ${factor + "x"}%7s  ratio (ideal <= $factor)")
+    names.foreach { n =>
+      val t1 = time(n, base)
+      val tk = time(n, out)
+      println(f"[scale] $n%-26s $t1%7.2f $tk%7.2f  ${tk / t1}%5.2fx")
+    }
+    spark.stop()
+  }
+}

