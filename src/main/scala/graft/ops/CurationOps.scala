@@ -420,14 +420,25 @@ object CurationOps {
        |  COALESCE(ka.clean_text, '') AS clean_text
        |FROM tot t LEFT JOIN ka USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
-    val ch = Tables.documents(s, dir)
+    spanDedup(Tables.documents(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** Library form of q107's span dedup over any (doc_id, text) frame;
+    * IDEMPOTENT (PropertiesSpec): surviving chunks are mid-doc
+    * full-length except each doc's tail, so re-chunking the cleaned
+    * text reproduces the surviving chunk sequence exactly and a second
+    * pass removes nothing.
+    */
+  def spanDedup(docs: org.apache.spark.sql.DataFrame, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"chunk size must be >= 1, got $n")
+    val ch = docs
       .select(col("doc_id"), toks(col("text")).as("t"))
-      .withColumn("n", size(col("t")).cast("bigint"))
-      .filter(col("n") > 0)
+      .withColumn("nt", size(col("t")).cast("bigint"))
+      .filter(col("nt") > 0)
       .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0L), col("n") - 1, lit(3L))).as("start"))
+        explode(sequence(lit(0L), col("nt") - 1, lit(n.toLong))).as("start"))
       .select(col("doc_id"), col("start"),
-        concat_ws(" ", slice(col("t"), (col("start") + 1).cast("int"), lit(3)))
+        concat_ws(" ", slice(col("t"), (col("start") + 1).cast("int"), lit(n)))
           .as("chunk"))
     val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("start"))
     val kept = ch.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -443,7 +454,6 @@ object CurationOps {
         (col("n_chunks") - coalesce(col("n_kept"), lit(0L)))
           .cast("bigint").as("n_dups_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
-      .orderBy(col("doc_id"))
   }
 
   /** Bigram language-model table (q108): conditional continuation

@@ -47,12 +47,15 @@ object Layout {
     * (the same knob as Sinks.compact).
     */
   def writeZOrdered(df: DataFrame, x: Column, y: Column, bits: Int,
-                    numFiles: Int, path: String): Unit =
+                    numFiles: Int, path: String): Unit = {
+    require(!df.columns.contains("__z"),
+      "'__z' is reserved by writeZOrdered; rename the input column")
     df.withColumn("__z", zValue2(x, y, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
 
   /** Z-order key computation (q96): Morton codes over the two join
     * dimensions of the fact table, top 200 by code — the key the

@@ -64,6 +64,10 @@ object RangeJoin {
       s"maxBinsPerRange must be >= 1, got $maxBinsPerRange")
     require(points.columns.toSet.intersect(ranges.columns.toSet).isEmpty,
       "point and range column names collide")
+    // withColumn REPLACES an existing column silently — a real _bin
+    // column would be clobbered by the internal bin key
+    require(!points.columns.contains("_bin") && !ranges.columns.contains("_bin"),
+      "'_bin' is reserved by pointInInterval; rename the input column")
     val w = lit(binWidth)
     val p = points.filter(col(pointCol).isNotNull)
     val valid = ranges

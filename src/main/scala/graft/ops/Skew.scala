@@ -55,6 +55,8 @@ object Skew {
     val saltCols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
     require(saltCols.nonEmpty,
       "saltedSumAgg: no hashable columns to derive a deterministic salt from")
+    require(!df.columns.contains("_salt") && !df.columns.contains("_key"),
+      "'_salt'/'_key' are reserved by saltedSumAgg; rename the input column")
     val salted = df
       .withColumn("_salt",
         pmod(xxhash64(saltCols: _*), lit(buckets.toLong)))

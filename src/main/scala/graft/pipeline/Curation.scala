@@ -37,12 +37,27 @@ object Curation {
     *         left persisted (the caller materializes it next); earlier
     *         stage caches are released before returning.
     */
+  // withColumn REPLACES same-named columns silently: a caller frame
+  // that already carries one of the pipeline's internal temp columns
+  // would be corrupted, so fail loudly up front (same contract as
+  // Cdc.applyCdc's uniquified rank column, enforced by rejection here
+  // because FIVE temps would otherwise all need uniquifying).
+  private val reservedCols =
+    Seq("_n_tokens", "_punct_ratio", "_est_jaccard", "_hkey", "_rn")
+  private def requireNoReservedColumns(docs: org.apache.spark.sql.DataFrame): Unit = {
+    val clash = docs.columns.toSet.intersect(reservedCols.toSet)
+    require(clash.isEmpty,
+      s"columns ${clash.mkString(", ")} are reserved by the curation " +
+        "pipeline; rename them before calling curate/curateObserved")
+  }
+
   def curate(spark: SparkSession, docs: DataFrame,
              minTokens: Int = 8, maxPunctRatio: Double = 0.2,
              keepLangs: Seq[String] = Nil,
              nHashes: Int = 32, bandSize: Int = 4,
              minSigAgreement: Double = 0.7,
              maxPerSource: Int = 0): (DataFrame, Report) = {
+    requireNoReservedColumns(docs)
     val input = docs.count()
 
     // 1. quality: narrow per-doc metrics, no shuffle
@@ -166,6 +181,7 @@ object Curation {
                      nHashes: Int = 32, bandSize: Int = 4,
                      minSigAgreement: Double = 0.7,
                      maxPerSource: Int = 0): (DataFrame, () => Report) = {
+    requireNoReservedColumns(docs)
     import org.apache.spark.sql.Observation
     val oIn = Observation("curate_input")
     val oQuality = Observation("curate_quality")

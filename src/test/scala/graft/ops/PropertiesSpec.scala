@@ -126,4 +126,30 @@ class PropertiesSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(scaled == got)
   }
+
+  test("property: spanDedup is idempotent and its survivors are globally unique") {
+    // small vocabulary forces heavy cross-doc chunk collisions
+    val docGen: Gen[String] = for {
+      len <- Gen.choose(0, 40)
+      ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+    } yield ws.mkString(" ")
+    val docs = samples(docGen, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = graft.ops.CurationOps.spanDedup(docs)
+    val rows = once.collect()
+    // partition: kept + removed == total, and dedup actually fires on
+    // a 4-word vocabulary
+    rows.foreach(r => assert(r.getLong(1) >= r.getLong(2)))
+    assert(rows.map(_.getLong(2)).sum > 0, "no dups removed on a 4-word vocab")
+    // survivors globally unique at full-chunk granularity
+    val full = rows.flatMap(_.getString(3).split(" ").filter(_.nonEmpty)
+      .grouped(3).map(_.mkString(" "))).filter(_.split(" ").length == 3)
+    assert(full.length == full.distinct.length)
+    // idempotence: a second pass over the cleaned text removes nothing
+    val again = graft.ops.CurationOps.spanDedup(
+      once.select(col("doc_id"), col("clean_text").as("text"))
+        .filter(length(col("text")) > 0))
+    assert(again.collect().forall(_.getLong(2) == 0L),
+      "second span-dedup pass removed chunks — not idempotent")
+  }
 }
