@@ -519,6 +519,38 @@ object GraftExtensions {
       s"$fn: size arguments must be literals")
   }
 
+  /** SQL-literal array<array<numeric>> argument (e.g. centers or
+    * hyperplanes): `nearest_center(v, array(array(1.0, 0.0), ...))`.
+    * SQL float literals parse as DECIMAL, so elements are converted,
+    * not cast-asserted.
+    */
+  private def nestedDoublesArg(e: Expression, fn: String): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    require(e.foldable, s"$fn: the centers/planes argument must be a literal")
+    val (outerT, innerT) = e.dataType match {
+      case ArrayType(a @ ArrayType(et, _), _) => (a, et)
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected array<array<numeric>>, got $other")
+    }
+    def toD(x: Any): Double = x match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case d: Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: non-numeric element $other (type $innerT)")
+    }
+    e.eval() match {
+      case ad: ArrayData => ad.toObjectArray(outerT).toSeq.map {
+        case in: ArrayData => in.toObjectArray(innerT).toSeq.map(toD)
+        case _ => throw new IllegalArgumentException(
+          s"$fn: null inner array")
+      }
+      case _ => throw new IllegalArgumentException(s"$fn: null argument")
+    }
+  }
+
   private[functions] def register(
       f: (String, Seq[Expression] => Expression) => Unit): Unit = {
     f("porter_stem", es => PorterStemExpr(es.head))
@@ -530,5 +562,9 @@ object GraftExtensions {
     f("shingle_minhash", es => ShingleMinHashExpr(
       es(0), intArg(es(1), "shingle_minhash"), intArg(es(2), "shingle_minhash")))
     f("unit_normalize", es => UnitNormalizeExpr(es.head))
+    f("nearest_center", es => NearestCenterExpr(
+      es(0), nestedDoublesArg(es(1), "nearest_center")))
+    f("sign_bucket", es => SignBucketExpr(
+      es(0), nestedDoublesArg(es(1), "sign_bucket")))
   }
 }

@@ -40,6 +40,25 @@ class SqlInterfaceSpec extends SparkSpec {
     assert(both.getSeq[Long](0) == both.getSeq[Long](1))
   }
 
+  test("nearest_center / sign_bucket callable from SQL with literal array-of-arrays") {
+    gf.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  nearest_center(array(0.9D, 0.1D),
+        |    array(array(1.0, 0.0), array(0.0, 1.0))).center_id AS nc,
+        |  sign_bucket(array(1.0D, -2.0D),
+        |    array(array(1.0, 0.0), array(0.0, 1.0))) AS sb""".stripMargin).head()
+    assert(r.getInt(0) == 0, "(0.9,0.1) is nearest the x-axis center")
+    // plane 0: dot=1>=0 -> bit0 set; plane 1: dot=-2<0 -> bit1 clear
+    assert(r.getInt(1) == 1)
+    // DECIMAL literals (SQL default for 1.0) are converted, and a
+    // non-literal centers argument fails loudly
+    val err = intercept[Exception] {
+      spark.sql("SELECT nearest_center(array(1.0D), array(array(rand())))").head()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("registration is idempotent") {
     gf.register(spark)
     gf.register(spark)
