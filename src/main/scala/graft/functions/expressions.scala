@@ -551,20 +551,30 @@ object GraftExtensions {
     }
   }
 
+  /** SQL float literals default to DECIMAL (`array(0.9, 0.1)` is
+    * array<decimal>), and the vector expressions declare
+    * ExpectsInputTypes(array<double>) — check-only, no implicit cast —
+    * so wrap vector arguments in an explicit cast at registration.
+    * A no-op cast is elided by the optimizer.
+    */
+  private def dblVec(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+
   private[functions] def register(
       f: (String, Seq[Expression] => Expression) => Unit): Unit = {
     f("porter_stem", es => PorterStemExpr(es.head))
-    f("cosine_similarity", es => CosineSimilarityExpr(es(0), es(1)))
-    f("cosine_distance", es => CosineDistanceExpr(es(0), es(1)))
+    f("cosine_similarity", es => CosineSimilarityExpr(dblVec(es(0)), dblVec(es(1))))
+    f("cosine_distance", es => CosineDistanceExpr(dblVec(es(0)), dblVec(es(1))))
     f("simhash64", es => SimHash64Expr(es.head))
     f("minhash_sig", es =>
       MinHashSigExpr(es(0), intArg(es(1), "minhash_sig")))
     f("shingle_minhash", es => ShingleMinHashExpr(
       es(0), intArg(es(1), "shingle_minhash"), intArg(es(2), "shingle_minhash")))
-    f("unit_normalize", es => UnitNormalizeExpr(es.head))
+    f("unit_normalize", es => UnitNormalizeExpr(dblVec(es.head)))
     f("nearest_center", es => NearestCenterExpr(
-      es(0), nestedDoublesArg(es(1), "nearest_center")))
+      dblVec(es(0)), nestedDoublesArg(es(1), "nearest_center")))
     f("sign_bucket", es => SignBucketExpr(
-      es(0), nestedDoublesArg(es(1), "sign_bucket")))
+      dblVec(es(0)), nestedDoublesArg(es(1), "sign_bucket")))
   }
 }

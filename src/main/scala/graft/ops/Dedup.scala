@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.functions.simhash64
 
@@ -473,7 +474,17 @@ object Dedup {
   def upsertBandIndex(index: DataFrame, deltaDocs: DataFrame,
                       nHashes: Int = 32, bandSize: Int = 4,
                       shingleSize: Int = 3): DataFrame = {
-    val fresh = bandSignatures(deltaDocs, nHashes, bandSize, shingleSize)
+    // an at-least-once ingest can deliver one doc_id twice in a batch:
+    // without a winner per id BOTH versions' band rows would survive
+    // (merge != rebuild). Deterministic winner = row-wise minimum of
+    // the remaining columns, the NearDupStream representative rule.
+    val others = deltaDocs.columns.filter(_ != "doc_id").map(col).toSeq
+    val w = Window.partitionBy(col("doc_id")).orderBy(others: _*)
+    val delta =
+      if (others.isEmpty) deltaDocs.dropDuplicates("doc_id")
+      else deltaDocs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    val fresh = bandSignatures(delta, nHashes, bandSize, shingleSize)
     index
       .join(fresh.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .unionByName(fresh)

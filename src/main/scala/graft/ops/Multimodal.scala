@@ -133,10 +133,6 @@ object Multimodal {
       // deterministic fake payload; unhex(sha2) = 32 opaque bytes
       to_binary(sha2(col("text"), 256), lit("hex")).as("media"))
 
-  /** Batched feature extraction: one decoder per partition, iterator in
-    * / iterator out (never materializes the partition), preserving
-    * Spark's streaming execution within the task.
-    */
   /** Codec work is CPU-bound per row and mapPartitions inherits the
     * scan's partitioning: a corpus stored in fewer files than cores
     * runs the whole decode on a handful of tasks (measured: ONE 0.56s
@@ -148,6 +144,10 @@ object Multimodal {
     if (media.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) media
     else media.repartition(spark.sparkContext.defaultParallelism)
 
+  /** Batched feature extraction: one decoder per partition, iterator in
+    * / iterator out (never materializes the partition), preserving
+    * Spark's streaming execution within the task.
+    */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     spread(spark, media).as[MediaRow].mapPartitions { rows =>

@@ -189,7 +189,14 @@ object Pq {
     */
   def insertIntoIndex(idx: PqIndex, delta: DataFrame): PqIndex = {
     import graft.cluster.KMeansAssign
-    val d = delta.toDF("cid", "cv")
+    // one winner per id within the delta batch (an at-least-once feed
+    // can repeat an id): deterministic row-wise minimum, else both
+    // versions' codes would survive and merge != rebuild
+    val named = delta.toDF("cid", "cv")
+    val wd = Window.partitionBy(col("cid")).orderBy(col("cv"))
+    val d = named
+      .withColumn("__rn", row_number().over(wd))
+      .filter(col("__rn") === 1).drop("__rn")
       .withColumn("cvn", unit_normalize(col("cv")))
     val enc = KMeansAssign.assignMap(d, idx.centers, "cvn").drop("dist")
       .withColumn("codes", pq_encode(col("cvn"), idx.codebooks))
@@ -204,13 +211,20 @@ object Pq {
     */
   def searchIndex(spark: SparkSession, idx: PqIndex, queries: DataFrame,
                   k: Int, nProbe: Int = 4, rerank: Int = 32): DataFrame = {
-    import graft.cluster.KMeansAssign
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val ksub = idx.codebooks(0).length
     val codebooks = idx.codebooks
     val cells = idx.cells
-    val centroids = KMeansAssign.centroidMeans(cells, "cvn")
-      .withColumnRenamed("cvec", "repr")
+    // probe representatives = the coarse quantizer ITSELF, straight
+    // from driver state: K rows, zero scans. Recomputing cell means
+    // here (the old phrasing) paid a full posexplode+agg scan of the
+    // persisted cells on EVERY search call — defeating the
+    // partitioned-layout pruning — and drifted from the quantizer the
+    // assignments actually used once insertIntoIndex added vectors.
+    import spark.implicits._
+    val centroids = idx.centers.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("center_id", "repr")
     // probe plan: nProbe nearest cells per query + the query's LUT
     val q = queries.toDF("qid", "qv")
       .withColumn("qvn", unit_normalize(col("qv")))

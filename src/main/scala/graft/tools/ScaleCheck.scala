@@ -23,9 +23,13 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
+    // default set: full-corpus queries with NO doc_id-range semantics.
+    // (q89 decontamination is deliberately absent: it partitions on
+    // doc_id >= 450, so id-shifted replicas would all land on the
+    // "held-out" side and scale the benchmark instead of the corpus.)
     val names = if (args.length > 2) args.drop(2).toSeq
       else Seq("q21_doc_token_stats", "q22_word_freq", "q25_dedup_exact",
-        "q54_langid", "q89_decontamination", "q107_span_dedup",
+        "q54_langid", "q107_span_dedup",
         "q108_bigram_lm", "q112_source_overlap")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
@@ -39,7 +43,10 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (!new java.io.File(out).exists()) {
+    // completeness sentinel: an interrupted build leaves the directory
+    // existing but partial — rebuild unless the final marker is there
+    val okMarker = new java.io.File(out, "_GRAFT_SCALE_OK")
+    if (!okMarker.exists()) {
       val docs = spark.read.parquet(base + "/documents.parquet")
       val rep = (0 until factor).map { i =>
         docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
@@ -55,6 +62,7 @@ object ScaleCheck {
             java.nio.file.Paths.get(out, f.getName),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
+      okMarker.createNewFile()
       println(s"[scale] built ${factor}x corpus at $out")
     }
 

@@ -42,11 +42,13 @@ class SqlInterfaceSpec extends SparkSpec {
 
   test("nearest_center / sign_bucket callable from SQL with literal array-of-arrays") {
     gf.register(spark)
+    // un-suffixed literals (SQL's DECIMAL default) must work: vector
+    // args are cast to array<double> at registration
     val r = spark.sql(
       """SELECT
-        |  nearest_center(array(0.9D, 0.1D),
+        |  nearest_center(array(0.9, 0.1),
         |    array(array(1.0, 0.0), array(0.0, 1.0))).center_id AS nc,
-        |  sign_bucket(array(1.0D, -2.0D),
+        |  sign_bucket(array(1.0, -2.0),
         |    array(array(1.0, 0.0), array(0.0, 1.0))) AS sb""".stripMargin).head()
     assert(r.getInt(0) == 0, "(0.9,0.1) is nearest the x-axis center")
     // plane 0: dot=1>=0 -> bit0 set; plane 1: dot=-2<0 -> bit1 clear

@@ -115,16 +115,27 @@ class DedupSpec extends SparkSpec {
     val corpus = Tables.documents(spark, sfDir)
       .select($"doc_id", $"text")
     val old = corpus.filter($"doc_id" < 100)
-    // delta = new docs + one RE-INGESTED doc with changed text
+    // delta = new docs + one RE-INGESTED doc with changed text,
+    // DELIVERED TWICE with different payloads (at-least-once feed):
+    // exactly one deterministic winner may survive the merge
+    val edited = corpus.filter($"doc_id" === 5)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.concat($"text",
+          org.apache.spark.sql.functions.lit(" edited tail")).as("text"))
+    val editedLater = corpus.filter($"doc_id" === 5)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.concat($"text",
+          org.apache.spark.sql.functions.lit(" zz later retry")).as("text"))
     val delta = corpus.filter($"doc_id" >= 100 && $"doc_id" < 150)
-      .unionByName(corpus.filter($"doc_id" === 5)
-        .select($"doc_id",
-          org.apache.spark.sql.functions.concat($"text",
-            org.apache.spark.sql.functions.lit(" edited tail")).as("text")))
+      .unionByName(edited).unionByName(editedLater)
     val merged = Dedup.upsertBandIndex(Dedup.bandSignatures(old), delta)
       .as[(Long, Int, Long)].collect().toSet
-    // rebuild from scratch on the equivalent final corpus state
-    val finalCorpus = old.filter($"doc_id" =!= 5).unionByName(delta)
+    // rebuild from scratch on the equivalent final corpus state: the
+    // deterministic intra-delta winner for doc 5 is the row-wise min
+    // payload ("...edited tail" < "...zz later retry")
+    val finalCorpus = old.filter($"doc_id" =!= 5)
+      .unionByName(corpus.filter($"doc_id" >= 100 && $"doc_id" < 150))
+      .unionByName(edited)
     val rebuilt = Dedup.bandSignatures(finalCorpus)
       .as[(Long, Int, Long)].collect().toSet
     assert(merged == rebuilt, "incremental index diverged from full rebuild")

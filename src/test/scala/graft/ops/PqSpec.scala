@@ -99,10 +99,11 @@ class PqSpec extends SparkSpec {
         .select(col("qid"), col("cid"), col("rnk"))
         .as[(Long, Long, Int)].collect().toSeq.sorted
     assert(hits(loaded) == hits(idx), "persisted index serves different results")
-    // insert the next 100 vectors (+ re-ingest id 7 with the same
-    // vector): cells must equal a fresh encode of the final corpus
-    // under the ORIGINAL quantizers
+    // insert the next 100 vectors (+ re-ingest id 7, DELIVERED TWICE —
+    // at-least-once feed): cells must equal a fresh encode of the
+    // final corpus under the ORIGINAL quantizers, one row per id
     val delta = emb.filter(col("vec_id") >= 400 || col("vec_id") === 7)
+      .unionByName(emb.filter(col("vec_id") === 7))
       .toDF("cid", "cv")
     val merged = Pq.insertIntoIndex(idx, delta).cells
       .select(col("cid"), col("center_id"), col("codes"))
