@@ -41,6 +41,29 @@ class RangeJoinSpec extends SparkSpec {
     for (w <- Seq(0.7, 1.0, 13.0, 1000.0)) assert(run(w) == expected, s"w=$w")
   }
 
+  test("a pathologically wide range routes to the leftover join: no blowup, no dropped match") {
+    // hi = 1e12 with w = 0.5 would explode to 2e12 bin rows (and fail
+    // Spark's sequence cap) without the maxBinsPerRange guard; the
+    // overflow range must instead match through the broadcast leftover
+    // side with identical semantics
+    val wideRanges = ranges :+ (8L, -5.0, 1.0e12)
+    val p = points.toDF("p")
+    val r = wideRanges.toDF("id", "lo", "hi")
+    val out = RangeJoin.pointInInterval(p, "p", r, "lo", "hi",
+        binWidth = 0.5, maxBinsPerRange = 64L)
+      .select($"p", $"id").as[(Double, Long)].collect().toSet
+    assert(out == naive(points, wideRanges))
+    // the wide range really did match (it covers most points), so the
+    // leftover path was exercised, not vacuous
+    assert(out.count(_._2 == 8L) > 3)
+    // and a normal-width range still travels the binned path with a
+    // tiny cap forcing EVERYTHING through leftover: same answer
+    val allLeftover = RangeJoin.pointInInterval(p, "p", r, "lo", "hi",
+        binWidth = 0.5, maxBinsPerRange = 1L)
+      .select($"p", $"id").as[(Double, Long)].collect().toSet
+    assert(allLeftover == naive(points, wideRanges))
+  }
+
   test("overlapping ranges yield one row per matching pair, no dupes") {
     val out = run(4.0).toSeq
     // p=5.0 and 6.99 fall in both range 1 and 2
