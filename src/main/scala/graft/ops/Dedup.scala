@@ -203,7 +203,12 @@ object Dedup {
       .agg(sort_array(collect_set(col("source"))).as("ss"))
       .filter(size(col("ss")) <= 16)
       .localCheckpoint()
+    // the pair fan-out is CPU-bound (C(k,2) per shingle) but sits on
+    // the checkpointed frame, whose partition count AQE coalesced to
+    // match the tiny grouped shuffle (2 tasks at sf0.1, 0.64s wall) —
+    // spread it across cores first; the re-exchange is group-sized
     val inter = g
+      .repartition(s.sparkContext.defaultParallelism)
       .select(explode(flatten(transform(col("ss"), (x, i) =>
         transform(slice(col("ss"), i + 2, size(col("ss"))), y =>
           struct(x.as("s1"), y.as("s2")))))).as("p"))
