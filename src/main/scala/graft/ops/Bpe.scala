@@ -13,11 +13,14 @@ import graft.functions.functions.{bpe_merge_pair, bpe_segment}
   *    corpus frequencies), not the corpus: one aggregation reduces
   *    100 TB of text to a vocabulary-sized frame, and every iteration
   *    after that touches only word types;
-  *  - each merge iteration is (a) one partial+final aggregate counting
-  *    adjacent symbol pairs weighted by word frequency, (b) a 1-row
-  *    argmax collect, (c) one codegen'd narrow map applying the merge
-  *    ([[graft.functions.MergePairExpr]]); driver state is the merge
-  *    list only;
+  *  - merges are learned in BATCHES: each round is (a) one
+  *    partial+final aggregate counting adjacent symbol pairs weighted
+  *    by word frequency, (b) a (batch+1)-row top-k collect, (c) one
+  *    codegen'd narrow map applying every merge of the maximal
+  *    symbol-disjoint ranked prefix in order
+  *    ([[graft.functions.MergePairExpr]]) — provably identical output
+  *    to one-merge-per-job (see [[train]]), at ~1/batchSize the job
+  *    count; driver state is the merge list only;
   *  - lineage is truncated per iteration (localCheckpoint) so the plan
   *    does not grow with the merge count — the connectedComponents
   *    iterative-loop pattern.
@@ -37,6 +40,12 @@ object Bpe {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))
 
+  /** Pair-count rounds (= Spark aggregate jobs) the last distributed
+    * [[train]] ran — diagnostic for the batching specs; the whole
+    * point of merge batching is that this is ≪ nMerges.
+    */
+  @volatile private[graft] var lastDistributedRounds: Int = 0
+
   /** Learn `nMerges` BPE merges from a (word, freq) table. Ties break
     * deterministically on (count desc, pair lexicographic). Stops
     * early when the best pair's weighted count drops below `minCount`
@@ -47,13 +56,30 @@ object Bpe {
     * each distributed iteration costs ~150 ms of PLANNING (new plan,
     * analysis, codegen) regardless of data size, which dwarfs the
     * compute for vocabulary-sized inputs. Larger vocabularies run the
-    * distributed loop: per iteration one partial+final pair-count
-    * aggregate, a 1-row argmax collect, one codegen'd merge map, and
-    * a lineage truncation. Both paths produce identical merges (same
-    * counts, same tie-break; spec-asserted).
+    * distributed loop, BATCHED: each round is one partial+final
+    * pair-count aggregate, a (batchSize+1)-row collect, and one
+    * codegen'd narrow map applying a whole batch of merges in rank
+    * order — so a 32k-merge vocabulary costs ~32k/batchSize Spark
+    * jobs, not 32k. Both paths produce identical merges (same counts,
+    * same tie-break; spec-asserted including batched-vs-one-at-a-time
+    * identity on tie-heavy corpora).
+    *
+    * WHY BATCHING IS EXACT (not approximate): the batch taken per
+    * round is the maximal PREFIX r1..rk of the (cnt desc, a, b)
+    * ranking that is pairwise symbol-disjoint, shrunk until
+    * cnt(rk) > cnt(r_{k+1}) (the first excluded row). Sequential BPE
+    * then picks exactly r1..rk, by induction on j: pairs untouched by
+    * merges r1..r_{j-1} keep their counts, and the best untouched pair
+    * is r_j itself (the ranking is a prefix); every pair CHANGED or
+    * CREATED by those merges has each occurrence bounded by an
+    * occurrence of some ORIGINAL pair q sharing a symbol with the
+    * batch — q cannot be in the prefix (pairwise disjoint), so
+    * rank(q) ≥ k+1 and cnt(q) ≤ cnt(r_{k+1}) < cnt(r_j). A batch of
+    * size 1 is plain sequential, so progress is always ≥ 1 merge per
+    * round even on pathological all-tied corpora.
     */
   def train(words: DataFrame, nMerges: Int, minCount: Long = 2L,
-            driverMaxTypes: Long = 1L << 17): Seq[(String, String)] = {
+            driverMaxTypes: Long = 1L << 17, batchSize: Int = 64): Seq[(String, String)] = {
     val spark = words.sparkSession
     val merges = scala.collection.mutable.ListBuffer[(String, String)]()
     // initial symbols: CODE POINTS + the end-of-word marker. Java
@@ -80,14 +106,18 @@ object Bpe {
       spark.sparkContext.defaultParallelism.toLong, nTypes / 65536L + 1L)).toInt
     var syms = init.repartition(parts).localCheckpoint(true)
     init.unpersist(blocking = false)
+    lastDistributedRounds = 0
     try {
-      var it = 0
       var done = false
-      while (it < nMerges && !done) {
+      while (merges.size < nMerges && !done) {
+        lastDistributedRounds += 1
+        val want = math.min(math.max(batchSize, 1), nMerges - merges.size)
         // adjacent pair counts, weighted by word frequency. `s` is an
         // attribute reference here, so the lambda re-reads it O(1) —
         // see shingles() for why that matters with interpreted HOFs.
-        val top = syms
+        // want+1 rows: the first EXCLUDED row's count is the shrink
+        // boundary of the safe batch (see scaladoc proof).
+        val rows = syms
           .filter(size(col("s")) >= 2)
           .select(col("freq"),
             explode(transform(sequence(lit(0), size(col("s")) - 2), i =>
@@ -96,21 +126,42 @@ object Bpe {
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum(col("freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1)
+          .limit(want + 1)
           .collect()
-        if (top.isEmpty || top(0).getLong(2) < minCount) done = true
+        // maximal pairwise symbol-disjoint RANKED PREFIX — the prefix
+        // stops (never skips) at the first row sharing a symbol, else
+        // order-equivalence to sequential merging is lost
+        val batch = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        val used = scala.collection.mutable.HashSet[String]()
+        var j = 0
+        var open = true
+        while (open && j < math.min(want, rows.length)) {
+          val (a, b, c) = (rows(j).getString(0), rows(j).getString(1), rows(j).getLong(2))
+          if (c < minCount || used(a) || used(b)) open = false
+          else { batch += ((a, b, c)); used += a; used += b; j += 1 }
+        }
+        if (batch.isEmpty) done = true // table exhausted or best < minCount
         else {
-          val (a, b) = (top(0).getString(0), top(0).getString(1))
-          merges += ((a, b))
-          // apply the merge and truncate lineage so the plan stays
-          // one map deep regardless of the merge count
+          // shrink until strictly above the first excluded count, so no
+          // merge-created pair can tie a batch element at its turn
+          val boundary =
+            if (batch.size < rows.length) rows(batch.size).getLong(2)
+            else Long.MinValue // collect came back short: pair table exhausted
+          while (batch.size >= 2 && batch.last._3 <= boundary)
+            batch.remove(batch.size - 1)
+          merges ++= batch.map(t => (t._1, t._2))
+          // apply the whole batch in rank order as one nested codegen'd
+          // narrow map, then truncate lineage so the plan stays one map
+          // deep regardless of the merge count
+          val mergedCol = batch.foldLeft(col("s")) {
+            case (c, (a, b, _)) => bpe_merge_pair(c, a, b)
+          }
           val next = syms
-            .select(col("freq"), bpe_merge_pair(col("s"), a, b).as("s"))
+            .select(col("freq"), mergedCol.as("s"))
             .localCheckpoint(true)
           syms.unpersist(blocking = false)
           syms = next
         }
-        it += 1
       }
       merges.toList
     } finally syms.unpersist(blocking = false)

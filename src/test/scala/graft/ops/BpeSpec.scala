@@ -27,6 +27,75 @@ class BpeSpec extends SparkSpec {
     assert(driver.size == 12)
   }
 
+  /** The safe-batch rule (maximal symbol-disjoint ranked prefix,
+    * shrunk past count ties with the first excluded row) must be
+    * EXACTLY order-equivalent to one-merge-per-job — on real text and
+    * at every batch size.
+    */
+  test("batched merges are order-identical to one-at-a-time merges") {
+    val docs = Tables.documents(spark, sfDir).limit(120)
+    val words = Bpe.wordFreqs(docs)
+    val driver = Bpe.train(words, nMerges = 20)
+    val oneAtATime = Bpe.train(words, nMerges = 20, driverMaxTypes = 0L, batchSize = 1)
+    val batched4 = Bpe.train(words, nMerges = 20, driverMaxTypes = 0L, batchSize = 4)
+    val batched64 = Bpe.train(words, nMerges = 20, driverMaxTypes = 0L, batchSize = 64)
+    assert(oneAtATime == driver)
+    assert(batched4 == driver, "batchSize=4 diverged from sequential")
+    assert(batched64 == driver, "batchSize=64 diverged from sequential")
+  }
+
+  /** Tie-heavy randomized corpora (5-letter alphabet → constant count
+    * collisions) drive the batch through its conflict-stop and
+    * boundary-shrink paths; output must still match sequential.
+    */
+  test("batched == sequential on randomized tie-heavy corpora") {
+    val rng = new scala.util.Random(20260813L)
+    for (trial <- 1 to 3) {
+      val words = (1 to 40)
+        .map(_ => (1 to (1 + rng.nextInt(4))).map(_ => ('a' + rng.nextInt(5)).toChar).mkString)
+        .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+        .toSeq.toDF("word", "freq")
+      val sequential = Bpe.train(words, nMerges = 8, minCount = 1, driverMaxTypes = 0L, batchSize = 1)
+      val batched = Bpe.train(words, nMerges = 8, minCount = 1, driverMaxTypes = 0L, batchSize = 4)
+      assert(batched == sequential, s"trial $trial: $batched != $sequential")
+    }
+  }
+
+  /** The point of batching: pair-count rounds (Spark jobs) ≪ merges.
+    * A corpus whose top pairs are symbol-disjoint with globally
+    * distinct counts (12 words over disjoint 2-letter alphabets, each
+    * "xyxy" so its (x,y) count 2f beats its own chain-mates at f)
+    * must learn all 12 merges in ONE round. Real text conflicts at
+    * the letter level early on, so there the assertion is the strict
+    * saving, not merges/batchSize (BpePerf measures the profile:
+    * 48→22 rounds, 2× wall on a 160k-type table).
+    */
+  test("batching bounds the number of pair-count rounds") {
+    val alpha = "abcdefghijklmnopqrstuvwx"
+    val disjoint = (0 until 12).map { i =>
+      val (x, y) = (alpha(2 * i).toString, alpha(2 * i + 1).toString)
+      (x + y + x + y, 1000L - 3L * i)
+    }.toDF("word", "freq")
+    val driver = Bpe.train(disjoint, nMerges = 12, minCount = 1)
+    val batched = Bpe.train(disjoint, nMerges = 12, minCount = 1,
+      driverMaxTypes = 0L, batchSize = 16)
+    assert(batched == driver)
+    assert(batched.size == 12)
+    assert(Bpe.lastDistributedRounds == 1,
+      s"12 disjoint merges should batch into 1 round, took ${Bpe.lastDistributedRounds}")
+    // one-at-a-time really does cost one round per merge (the baseline
+    // the batch is saving)
+    Bpe.train(disjoint, nMerges = 5, minCount = 1, driverMaxTypes = 0L, batchSize = 1)
+    assert(Bpe.lastDistributedRounds == 5)
+    // real corpus text: early letter-level merges conflict, but the
+    // round count must still be strictly below one-per-merge
+    val words = Bpe.wordFreqs(Tables.documents(spark, sfDir).limit(200))
+    val real = Bpe.train(words, nMerges = 20, driverMaxTypes = 0L, batchSize = 8)
+    assert(real.size == 20)
+    assert(Bpe.lastDistributedRounds < 20,
+      s"expected <20 rounds for 20 merges, got ${Bpe.lastDistributedRounds}")
+  }
+
   /** Supplementary characters (here U+1D11E MUSICAL SYMBOL G CLEF, two
     * UTF-16 code units) must stay ONE training symbol: a code-unit
     * split would learn merges over surrogate halves — invalid subwords
