@@ -537,7 +537,8 @@ object CurationOps {
     s"""WITH c AS (
        |  SELECT source, CAST(sum(len(t)) AS BIGINT) AS n_tokens
        |  FROM (SELECT source, $duckToks AS t FROM documents)
-       |  GROUP BY source),
+       |  GROUP BY source
+       |  HAVING CAST(sum(len(t)) AS BIGINT) > 0),
        |m AS (SELECT max(n_tokens) AS max_n FROM c)
        |SELECT source, n_tokens,
        |  sqrt(CAST(n_tokens AS DOUBLE) / CAST(max_n AS DOUBLE)) AS rel_weight,
@@ -545,9 +546,13 @@ object CurationOps {
        |    / (CAST(n_tokens AS DOUBLE) / CAST(max_n AS DOUBLE)) AS boost
        |FROM c, m
        |ORDER BY source""".stripMargin) { (s, dir) =>
+    // n_tokens > 0 guard (both engines, identically): an all-whitespace
+    // source would make boost 0/0 — NaN in Spark, engine-dependent in
+    // DuckDB — so the oracle hash would diverge on such a corpus
     val c = Tables.documents(s, dir)
       .select(col("source"), size(toks(col("text"))).cast("bigint").as("nt"))
       .groupBy(col("source")).agg(sum(col("nt")).cast("bigint").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
     val m = c.agg(max(col("n_tokens")).as("max_n"))
     val share = col("n_tokens").cast("double") / col("max_n").cast("double")
     c.crossJoin(broadcast(m))

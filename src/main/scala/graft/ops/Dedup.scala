@@ -188,11 +188,14 @@ object Dedup {
     // semantics (still what the DuckDB oracle runs) re-shingled the
     // corpus 16x (no exchange reuse across its branches) — 2.5s vs
     // ~1s at sf0.1.
-    // localCheckpoint: the per-shingle source-set frame feeds BOTH the
-    // pair counts and the per-source sizes; without it each branch
-    // re-runs the scan+distinct+group pipeline (Catalyst doesn't reuse
-    // non-identical-parent exchanges). At scale this is the frame a
-    // pipeline would persist anyway.
+    // localCheckpoint (LAZY, like connectedComponents): the per-shingle
+    // source-set frame feeds BOTH the pair counts and the per-source
+    // sizes; without it each branch re-runs the scan+distinct+group
+    // pipeline (Catalyst doesn't reuse non-identical-parent exchanges).
+    // Eager would run a Spark job at plan-construction time, before any
+    // action. At scale this is the frame a pipeline would persist
+    // anyway; unreplicated blocks ride the same fault-tolerance
+    // trade-off the CC loop documents.
     // no pre-distinct: collect_set IS the set semantics, and skipping
     // the distinct drops a whole (source, shingle-string) exchange —
     // partial aggregation builds per-shingle source sets map-side, so
@@ -202,7 +205,7 @@ object Dedup {
       .groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
       .filter(size(col("ss")) <= 16)
-      .localCheckpoint()
+      .localCheckpoint(false)
     // the pair fan-out is CPU-bound (C(k,2) per shingle) but sits on
     // the checkpointed frame, whose partition count AQE coalesced to
     // match the tiny grouped shuffle (2 tasks at sf0.1, 0.64s wall) —
@@ -482,8 +485,15 @@ object Dedup {
     // an at-least-once ingest can deliver one doc_id twice in a batch:
     // without a winner per id BOTH versions' band rows would survive
     // (merge != rebuild). Deterministic winner = row-wise minimum of
-    // the remaining columns, the NearDupStream representative rule.
-    val others = deltaDocs.columns.filter(_ != "doc_id").map(col).toSeq
+    // the remaining ORDERABLE columns, the NearDupStream representative
+    // rule — a map/udt column in the delta (not orderable in Spark)
+    // would otherwise fail analysis, and such columns can't break ties
+    // deterministically anyway. All-unorderable deltas degrade to an
+    // arbitrary (but single) winner per doc_id.
+    val others = deltaDocs.schema.fields
+      .filter(f => f.name != "doc_id" &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(f => col(f.name)).toSeq
     val w = Window.partitionBy(col("doc_id")).orderBy(others: _*)
     val delta =
       if (others.isEmpty) deltaDocs.dropDuplicates("doc_id")
@@ -668,6 +678,11 @@ object Dedup {
     incoming.join(broadcast(confirmed), Seq(keyCol), "left_anti")
   }
 
+  /** Diagnostic for the dispatch-boundary spec: did the last
+    * [[connectedComponents]] call label on the driver (vs the loop)?
+    */
+  @volatile private[graft] var lastDispatchLocal: Boolean = false
+
   /** Connected components over an undirected edge list (a, b) by
     * iterative min-label propagation: every vertex starts as its own
     * label; each round a vertex takes the minimum label among itself
@@ -692,10 +707,10 @@ object Dedup {
     * hash-partitioned on vertex id. Label frames are localCheckpoint'd
     * per round to truncate the growing plan lineage.
     *
-    * Edge lists up to `localEdgeLimit` skip the loop entirely: the
-    * materialized edges are union-found on the driver (O(E α(E)), path
-    * compression) and the labeling returns as a local relation. This is
-    * the centroid-state pattern, one size up: a verified near-dup edge
+    * Small edge lists skip the loop entirely: the materialized edges
+    * are union-found on the driver (O(E α(E)), path compression) and
+    * the labeling returns as a local relation. This is the
+    * centroid-state pattern, one size up: a verified near-dup edge
     * list is heavy-hitter-sized relative to the corpus (pairs survive
     * TWO filters — LSH banding and exact verification), so even at
     * 100 TB corpus scale the edge list usually fits in driver memory,
@@ -704,13 +719,20 @@ object Dedup {
     * Graphs above the bound run the loop unchanged. Set
     * `localEdgeLimit = 0` to force the distributed path.
     *
-    * The limit counts SYMMETRIC edges (each input pair twice, after
-    * dedup), so the default admits ~500k input pairs — roughly 100 MB
-    * of collected rows + boxed-key maps, sized for a multi-GB driver;
-    * raise it only with driver memory to match.
+    * The dispatch bound is ESTIMATED DRIVER BYTES, not a row count: the
+    * same edge-count cut that is safe for long ids OOMs a default-sized
+    * cluster driver when the ids are fat strings (URLs, content
+    * hashes). The estimate is measured id payload (octet_length for
+    * strings, type width otherwise) plus ~96 B/edge of JVM overhead
+    * (collected Row + boxed keys + union-find map entries), computed in
+    * the same job as the edge count; `localDriverBytes` (default 64 MB
+    * ≈ 500k long-id symmetric edges) keeps the fast path a small
+    * fraction of even a 1-2 GiB driver heap. `localEdgeLimit` remains
+    * as a hard row cap on top.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
-                          localEdgeLimit: Long = 1000000L): DataFrame = {
+                          localEdgeLimit: Long = 1000000L,
+                          localDriverBytes: Long = 64L << 20): DataFrame = {
     val spk = pairs.sparkSession
     val e = pairs.toDF("a", "b")
     val sym = e.union(e.select(col("b"), col("a")))
@@ -731,8 +753,17 @@ object Dedup {
     // Conf save/restore is session-global for the loop's duration —
     // the operator is a blocking batch call, not for concurrent use on
     // a shared session.
-    val nEdges = sym.count()
-    if (nEdges <= localEdgeLimit) {
+    val payload = sym.schema("src").dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        (octet_length(col("src")) + octet_length(col("dst"))).cast("long")
+      case dt => lit(2L * dt.defaultSize)
+    }
+    val stats = sym.agg(count(lit(1)), sum(payload)).head()
+    val nEdges = stats.getLong(0)
+    val payloadBytes = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val estDriverBytes = payloadBytes + nEdges * 96L
+    lastDispatchLocal = nEdges <= localEdgeLimit && estDriverBytes <= localDriverBytes
+    if (lastDispatchLocal) {
       val out = componentsLocal(sym)
       sym.unpersist(blocking = false)
       return out

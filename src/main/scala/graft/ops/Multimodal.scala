@@ -133,15 +133,38 @@ object Multimodal {
       // deterministic fake payload; unhex(sha2) = 32 opaque bytes
       to_binary(sha2(col("text"), 256), lit("hex")).as("media"))
 
+  /** Estimated scan-task count for the frame's file sources, read from
+    * the OPTIMIZED LOGICAL plan's leaf metadata (file-index byte totals
+    * over the split size) — no plan-to-RDD conversion, no physical
+    * planning, no job. `.rdd.getNumPartitions` here would force a full
+    * RDD conversion per call and still report the pre-AQE count.
+    * Non-file leaves (in-memory test relations) estimate as 1: tiny by
+    * construction, so they take the repartition branch.
+    */
+  private def estimatedScanTasks(spark: SparkSession, df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    df.queryExecution.optimizedPlan.collectLeaves().map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          math.max(1L, fs.location.sizeInBytes / maxSplit)
+        case _ => 1L
+      }
+      case _ => 1L
+    }.sum
+  }
+
   /** Codec work is CPU-bound per row and mapPartitions inherits the
     * scan's partitioning: a corpus stored in fewer files than cores
     * runs the whole decode on a handful of tasks (measured: ONE 0.56s
     * task at sf0.1 with 31 cores idle). Spread first — the exchange
-    * moves each blob once, then every core decodes; when files >=
-    * cores (the 100 TB case) this is a no-op, no exchange added.
+    * moves each blob once, then every core decodes; when the scan
+    * splits into >= cores tasks (the 100 TB case) this is a no-op, no
+    * exchange added. The gate reads driver-side plan metadata only
+    * (see [[estimatedScanTasks]]).
     */
   private def spread(spark: SparkSession, media: DataFrame): DataFrame =
-    if (media.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) media
+    if (estimatedScanTasks(spark, media) >= spark.sparkContext.defaultParallelism) media
     else media.repartition(spark.sparkContext.defaultParallelism)
 
   /** Batched feature extraction: one decoder per partition, iterator in

@@ -58,6 +58,23 @@ object CCPerf {
     time("loop", 3)(
       graft.ops.Dedup.connectedComponents(pairs, localEdgeLimit = 0L))
 
+    // Dispatch-boundary probe: 256-byte string ids (URL/hash-sized) at
+    // edge counts straddling the 64 MB estimated-driver-bytes budget.
+    // 50k pairs ≈ 61 MB estimated -> driver union-find; 200k pairs
+    // ≈ 243 MB -> the SAME call auto-switches to the distributed loop
+    // before the collect would strain a default driver heap.
+    def fatGraph(n: Int): DataFrame = spark.range(n)
+      .select(concat(lit("h" * 256), col("id")).as("a"),
+        concat(lit("h" * 256), (col("id") + 1L) % (n / 10)).as("b"))
+      .cache()
+    Seq(50000, 200000).foreach { n =>
+      val g = fatGraph(n)
+      g.count()
+      time(s"fat${n / 1000}k-auto", 2)(graft.ops.Dedup.connectedComponents(g))
+      println(s"[ccperf] fat${n / 1000}k dispatched local=${graft.ops.Dedup.lastDispatchLocal}")
+      g.unpersist(blocking = false)
+    }
+
     // Variant: per-round instrumentation of the current shape
     def instrumented(pairsDf: DataFrame, maxIter: Int = 25): DataFrame = {
       val e = pairsDf.toDF("a", "b")

@@ -43,10 +43,24 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // completeness sentinel: an interrupted build leaves the directory
-    // existing but partial — rebuild unless the final marker is there
+    // completeness + freshness sentinel: an interrupted build leaves
+    // the directory partial, and a REGENERATED base fixture would
+    // otherwise be silently served from a stale /tmp corpus — the
+    // marker stores a fingerprint (name/size/mtime, recursive) of the
+    // base tables and the build recipe; any mismatch rebuilds
+    def fpOf(f: java.io.File): String =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .map(c => s"${c.getName}(${fpOf(c)})").mkString(",")
+      else s"${f.length}:${f.lastModified}"
+    val fingerprint = (new java.io.File(base).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}=${fpOf(f)}") :+ s"factor=$factor" :+ "recipe=v2")
+      .mkString("\n")
     val okMarker = new java.io.File(out, "_GRAFT_SCALE_OK")
-    if (!okMarker.exists()) {
+    val fresh = okMarker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(okMarker.toPath), "UTF-8") == fingerprint
+    if (!fresh) {
       val docs = spark.read.parquet(base + "/documents.parquet")
       val rep = (0 until factor).map { i =>
         docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
@@ -54,15 +68,21 @@ object ScaleCheck {
       }.reduce(_ unionByName _)
       rep.repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(out + "/documents.parquet")
+      // sibling tables copy as-is — including directory-style parquet
+      // tables (the single-file copy used to silently skip those)
+      def copyRec(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.isDirectory(src)) {
+          java.nio.file.Files.createDirectories(dst)
+          val children = java.nio.file.Files.list(src)
+          try children.forEach(p => copyRec(p, dst.resolve(p.getFileName)))
+          finally children.close()
+        } else java.nio.file.Files.copy(src, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       new java.io.File(base).listFiles()
         .filter(f => f.getName.endsWith(".parquet") &&
           f.getName != "documents.parquet")
-        .foreach { f =>
-          java.nio.file.Files.copy(f.toPath,
-            java.nio.file.Paths.get(out, f.getName),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-      okMarker.createNewFile()
+        .foreach(f => copyRec(f.toPath, java.nio.file.Paths.get(out, f.getName)))
+      java.nio.file.Files.write(okMarker.toPath, fingerprint.getBytes("UTF-8"))
       println(s"[scale] built ${factor}x corpus at $out")
     }
 

@@ -97,6 +97,32 @@ class DedupSpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
+  /** The driver fast path must dispatch on ESTIMATED BYTES, not edge
+    * count: fat string ids (URLs, content hashes) blow a default
+    * driver heap at edge counts that are safe for longs. Estimate =
+    * measured payload + 96 B/edge JVM overhead vs `localDriverBytes`.
+    */
+  test("connectedComponents: dispatch boundary is byte-derived, not row-counted") {
+    val fat = "u" * 400 // 400-byte ids: ~900 B/symmetric edge estimated
+    val pairs = (0L until 50L).map(i => (s"$fat$i", s"$fat${i + 1}")).toDF("a", "b")
+    // 100 symmetric edges but ~90 KB estimated: above a 16 KB budget
+    // the same graph must go distributed, below the default it is local
+    val local = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(Dedup.lastDispatchLocal, "small fat-id graph should still fit 64 MB")
+    val dist = Dedup.connectedComponents(pairs, localDriverBytes = 16L << 10)
+      .as[(String, String)].collect().toMap
+    assert(!Dedup.lastDispatchLocal,
+      "fat ids over the byte budget must run the distributed loop even under the edge cap")
+    assert(local == dist)
+    // same edge count with thin long ids (~11 KB estimated) fits a
+    // 64 KB budget that the fat strings (~90 KB) would exceed — the
+    // boundary moves with id width, which is the point
+    val thin = (0L until 50L).map(i => (i, i + 1)).toDF("a", "b")
+    Dedup.connectedComponents(thin, localDriverBytes = 64L << 10).count()
+    assert(Dedup.lastDispatchLocal, "long ids must fit the 64 KB budget the fat ids exceeded")
+  }
+
   test("connectedComponents: non-numeric (string) ids label by min member") {
     val pairs = Seq(("b", "a"), ("c", "b"), ("y", "x")).toDF("a", "b")
     val comp = Dedup.connectedComponents(pairs)
