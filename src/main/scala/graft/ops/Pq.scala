@@ -158,7 +158,10 @@ object Pq {
   }
 
   /** Load a persisted index; the cells frame is lazy (scans prune by
-    * center_id at serve time).
+    * center_id at serve time). Pending tombstones (see
+    * [[deleteFromSavedIndex]]) are applied as one anti equi-join on id
+    * — the center_id partition filter still pushes to the cell scan,
+    * so probe pruning survives deletes.
     */
   def loadIndex(spark: SparkSession, path: String): PqIndex = {
     import scala.collection.{Seq => CSeq}
@@ -169,7 +172,57 @@ object Pq {
       .map(_.toArray).toArray
     val codebooks = meta.getSeq[CSeq[CSeq[Double]]](meta.fieldIndex("codebooks"))
       .map(_.map(_.toArray).toArray).toArray
-    PqIndex(centers, codebooks, spark.read.parquet(path + "/cells"))
+    val cells0 = spark.read.parquet(path + "/cells")
+    val tomb = new org.apache.hadoop.fs.Path(path + "/tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cells =
+      if (fs.exists(tomb))
+        cells0.join(spark.read.parquet(tomb.toString).select(col("cid")).distinct(),
+          Seq("cid"), "left_anti")
+      else cells0
+    PqIndex(centers, codebooks, cells)
+  }
+
+  /** Hard-delete ids from a live index: one anti equi-join on id;
+    * quantizers untouched (standard IVF maintenance — deletes never
+    * retrain, re-train only on drift). Encoding is deterministic under
+    * frozen quantizers, so the surviving cells are exactly what a
+    * fresh encode of the remaining corpus would produce — search
+    * equality with rebuild-without-deleted is spec-proven.
+    */
+  def deleteFromIndex(idx: PqIndex, ids: DataFrame): PqIndex =
+    PqIndex(idx.centers, idx.codebooks,
+      idx.cells.join(ids.toDF("cid").select(col("cid")).distinct(),
+        Seq("cid"), "left_anti"))
+
+  /** Delete from a PERSISTED index without rewriting cells: append the
+    * ids to a tombstone table beside the cell files — O(delta) work,
+    * what a takedown pipeline needs (deletes must be cheap and
+    * immediately visible; [[loadIndex]] applies them, [[compactIndex]]
+    * folds them in). Idempotent: re-deleting an id appends a duplicate
+    * tombstone row that the load-time distinct collapses.
+    */
+  def deleteFromSavedIndex(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.toDF("cid").select(col("cid")).distinct()
+      .write.mode("append").parquet(path + "/tombstones")
+
+  /** Fold pending tombstones into the cell files: rewrite the
+    * surviving rows (same PARTITIONED BY center_id layout — probe
+    * pruning is preserved), swap atomically-enough via a sibling
+    * directory rename, drop the tombstone table. Quantizers are
+    * untouched; only data files move.
+    */
+  def compactIndex(spark: SparkSession, path: String): PqIndex = {
+    val idx = loadIndex(spark, path) // tombstones applied lazily here
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cellsP = new org.apache.hadoop.fs.Path(path + "/cells")
+    val fs = cellsP.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path + "/cells_compacting")
+    idx.cells.write.mode("overwrite").partitionBy("center_id").parquet(tmp.toString)
+    fs.delete(cellsP, true)
+    fs.rename(tmp, cellsP)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/tombstones"), true)
+    loadIndex(spark, path)
   }
 
   def ivfPqKnn(spark: SparkSession, corpus: DataFrame, queries: DataFrame,

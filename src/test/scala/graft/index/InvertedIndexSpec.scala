@@ -96,4 +96,32 @@ class InvertedIndexSpec extends SparkSpec {
     assert(merged("mat") == Seq(3L))           // untouched posting survives
     assert(merged.contains("novel"))           // delta-only term appears
   }
+
+  /** Production ingest is a SEQUENCE of merges, not one: N folded
+    * deltas must equal one rebuild regardless of arrival order (posting
+    * union is commutative/associative, so any drift — lost sort,
+    * duplicate ids, dropped terms — compounds and surfaces here).
+    * Property-style: random token deltas, random fold orders.
+    */
+  test("mergePostings: folding N random deltas in any order == one rebuild") {
+    val rng = new scala.util.Random(41)
+    val vocab = Vector("ant", "bee", "cat", "dog", "eel", "fox", "gnu", "hen")
+    for (trial <- 1 to 3) {
+      // 4 deltas x ~10 postings; doc ids overlap across deltas so
+      // set-union (not bag) semantics are exercised between merges
+      val deltas = Vector.fill(4) {
+        Seq.fill(10)((rng.nextInt(12).toLong, vocab(rng.nextInt(vocab.size))))
+          .toDF("doc_id", "term")
+      }
+      val order = rng.shuffle(deltas.indices.toList)
+      val folded = order.tail
+        .foldLeft(InvertedIndex.postings(deltas(order.head))) {
+          (idx, i) => InvertedIndex.mergePostings(idx, deltas(i))
+        }
+        .as[(String, Seq[Long])].collect().toMap
+      val rebuilt = InvertedIndex.postings(deltas.reduce(_ unionByName _))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(folded == rebuilt, s"trial $trial, fold order $order")
+    }
+  }
 }

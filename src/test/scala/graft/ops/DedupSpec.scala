@@ -137,6 +137,35 @@ class DedupSpec extends SparkSpec {
     assert(s.contains("spark query engines"))
   }
 
+  /** Production ingest folds MANY deltas; drift under repeated merges
+    * (stale rows surviving a replacement, lost rows, duplicate band
+    * keys) compounds invisibly in a single-delta spec. Property-style:
+    * 3 random deltas with overlapping doc_ids folded sequentially must
+    * equal one rebuild over the latest-wins corpus.
+    */
+  test("upsertBandIndex: N sequential deltas == one rebuild of latest versions") {
+    val rng = new scala.util.Random(43)
+    for (trial <- 1 to 2) {
+      val deltas = Vector.tabulate(3) { di =>
+        val ids = (0 to 9).filter(_ => rng.nextBoolean()) :+ (10 + di)
+        ids.map(id => (id.toLong,
+          s"document $id revision r${rng.nextInt(100)} carries some shingled content"))
+      }
+      val folded = deltas.tail
+        .foldLeft(Dedup.bandSignatures(deltas.head.toDF("doc_id", "text"))) {
+          (idx, d) => Dedup.upsertBandIndex(idx, d.toDF("doc_id", "text"))
+        }
+        .as[(Long, Int, Long)].collect().toSet
+      // latest-wins: each doc_id's version from the last delta carrying it
+      val latest = deltas.zipWithIndex
+        .flatMap { case (d, i) => d.map { case (id, t) => (id, i, t) } }
+        .groupBy(_._1).map { case (id, vs) => (id, vs.maxBy(_._2)._3) }.toSeq
+      val rebuilt = Dedup.bandSignatures(latest.toDF("doc_id", "text"))
+        .as[(Long, Int, Long)].collect().toSet
+      assert(folded == rebuilt, s"trial $trial: fold drifted from rebuild")
+    }
+  }
+
   test("upsertBandIndex == full rebuild (including a re-ingested doc); probe equals cross-candidates") {
     val corpus = Tables.documents(spark, sfDir)
       .select($"doc_id", $"text")

@@ -22,6 +22,35 @@ class MultimodalSpec extends SparkSpec {
     assert(mimes.subsetOf(Set("image/png", "image/jpeg", "image/webp")))
   }
 
+  /** Recall gate for the q57 embed-kNN path (the pattern q47/q51/q102
+    * carry for the text/vector ANN ops): plant pairs with IDENTICAL
+    * media payloads — the deterministic embed makes them exact
+    * embedding duplicates, cosine 1 — among distinct-payload noise,
+    * and require every planted query to retrieve its partner at
+    * rank 1. Also a separation check: no noise doc scores ~1 against
+    * a planted query.
+    */
+  test("embed kNN retrieves planted duplicate-payload pairs at rank 1 (recall@1 = 1)") {
+    val noise = (0L until 100L).map(i => (i, s"unique content number $i with words"))
+    val planted = (0L until 10L).map(i => (1000L + i, s"unique content number $i with words"))
+    val corpus = (noise ++ planted).toDF("doc_id", "text")
+    val emb = Multimodal.embedStub(spark, Multimodal.attachMedia(corpus))
+      .toDF("vec_id", "v")
+    val hits = Similarity.bruteForceKnn(
+      emb.filter(col("vec_id") >= 1000L).toDF("qid", "qv"), emb, k = 3)
+    val top1 = hits.filter(col("rnk") === 1)
+      .select(col("qid"), col("cid"), col("score"))
+      .as[(Long, Long, Double)].collect()
+    assert(top1.length == 10)
+    val recallAt1 = top1.count { case (q, c, _) => c == q - 1000L } / 10.0
+    assert(recallAt1 == 1.0, s"recall@1 = $recallAt1: ${top1.toSeq}")
+    top1.foreach { case (q, _, s) =>
+      assert(s > 1.0 - 1e-9, s"planted partner of $q scored $s, expected ~1") }
+    // separation: second-ranked (a noise doc) is well below the partner
+    val rnk2 = hits.filter(col("rnk") === 2).select(col("score")).as[Double].collect()
+    assert(rnk2.forall(_ < 0.999), s"noise doc scored near 1: ${rnk2.max}")
+  }
+
   test("extractFeatures: stub codec yields stable, bounded features") {
     val f = Multimodal.extractFeatures(spark, Multimodal.attachMedia(docs)).collect()
     assert(f.length == 3)

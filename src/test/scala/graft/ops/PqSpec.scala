@@ -121,6 +121,55 @@ class PqSpec extends SparkSpec {
     assert(parts.length == idx.cells.select("center_id").distinct().count())
   }
 
+  /** Deletes complete the maintenance lifecycle: a takedown appends
+    * tombstones beside the persisted cells (O(delta), no rewrite),
+    * loads apply them, compaction folds them into the cell files.
+    * Under frozen quantizers the encode is deterministic, so serving
+    * after a delete must EQUAL serving a fresh encode of the corpus
+    * without the deleted docs — and compaction must preserve the
+    * center_id partition layout that probe pruning relies on.
+    */
+  test("index deletes: tombstoned serve == rebuild-without-deleted; compact keeps layout") {
+    val corpus = emb.filter(col("vec_id") < 400).toDF("cid", "cv")
+    val idx = Pq.buildIndex(spark, corpus, nCells = 4, lloydIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqdel").toString
+    Pq.saveIndex(idx, dir)
+    val dels = emb.filter(col("vec_id") % 7 === 0 && col("vec_id") < 400)
+      .select(col("vec_id"))
+    val delIds = dels.as[Long].collect().toSet
+    Pq.deleteFromSavedIndex(spark, dir, dels)
+    val queries = emb.filter(col("vec_id") < 5)
+    def hits(i: Pq.PqIndex): Seq[(Long, Long, Int)] =
+      Pq.searchIndex(spark, i, queries, k = 3, nProbe = 3, rerank = 24)
+        .select(col("qid"), col("cid"), col("rnk"))
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+    val tombstoned = hits(Pq.loadIndex(spark, dir))
+    // deleted docs are never served
+    assert(tombstoned.map(_._2).toSet.intersect(delIds).isEmpty)
+    // == a fresh encode of the remaining corpus under the SAME quantizers
+    val remaining = corpus.join(dels.toDF("cid"), Seq("cid"), "left_anti")
+    val rebuilt = Pq.insertIntoIndex(
+      Pq.PqIndex(idx.centers, idx.codebooks, idx.cells.limit(0)), remaining)
+    assert(hits(rebuilt) == tombstoned, "tombstoned serve != rebuild-without-deleted")
+    // the live-frame delete agrees with the persisted one
+    assert(hits(Pq.deleteFromIndex(idx, dels)) == tombstoned)
+    // compact: tombstone table gone, cell partitioning preserved,
+    // cells byte-equal to the rebuild encode, serving unchanged
+    val compacted = Pq.compactIndex(spark, dir)
+    assert(!new java.io.File(dir + "/tombstones").exists(), "tombstones not folded in")
+    val parts = new java.io.File(dir + "/cells").listFiles()
+      .map(_.getName).filter(_.startsWith("center_id="))
+    assert(parts.length >= 2, "compaction lost the center_id partition layout")
+    assert(hits(compacted) == tombstoned)
+    val cellRows = compacted.cells
+      .select(col("cid"), col("center_id"), col("codes"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val rebuiltRows = rebuilt.cells
+      .select(col("cid"), col("center_id"), col("codes"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(cellRows == rebuiltRows, "compacted cells diverged from re-encode")
+  }
+
   /** Serving from a PERSISTED index must not scan the whole corpus:
     * the cells table is partitioned by center_id, and a probe that
     * filters to nProbe literal cells prunes at the file-listing layer.
