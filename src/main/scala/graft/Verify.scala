@@ -29,6 +29,18 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // two-stage-oracle artifacts: Spark-computed frames whose
+    // downstream logic IS SQL-expressible (oracle SQL reads them via
+    // the __GRAFT_OUT__ substitution below). Currently: the q46
+    // SimHash signatures (same doc slice as the query).
+    try graft.ops.Dedup.simhashSig64(
+        graft.ops.Tables.documents(spark, sfDir)
+          .filter(org.apache.spark.sql.functions.col("doc_id") < 500))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/aux_simhash_sig64")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] aux_simhash_sig64 failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -42,6 +54,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .map { case (k, v) => k -> v.replace("__GRAFT_OUT__", outDir) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -571,12 +571,20 @@ object Dedup {
     * verify.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame =
-    simhashBandPairs(
-      docs.select(
-        col("doc_id"),
-        simhash64(transform(array_distinct(TextAnalytics.toks(col("text"))),
-          t => xxhash64(t))).as("sig")),
-      maxHamming)
+    simhashBandPairs(simhashSig64(docs), maxHamming)
+
+  /** (doc_id, sig BIGINT) 64-bit SimHash signatures over the distinct
+    * token set — the engine-hash half of [[simhashPairs]]. Dumped by
+    * graft.Verify as the `aux_simhash_sig64` artifact: q46's TWO-STAGE
+    * oracle re-derives the banding + hamming pair generation in DuckDB
+    * over this frame (xxhash64 itself has no SQL twin; the signature
+    * kernel is gated by DedupRecallSpec and the q29 arithmetic twin).
+    */
+  def simhashSig64(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      simhash64(transform(array_distinct(TextAnalytics.toks(col("text"))),
+        t => xxhash64(t))).as("sig"))
 
   /** Banded candidate join + hamming verify over a precomputed
     * (doc_id, sig BIGINT) frame — the signature-level half of

@@ -2,14 +2,15 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 
-/** Rows-only queries — the remaining operators whose semantics depend
-  * on engine-internal hashing (xxhash64 MinHash/SimHash, sign-LSH
-  * planes, HLL/quantile sketches) or on iterative driver loops (IVF's
-  * Lloyd quantizer), which no single ANSI-SQL statement reproduces.
-  * Correctness for these comes from the unit and golden tests in
-  * src/test (plus oracle-checked arithmetic twins: q27/q28/q29 for
-  * MinHash/LSH/SimHash, q31 for exact kNN); the driver records a
-  * rows>0 check.
+/** Queries whose semantics depend on engine-internal hashing (xxhash64
+  * MinHash/SimHash, sign-LSH planes, HLL/quantile sketches) or on
+  * iterative driver loops (IVF's Lloyd quantizer), which no single
+  * ANSI-SQL statement over the fixture tables reproduces. Most are
+  * rows-only (the driver records a rows>0 check) with correctness from
+  * the unit and golden tests in src/test plus oracle-checked arithmetic
+  * twins (q27/q28/q29 for MinHash/LSH/SimHash, q31 for exact kNN).
+  * q46 carries a TWO-STAGE oracle: Spark dumps its signature frame and
+  * DuckDB re-derives the entire pair generation over it.
   */
 object NonOracle {
 
@@ -21,8 +22,33 @@ object NonOracle {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** SimHash near-dup pairs via the codegen'd simhash64 expression. */
-  val q46 = QueryDef.rowsOnly("q46_simhash_pairs") { (s, dir) =>
+  /** SimHash near-dup pairs via the codegen'd simhash64 expression.
+    * TWO-STAGE ORACLE: xxhash64 has no DuckDB twin, but given the
+    * signatures every downstream step is plain SQL — so graft.Verify
+    * dumps the Spark-computed (doc_id, sig) frame as the
+    * `aux_simhash_sig64` artifact (same doc slice) and substitutes the
+    * output dir for `__GRAFT_OUT__` below; DuckDB then independently
+    * re-derives band keys ((sig >> 16b) & 0xffff — the mask makes
+    * arithmetic-vs-logical shift moot), the banded self-join, the
+    * (d1,d2) distinct, and the hamming<=8 verify. The signature kernel
+    * itself is gated by DedupRecallSpec + the q29 arithmetic twin.
+    */
+  val q46 = QueryDef.sql(
+    "q46_simhash_pairs",
+    """WITH s AS (
+      |  SELECT doc_id, sig
+      |  FROM read_parquet('__GRAFT_OUT__/aux_simhash_sig64/*.parquet')),
+      |b AS (
+      |  SELECT doc_id, sig, g.b AS b, ((sig >> (g.b * 16)) & 65535) AS band
+      |  FROM s CROSS JOIN (SELECT unnest(range(4)) AS b) g),
+      |p AS (
+      |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2,
+      |    a.sig AS s1, c.sig AS s2
+      |  FROM b a JOIN b c
+      |    ON a.b = c.b AND a.band = c.band AND a.doc_id < c.doc_id)
+      |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+      |FROM p WHERE bit_count(xor(s1, s2)) <= 8
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir).filter(col("doc_id") < 500))
       .orderBy(col("d1"), col("d2"))
   }
