@@ -756,9 +756,17 @@ object Extended {
     * the stateful "previous KEPT event" chain. Deterministic ties via
     * (ts, event_id) ordering.
     *
-    * Scale: one exchange keyed by (user_id, event_type), bounded
-    * per-key sorts — the standard sessionization shape; no global
-    * window, no self-join.
+    * Scale: ONE exchange total — a RANGE partition on the window's own
+    * cluster keys up front. RangePartitioning(user_id, event_type)
+    * satisfies the window's ClusteredDistribution (equal keys land in
+    * one range bucket), so the window adds only a local sort; and
+    * because range partitions are globally ordered, the deterministic
+    * total order the oracle needs comes from sortWithinPartitions —
+    * no second (range-sort) exchange over the corpus-sized output, the
+    * global-sort-audit conversion pattern (PLANS.md): a partitioned
+    * sink reads back in partition-index order, already globally
+    * sorted. SortAuditSpec pins the single-exchange plan and equality
+    * with the orderBy formulation.
     */
   val q111: QueryDef = QueryDef.sql(
     "q111_event_debounce",
@@ -775,11 +783,12 @@ object Extended {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
     Tables.events(s, dir)
+      .repartitionByRange(col("user_id"), col("event_type"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .filter(col("prev_ts").isNull ||
         unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 300000000L)
       .select(col("user_id"), col("event_type"), col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
-      .orderBy(col("user_id"), col("event_type"), col("event_id"))
+      .sortWithinPartitions(col("user_id"), col("event_type"), col("event_id"))
   }
 }
