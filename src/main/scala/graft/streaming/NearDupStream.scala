@@ -169,4 +169,72 @@ object NearDupStream {
             .parquet(s"$historyDir/batch_id=$batchId")
         } finally survivors.unpersist(blocking = false)
   }
+
+  /** Streaming maintenance of a PERSISTED LSH band index — the
+    * perpetual-ingest lift of [[graft.ops.Dedup.upsertBandIndex]].
+    * Each micro-batch computes band signatures for ITS OWN rows only
+    * (one winner per doc_id, the upsert rule) and lands them in a
+    * `batch_id=N` partition: O(delta) work and I/O per batch, never a
+    * rewrite of the accumulated index, and wholesale partition
+    * overwrite makes checkpoint-recovery replay idempotent (the
+    * [[dedupOnIngest]] contract). Re-ingested doc_ids supersede older
+    * versions at READ time ([[readBandIndex]] keeps each doc's rows
+    * from its highest batch only — MERGE-on-read);
+    * [[compactBandIndex]] folds history into one partition when the
+    * partition count or the read-side winner join grows too costly.
+    */
+  def maintainBandIndex(docs: DataFrame, indexDir: String, checkpointDir: String,
+                        nHashes: Int = 32, bandSize: Int = 4,
+                        shingleSize: Int = 3): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        indexBatch(batch, batchId, indexDir, nHashes, bandSize, shingleSize)
+      }
+      .outputMode("update")
+      .start()
+
+  /** One micro-batch of [[maintainBandIndex]], named so replay
+    * idempotence is directly testable.
+    */
+  private[streaming] def indexBatch(batch: DataFrame, batchId: Long,
+                                    indexDir: String, nHashes: Int,
+                                    bandSize: Int, shingleSize: Int): Unit = {
+    // upsert into an EMPTY index = the batch's own winner-per-doc_id
+    // band rows, computed with the exact upsertBandIndex code path
+    val delta = Dedup.upsertBandIndex(
+      Dedup.bandSignatures(batch.limit(0), nHashes, bandSize, shingleSize),
+      batch, nHashes, bandSize, shingleSize)
+    delta.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+  }
+
+  /** Current view of a streaming-maintained band index: all delta
+    * partitions, each doc represented by its LATEST batch's rows
+    * (merge-on-read — one doc-count-sized winner aggregate + an
+    * equi-join, the cost compaction amortizes away). Feed this to
+    * [[graft.ops.Dedup.probeBandIndex]].
+    */
+  def readBandIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val all = spark.read.parquet(indexDir) // batch_id from partition dirs
+    val latest = all.groupBy(col("doc_id"))
+      .agg(max(col("batch_id")).as("batch_id"))
+    all.join(latest, Seq("doc_id", "batch_id")).drop("batch_id")
+  }
+
+  /** Fold all delta partitions into one (`batch_id=0`), dropping
+    * superseded rows — same sibling-rename swap as Pq.compactIndex.
+    * Run between batches (the maintainer overwrites whole partitions,
+    * so a concurrent in-flight batch is not corrupted, but its delta
+    * could be folded twice — harmless, read stays latest-wins).
+    */
+  def compactBandIndex(spark: SparkSession, indexDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + "_compacting")
+    readBandIndex(spark, indexDir)
+      .write.mode("overwrite").parquet(tmp.toString + "/batch_id=0")
+    fs.delete(root, true)
+    fs.rename(tmp, root)
+  }
 }

@@ -108,6 +108,57 @@ class NearDupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Streaming band-index maintenance: N micro-batches (including a
+    * re-ingested doc) must leave the persisted index serving exactly
+    * what one batch rebuild over the latest-wins corpus would, through
+    * both the merge-on-read view and after compaction; and a replayed
+    * indexBatch must be a no-op (partition overwrite).
+    */
+  test("maintainBandIndex: stream of deltas == batch rebuild; compaction and replay safe") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("neardup-bandidx").toString
+    val mem = MemoryStream[KeyedDoc]
+    val q = NearDupStream.maintainBandIndex(mem.toDF(),
+      s"$dir/index", s"$dir/ckpt", nHashes = 16, bandSize = 2, shingleSize = 2)
+    val docsB1 = Seq(
+      KeyedDoc(1L, "spark streams deduplicate documents with minhash bands here"),
+      KeyedDoc(2L, "completely different text about gardens and orchids in spring"))
+    val docsB2 = Seq(
+      // doc 1 RE-INGESTED with new content: must supersede at read time
+      KeyedDoc(1L, "revised spark document with fresh words and new shingles"),
+      KeyedDoc(3L, "a third unrelated document mentioning telescopes and comets"))
+    try {
+      mem.addData(docsB1: _*)
+      q.processAllAvailable()
+      mem.addData(docsB2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long)].collect().toSet
+    val latestCorpus = (docsB1.filter(_.doc_id != 1L) ++ docsB2).toDF()
+    val rebuilt = rows(graft.ops.Dedup.bandSignatures(latestCorpus,
+      nHashes = 16, bandSize = 2, shingleSize = 2))
+    val served = rows(NearDupStream.readBandIndex(spark, s"$dir/index"))
+    assert(served == rebuilt, "merge-on-read view diverged from batch rebuild")
+    // replaying the last micro-batch (crash before checkpoint commit)
+    // overwrites its own partition — the view must not change
+    NearDupStream.indexBatch(docsB2.toDF(), 1L, s"$dir/index", 16, 2, 2)
+    assert(rows(NearDupStream.readBandIndex(spark, s"$dir/index")) == rebuilt)
+    // compaction folds to one partition; serving unchanged
+    NearDupStream.compactBandIndex(spark, s"$dir/index")
+    val parts = new java.io.File(s"$dir/index").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id="))
+    assert(parts.toSeq == Seq("batch_id=0"), s"compaction left: ${parts.toSeq}")
+    assert(rows(NearDupStream.readBandIndex(spark, s"$dir/index")) == rebuilt)
+    // and the probe path works against the compacted index
+    val probe = graft.ops.Dedup.probeBandIndex(
+      NearDupStream.readBandIndex(spark, s"$dir/index"),
+      Seq(KeyedDoc(9L, "revised spark document with fresh words and new shingles")).toDF(),
+      nHashes = 16, bandSize = 2, shingleSize = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(probe.contains((9L, 1L)), s"probe missed the re-ingested twin: $probe")
+  }
+
   test("processBatch replay is idempotent: a batch never dedups against its own keys") {
     val dir = java.nio.file.Files.createTempDirectory("neardup-replay").toString
     def run(batch: Seq[KeyedDoc], id: Long): Unit =
