@@ -31,15 +31,13 @@ object Verify {
     }
     // two-stage-oracle artifacts: Spark-computed frames whose
     // downstream logic IS SQL-expressible (oracle SQL reads them via
-    // the __GRAFT_OUT__ substitution below). Currently: the q46
-    // SimHash signatures (same doc slice as the query).
-    try graft.ops.Dedup.simhashSig64(
-        graft.ops.Tables.documents(spark, sfDir)
-          .filter(org.apache.spark.sql.functions.col("doc_id") < 500))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/aux_simhash_sig64")
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] aux_simhash_sig64 failed: ${e.getMessage}")
+    // the __GRAFT_OUT__ substitution below) — see ops.AuxArtifacts
+    graft.ops.AuxArtifacts.all.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

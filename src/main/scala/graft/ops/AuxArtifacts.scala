@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TWO-STAGE-ORACLE artifacts: Spark-computed frames whose downstream
+  * logic IS SQL-expressible, dumped by graft.Verify next to the query
+  * results so the DuckDB oracle can independently re-derive everything
+  * past the engine-internal kernel (xxhash64 MinHash/SimHash, the
+  * codegen'd sign-LSH bucketing, the deterministic embed stub). Each
+  * entry is (artifact name -> builder over the fixture dir); the
+  * matching oracle SQL reads it via read_parquet over
+  * __GRAFT_OUT__/(name) (see the q45/q46/q47/q51/q57 oracle text).
+  *
+  * Every builder here must be DETERMINISTIC per row (pure codegen
+  * kernels, no floating aggregation), because the owning query
+  * recomputes the same frame internally in a separate action — a
+  * nondeterministic builder would silently diverge from the query it
+  * vouches for.
+  */
+object AuxArtifacts {
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q46: SimHash signatures over the query's doc slice
+    "aux_simhash_sig64" -> ((s, dir) =>
+      Dedup.simhashSig64(Tables.documents(s, dir).filter(col("doc_id") < 500))),
+    // q45: MinHash signature matrix (array<bigint>) over the same slice
+    "aux_minhash_sig32" -> ((s, dir) =>
+      Dedup.minhashSignatures(Tables.documents(s, dir).filter(col("doc_id") < 500))),
+    // q47: sign-LSH buckets of every embedding under the 6-plane set
+    "aux_sign_bucket6" -> ((s, dir) =>
+      Similarity.signBuckets(embDouble(s, dir), nPlanes = 6)),
+    // q51: same corpus under the 8-plane set (dedupByEmbedding's knob)
+    "aux_sign_bucket8" -> ((s, dir) =>
+      Similarity.signBuckets(embDouble(s, dir), nPlanes = 8)),
+    // q57: the deterministic multimodal stub embeddings
+    "aux_mm_embed" -> ((s, dir) =>
+      Multimodal.embedStub(s,
+        Multimodal.attachMedia(Tables.documents(s, dir))).toDF("vec_id", "v")),
+    // q53: the probe targets (true cell centroids). The coarse centers
+    // themselves are SQL-derivable (lloydIters=1 => first-k by id), but
+    // the per-slot MEAN is a distributed float aggregation whose
+    // summation order DuckDB cannot replay — so the oracle consumes
+    // Spark's centroids and re-derives assignment, probing, and the
+    // in-cell exact search. KMeansSpec pins that recomputing this frame
+    // in one session is bit-stable (the query recomputes it internally).
+    "aux_ivf_centroids" -> ((s, dir) => {
+      import graft.cluster.KMeansAssign
+      val c = embDouble(s, dir).toDF("cid", "cv")
+      val centers = KMeansAssign.lloydCenters(c, 8, 1, "cid", "cv")
+      KMeansAssign.centroidMeans(
+        KMeansAssign.assignMap(c, centers, "cv").drop("dist"), "cv")
+    }),
+    // q102: the trained IVF-PQ quantizer state (coarse centers +
+    // per-subspace codebooks) as ONE nested-array row — the saveIndex
+    // meta shape. Training is fully deterministic (hash-ordered sample,
+    // driver Lloyd, lloydIters=1 coarse init), so the query's internal
+    // rebuild is bit-identical; DuckDB re-derives the ENTIRE serving
+    // path over this state (normalize, assign, encode, LUT, ADC
+    // shortlist, exact re-rank).
+    "aux_pq_meta" -> ((s, dir) => {
+      val idx = Pq.buildIndex(s, embDouble(s, dir),
+        dim = 64, nCells = 8, m = 8, ksub = 16, lloydIters = 1)
+      import s.implicits._
+      Seq((idx.centers.map(_.toSeq).toSeq,
+          idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+        .toDF("centers", "codebooks")
+    })
+  )
+
+  private def embDouble(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+}

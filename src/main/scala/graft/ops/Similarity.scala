@@ -118,17 +118,37 @@ object Similarity {
     * once — lifting recall toward 1 at the standard multi-probe
     * cost/recall trade (Lv et al., VLDB'07).
     */
+  /** The deterministic, seedless hyperplane set shared by every
+    * sign-LSH caller (kNN, embedding dedup, and the two-stage-oracle
+    * aux dumps, which must bucket with the exact same planes the
+    * queries used).
+    */
+  private[ops] def signPlanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      // uniform in [-1, 1) from the mixed bits — deterministic, seedless
+      (VectorOps.mix64(p.toLong * 131071L + d) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+
+  /** (id, bucket) sign-LSH bucketing of a two-column (id, vector)
+    * frame — the narrow map-side half of [[lshKnn]], exposed so
+    * graft.Verify can dump it as a two-stage-oracle artifact.
+    */
+  def signBuckets(vecs: DataFrame, nPlanes: Int, dim: Int = 64): DataFrame = {
+    val Array(idName, _) = vecs.columns
+    val planes = signPlanes(nPlanes, dim)
+    vecs.toDF("id", "v")
+      .select(col("id").as(idName),
+        graft.functions.functions.sign_bucket(col("v"), planes).as("bucket"))
+  }
+
   def lshKnn(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
              k: Int, nPlanes: Int = 12, dim: Int = 64,
              probeFlips: Int = 1): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 31, s"nPlanes in 1..31, got $nPlanes")
     require(probeFlips >= 0 && probeFlips <= nPlanes,
       s"probeFlips in 0..nPlanes, got $probeFlips")
-    val planes: Array[Array[Double]] = Array.tabulate(nPlanes, dim) { (p, d) =>
-      // uniform in [-1, 1) from the mixed bits — deterministic, seedless
-      (VectorOps.mix64(p.toLong * 131071L + d) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-    }
-    val bucketOf = graft.functions.functions.sign_bucket(_: org.apache.spark.sql.Column, planes)
+    val bucketOf = graft.functions.functions.sign_bucket(
+      _: org.apache.spark.sql.Column, signPlanes(nPlanes, dim))
     val bc = corpus.toDF("cid", "cv").withColumn("bucket", bucketOf(col("cv")))
     val bq0 = queries.toDF("qid", "qv").withColumn("sig", bucketOf(col("qv")))
     val bq =

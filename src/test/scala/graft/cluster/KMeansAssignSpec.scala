@@ -77,6 +77,30 @@ class KMeansAssignSpec extends SparkSpec {
     assert(a1 == a2)
   }
 
+  test("centroidMeans recomputation is bit-stable within a session") {
+    // The q53 two-stage oracle dumps centroidMeans as an aux artifact
+    // while the query recomputes the same frame in a separate action:
+    // the per-slot MEAN is a float aggregation, so the contract is that
+    // repeated local-mode actions over the same input merge partials in
+    // the same order and reproduce every double BIT-identically. A
+    // failure here means the aux artifact can silently diverge from the
+    // query it vouches for.
+    val pts = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.tabulate(16)(d => math.sin(i * 31 + d) * (d + 1))))
+      .toDF("id", "vec").repartition(4)
+    val centers = KMeansAssign.lloydCenters(pts, k = 4, iters = 1)
+    val cells = KMeansAssign.assignMap(pts, centers).drop("dist")
+    def snap(): Map[Int, Seq[Long]] =
+      KMeansAssign.centroidMeans(cells, "vec")
+        .as[(Int, Seq[Double])].collect()
+        .map { case (c, v) => c -> v.map(java.lang.Double.doubleToRawLongBits) }
+        .toMap
+    val first = snap()
+    (1 to 3).foreach { r =>
+      assert(snap() == first, s"centroidMeans drifted on recomputation $r")
+    }
+  }
+
   test("lloyd converges on two obvious 2-D clusters") {
     val pts = (Seq.tabulate(20)(i => (i.toLong, Seq(10.0 + i % 3, 1.0))) ++
       Seq.tabulate(20)(i => (20L + i, Seq(-5.0, 8.0 + i % 3)))).toDF("id", "vec")
