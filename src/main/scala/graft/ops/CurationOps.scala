@@ -20,7 +20,7 @@ object CurationOps {
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
   def all: Seq[QueryDef] =
-    Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110)
+    Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -560,5 +560,135 @@ object CurationOps {
         sqrt(share).as("rel_weight"),
         (sqrt(share) / share).as("boost"))
       .orderBy(col("source"))
+  }
+
+  /** Sliding-window exact-substring dedup (q113) — the true Lee et al.
+    * shape that q107's fixed-chunk pass approximates: EVERY n-token
+    * window that occurs more than once in the corpus (across documents
+    * or within one, at ANY offset) is a duplicated span; all
+    * occurrences except the globally first (lowest (doc_id, start))
+    * are removed, with overlapping marked windows merged into maximal
+    * intervals so a long shared passage is cut once, not per-window.
+    * Returns (doc_id, n_tokens, removed_tokens, clean_text).
+    *
+    * Scale: the gram table is O(corpus tokens) rows (same class as
+    * every shingle operator here) keyed by xxhash64 of the window —
+    * ONE content-keyed exchange; the keep/strike decision is a window
+    * over each gram's occurrence list (duplicate-count-sized groups,
+    * q107's adjudicated pattern). Interval merging is a per-document
+    * running-max window (doc-sized groups), and reassembly is
+    * ARRAY-LOCAL: the merged intervals ride back to the doc row as one
+    * array and tokens are filtered in place — no per-token explode,
+    * no re-aggregation exchange on the corpus.
+    */
+  def slidingSpanDedup(docs: org.apache.spark.sql.DataFrame,
+                       n: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"window size must be >= 1, got $n")
+    val d = docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("nt", size(col("t")).cast("bigint"))
+    // one row per window position; the key hashes the joined tokens
+    // (\u0001-separated so token boundaries can't alias). The oracle
+    // groups the RAW joined string where we equi-join its xxhash64 —
+    // identical modulo a 64-bit collision, which the compare would
+    // surface, not mask (the q45 argument).
+    val occ = d.filter(col("nt") >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("nt") - n)).as("start"),
+        col("t"))
+      .select(col("doc_id"), col("start"),
+        xxhash64(concat_ws("\u0001",
+          slice(col("t"), (col("start") + 1).cast("int"), lit(n)))).as("g"))
+    val wg = Window.partitionBy(col("g"))
+    val marked = occ
+      .withColumn("rn", row_number().over(wg.orderBy(col("doc_id"), col("start"))))
+      .withColumn("cnt", count(lit(1)).over(wg))
+      .filter(col("cnt") > 1 && col("rn") > 1)
+      .select(col("doc_id"), col("start"), (col("start") + n).as("e"))
+    // classic interval union: a row opens a new group iff it starts
+    // past the running max end of everything before it
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val merged = marked
+      .withColumn("mpe",
+        max(col("e")).over(wd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newGrp",
+        (col("mpe").isNull || col("start") > col("mpe")).cast("int"))
+      .withColumn("grp",
+        sum(col("newGrp")).over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("start")).as("s"), max(col("e")).as("e"))
+    val ivs = merged.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"),
+        sum(col("e") - col("s")).as("removed"))
+    d.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("nt").as("n_tokens"),
+        coalesce(col("removed"), lit(0L)).cast("bigint").as("removed_tokens"),
+        concat_ws(" ",
+          when(col("ivs").isNull, col("t")).otherwise(
+            filter(col("t"), (_, i) =>
+              !exists(col("ivs"), v =>
+                i.cast("long") >= v.getField("s") && i.cast("long") < v.getField("e")))))
+          .as("clean_text"))
+  }
+
+  /** q113: [[slidingSpanDedup]] over the documents table at n = 8.
+    * The DuckDB twin re-derives the whole operator — sliding windows,
+    * keep-first over raw window strings, interval union via the same
+    * running-max window, and reassembly (by per-token anti-join rather
+    * than the array-local filter; oracles need equivalence, not the
+    * scale shape). Integer semantics throughout: no float risk.
+    */
+  val q113: QueryDef = QueryDef.sql(
+    "q113_sliding_span_dedup",
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckToks AS t FROM documents),
+       |dd AS (SELECT doc_id, t, len(t) AS nt FROM d),
+       |occ AS (
+       |  SELECT doc_id, k AS start,
+       |    array_to_string(t[k + 1 : k + 8], chr(1)) AS g
+       |  FROM (SELECT doc_id, t, unnest(range(0, nt - 8 + 1)) AS k
+       |        FROM dd WHERE nt >= 8)),
+       |mk AS (
+       |  SELECT doc_id, start, start + 8 AS e
+       |  FROM (SELECT doc_id, start,
+       |          row_number() OVER (PARTITION BY g ORDER BY doc_id, start) AS rn,
+       |          count(*) OVER (PARTITION BY g) AS cnt
+       |        FROM occ)
+       |  WHERE cnt > 1 AND rn > 1),
+       |mrg AS (
+       |  SELECT doc_id, grp, min(start) AS s, max(e) AS e
+       |  FROM (
+       |    SELECT doc_id, start, e,
+       |      sum(CASE WHEN mpe IS NULL OR start > mpe THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY doc_id ORDER BY start
+       |              ROWS UNBOUNDED PRECEDING) AS grp
+       |    FROM (
+       |      SELECT doc_id, start, e,
+       |        max(e) OVER (PARTITION BY doc_id ORDER BY start
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mpe
+       |      FROM mk))
+       |  GROUP BY doc_id, grp),
+       |rem AS (
+       |  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS removed
+       |  FROM mrg GROUP BY doc_id),
+       |tok AS (
+       |  SELECT doc_id, i, t[i] AS w
+       |  FROM (SELECT doc_id, t, unnest(range(1, nt + 1)) AS i FROM dd)),
+       |keep AS (
+       |  SELECT tok.doc_id, tok.i, tok.w
+       |  FROM tok LEFT JOIN mrg
+       |    ON tok.doc_id = mrg.doc_id AND tok.i - 1 >= mrg.s AND tok.i - 1 < mrg.e
+       |  WHERE mrg.s IS NULL),
+       |ct AS (
+       |  SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text
+       |  FROM keep GROUP BY doc_id)
+       |SELECT dd.doc_id,
+       |  CAST(dd.nt AS BIGINT) AS n_tokens,
+       |  COALESCE(rem.removed, 0) AS removed_tokens,
+       |  COALESCE(ct.clean_text, '') AS clean_text
+       |FROM dd LEFT JOIN rem USING (doc_id) LEFT JOIN ct USING (doc_id)
+       |ORDER BY dd.doc_id""".stripMargin) { (s, dir) =>
+    slidingSpanDedup(Tables.documents(s, dir), n = 8).orderBy(col("doc_id"))
   }
 }

@@ -21,7 +21,7 @@ object Extended {
 
   def all: Seq[QueryDef] = Seq(
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83, q84, q101, q111)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84, q101, q111, q118, q119)
 
   /** Relational pivot via the first-class DataFrame API (`.pivot` with
     * explicit values — no extra pass to discover them): quantity per
@@ -790,5 +790,127 @@ object Extended {
       .select(col("user_id"), col("event_type"), col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
       .sortWithinPartitions(col("user_id"), col("event_type"), col("event_id"))
+  }
+
+  /** Sequenced conversion funnel (q118): view -> click -> purchase,
+    * each step strictly AFTER the user's previous step (min qualifying
+    * timestamp) — the product-analytics funnel where an ordered path
+    * counts, not mere event presence. Emits one row per step with the
+    * distinct-user count and conversion vs step 1.
+    *
+    * Scale: the three step timestamps are chained window aggregates
+    * over the SAME user_id partitioning — Catalyst plans them as
+    * successive Window ops on ONE exchange (no join-back per step,
+    * which is the naive 3-self-join shape); the final rollup is a
+    * 3-row aggregate. Timestamps compare as exact integer micros.
+    */
+  val q118: QueryDef = QueryDef.sql(
+    "q118_event_funnel",
+    """WITH m AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tsm FROM events),
+      |t1s AS (
+      |  SELECT user_id, tsm, event_type,
+      |    min(CASE WHEN event_type = 'view' THEN tsm END)
+      |      OVER (PARTITION BY user_id) AS t1
+      |  FROM m),
+      |t2s AS (
+      |  SELECT user_id, tsm, event_type, t1,
+      |    min(CASE WHEN event_type = 'click' AND tsm > t1 THEN tsm END)
+      |      OVER (PARTITION BY user_id) AS t2
+      |  FROM t1s),
+      |t3s AS (
+      |  SELECT user_id, t1, t2,
+      |    min(CASE WHEN event_type = 'purchase' AND tsm > t2 THEN tsm END)
+      |      OVER (PARTITION BY user_id) AS t3
+      |  FROM t2s),
+      |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      |      FROM t3s GROUP BY user_id),
+      |c AS (
+      |  SELECT CAST(count(CASE WHEN t1 IS NOT NULL THEN 1 END) AS BIGINT) AS u1,
+      |    CAST(count(CASE WHEN t2 IS NOT NULL THEN 1 END) AS BIGINT) AS u2,
+      |    CAST(count(CASE WHEN t3 IS NOT NULL THEN 1 END) AS BIGINT) AS u3
+      |  FROM u)
+      |SELECT step, users,
+      |  CASE WHEN u1 > 0
+      |    THEN CAST(users AS DOUBLE) / CAST(u1 AS DOUBLE) END AS conversion
+      |FROM (
+      |  SELECT 1 AS step, u1 AS users, u1 FROM c
+      |  UNION ALL SELECT 2, u2, u1 FROM c
+      |  UNION ALL SELECT 3, u3, u1 FROM c)
+      |ORDER BY step""".stripMargin) { (s, dir) =>
+    funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
+  }
+
+  /** The q118 kernel, parameterized by the ordered step list: each
+    * step's timestamp is the min event of that type strictly AFTER the
+    * user's previous step; returns (step, users, conversion).
+    */
+  def funnel(events: org.apache.spark.sql.DataFrame,
+             steps: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col("user_id"))
+    val base = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tsm"))
+    val withSteps = steps.zipWithIndex.foldLeft(base) { case (df, (st, i)) =>
+      val cond =
+        if (i == 0) col("event_type") === st
+        else col("event_type") === st && col("tsm") > col(s"t$i")
+      df.withColumn(s"t${i + 1}", min(when(cond, col("tsm"))).over(w))
+    }
+    val perUser = withSteps.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"),
+        steps.indices.drop(1).map(i => max(col(s"t${i + 1}")).as(s"t${i + 1}")): _*)
+    val c = perUser.agg(
+      count(when(col("t1").isNotNull, lit(1))).as("u1"),
+      steps.indices.drop(1).map(i =>
+        count(when(col(s"t${i + 1}").isNotNull, lit(1))).as(s"u${i + 1}")): _*)
+    c.select(explode(array(
+        steps.indices.map(i =>
+          struct(lit((i + 1).toLong).as("step"), col(s"u${i + 1}").as("users"),
+            col("u1").as("base"))): _*)).as("r"))
+      .select(col("r.step").as("step"),
+        col("r.users").cast("bigint").as("users"),
+        // empty-funnel guard: 0/0 NaN hashes differently across
+        // engines; NULL is NULL on both
+        when(col("r.base") > 0,
+          col("r.users").cast("double") / col("r.base").cast("double"))
+          .as("conversion"))
+      .orderBy(col("step"))
+  }
+
+  /** Weekly retention cohorts (q119): users bucketed by the week of
+    * their FIRST event (any type); each (cohort week, week offset)
+    * cell counts the cohort's users active that week — the classic
+    * retention triangle.
+    *
+    * Scale: the cohort week is a min-window over the same user_id
+    * exchange the activity rows already need; the cell rollup
+    * aggregates (cohort, offset, user) — distinct-user counting is
+    * partial+final over a cardinality bounded by users x weeks. All
+    * arithmetic is integer micros (floor division on non-negative
+    * offsets, where Spark `div` and DuckDB `//` agree).
+    */
+  val q119: QueryDef = QueryDef.sql(
+    "q119_retention_cohorts",
+    """WITH wkt AS (
+      |  SELECT user_id,
+      |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk
+      |  FROM events),
+      |ch AS (
+      |  SELECT user_id, wk,
+      |    min(wk) OVER (PARTITION BY user_id) AS cohort_week
+      |  FROM wkt)
+      |SELECT cohort_week, wk - cohort_week AS week_offset,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+      |FROM ch GROUP BY cohort_week, wk - cohort_week
+      |ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("(unix_micros(ts) - 1704067200000000L) div 604800000000L").as("wk"))
+      .withColumn("cohort_week", min(col("wk")).over(w))
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
   }
 }

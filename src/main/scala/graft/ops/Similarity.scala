@@ -22,7 +22,7 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
-  def all: Seq[QueryDef] = Seq(q30, q31)
+  def all: Seq[QueryDef] = Seq(q30, q31, q117, q120)
 
   /** Per-vector L2 norm (pinned fold order; identical formula in the
     * DuckDB twin so doubles are bit-identical).
@@ -213,5 +213,234 @@ object Similarity {
         cosine_similarity(col("qv"), col("cv")).as("score"))
       .withColumn("rnk", row_number().over(ws))
       .filter(col("rnk") <= k)
+  }
+
+  /** Nearest-centroid classification + confusion matrix ([[q117]]):
+    * the standard embedding-quality probe — fit one centroid per label
+    * (Rocchio), assign every vector to its nearest centroid by squared
+    * L2, and tabulate (label, predicted, n). The diagonal is the
+    * "linear separability" sanity check a training pipeline runs on a
+    * new embedding column before spending GPU-hours on it.
+    *
+    * Centroid sums use a TWO-LEVEL ordered fold: per (label, dim,
+    * vec_id-block of 1024) in vec_id order, then across blocks in
+    * block order. One level would key the corpus-wide exchange by
+    * (label, dim) alone — K*D groups, each holding N values: a
+    * reducer-melting skew at 100 TB. Blocks restore N/1024-way
+    * parallelism while keeping a FIXED association tree, so the sum is
+    * still bit-reproducible across engines and partitionings (floats:
+    * unordered SUM is neither). Assignment is narrow: K*D centroids
+    * broadcast, per-vector fold in dim order; the confusion aggregate
+    * is K*K-sized.
+    */
+  /** Per-label centroids as (clabel, cv: array<double>) — the shared
+    * kernel of [[nearestCentroidConfusion]] and [[silhouetteByLabel]].
+    * Two-level ordered fold (see [[nearestCentroidConfusion]]'s
+    * scaladoc for why blocks).
+    */
+  def labelCentroids(emb: DataFrame, blockSize: Int = 1024): DataFrame = {
+    val dims = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .withColumn("blk", expr(s"vec_id div $blockSize"))
+    val blkAgg = dims.groupBy(col("label"), col("dim"), col("blk"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+            s => s.getField("x")),
+          lit(0.0), (a, x) => a + x).as("bs"),
+        count(lit(1)).as("bn"))
+    val cent = blkAgg.groupBy(col("label"), col("dim"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("blk"), col("bs")))),
+            s => s.getField("bs")),
+          lit(0.0), (a, x) => a + x).as("sx"),
+        sum(col("bn")).as("n"))
+      .withColumn("c", col("sx") / col("n").cast("double"))
+    cent.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .select(col("label").as("clabel"), col("cv"))
+  }
+
+  def nearestCentroidConfusion(emb: DataFrame, blockSize: Int = 1024): DataFrame = {
+    val d2 = emb.crossJoin(broadcast(labelCentroids(emb, blockSize)))
+      .withColumn("d2",
+        aggregate(
+          zip_with(col("embedding").cast("array<double>"), col("cv"),
+            (x, c) => (x - c) * (x - c)),
+          lit(0.0), (a, x) => a + x))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("clabel"))
+    d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("label").cast("bigint").as("label"),
+        col("clabel").cast("bigint").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("predicted"))
+  }
+
+  /** q117: [[nearestCentroidConfusion]] over the embeddings table. The
+    * twin re-fits centroids with the SAME two-level block fold (1024
+    * vec_ids per block), the same per-dim means, the same dim-order
+    * distance fold, and the same (d2, label) argmin tie-break, so
+    * classification — and hence every confusion cell — is
+    * bit-identical.
+    */
+  /** Simplified silhouette per label ([[q120]]): for each vector,
+    * a = L2 distance to its OWN label centroid, b = distance to the
+    * nearest OTHER centroid, s = (b-a)/max(a,b) in [-1,1]; emitted as
+    * the per-label mean — the clustering-quality score that, next to
+    * [[nearestCentroidConfusion]]'s diagonal, tells a pipeline whether
+    * an embedding column separates its labels (Rocchio/"simplified
+    * silhouette": centroid distances instead of the classic all-pairs
+    * O(N^2) — the only formulation that survives 100 TB). Requires
+    * >= 2 labels (b is undefined otherwise). Singleton labels score
+    * s=1 by construction (a=0), the standard simplified-variant
+    * behavior.
+    *
+    * Scale: centroids ([[labelCentroids]], two-level fold) collapse to
+    * ONE broadcast row of K (label, vector) structs, so per-vector
+    * a/b/s is a pure narrow map (array fold over K centroids — the
+    * KMeansAssign shape); the per-label mean is the same two-level
+    * ordered block fold as the centroid build, so the result is
+    * bit-reproducible AND no reducer ever sees more than a block.
+    */
+  def silhouetteByLabel(emb: DataFrame, blockSize: Int = 1024): DataFrame = {
+    val packed = labelCentroids(emb, blockSize)
+      .agg(collect_list(struct(col("clabel"), col("cv"))).as("cents"))
+    val xv = col("embedding").cast("array<double>")
+    val scored = emb.crossJoin(broadcast(packed))
+      .withColumn("dists", transform(col("cents"), c =>
+        struct(c.getField("clabel").as("cl"),
+          sqrt(aggregate(
+            zip_with(xv, c.getField("cv"), (x, cc) => (x - cc) * (x - cc)),
+            lit(0.0), (a, v) => a + v)).as("d"))))
+      .withColumn("a",
+        element_at(filter(col("dists"),
+          c => c.getField("cl") === col("label")), 1).getField("d"))
+      .withColumn("b",
+        array_min(transform(filter(col("dists"),
+          c => c.getField("cl") =!= col("label")), c => c.getField("d"))))
+      .withColumn("s",
+        when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)))
+    val blkAgg = scored.withColumn("blk", expr(s"vec_id div $blockSize"))
+      .groupBy(col("label"), col("blk"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("s")))),
+            t => t.getField("s")),
+          lit(0.0), (a, v) => a + v).as("bs"),
+        count(lit(1)).as("bn"))
+    blkAgg.groupBy(col("label"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("blk"), col("bs")))),
+            t => t.getField("bs")),
+          lit(0.0), (a, v) => a + v).as("ss"),
+        sum(col("bn")).as("n"))
+      .select(col("label").cast("bigint").as("label"),
+        col("n").cast("bigint").as("n"),
+        (col("ss") / col("n").cast("double")).as("mean_silhouette"))
+      .orderBy(col("label"))
+  }
+
+  /** q120: [[silhouetteByLabel]] over the embeddings table. The twin
+    * re-derives centroids (same two-level fold), per-vector a/b from
+    * the same distance values (min over an identical double set —
+    * aggregate-min there, array-min here), the same guarded ratio, and
+    * the same blocked mean, so every per-label mean is bit-identical.
+    */
+  val q120: QueryDef = QueryDef.sql(
+    "q120_silhouette_by_label",
+    """WITH d0 AS (
+      |  SELECT vec_id, label, embedding,
+      |    unnest(range(1, len(embedding) + 1)) AS i
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT vec_id, vec_id // 1024 AS blk, label, i - 1 AS dim,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM d0),
+      |ba AS (
+      |  SELECT label, dim, blk,
+      |    list_sum(list(x ORDER BY vec_id)) AS bs,
+      |    CAST(count(*) AS BIGINT) AS bn
+      |  FROM dims GROUP BY label, dim, blk),
+      |cent AS (
+      |  SELECT label, dim,
+      |    list_sum(list(bs ORDER BY blk)) / CAST(sum(bn) AS DOUBLE) AS c
+      |  FROM ba GROUP BY label, dim),
+      |cv AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv
+      |       FROM cent GROUP BY label),
+      |d AS (
+      |  SELECT e.vec_id, e.label, cv.clabel,
+      |    sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> (CAST(e.embedding[i] AS DOUBLE) - cv.cv[i])
+      |         * (CAST(e.embedding[i] AS DOUBLE) - cv.cv[i])))) AS dist
+      |  FROM embeddings e CROSS JOIN cv),
+      |ab AS (
+      |  SELECT vec_id, label,
+      |    min(CASE WHEN clabel = label THEN dist END) AS a,
+      |    min(CASE WHEN clabel <> label THEN dist END) AS b
+      |  FROM d GROUP BY vec_id, label),
+      |sv AS (
+      |  SELECT vec_id, label, vec_id // 1024 AS blk,
+      |    CASE WHEN greatest(a, b) > 0
+      |      THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s
+      |  FROM ab),
+      |bb AS (
+      |  SELECT label, blk,
+      |    list_sum(list(s ORDER BY vec_id)) AS bs,
+      |    CAST(count(*) AS BIGINT) AS bn
+      |  FROM sv GROUP BY label, blk)
+      |SELECT CAST(label AS BIGINT) AS label,
+      |  CAST(sum(bn) AS BIGINT) AS n,
+      |  list_sum(list(bs ORDER BY blk)) / CAST(sum(bn) AS DOUBLE)
+      |    AS mean_silhouette
+      |FROM bb GROUP BY label
+      |ORDER BY label""".stripMargin) { (s, dir) =>
+    silhouetteByLabel(Tables.embeddings(s, dir))
+  }
+
+  val q117: QueryDef = QueryDef.sql(
+    "q117_centroid_classifier",
+    """WITH d0 AS (
+      |  SELECT vec_id, label, embedding,
+      |    unnest(range(1, len(embedding) + 1)) AS i
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT vec_id, vec_id // 1024 AS blk, label, i - 1 AS dim,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM d0),
+      |ba AS (
+      |  SELECT label, dim, blk,
+      |    list_sum(list(x ORDER BY vec_id)) AS bs,
+      |    CAST(count(*) AS BIGINT) AS bn
+      |  FROM dims GROUP BY label, dim, blk),
+      |cent AS (
+      |  SELECT label, dim,
+      |    list_sum(list(bs ORDER BY blk)) / CAST(sum(bn) AS DOUBLE) AS c
+      |  FROM ba GROUP BY label, dim),
+      |cv AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv
+      |       FROM cent GROUP BY label),
+      |d2 AS (
+      |  SELECT e.vec_id, e.label, cv.clabel,
+      |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> (CAST(e.embedding[i] AS DOUBLE) - cv.cv[i])
+      |         * (CAST(e.embedding[i] AS DOUBLE) - cv.cv[i]))) AS d2
+      |  FROM embeddings e CROSS JOIN cv),
+      |pred AS (
+      |  SELECT vec_id, label, clabel
+      |  FROM (SELECT vec_id, label, clabel,
+      |          row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+      |        FROM d2)
+      |  WHERE rn = 1)
+      |SELECT CAST(label AS BIGINT) AS label,
+      |  CAST(clabel AS BIGINT) AS predicted,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM pred GROUP BY label, clabel
+      |ORDER BY label, predicted""".stripMargin) { (s, dir) =>
+    nearestCentroidConfusion(Tables.embeddings(s, dir))
   }
 }

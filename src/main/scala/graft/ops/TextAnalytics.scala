@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document/text analytics over the `documents` table: token statistics,
@@ -26,7 +27,7 @@ object TextAnalytics {
     */
   private val probeStops = Seq("the", "a", "an", "and", "of", "to", "is", "in", "it", "on")
 
-  def all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109)
+  def all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -352,5 +353,97 @@ object TextAnalytics {
           lit(0L),
           (a, b) => (a * 31L + b) % 1000000007L).as("fingerprint"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Statistical-LM fluency scoring ([[q116]]'s kernel): score each
+    * document by its mean log-probability under an add-one-smoothed
+    * bigram language model trained on the corpus itself — the
+    * CCNet/KenLM-style perplexity filter (low avg logprob ≈ high
+    * perplexity ≈ boilerplate/gibberish), with the n-gram LM standing
+    * in for KenLM (same pipeline shape; a trained external LM plugs in
+    * as a different lp table). P(w2|w1) = (c(w1w2)+1) / (c1(w1)+V)
+    * where c1 counts w1 AS A CONTEXT (bigram-first occurrences, so
+    * probabilities normalize per context) and V is corpus vocabulary.
+    *
+    * Float discipline: ln is rounded to 9 decimals per DISTINCT bigram
+    * (the only transcendental, computed once on the vocabulary-sized
+    * table, not per occurrence), per-doc logprobs fold in POSITION
+    * order, and the mean divides by an exact integer count — fully
+    * reproducible across engines and partitionings.
+    *
+    * Scale: bigram extraction is narrow; the LM build is one
+    * partial+final aggregate to the distinct-bigram table (c1 rides
+    * the same w1-partitioned output as a window — no second corpus
+    * pass); scoring joins corpus bigrams to the LM on (w1,w2) — at
+    * 100 TB the LM table is vocabulary²-bounded and heavy-hitter
+    * skewed, which AQE skew-join handles; the per-doc fold is one
+    * doc_id exchange of (pos, lp) pairs. Docs with <2 tokens emit
+    * n_bigrams=0, avg_logprob=0.
+    */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), toks(col("text")).as("t"))
+    val vocab = d.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    val bg = d.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2), i =>
+          struct(i.cast("long").as("pos"),
+            element_at(col("t"), i + 1).as("w1"),
+            element_at(col("t"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val lm = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+      .withColumn("lp",
+        round(log((col("c12") + lit(1.0)) / (col("c1") + lit(vocab.toDouble))), 9))
+      .select(col("w1"), col("w2"), col("lp"))
+    val scored = bg.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
+            x => x.getField("lp")),
+          lit(0.0), (acc, x) => acc + x).as("s"))
+    d.join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).cast("bigint").as("n_bigrams"),
+        coalesce(col("s") / col("n_bigrams").cast("double"), lit(0.0))
+          .as("avg_logprob"))
+  }
+
+  /** q116: [[bigramLogProb]] over the documents table. The twin
+    * re-trains the same LM in SQL — same smoothing, same context
+    * counts, same rounded-ln-per-distinct-bigram, same position-order
+    * fold — so the hash compare covers training and scoring alike.
+    */
+  val q116: QueryDef = QueryDef.sql(
+    "q116_bigram_lm_score",
+    s"""WITH d AS (SELECT doc_id, $duckToks AS t FROM documents),
+       |v AS (
+       |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+       |  FROM (SELECT unnest(t) AS w FROM d)),
+       |bg AS (
+       |  SELECT doc_id, k AS pos, t[k + 1] AS w1, t[k + 2] AS w2
+       |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS k
+       |        FROM d WHERE len(t) >= 2)),
+       |lm AS (
+       |  SELECT w1, w2,
+       |    round(ln((CAST(c12 AS DOUBLE) + 1.0)
+       |      / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))), 9) AS lp
+       |  FROM (
+       |    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12,
+       |      CAST(sum(count(*)) OVER (PARTITION BY w1) AS BIGINT) AS c1
+       |    FROM bg GROUP BY w1, w2) CROSS JOIN v),
+       |sc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    list_sum(list(lp ORDER BY pos)) AS s
+       |  FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(sc.s / CAST(sc.n_bigrams AS DOUBLE), 0.0) AS avg_logprob
+       |FROM d LEFT JOIN sc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    bigramLogProb(Tables.documents(s, dir)).orderBy(col("doc_id"))
   }
 }

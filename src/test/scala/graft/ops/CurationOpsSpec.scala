@@ -173,6 +173,47 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q113 sliding-span dedup: keep-first, interval merge, within-doc repeats") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"shared$i").mkString(" ") // 12-token passage
+    val corpus = Seq(
+      // doc 0: first occurrence of the passage — must be KEPT whole
+      (0L, s"alpha beta $shared gamma delta"),
+      // doc 1: re-occurrence mid-doc — the 5 overlapping 8-grams must
+      // merge into ONE 12-token interval, not 5 cuts
+      (1L, s"intro words here $shared closing words there now"),
+      // doc 2: unique text, long enough to window — untouched
+      (2L, (1 to 20).map(i => s"unique$i").mkString(" ")),
+      // doc 3: the passage repeated TWICE within one doc — second copy
+      // cut even though doc 3 is not doc 0 (the keep is global-first)
+      (3L, s"$shared bridge $shared"),
+      // doc 4: shorter than the window — no grams, untouched
+      (4L, "tiny doc under window"))
+      .toDF("doc_id", "text")
+    val out = CurationOps.slidingSpanDedup(corpus, n = 8)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // doc 0 untouched (it is the global first occurrence)
+    assert(byId(0L)._3 == 0L && byId(0L)._4 == s"alpha beta $shared gamma delta")
+    // doc 1: exactly the 12 passage tokens removed, in one merged span
+    assert(byId(1L)._3 == 12L,
+      s"doc 1 removed ${byId(1L)._3} tokens (overlap not merged?)")
+    assert(byId(1L)._4 == "intro words here closing words there now")
+    // doc 2 untouched
+    assert(byId(2L)._3 == 0L && byId(2L)._4.startsWith("unique1 "))
+    // doc 3: both copies are re-occurrences of doc 0's passage
+    assert(byId(3L)._4 == "bridge", s"doc 3 kept '${byId(3L)._4}'")
+    assert(byId(3L)._3 == 24L)
+    // doc 4 untouched despite being under the window size
+    assert(byId(4L)._3 == 0L && byId(4L)._4 == "tiny doc under window")
+    // conservation: n_tokens - removed == kept token count, every doc
+    out.foreach { case (id, n, rem, clean) =>
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(n - rem == kept, s"doc $id token accounting")
+    }
+  }
+
   test("q95 sketch-verified heavy hitters equal the exact full group-by") {
     val sketch = CurationOps.q95.build(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1))

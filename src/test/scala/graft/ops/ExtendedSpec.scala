@@ -82,4 +82,26 @@ class ExtendedSpec extends SparkSpec {
       .orderBy(col("key"))
     assert(salted.collect().toSeq == plain.collect().toSeq)
   }
+
+  test("q118 funnel: steps must be strictly ordered in time, per user") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val events = Seq(
+      // user 1: full ordered path
+      (1L, "view", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      // user 2: clicked BEFORE viewing, then purchased — click must not
+      // count (no click after the view), so neither does the purchase
+      (2L, "click", ts(10)), (2L, "view", ts(20)), (2L, "purchase", ts(30)),
+      // user 3: view+click, purchase exactly AT the click ts — strict >
+      // excludes it
+      (3L, "view", ts(10)), (3L, "click", ts(20)), (3L, "purchase", ts(20)),
+      // user 4: never viewed
+      (4L, "purchase", ts(5)))
+      .toDF("user_id", "event_type", "ts")
+    val out = Extended.funnel(events, Seq("view", "click", "purchase"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // step1: users 1,2,3; step2: users 1,3; step3: user 1 only
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((1L, 3L), (2L, 2L), (3L, 1L)))
+    assert(out(1)._3 == 2.0 / 3.0 && out(2)._3 == 1.0 / 3.0)
+  }
 }

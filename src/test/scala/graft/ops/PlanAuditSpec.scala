@@ -140,7 +140,10 @@ class PlanAuditSpec extends SparkSpec {
       "q94_mixture_sampling" -> "one-row broadcast holding the scalar mixture total",
       "q102_knn_ivfpq" -> "bounded query batch x K centroids probe",
       "q110_source_temperature" -> "one-row broadcast holding the scalar max source size",
+      "q115_bm25_retrieval" -> "one-row broadcast holding the scalar corpus-mean doc length",
       "q43_kmeans_assign" -> "points x one-row broadcast holding the K centers array",
+      "q117_centroid_classifier" -> "vectors x K-row broadcast of label centroids (K = distinct labels, bounded)",
+      "q120_silhouette_by_label" -> "vectors x one-row broadcast packing the K label centroids",
       "q44_cluster_members" -> "points x one-row broadcast holding the K centers array",
       "q97_semantic_dedup" -> "points x one-row broadcast holding the K centers array"
     )

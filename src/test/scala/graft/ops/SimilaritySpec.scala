@@ -133,4 +133,36 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.count { case (q, n) => partial.get(q).contains(n) }.toDouble / exact.size
     assert(recall >= 0.5, s"recall@1 = $recall")
   }
+
+  test("nearestCentroidConfusion: separable labels sit on the diagonal") {
+    // two tight clusters around (1,0) and (0,1), one deliberate stray
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0), (2L, Seq(1.1f, -0.1f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.1f, 0.9f), 1),
+      (5L, Seq(0.95f, 0.05f), 1)) // labeled 1, sits in cluster 0... almost
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.nearestCentroidConfusion(emb)
+      .as[(Long, Long, Long)].collect().toSet
+    // centroid(0) = (1, 0); centroid(1) = ((0+0.1+0.95)/3, (1+0.9+0.05)/3)
+    // = (0.35, 0.65). Vector 5 at (0.95, 0.05): d2 to c0 = 0.005, to
+    // c1 = 0.72 -> predicted 0. All of label 0 stays at 0; vectors
+    // 3 and 4 stay at 1.
+    assert(out == Set((0L, 0L, 3L), (1L, 0L, 1L), (1L, 1L, 2L)))
+  }
+
+  test("nearestCentroidConfusion: bit-identical across block sizes and partitionings") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = Similarity.nearestCentroidConfusion(emb)
+      .as[(Long, Long, Long)].collect().toSeq
+    // different physical partitioning, same two-level tree -> same bits
+    val b = Similarity.nearestCentroidConfusion(emb.repartition(7))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b)
+    // a DIFFERENT block size changes the association tree, which may
+    // move last-ulp bits but must never move a classification at this
+    // fixture's separation: same confusion cells
+    val c = Similarity.nearestCentroidConfusion(emb, blockSize = 64)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == c)
+  }
 }

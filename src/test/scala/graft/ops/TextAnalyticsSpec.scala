@@ -30,6 +30,29 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(out.exists(_._3 == 1L) && out.exists(_._3 == 0L))
   }
 
+  test("bigramLogProb: hand-computed add-one bigram LM, position-order fold") {
+    val d = Seq(
+      (1L, "a b a b"), // bigrams (a,b) (b,a) (a,b)
+      (2L, "a b c"),   // bigrams (a,b) (b,c)
+      (3L, "x"))       // under the window: n=0, avg=0
+      .toDF("doc_id", "text")
+    // V=4; c(a,b)=3 c(b,a)=1 c(b,c)=1; contexts c1(a)=3 c1(b)=2
+    def lp(c12: Long, c1: Long): Double = {
+      val raw = math.log((c12 + 1.0) / (c1 + 4.0))
+      BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ab = lp(3, 3); val ba = lp(1, 2); val bc = lp(1, 2)
+    val out = TextAnalytics.bigramLogProb(d)
+      .orderBy(col("doc_id")).as[(Long, Long, Double)].collect()
+    assert(out(0) == ((1L, 3L, (0.0 + ab + ba + ab) / 3.0)))
+    assert(out(1) == ((2L, 2L, (0.0 + ab + bc) / 2.0)))
+    assert(out(2) == ((3L, 0L, 0.0)))
+    // repartitioning the corpus does not move a single bit
+    val rep = TextAnalytics.bigramLogProb(d.repartition(5))
+      .orderBy(col("doc_id")).as[(Long, Long, Double)].collect()
+    assert(out.toSeq == rep.toSeq)
+  }
+
   test("langId: CJK text predicted zh; function words predict their language") {
     val d = Seq(
       (1L, "\u4e2d\u6587\u6587\u672c\u5904\u7406", "zh"),
