@@ -21,7 +21,7 @@ object Extended {
 
   def all: Seq[QueryDef] = Seq(
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83, q84, q101, q111, q118, q119)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84, q101, q111, q118, q119, q122)
 
   /** Relational pivot via the first-class DataFrame API (`.pivot` with
     * explicit values — no extra pass to discover them): quantity per
@@ -912,5 +912,62 @@ object Extended {
       .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
       .agg(countDistinct(col("user_id")).as("active_users"))
       .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Per-user event-rate anomalies (q122): a user's daily event count
+    * flagged when it exceeds their own mean + 3 sample standard
+    * deviations — the self-baselined burst detector (abuse/bot/retry
+    * storms) that needs no global threshold. Users with one active day
+    * have no variance and are skipped.
+    *
+    * Float discipline: mean and variance come from EXACT integer sums
+    * (n, Σx, Σx²) — var = (n·Σx² − (Σx)²) / (n·(n−1)) is one double
+    * division of two exact integers, std one correctly-rounded sqrt —
+    * so the 3σ threshold is bit-identical across engines with no
+    * rounding tricks at all.
+    *
+    * Scale: day bucketing is narrow (integer micros div); the per-user
+    * stats are ONE partial+final aggregate over (user, day) counts
+    * (user-days-sized, not event-sized); flagged rows join stats back
+    * user-keyed. No windows over the raw event stream.
+    */
+  val q122: QueryDef = QueryDef.sql(
+    "q122_event_rate_anomalies",
+    """WITH d AS (
+      |  SELECT user_id,
+      |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY user_id, day),
+      |s AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS nd,
+      |    CAST(sum(cnt) AS BIGINT) AS sx,
+      |    CAST(sum(cnt * cnt) AS BIGINT) AS sxx
+      |  FROM d GROUP BY user_id),
+      |j AS (
+      |  SELECT d.user_id, d.day, d.cnt,
+      |    CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE) AS mean_cnt,
+      |    sqrt(CAST(nd * sxx - sx * sx AS DOUBLE)
+      |      / CAST(nd * (nd - 1) AS DOUBLE)) AS std_cnt
+      |  FROM d JOIN s USING (user_id) WHERE nd >= 2)
+      |SELECT user_id, day, cnt, mean_cnt, std_cnt
+      |FROM j
+      |WHERE CAST(cnt AS DOUBLE) > mean_cnt + 3.0 * std_cnt
+      |ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        expr("(unix_micros(ts) - 1704067200000000L) div 86400000000L").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val st = d.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("nd"), sum(col("cnt")).as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+      .filter(col("nd") >= 2)
+    d.join(st, "user_id")
+      .select(col("user_id"), col("day"), col("cnt"),
+        (col("sx").cast("double") / col("nd").cast("double")).as("mean_cnt"),
+        sqrt((col("nd") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("nd") * (col("nd") - 1)).cast("double")).as("std_cnt"))
+      .filter(col("cnt").cast("double") >
+        col("mean_cnt") + lit(3.0) * col("std_cnt"))
+      .orderBy(col("user_id"), col("day"))
   }
 }

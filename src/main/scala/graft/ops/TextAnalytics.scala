@@ -27,7 +27,7 @@ object TextAnalytics {
     */
   private val probeStops = Seq("the", "a", "an", "and", "of", "to", "is", "in", "it", "on")
 
-  def all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116)
+  def all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -410,6 +410,53 @@ object TextAnalytics {
         coalesce(col("n_bigrams"), lit(0L)).cast("bigint").as("n_bigrams"),
         coalesce(col("s") / col("n_bigrams").cast("double"), lit(0.0))
           .as("avg_logprob"))
+  }
+
+  /** Exact per-source length quantiles (q121): the data-card numbers —
+    * p50/p90/p99 of the token-length distribution per source, computed
+    * EXACTLY (value at rank ceil(q*n), ascending) with pure integer
+    * arithmetic so both engines agree to the bit without touching
+    * either engine's own quantile function (whose interpolation rules
+    * differ). Ties are harmless: the VALUE at a rank is well-defined
+    * whatever order equal lengths sort in.
+    *
+    * Scale: one exchange per source group + a within-group sort — the
+    * honest cost of EXACT quantiles (rank selection needs a total
+    * per-group order). At 100 TB you'd trade exactness for
+    * `approx_percentile` (t-digest, mergeable, one pass); this is the
+    * audited-exact variant a data card wants at report time.
+    */
+  val q121: QueryDef = QueryDef.sql(
+    "q121_length_quantiles",
+    s"""WITH t AS (
+       |  SELECT source, CAST(len($duckToks) AS BIGINT) AS nt
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, nt,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY nt) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM t)
+       |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN nt END) AS BIGINT) AS p50,
+       |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN nt END) AS BIGINT) AS p90,
+       |  CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN nt END) AS BIGINT) AS p99
+       |FROM r GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .select(col("source"), size(toks(col("text"))).cast("bigint").as("nt"))
+    val wp = Window.partitionBy(col("source"))
+    val r = t
+      .withColumn("rn", row_number().over(wp.orderBy(col("nt"))).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(wp))
+    r.groupBy(col("source"))
+      .agg(max(col("n")).cast("bigint").as("n_docs"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("nt")))
+          .cast("bigint").as("p50"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("nt")))
+          .cast("bigint").as("p90"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("nt")))
+          .cast("bigint").as("p99"))
+      .orderBy(col("source"))
   }
 
   /** q116: [[bigramLogProb]] over the documents table. The twin
