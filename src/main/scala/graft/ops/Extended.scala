@@ -21,7 +21,8 @@ object Extended {
 
   def all: Seq[QueryDef] = Seq(
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83, q84, q101, q111, q118, q119, q122)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84, q101, q111, q118, q119, q122,
+    q123)
 
   /** Relational pivot via the first-class DataFrame API (`.pivot` with
     * explicit values — no extra pass to discover them): quantity per
@@ -968,6 +969,69 @@ object Extended {
           (col("nd") * (col("nd") - 1)).cast("double")).as("std_cnt"))
       .filter(col("cnt").cast("double") >
         col("mean_cnt") + lit(3.0) * col("std_cnt"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Prequential event-rate anomalies (q123): q122's detector in its
+    * ONLINE form — each day is judged against the stats of the user's
+    * STRICTLY EARLIER days only (what a monitor knew at the time), the
+    * exact batch twin of the streaming
+    * [[graft.streaming.EventStreams.rateAnomalies]] (stream == batch
+    * spec-proven). Same integer-sum float discipline as q122; the
+    * running n/Σx/Σx² are cumulative window sums over the
+    * user-day-sized count table, so the added cost over q122 is nil.
+    */
+  val q123: QueryDef = QueryDef.sql(
+    "q123_prequential_anomalies",
+    """WITH d AS (
+      |  SELECT user_id,
+      |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY user_id, day),
+      |c AS (
+      |  SELECT user_id, day, cnt,
+      |    CAST(count(cnt) OVER w AS BIGINT) AS n,
+      |    CAST(sum(cnt) OVER w AS BIGINT) AS sx,
+      |    CAST(sum(cnt * cnt) OVER w AS BIGINT) AS sxx
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |j AS (
+      |  SELECT user_id, day, cnt,
+      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cnt,
+      |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |      / CAST(n * (n - 1) AS DOUBLE)) AS std_cnt
+      |  FROM c WHERE n >= 2)
+      |SELECT user_id, day, cnt, mean_cnt, std_cnt
+      |FROM j
+      |WHERE CAST(cnt AS DOUBLE) > mean_cnt + 3.0 * std_cnt
+      |ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+    prequentialAnomalies(
+      Tables.events(s, dir).select(col("user_id"), col("ts")), sigma = 3.0)
+  }
+
+  /** The q123 kernel (also the batch reference for the streaming
+    * parity spec): flag (user, day, cnt) where cnt exceeds the mean +
+    * sigma*std of that user's strictly-earlier days.
+    */
+  def prequentialAnomalies(events: org.apache.spark.sql.DataFrame,
+                           sigma: Double): org.apache.spark.sql.DataFrame = {
+    val d = events
+      .groupBy(col("user_id"),
+        expr("(unix_micros(ts) - 1704067200000000L) div 86400000000L").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("n", count(col("cnt")).over(w))
+      .withColumn("sx", sum(col("cnt")).over(w))
+      .withColumn("sxx", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("n") >= 2)
+      .select(col("user_id"), col("day"), col("cnt"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mean_cnt"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")).as("std_cnt"))
+      .filter(col("cnt").cast("double") >
+        col("mean_cnt") + lit(sigma) * col("std_cnt"))
       .orderBy(col("user_id"), col("day"))
   }
 }

@@ -192,6 +192,75 @@ object EventStreams {
       }
   }
 
+  case class RateState(open: Map[Long, Long], n: Long, sx: Long, sxx: Long)
+  case class RateAnomaly(user_id: Long, day: Long, cnt: Long,
+                         mean_cnt: Double, std_cnt: Double)
+
+  /** Streaming per-user event-rate anomalies — the PREQUENTIAL twin of
+    * the batch q123: each completed day is judged against the stats of
+    * the days that came BEFORE it (mean + `sigma`·sample-std from
+    * exact integer sums n/Σx/Σx², the q122 arithmetic), then folded
+    * into them. A day closes only when the WATERMARK passes its end —
+    * late events inside the delay still land in their open day, so the
+    * counts are exact and stream == batch
+    * ([[graft.ops.Extended.q123]]) on any in-watermark arrival order.
+    *
+    * State per user: the open-day counts (bounded by the watermark
+    * horizon — at "1 day" delay at most ~2 open days) + three longs of
+    * history. Closure runs on data arrival AND on event-time timeout,
+    * so idle users flush their trailing days deterministically.
+    */
+  def rateAnomalies(spark: SparkSession, events: Dataset[Event],
+                    sigma: Double = 3.0,
+                    watermarkDelay: String = "1 day"): Dataset[RateAnomaly] = {
+    import spark.implicits._
+    val baseUs = 1704067200000000L
+    val dayUs = 86400000000L
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, RateAnomaly](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[Event], state: GroupState[RateState]) =>
+          var st = state.getOption.getOrElse(RateState(Map.empty, 0L, 0L, 0L))
+          if (!state.hasTimedOut) {
+            val byDay = evs.toSeq.groupBy(e =>
+              Math.floorDiv(micros(e.ts) - baseUs, dayUs))
+            st = st.copy(open = byDay.foldLeft(st.open) { case (m, (d, es)) =>
+              m.updated(d, m.getOrElse(d, 0L) + es.size)
+            })
+          }
+          // close every open day the watermark has passed, oldest first
+          val wmMs = scala.util.Try(state.getCurrentWatermarkMs())
+            .getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[RateAnomaly]
+          st.open.keys.toSeq.sorted
+            .takeWhile(d => (baseUs + (d + 1) * dayUs) / 1000 <= wmMs)
+            .foreach { d =>
+              val cnt = st.open(d)
+              if (st.n >= 2) {
+                val mean = st.sx.toDouble / st.n.toDouble
+                val std = math.sqrt(
+                  (st.n * st.sxx - st.sx * st.sx).toDouble /
+                    (st.n * (st.n - 1)).toDouble)
+                if (cnt.toDouble > mean + sigma * std)
+                  out += RateAnomaly(user, d, cnt, mean, std)
+              }
+              st = RateState(st.open - d, st.n + 1, st.sx + cnt,
+                st.sxx + cnt * cnt)
+            }
+          state.update(st)
+          // wake when the earliest still-open day completes (clamped
+          // above the watermark — see sessionize)
+          st.open.keys.minOption.foreach { d =>
+            state.setTimeoutTimestamp(
+              math.max((baseUs + (d + 1) * dayUs) / 1000, wmMs + 1))
+          }
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join: attribute each purchase to the same
     * user's click(s) in the preceding `maxLagMinutes`. Both sides carry
     * watermarks and the join condition bounds event-time distance, so

@@ -97,6 +97,23 @@ class RetrievalSpec extends SparkSpec {
     assert(sat(2, 3) < 2.0 * sat(1, 3))
   }
 
+  test("persisted postings serve identically: searchPostings(parquet round-trip) == search(tokens)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-postings").toString
+    Retrieval.postings(tokens).write.mode("overwrite").parquet(dir)
+    val served = spark.read.parquet(dir)
+    val q = Seq((0L, "apple"), (0L, "banana"), (1L, "cherry")).toDF("qid", "term")
+    val live = Retrieval.search(tokens, q, nDocs, k = 10)
+      .orderBy(col("qid"), col("rnk")).collect().toSeq
+    val fromIndex = Retrieval.searchPostings(served, q, nDocs, k = 10)
+      .orderBy(col("qid"), col("rnk")).collect().toSeq
+    assert(live == fromIndex)
+    val liveB = Retrieval.searchBm25(tokens, q, nDocs, k = 10)
+      .orderBy(col("qid"), col("rnk")).collect().toSeq
+    val fromIndexB = Retrieval.searchBm25Postings(served, q, nDocs, k = 10)
+      .orderBy(col("qid"), col("rnk")).collect().toSeq
+    assert(liveB == fromIndexB)
+  }
+
   test("k must be positive") {
     val q = Seq((0L, "apple")).toDF("qid", "term")
     intercept[IllegalArgumentException] {

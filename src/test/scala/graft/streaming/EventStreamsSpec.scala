@@ -238,4 +238,49 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2 * batchRows)
     assert(spark.read.parquet(out).select("event_id").distinct().count() == batchRows)
   }
+
+  test("rateAnomalies stream equals the batch q123 prequential detector") {
+    val fixture = graft.ops.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val batch = graft.ops.Extended
+      .prequentialAnomalies(
+        graft.ops.Tables.events(spark, sfDir).select(col("user_id"), col("ts")),
+        sigma = 3.0)
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(batch.nonEmpty, "fixture should produce 3-sigma anomalies")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = rateAnomalies(spark, mem.toDS())
+      .writeStream.format("memory").queryName("rate_anomaly_test")
+      .outputMode("append").start()
+    try {
+      // three micro-batches so day closure crosses batch boundaries
+      val (a, rest) = fixture.splitAt(fixture.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      Seq(a, b, c).foreach { part =>
+        mem.addData(part.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      // sentinel events on an unused user push the watermark past every
+      // fixture day (delay = 1 day), then one more batch so the
+      // event-time timeouts actually fire and flush trailing days
+      val t0 = fixture.last.ts.getTime
+      mem.addData(Event(9000001L,
+        new Timestamp(t0 + 3L * 86400000L), 999999L, "tick", 0.0))
+      query.processAllAvailable()
+      mem.addData(Event(9000002L,
+        new Timestamp(t0 + 4L * 86400000L), 999999L, "tick", 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("rate_anomaly_test")
+        .filter(col("user_id") =!= 999999L)
+        .select(col("user_id"), col("day"), col("cnt"),
+          col("mean_cnt"), col("std_cnt"))
+        .as[(Long, Long, Long, Double, Double)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch diverge: onlyStream=${(streamed -- batch).take(3)} " +
+          s"onlyBatch=${(batch -- streamed).take(3)}")
+    } finally query.stop()
+  }
 }
