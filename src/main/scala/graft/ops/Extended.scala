@@ -22,7 +22,7 @@ object Extended {
   def all: Seq[QueryDef] = Seq(
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q101, q111, q118, q119, q122,
-    q123)
+    q123, q124)
 
   /** Relational pivot via the first-class DataFrame API (`.pivot` with
     * explicit values — no extra pass to discover them): quantity per
@@ -1033,5 +1033,44 @@ object Extended {
       .filter(col("cnt").cast("double") >
         col("mean_cnt") + lit(sigma) * col("std_cnt"))
       .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Schema-on-read JSON extraction (q124): the metadata-sidecar
+    * pattern — events carry a JSON `props` string; extract a typed
+    * field with `from_json` (a declared schema, not a per-row path
+    * probe, so extraction is a codegen'd columnar op) and aggregate it
+    * per event type. Integer aggregates only — no float risk.
+    *
+    * Scale: extraction is narrow (scan-speed, prunes to the two used
+    * columns); one partial+final aggregate to event_type granularity.
+    * Malformed JSON yields NULL (counted separately) rather than
+    * failing the job — the PERMISSIVE contract a 100 TB ingest needs.
+    */
+  val q124: QueryDef = QueryDef.sql(
+    "q124_json_props",
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(k) AS BIGINT) AS n_with_k,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(min(k) AS BIGINT) AS min_k,
+      |  CAST(max(k) AS BIGINT) AS max_k
+      |FROM (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).cast("bigint").as("sum_k"),
+        min(col("k")).cast("bigint").as("min_k"),
+        max(col("k")).cast("bigint").as("max_k"))
+      .orderBy(col("event_type"))
   }
 }

@@ -30,7 +30,9 @@ object ScaleCheck {
     val names = if (args.length > 2) args.drop(2).toSeq
       else Seq("q21_doc_token_stats", "q22_word_freq", "q25_dedup_exact",
         "q54_langid", "q107_span_dedup",
-        "q108_bigram_lm", "q112_source_overlap")
+        "q108_bigram_lm", "q112_source_overlap",
+        "q113_sliding_span_dedup", "q114_tfidf_retrieval",
+        "q116_bigram_lm_score")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()
