@@ -905,8 +905,13 @@ object Extended {
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
       |FROM ch GROUP BY cohort_week, wk - cohort_week
       |ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+    retentionCohorts(Tables.events(s, dir))
+  }
+
+  /** The q119 kernel: weekly retention triangle over (user_id, ts). */
+  def retentionCohorts(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("user_id"))
-    Tables.events(s, dir)
+    events
       .select(col("user_id"),
         expr("(unix_micros(ts) - 1704067200000000L) div 604800000000L").as("wk"))
       .withColumn("cohort_week", min(col("wk")).over(w))
@@ -954,7 +959,16 @@ object Extended {
       |FROM j
       |WHERE CAST(cnt AS DOUBLE) > mean_cnt + 3.0 * std_cnt
       |ORDER BY user_id, day""".stripMargin) { (s, dir) =>
-    val d = Tables.events(s, dir)
+    rateAnomalies(Tables.events(s, dir), sigma = 3.0)
+  }
+
+  /** The q122 kernel: per-user daily counts flagged above the user's
+    * own mean + sigma sample standard deviations (whole-history
+    * baseline; see [[prequentialAnomalies]] for the online form).
+    */
+  def rateAnomalies(events: org.apache.spark.sql.DataFrame,
+                    sigma: Double): org.apache.spark.sql.DataFrame = {
+    val d = events
       .groupBy(col("user_id"),
         expr("(unix_micros(ts) - 1704067200000000L) div 86400000000L").as("day"))
       .agg(count(lit(1)).as("cnt"))
@@ -968,7 +982,7 @@ object Extended {
         sqrt((col("nd") * col("sxx") - col("sx") * col("sx")).cast("double") /
           (col("nd") * (col("nd") - 1)).cast("double")).as("std_cnt"))
       .filter(col("cnt").cast("double") >
-        col("mean_cnt") + lit(3.0) * col("std_cnt"))
+        col("mean_cnt") + lit(sigma) * col("std_cnt"))
       .orderBy(col("user_id"), col("day"))
   }
 
@@ -1060,7 +1074,14 @@ object Extended {
       |  FROM events)
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (s, dir) =>
-    Tables.events(s, dir)
+    jsonPropsSummary(Tables.events(s, dir))
+  }
+
+  /** The q124 kernel: extract `props.$.k` as LONG (PERMISSIVE —
+    * malformed rows yield NULL) and aggregate per event type.
+    */
+  def jsonPropsSummary(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events
       .select(col("event_type"),
         from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
@@ -1072,5 +1093,4 @@ object Extended {
         min(col("k")).cast("bigint").as("min_k"),
         max(col("k")).cast("bigint").as("max_k"))
       .orderBy(col("event_type"))
-  }
 }

@@ -442,7 +442,15 @@ object TextAnalytics {
        |  CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN nt END) AS BIGINT) AS p99
        |FROM r GROUP BY source
        |ORDER BY source""".stripMargin) { (s, dir) =>
-    val t = Tables.documents(s, dir)
+    lengthQuantiles(Tables.documents(s, dir))
+  }
+
+  /** The q121 kernel: exact p50/p90/p99 token-length quantiles per
+    * source (value at rank ceil(q*n) over the ascending per-group
+    * order, pure integer rank arithmetic).
+    */
+  def lengthQuantiles(docs: DataFrame): DataFrame = {
+    val t = docs
       .select(col("source"), size(toks(col("text"))).cast("bigint").as("nt"))
     val wp = Window.partitionBy(col("source"))
     val r = t
