@@ -20,7 +20,7 @@ object CurationOps {
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
   def all: Seq[QueryDef] =
-    Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113)
+    Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -690,5 +690,57 @@ object CurationOps {
        |FROM dd LEFT JOIN rem USING (doc_id) LEFT JOIN ct USING (doc_id)
        |ORDER BY dd.doc_id""".stripMargin) { (s, dir) =>
     slidingSpanDedup(Tables.documents(s, dir), n = 8).orderBy(col("doc_id"))
+  }
+
+  /** Deterministic weighted sampling without replacement (q125):
+    * Efraimidis–Spirakis A-ES ("Weighted random sampling with a
+    * reservoir", IPL 2006) with the engine's deterministic hash as the
+    * randomness source — each doc gets key u^(1/w) (equivalently
+    * ln(u)/w, monotone) with u = (hkey+0.5)/2^32 in (0,1) and
+    * w = token count, and the top-k keys ARE a weighted sample without
+    * replacement: long documents proportionally more likely, yet the
+    * selection is replayable byte-for-byte (audits, cross-run diffing,
+    * incremental extension all need replayability — engine RNG gives
+    * none). Zero-token docs carry zero weight and are excluded.
+    *
+    * Float discipline: ln is the one libm call, rounded to 9 decimals
+    * on both engines (the q116 precedent — engines' ln may differ in
+    * the last bit; the round collapses them), then ONE IEEE division
+    * by the exact integer weight; ties on the rounded key break by
+    * doc_id.
+    *
+    * Scale: the key is a narrow scan-speed map; top-k is
+    * TakeOrderedAndProject — per-partition heaps, k rows to the
+    * driver, NO global sort exchange (plan-gated in PlanAuditSpec's
+    * cartesian/BNLJ walk and the SortAudit pattern: this query pays
+    * zero range exchanges).
+    */
+  def weightedSample(docs: org.apache.spark.sql.DataFrame,
+                     k: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("bigint").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("skey",
+        round(log((Sampling.hkey(col("doc_id")).cast("double") + lit(0.5))
+          / lit(4294967296.0)), 9) / col("n_tokens").cast("double"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(k)
+
+  val q125: QueryDef = QueryDef.sql(
+    "q125_weighted_sample",
+    s"""WITH t AS (
+       |  SELECT doc_id, source, CAST(len($duckToks) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    round(ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
+       |      / 4294967296.0), 9) / CAST(n_tokens AS DOUBLE) AS skey
+       |  FROM t WHERE n_tokens > 0)
+       |SELECT doc_id, source, n_tokens, skey
+       |FROM k
+       |ORDER BY skey DESC, doc_id
+       |LIMIT 200""".stripMargin) { (s, dir) =>
+    weightedSample(Tables.documents(s, dir), k = 200)
   }
 }

@@ -226,4 +226,50 @@ class CurationOpsSpec extends SparkSpec {
     assert(sketch.toSeq == exact.toSeq)
     assert(exact.nonEmpty, "fixture should produce at least one heavy hitter")
   }
+
+  test("q125 weighted sample: matches plain-Scala A-ES replay; zero-weight excluded; no sort exchange") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val synth = (1L to 300L).map { id =>
+      // two weight classes + zero-weight docs: long docs (40 tokens)
+      // must be sampled more often than short (4), empty never
+      val n = if (id % 10 == 0) 0 else if (id % 3 == 0) 40 else 4
+      (id, s"s${id % 5}", Seq.fill(n)("w" + rnd.nextInt(50)).mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val k = 60
+
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ref = (1L to 300L).flatMap { id =>
+      val n = if (id % 10 == 0) 0L else if (id % 3 == 0) 40L else 4L
+      if (n == 0) None
+      else {
+        val h = (id * 2654435761L) % 4294967296L
+        val key = round9(math.log((h.toDouble + 0.5) / 4294967296.0)) / n.toDouble
+        Some((id, key))
+      }
+    }.sortBy { case (id, key) => (-key, id) }.take(k)
+
+    val df = CurationOps.weightedSample(synth, k)
+    val got = df.select(col("doc_id"), col("skey")).as[(Long, Double)].collect().toSeq
+    assert(got == ref)
+    assert(got.forall(_._1 % 10 != 0), "zero-weight doc sampled")
+    // the weighting bites: with 1/10 the weight, short docs must be a
+    // minority of the sample even though they are 2x as numerous
+    val longDocs = got.count(_._1 % 3 == 0)
+    assert(longDocs > k / 2, s"only $longDocs/${k} long docs sampled")
+    // top-k never pays a global sort: no shuffle exchange in the plan
+    df.collect()
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => nodes(q.plan)
+        case _ => p.children.flatMap(nodes)
+      })
+    val all = nodes(df.queryExecution.executedPlan)
+    assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "expected TakeOrderedAndProject (per-partition heaps)")
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      "top-k sampling must not shuffle")
+  }
 }
