@@ -27,7 +27,8 @@ object TextAnalytics {
     */
   private val probeStops = Seq("the", "a", "an", "and", "of", "to", "is", "in", "it", "on")
 
-  def all: Seq[QueryDef] = Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121)
+  def all: Seq[QueryDef] =
+    Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121, q126, q127)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -500,5 +501,134 @@ object TextAnalytics {
        |FROM d LEFT JOIN sc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     bigramLogProb(Tables.documents(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** Rule-based quality gate (q126): the Gopher-style NAMED-RULE
+    * filter (Rae et al., "Scaling Language Models: ... Gopher", 2021,
+    * §A1.1 — published heuristics) as opposed to q23/q109's continuous
+    * scores: each document either passes or trips specific rules
+    * (token count in [50, 100k], mean word length in [3, 10], >= 80%
+    * words containing a letter, >= 2 stopword hits), and the per-source
+    * tally of WHICH rule fired is the actionable curation report
+    * ("source X is 40% too-short docs, source Y is symbol soup").
+    *
+    * Every rule is a PURE INTEGER comparison — mean word length in
+    * [3,10] is the rational 3*nt <= sum_len <= 10*nt, the 80% alpha
+    * bound is 10*n_alpha >= 8*nt — so both engines compare exact
+    * BIGINTs and the oracle needs no float discipline at all.
+    *
+    * Scale: per-doc counters are a narrow scan-speed map (one array
+    * traversal per rule); the report is one partial+final aggregate to
+    * source granularity. Nothing is corpus-wide.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("source"), toks(col("text")).as("t"))
+      .select(col("source"),
+        size(col("t")).cast("bigint").as("nt"),
+        aggregate(col("t"), lit(0L), (a, x) => a + length(x).cast("bigint")).as("sl"),
+        size(filter(col("t"), x => x.rlike("[A-Za-z]"))).cast("bigint").as("na"),
+        size(filter(col("t"), x => x.isin(probeStops: _*))).cast("bigint").as("ns"))
+      .select(col("source"),
+        (col("nt") >= 50L && col("nt") <= 100000L).as("r_count"),
+        (lit(3L) * col("nt") <= col("sl") && col("sl") <= lit(10L) * col("nt")).as("r_wordlen"),
+        (lit(10L) * col("na") >= lit(8L) * col("nt")).as("r_alpha"),
+        (col("ns") >= 2L).as("r_stop"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("r_count") && col("r_wordlen") && col("r_alpha") && col("r_stop"), 1L)
+          .otherwise(0L)).as("n_pass"),
+        sum(when(!col("r_count"), 1L).otherwise(0L)).as("fail_count"),
+        sum(when(!col("r_wordlen"), 1L).otherwise(0L)).as("fail_wordlen"),
+        sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("fail_alpha"),
+        sum(when(!col("r_stop"), 1L).otherwise(0L)).as("fail_stop"))
+      .orderBy(col("source"))
+  }
+
+  val q126: QueryDef = QueryDef.sql(
+    "q126_gopher_rules",
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(len(t) AS BIGINT) AS nt,
+       |    CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS sl,
+       |    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS na,
+       |    CAST(len(list_filter(t, x -> x IN ('the','a','an','and','of','to','is','in','it','on'))) AS BIGINT) AS ns
+       |  FROM (SELECT source, $duckToks AS t FROM documents)),
+       |r AS (
+       |  SELECT source,
+       |    (nt >= 50 AND nt <= 100000) AS r_count,
+       |    (3 * nt <= sl AND sl <= 10 * nt) AS r_wordlen,
+       |    (10 * na >= 8 * nt) AS r_alpha,
+       |    (ns >= 2) AS r_stop
+       |  FROM d)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN r_count AND r_wordlen AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CAST(sum(CASE WHEN NOT r_count THEN 1 ELSE 0 END) AS BIGINT) AS fail_count,
+       |  CAST(sum(CASE WHEN NOT r_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+       |  CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+       |  CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop
+       |FROM r GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    gopherRules(Tables.documents(s, dir))
+  }
+
+  /** Per-source lexical statistics (q127): the data-card vocabulary
+    * numbers — token count, type count, hapax-legomenon count, and the
+    * derived type-token ratio, hapax share, and top-10-term mass.
+    * TTR and hapax share flag templated/synthetic sources (tiny
+    * vocabulary, no singletons); top-10 mass flags boilerplate-heavy
+    * ones. Derived ratios are each ONE IEEE division of two exact
+    * BIGINTs — bit-identical across engines with no rounding tricks.
+    *
+    * Scale: the (source, term) frequency table is a partial+final
+    * aggregate (map-side combine takes the corpus-sized explode down
+    * to per-partition vocabularies); everything after is
+    * vocabulary-sized, and the top-10 rank window partitions by
+    * source over that vocabulary table, never the corpus.
+    */
+  def lexicalStats(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("c").desc, col("term"))
+    tf.withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).cast("bigint").as("n_tokens"),
+        count(lit(1)).cast("bigint").as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("bigint").as("n_hapax"),
+        sum(when(col("rk") <= 10, col("c")).otherwise(0L)).cast("bigint").as("top10_mass"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double")).as("hapax_share"),
+        (col("top10_mass").cast("double") / col("n_tokens").cast("double")).as("top10_share"))
+      .orderBy(col("source"))
+  }
+
+  val q127: QueryDef = QueryDef.sql(
+    "q127_lexical_stats",
+    s"""WITH tf AS (
+       |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT source, unnest($duckToks) AS term FROM documents)
+       |  GROUP BY source, term),
+       |rk AS (
+       |  SELECT source, c,
+       |    row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS rk
+       |  FROM tf),
+       |agg AS (
+       |  SELECT source,
+       |    CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |    CAST(sum(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS BIGINT) AS top10_mass
+       |  FROM rk GROUP BY source)
+       |SELECT source, n_tokens, n_types, n_hapax,
+       |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+       |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_share,
+       |  CAST(top10_mass AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top10_share
+       |FROM agg
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    lexicalStats(Tables.documents(s, dir))
   }
 }

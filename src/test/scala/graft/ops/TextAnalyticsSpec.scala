@@ -62,4 +62,44 @@ class TextAnalyticsSpec extends SparkSpec {
       .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "zh", 2L -> "de", 3L -> "en"))
   }
+
+  test("q126 gopher rules: each rule trips on its planted violation and only there") {
+    // 60 tokens, mean word length 4.0, stopword hits, all-alpha
+    val good = ("the quick brown fox jumps over the lazy dog again " * 6).trim
+    val docs = Seq(
+      (1L, "s0", good),                                     // passes all
+      (2L, "s0", "the of and is too short"),                // < 50 tokens
+      (3L, "s0", ("the of " + "x" * 800 + " ") * 30),       // mean word length > 10
+      (4L, "s0", ("the of " + Seq.fill(64)("1234 4567").mkString(" "))), // < 80% alpha
+      (5L, "s0", ("walrus otter heron " * 20).trim),        // 60 toks, no stopwords
+      (6L, "s1", good)                                      // second source isolated
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalytics.gopherRules(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    // (n_docs, n_pass, fail_count, fail_wordlen, fail_alpha, fail_stop)
+    assert(out("s0") == ((5L, 1L, 1L, 1L, 1L, 1L)))
+    assert(out("s1") == ((1L, 1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("q127 lexical stats: TTR/hapax/top-10 mass match a direct computation") {
+    val docs = Seq(
+      (1L, "s0", "aa bb aa cc aa bb dd"),
+      (2L, "s0", "aa ee"),
+      (3L, "s1", "zz")).toDF("doc_id", "source", "text")
+    val out = TextAnalytics.lexicalStats(docs)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // s0: tokens=9, types=5 (aa4 bb2 cc1 dd1 ee1), hapax=3; top10 covers all
+    assert(out("s0")._2 == 9L && out("s0")._3 == 5L && out("s0")._4 == 3L)
+    assert(out("s0")._5 == 5.0 / 9.0 && out("s0")._6 == 3.0 / 5.0 && out("s0")._7 == 1.0)
+    // s1: a single hapax type
+    assert(out("s1") == (("s1", 1L, 1L, 1L, 1.0, 1.0, 1.0)))
+    // top-10 mass strictly < 1 once the vocabulary exceeds 10 types
+    val wide = (1 to 30).map(i => (i.toLong, "w", s"t$i t$i common")).toDF("doc_id", "source", "text")
+    val ws = TextAnalytics.lexicalStats(wide)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect().head
+    // 31 types over 90 tokens: top10 = common(30) + nine t_i pairs(18) = 48
+    assert(ws._2 == 90L && ws._3 == 31L && ws._7 == 48.0 / 90.0)
+  }
 }
