@@ -51,6 +51,16 @@ object AuxArtifacts {
       KMeansAssign.centroidMeans(
         KMeansAssign.assignMap(c, centers, "cv").drop("dist"), "cv")
     }),
+    // q128: the 63-bit xxhash64 term hashes behind the auditable HLL —
+    // registers, fold, and estimate are all re-derived in SQL from
+    // these (Sketches.hllRegisters/hllEstimates are pure int/string
+    // arithmetic past the hash)
+    "aux_hll_hashes" -> ((s, dir) =>
+      Sketches.hllHashes(Tables.documents(s, dir))),
+    // q130: the seeded xxhash64 bucket table behind the auditable CMS —
+    // counters and min-estimates are pure BIGINT arithmetic past it
+    "aux_cms_hashes" -> ((s, dir) =>
+      Sketches.cmsHashes(Tables.documents(s, dir))),
     // q102: the trained IVF-PQ quantizer state (coarse centers +
     // per-subspace codebooks) as ONE nested-array row — the saveIndex
     // meta shape. Training is fully deterministic (hash-ordered sample,

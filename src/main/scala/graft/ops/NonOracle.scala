@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
-    q45, q46, q47, q51, q52, q53, q57, q102, q105, q106)
+    q45, q46, q47, q51, q52, q53, q57, q102, q105, q106, q128, q130)
 
   /** The q31 cosine formula over two DuckDB list columns — identical
     * literal fold to the codegen CosineSimilarityExpr, so scores are
@@ -476,5 +476,128 @@ object NonOracle {
     Similarity.bruteForceKnn(
       emb.filter(col("vec_id") < 10).toDF("qid", "qv"), emb, k = 3)
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Auditable HLL (q128): per-source distinct-term estimate whose
+    * ENTIRE estimation path — register derivation (bit mask / shift /
+    * bit-length), the 2^-M fold in register-index order, the bias
+    * constant, and the linear-counting branch — is re-derived by
+    * DuckDB from the dumped 63-bit hashes (aux_hll_hashes), next to
+    * the exact COUNT(DISTINCT) it approximates. Unlike q52's
+    * engine-internal sketches, every arithmetic step here is
+    * cross-engine replayable: 2^-rho terms are exact powers of two
+    * (integer shift + one division, no libm pow), the fold order is
+    * pinned, and ln appears only in the small-range branch under the
+    * rounded-ln discipline. SketchAccuracySpec gates the estimate
+    * against the 512-register error bound.
+    */
+  val q128 = QueryDef.sql(
+    "q128_hll_audit",
+    s"""WITH h AS (
+       |  SELECT source, hbits
+       |  FROM read_parquet('__GRAFT_OUT__/aux_hll_hashes/*.parquet')),
+       |r0 AS (
+       |  SELECT source, CAST(hbits & 511 AS INT) AS idx, hbits >> 9 AS rest
+       |  FROM h),
+       |r AS (
+       |  SELECT source, idx,
+       |    max(CASE WHEN rest = 0 THEN 55
+       |             ELSE 55 - length(bin(rest)) END) AS rho
+       |  FROM r0 GROUP BY source, idx),
+       |grid AS (
+       |  SELECT s.source, g.i
+       |  FROM (SELECT DISTINCT source FROM h) s
+       |  CROSS JOIN (SELECT unnest(range(0, 512)) AS i) g),
+       |fullr AS (
+       |  SELECT grid.source, grid.i, COALESCE(r.rho, 0) AS rho
+       |  FROM grid LEFT JOIN r ON r.source = grid.source AND r.idx = grid.i),
+       |sums AS (
+       |  SELECT source,
+       |    list_sum(list(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE)
+       |      ORDER BY i)) AS z,
+       |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+       |  FROM fullr GROUP BY source),
+       |est AS (
+       |  SELECT source, v,
+       |    (0.7213 / (1.0 + 1.079 / 512.0) * 262144.0) / z AS raw
+       |  FROM sums),
+       |e2 AS (
+       |  SELECT source,
+       |    CASE WHEN raw <= 1280.0 AND v > 0
+       |      THEN 512.0 * round(ln(512.0 / CAST(v AS DOUBLE)), 9)
+       |      ELSE raw END AS hll_est
+       |  FROM est),
+       |ex AS (
+       |  SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_exact
+       |  FROM (SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term
+       |        FROM documents)
+       |  GROUP BY source)
+       |SELECT ex.source, ex.n_exact, e2.hll_est
+       |FROM ex JOIN e2 USING (source)
+       |ORDER BY ex.source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val est = Sketches.hllEstimates(
+      Sketches.hllRegisters(Sketches.hllHashes(docs)))
+    val exact = docs
+      .select(col("source"), explode(TextAnalytics.toks(col("text"))).as("term"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("term")).as("n_exact"))
+    exact.join(est, "source")
+      .select(col("source"), col("n_exact"), col("hll_est"))
+      .orderBy(col("source"))
+  }
+
+  /** Auditable Count-Min sketch (q130): frequency estimates for the
+    * top-20 corpus terms next to their exact counts. Only the seeded
+    * xxhash64 bucket assignment is engine-internal (dumped as
+    * aux_cms_hashes); DuckDB re-derives the d x w counter matrix (pure
+    * BIGINT sums over the re-tokenized corpus) and the min-over-rows
+    * point estimates, so the whole estimation path hash-matches
+    * exactly. SketchAccuracySpec gates the one-sided CMS guarantee
+    * (never underestimates) and the Cormode-Muthukrishnan e/w error
+    * bound. Scale: counters are d*w rows regardless of corpus size;
+    * the only corpus-sized job is the map-side-combined term count.
+    */
+  val q130 = QueryDef.sql(
+    "q130_cms_heavy_hitters",
+    s"""WITH tc AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |                x -> x <> '')) AS term
+       |        FROM documents)
+       |  GROUP BY term),
+       |h AS (
+       |  SELECT term, h0, h1, h2, h3
+       |  FROM read_parquet('__GRAFT_OUT__/aux_cms_hashes/*.parquet')),
+       |probes AS (
+       |  SELECT term, 0 AS j, h0 AS bucket FROM h
+       |  UNION ALL SELECT term, 1, h1 FROM h
+       |  UNION ALL SELECT term, 2, h2 FROM h
+       |  UNION ALL SELECT term, 3, h3 FROM h),
+       |counters AS (
+       |  SELECT p.j, p.bucket, CAST(sum(tc.cnt) AS BIGINT) AS c
+       |  FROM probes p JOIN tc ON tc.term = p.term
+       |  GROUP BY p.j, p.bucket),
+       |top AS (SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 20),
+       |est AS (
+       |  SELECT p.term, CAST(min(c.c) AS BIGINT) AS n_cms
+       |  FROM probes p
+       |  JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+       |  WHERE p.term IN (SELECT term FROM top)
+       |  GROUP BY p.term)
+       |SELECT top.term, top.cnt AS n_exact, est.n_cms
+       |FROM top JOIN est USING (term)
+       |ORDER BY n_exact DESC, term""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val tc = docs
+      .select(explode(TextAnalytics.toks(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val hashes = Sketches.cmsHashes(docs)
+    val counters = Sketches.cmsCounters(tc, hashes)
+    val top = tc.orderBy(col("cnt").desc, col("term")).limit(20)
+    val est = Sketches.cmsEstimates(top.select(col("term")), hashes, counters)
+    top.join(est, "term")
+      .select(col("term"), col("cnt").as("n_exact"), col("n_cms"))
+      .orderBy(col("n_exact").desc, col("term"))
   }
 }

@@ -28,7 +28,7 @@ object TextAnalytics {
   private val probeStops = Seq("the", "a", "an", "and", "of", "to", "is", "in", "it", "on")
 
   def all: Seq[QueryDef] =
-    Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121, q126, q127)
+    Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121, q126, q127, q129)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -187,8 +187,10 @@ object TextAnalytics {
 
   /** Heuristic language-ID: function-word profiles per language scored
     * by token overlap, deterministic argmax (ties -> profile order).
-    * No DuckDB twin (rows-only); accuracy is bounded by the synthetic
-    * corpus, the operator shape is what matters: one narrow pass,
+    * Oracle-checked as q129: every score is an integer count (or a CJK
+    * codepoint count) cast to double, so the DuckDB twin re-derives the
+    * full argmax bit-exactly. Accuracy is bounded by the synthetic
+    * corpus; the operator shape is what matters: one narrow pass,
     * profiles inlined as literals (broadcast-equivalent).
     */
   private val langProfiles: Seq[(String, Seq[String])] = Seq(
@@ -219,6 +221,50 @@ object TextAnalytics {
       col("doc_id"), col("lang").as("labeled_lang"),
       greatest(scores: _*).getField("lang").as("predicted_lang"),
       greatest(scores: _*).getField("score").as("lang_score"))
+  }
+
+  /** q129: the language-ID pass as an oracle-checked query. The DuckDB
+    * twin re-derives all five scores (function-word counts over the
+    * same whitespace tokenizer; CJK codepoint count via global
+    * regexp_replace) and replays the argmax as a cascading CASE, which
+    * matches the Spark side's struct-greatest tie-break (earliest
+    * profile wins on equal scores) because each CASE arm tests >= all
+    * later arms. All scores are small integers cast to double, so the
+    * hash comparison is exact. One narrow pass, no shuffle — at 100 TB
+    * this runs at scan speed like every other per-doc scorer.
+    */
+  val q129: QueryDef = {
+    val profs = langProfiles.filter(_._2.nonEmpty)
+    def duckScore(words: Seq[String]): String = {
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(t, x -> list_contains($arr, x))) AS DOUBLE)"
+    }
+    val scoreSelects = profs.map { case (lang, words) =>
+      s"${duckScore(words)} AS s_$lang"
+    }.mkString(",\n       |    ")
+    val langsInOrder = langProfiles.map(_._1) // en de es fr zh
+    val caseArms = langsInOrder.init.zipWithIndex.map { case (lang, i) =>
+      val laters = langsInOrder.drop(i + 1)
+      val cond = laters.map(l => s"s_$lang >= s_$l").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString("\n       |      ")
+    QueryDef.sql(
+      "q129_lang_id",
+      s"""SELECT doc_id, labeled_lang, predicted_lang, lang_score FROM (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |    CASE $caseArms
+         |      ELSE 'zh' END AS predicted_lang,
+         |    greatest(s_en, s_de, s_es, s_fr, s_zh) AS lang_score
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |    $scoreSelects,
+         |    CAST(length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE) AS s_zh
+         |    FROM (SELECT doc_id, lang, text,
+         |      list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+         |      FROM documents)))
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      langId(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    }
   }
 
   /** Repetition metrics (q86) — the Gopher-rules boilerplate signals a

@@ -33,6 +33,11 @@ object VerifyOne {
         .parquet(s"$outDir/$name")
       println(s"[verify-one] dumped $name")
     }
+    // two-stage oracles read aux artifacts from the same out dir
+    graft.ops.AuxArtifacts.all.foreach { case (name, fn) =>
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+    }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
