@@ -51,6 +51,17 @@ object AuxArtifacts {
       KMeansAssign.centroidMeans(
         KMeansAssign.assignMap(c, centers, "cv").drop("dist"), "cv")
     }),
+    // q132: MinHash signatures over the curation pipeline's
+    // deterministic exact-dedup prefix (quality -> lang allowlist ->
+    // min-doc_id exact dedup) — exactStage replays the identical
+    // stages curateObserved runs, and the q132 oracle SQL re-derives
+    // that prefix itself, so a drift between the two is DETECTED (the
+    // artifact would carry signatures for a different doc set than the
+    // oracle's own exact set and the anti-join output would diverge)
+    "aux_cur_sig32" -> ((s, dir) =>
+      Dedup.minhashSignatures(graft.pipeline.Curation.exactStage(
+        Tables.documents(s, dir), minTokens = 8, maxPunctRatio = 0.2,
+        keepLangs = Seq("en", "fr", "de")))),
     // q128: the 63-bit xxhash64 term hashes behind the auditable HLL —
     // registers, fold, and estimate are all re-derived in SQL from
     // these (Sketches.hllRegisters/hllEstimates are pure int/string

@@ -20,7 +20,8 @@ object CurationOps {
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
   def all: Seq[QueryDef] =
-    Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125)
+    Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125,
+      q132)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -742,5 +743,71 @@ object CurationOps {
        |ORDER BY skey DESC, doc_id
        |LIMIT 200""".stripMargin) { (s, dir) =>
     weightedSample(Tables.documents(s, dir), k = 200)
+  }
+
+  /** End-to-end curation pipeline (q132): the flagship
+    * [[graft.pipeline.Curation.curateObserved]] composition — quality
+    * floor -> language allowlist -> exact dedup -> MinHash-LSH
+    * near-dup removal (signature-verified, Jaccard >= 0.7) -> per-
+    * source balance cap — oracle-checked END TO END. TWO-STAGE
+    * ORACLE: the only engine-internal kernel is the xxhash64 MinHash
+    * signature, so graft.Verify dumps the signature matrix computed
+    * over the pipeline's deterministic exact-dedup prefix
+    * (aux_cur_sig32, built by [[graft.pipeline.Curation.exactStage]]
+    * — the same stages `curateObserved` runs); DuckDB independently
+    * re-derives EVERY stage: the token/punctuation quality gate, the
+    * lang filter, min-doc_id exact dedup (cross-checking that the
+    * artifact's input set equals its own derivation), the 8x4 band
+    * self-join, the 32-slot signature-agreement verify, the anti-join,
+    * and the hkey-ordered per-source cap.
+    *
+    * Scale: see the stage-by-stage notes on [[graft.pipeline.Curation]]
+    * — narrow scans, one exchange per dedup stage, LSH banding instead
+    * of all-pairs, and observe()-metrics instead of count() jobs.
+    */
+  val q132: QueryDef = QueryDef.sql(
+    "q132_curation_pipeline",
+    s"""WITH q AS (
+       |  SELECT doc_id, text, lang, source FROM (
+       |    SELECT doc_id, text, lang, source,
+       |      len($duckToks) AS nt,
+       |      (length(text) - length(regexp_replace(text, '\\p{P}', '', 'g')))
+       |        / greatest(length(text), 1) AS pr
+       |    FROM documents)
+       |  WHERE nt >= 8 AND pr <= 0.2 AND lang IN ('en', 'fr', 'de')),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+       |e AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+       |s AS (SELECT doc_id, mh
+       |      FROM read_parquet('__GRAFT_OUT__/aux_cur_sig32/*.parquet')),
+       |b AS (
+       |  SELECT doc_id, g.b AS band, list_slice(mh, g.b*4 + 1, g.b*4 + 4) AS key
+       |  FROM s CROSS JOIN (SELECT unnest(range(8)) AS b) g),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, c.doc_id AS d2
+       |  FROM b a JOIN b c ON a.band = c.band AND a.key = c.key
+       |    AND a.doc_id < c.doc_id
+       |  GROUP BY d1, d2),
+       |dup AS (
+       |  SELECT DISTINCT d2 AS doc_id
+       |  FROM cand
+       |  JOIN s s1 ON s1.doc_id = cand.d1
+       |  JOIN s s2 ON s2.doc_id = cand.d2
+       |  WHERE list_sum(list_transform(range(1, 33),
+       |      i -> CASE WHEN s1.mh[i] = s2.mh[i] THEN 1 ELSE 0 END)) / 32.0
+       |    >= 0.7),
+       |nd AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+       |bal AS (
+       |  SELECT doc_id, lang, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+       |  FROM nd)
+       |SELECT doc_id, lang, source FROM bal WHERE rn <= 10
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val (curated, _) = graft.pipeline.Curation.curateObserved(
+      s, Tables.documents(s, dir),
+      minTokens = 8, maxPunctRatio = 0.2, keepLangs = Seq("en", "fr", "de"),
+      nHashes = 32, bandSize = 4, minSigAgreement = 0.7, maxPerSource = 10)
+    curated.select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
   }
 }

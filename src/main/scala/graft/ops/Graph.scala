@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for corpus curation — the web-graph half of a
+  * pre-training pipeline (domain ranking a la Common Crawl's harmonic
+  * centrality / OPIC lists). PageRank here is INTEGER-EXACT: ranks are
+  * BIGINTs scaled by 1e12 and every step is integer division (`div` on
+  * Spark, `//` on DuckDB — proven to agree on non-negative operands by
+  * the q119 precedent), so a fixed iteration count is bit-identical
+  * across engines and across partitionings (BIGINT sums are
+  * order-independent, unlike float PageRank).
+  *
+  * Scale: each iteration is one shuffle (contributions grouped by
+  * dst) plus one broadcast-able join of the rank vector (node-sized,
+  * not edge-sized) against the edge list. The edge list is the only
+  * corpus-sized table and is hash-partitioned ONCE on src — every
+  * iteration's rank join reuses that partitioning, so the per-iter
+  * cost is the dst-side exchange of the contribution table. No
+  * driver-side state: the rank vector never leaves the cluster.
+  */
+object Graph {
+
+  /** Initial per-node rank and the 0.15/0.85 damping, in 1e-12 units:
+    * r0 = 1.0, teleport = 0.15, damp = 17/20 applied as (17*x) div 20.
+    */
+  val RankScale = 1000000000000L
+  val Teleport = 150000000000L
+
+  /** Undirected customer-supplier trade graph: an edge per distinct
+    * (customer, supplier) pair that traded (orders x lineitem),
+    * materialized in both directions so every node has out-degree >= 1
+    * (no dangling-mass bookkeeping). Suppliers live at id+10^7 to keep
+    * one id space.
+    */
+  def tradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + lit(10000000L)).as("supp"))
+      .distinct()
+    pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+  }
+
+  /** Fixed-iteration integer PageRank over a directed edge list where
+    * every node has at least one out-edge:
+    * r_{t+1}(v) = teleport + (17 * sum_{u->v} (r_t(u) div outdeg(u))) div 20.
+    * Floor division loses < 1e-12 per term — the price of bit-exact
+    * determinism. Returns (node, rank) with rank in 1e-12 units.
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.repartition(col("src"))
+    val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(out, "src")
+    val nodes = e.select(col("src").as("node")).distinct()
+    var ranks = nodes.select(col("node"), lit(RankScale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("rank div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("insum"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(Teleport) +
+            expr("(17 * coalesce(insum, 0L)) div 20")).as("rank"))
+    }
+    ranks
+  }
+
+  def all: Seq[QueryDef] = Seq(q131)
+
+  private val IterN = 5
+
+  /** q131: 5-iteration integer PageRank over the trade graph, top-25
+    * nodes. The DuckDB twin unrolls the iterations as CTEs r0..r5 with
+    * the identical integer formula — BIGINT sums and floor division
+    * make the replay exact, no float discipline needed. Rank the
+    * curation analogue: which domains/sources sit central in the link
+    * graph and deserve crawl/quality budget.
+    */
+  val q131: QueryDef = {
+    val iterCtes = (1 to IterN).map { t =>
+      s"""r$t AS (
+         |  SELECT n.node,
+         |    CAST($Teleport + (17 * COALESCE(s.insum, 0)) // 20 AS BIGINT) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum(r.rank // o.outdeg) AS BIGINT) AS insum
+         |    FROM edges e
+         |    JOIN r${t - 1} r ON e.src = r.node
+         |    JOIN outd o ON e.src = o.src
+         |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n       |")
+    QueryDef.sql(
+      "q131_pagerank",
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 10000000 AS supp
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |edges AS (
+         |  SELECT cust AS src, supp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT supp AS src, cust AS dst FROM pairs),
+         |outd AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |  FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |r0 AS (SELECT node, CAST($RankScale AS BIGINT) AS rank FROM nodes),
+         |$iterCtes
+         |SELECT node, rank FROM r$IterN
+         |ORDER BY rank DESC, node LIMIT 25""".stripMargin) { (s, dir) =>
+      val ranks = pageRank(
+        tradeEdges(Tables.orders(s, dir), Tables.lineitem(s, dir)), IterN)
+      ranks.orderBy(col("rank").desc, col("node")).limit(25)
+    }
+  }
+}

@@ -51,6 +51,39 @@ object Curation {
         "pipeline; rename them before calling curate/curateObserved")
   }
 
+  /** Stage-1 quality filter (narrow, scan speed). Exposed so the q132
+    * aux-artifact builder replays the identical prefix of the pipeline
+    * that `curate` runs.
+    */
+  def qualityStage(docs: DataFrame, minTokens: Int,
+                   maxPunctRatio: Double): DataFrame = {
+    val toks = TextAnalytics.toks(col("text"))
+    docs
+      .withColumn("_n_tokens", size(toks))
+      .withColumn("_punct_ratio",
+        (length(col("text")) - length(regexp_replace(col("text"), "\\p{P}", "")))
+          / greatest(length(col("text")), lit(1)))
+      .filter(col("_n_tokens") >= minTokens
+        && col("_punct_ratio") <= maxPunctRatio)
+      .drop("_n_tokens", "_punct_ratio")
+  }
+
+  /** Stages 1-3 (quality -> language -> exact dedup), the deterministic
+    * prefix whose MinHash signatures the q132 oracle consumes.
+    */
+  def exactStage(docs: DataFrame, minTokens: Int, maxPunctRatio: Double,
+                 keepLangs: Seq[String]): DataFrame = {
+    val quality = qualityStage(docs, minTokens, maxPunctRatio)
+    val langed =
+      if (keepLangs.isEmpty) quality
+      else quality.filter(col("lang").isin(keepLangs: _*))
+    val exactKeep = langed
+      .groupBy(col("text").as("_t"))
+      .agg(min(col("doc_id")).as("_keep"))
+      .select(col("_keep").as("doc_id"))
+    langed.join(exactKeep, "doc_id")
+  }
+
   def curate(spark: SparkSession, docs: DataFrame,
              minTokens: Int = 8, maxPunctRatio: Double = 0.2,
              keepLangs: Seq[String] = Nil,
@@ -61,15 +94,7 @@ object Curation {
     val input = docs.count()
 
     // 1. quality: narrow per-doc metrics, no shuffle
-    val toks = TextAnalytics.toks(col("text"))
-    val quality = docs
-      .withColumn("_n_tokens", size(toks))
-      .withColumn("_punct_ratio",
-        (length(col("text")) - length(regexp_replace(col("text"), "\\p{P}", "")))
-          / greatest(length(col("text")), lit(1)))
-      .filter(col("_n_tokens") >= minTokens
-        && col("_punct_ratio") <= maxPunctRatio)
-      .drop("_n_tokens", "_punct_ratio")
+    val quality = qualityStage(docs, minTokens, maxPunctRatio)
     val afterQuality = quality.count()
 
     // 2. language allowlist (narrow)
