@@ -33,10 +33,13 @@ object Bench {
     // hot — at sf0.001 row counts they never get there, and the first
     // timed sf0.1 run was paying multi-second interpretation penalties
     // on the heaviest queries (measured: first run 2-4x steady state).
+    val warmOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { wdir =>
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, wdir).count() catch { case _: Throwable => () }
-      }
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => warmOnly.forall(_.exists(n.startsWith)) }
+        .foreach { case (_, fn) =>
+          try fn(spark, wdir).count() catch { case _: Throwable => () }
+        }
     }
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     // Per-query isolation: a ~100-query single-JVM run accumulates
@@ -59,8 +62,13 @@ object Bench {
     // per-query max is kept (summed below, detail on stderr) so a real
     // tail regression stays visible instead of being median'd away.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // dev-only: comma-separated name prefixes to time a subset while
+    // iterating on one query (the driver never sets this)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val results: Seq[(String, Seq[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+        .map { case (name, fn) =>
         val ts = (1 to reps).map { _ =>
           isolate()
           val t0 = System.nanoTime()
