@@ -23,9 +23,18 @@ object Tables {
   def events(s: SparkSession, dir: String): DataFrame =
     normalizeEventTs(load(s, dir, "events"))
 
-  /** Shared by the batch and streaming event readers: when the nanos
-    * timestamp surfaced as a raw long (nanosAsLong), convert to a
-    * microsecond TimestampType column.
+  /** Shared by the batch and streaming event readers: the fixture's
+    * timestamp column must always surface as TimestampType (LTZ,
+    * microsecond precision) regardless of how the driver wrote it.
+    * Two physical encodings have been observed across fixture
+    * generations: TIMESTAMP(NANOS), which the vectorized reader only
+    * surfaces as raw nano-longs (nanosAsLong), and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark 4 infers as TIMESTAMP_NTZ.
+    * The NTZ->LTZ cast reinterprets wall time in the session zone;
+    * every entrypoint (GraftSession/Verify/Bench/SparkSpec) pins
+    * spark.sql.session.timeZone=UTC, so it is micros-exact and keeps
+    * unix_micros()/window arithmetic and the dumped parquet type
+    * identical across fixture generations.
     */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
@@ -33,6 +42,10 @@ object Tables {
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
