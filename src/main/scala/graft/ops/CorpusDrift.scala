@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-distribution comparison and novelty scoring: the monitoring
+  * side of a training-data pipeline. Source mixes drift between crawl
+  * snapshots, and a refreshed corpus is only worth re-training on if it
+  * actually contains new text — these operators quantify both, exactly
+  * (integer/decimal arithmetic end-to-end, doubles only in the final
+  * literal-identical normalization on both engines).
+  */
+object CorpusDrift {
+
+  import TextAnalytics.toks
+  import Dedup.shingles
+
+  private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  def all: Seq[QueryDef] = Seq(q134, q136)
+
+  /** Pairwise source-distribution divergence (q134): for every source
+    * pair, the L1 distance between their unigram distributions —
+    * sum_t |c1(t)/N1 - c2(t)/N2| in [0,2] — the drift metric a corpus
+    * monitor tracks between snapshots/domains. Computed EXACTLY by
+    * cross-multiplication: the common-denominator numerator
+    * sum_t |c1*N2 - c2*N1| stays in DECIMAL(38,0) (BIGINT products of
+    * 100 TB-scale token counts overflow 64 bits; 38 digits cannot),
+    * and only the final normalization divides as DOUBLE with the same
+    * literal formula in both engines. Terms present in one source only
+    * never materialize as join rows: their total contribution is
+    * N2*(N1 - S1shared) + N1*(N2 - S2shared), recovered from the
+    * shared-term sums alone. Source pairs sharing NO terms emit no row
+    * (their L1 is trivially 2.0) — both engines use the same inner
+    * join, so the omission is symmetric.
+    *
+    * Scale: one exchange builds (source, term, c); the self-join keys
+    * on term, whose fan-out per term is bounded by the number of
+    * sources — a pipeline-level constant (tens), so the pair blow-up is
+    * C(S,2)-bounded per term, never corpus-sized. Totals are an
+    * S-row aggregate, broadcast onto the pair rows.
+    */
+  val q134: QueryDef = QueryDef.sql(
+    "q134_source_divergence",
+    s"""WITH tc AS (
+       |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT source, unnest($duckToks) AS term FROM documents)
+       |  GROUP BY source, term),
+       |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY source),
+       |pair AS (
+       |  SELECT a.source AS s1, b.source AS s2,
+       |    CAST(count(*) AS BIGINT) AS shared_terms,
+       |    sum(CAST(a.c AS HUGEINT)) AS s1b,
+       |    sum(CAST(b.c AS HUGEINT)) AS s2b,
+       |    sum(abs(CAST(a.c AS HUGEINT) * t2.n - CAST(b.c AS HUGEINT) * t1.n)) AS cross_num
+       |  FROM tc a
+       |  JOIN tc b ON a.term = b.term AND a.source < b.source
+       |  JOIN tot t1 ON t1.source = a.source
+       |  JOIN tot t2 ON t2.source = b.source
+       |  GROUP BY s1, s2)
+       |SELECT s1, s2, shared_terms,
+       |  CAST(CAST(cross_num
+       |      + CAST(t2.n AS HUGEINT) * (t1.n - s1b)
+       |      + CAST(t1.n AS HUGEINT) * (t2.n - s2b) AS DOUBLE)
+       |    / (CAST(t1.n AS DOUBLE) * CAST(t2.n AS DOUBLE)) AS DOUBLE) AS l1
+       |FROM pair
+       |JOIN tot t1 ON t1.source = s1
+       |JOIN tot t2 ON t2.source = s2
+       |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+    sourceDivergence(Tables.documents(s, dir)).orderBy(col("s1"), col("s2"))
+  }
+
+  /** The q134 kernel over any (source, text) frame; unsorted output. */
+  def sourceDivergence(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tc = docs
+      .select(col("source"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    val tot = tc.groupBy(col("source"))
+      .agg(sum(col("c")).cast("bigint").as("n"))
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val pair = tc.toDF("s1", "term", "c1")
+      .join(tc.toDF("s2", "term2", "c2"),
+        col("term") === col("term2") && col("s1") < col("s2"))
+      .join(broadcast(tot.toDF("ts1", "n1")), col("ts1") === col("s1"))
+      .join(broadcast(tot.toDF("ts2", "n2")), col("ts2") === col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(
+        count(lit(1)).cast("bigint").as("shared_terms"),
+        sum(col("c1").cast(d38)).as("s1b"),
+        sum(col("c2").cast(d38)).as("s2b"),
+        sum(abs(col("c1").cast(d38) * col("n2") - col("c2").cast(d38) * col("n1")))
+          .as("cross_num"),
+        first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+    pair.select(col("s1"), col("s2"), col("shared_terms"),
+        ((col("cross_num")
+            + col("n2").cast(d38) * (col("n1") - col("s1b"))
+            + col("n1").cast(d38) * (col("n2") - col("s2b"))).cast("double")
+          / (col("n1").cast("double") * col("n2").cast("double"))).as("l1"))
+  }
+
+  /** Per-document n-gram novelty (q136): the fraction of a document's
+    * distinct 8-token shingles whose FIRST corpus occurrence (lowest
+    * doc_id) is that document — the "how much genuinely new text does
+    * this doc add" score used for dedup-aware sampling and snapshot
+    * value estimation (a doc of all-novel shingles scores 1.0; a pure
+    * re-crawl scores 0.0). Shingling matches [[Dedup.shingles]]'
+    * min-1-window semantics: a doc shorter than 8 tokens contributes
+    * its whole text as one shingle, so every non-empty doc is scored.
+    *
+    * Scale: distinct (doc, shingle) is one exchange; first-occurrence
+    * is a min aggregate on shingle, and the flag join keys on the same
+    * shingle hash — Catalyst reuses the exchange for the aggregate and
+    * the join probe side, so the corpus shuffles on shingle once plus
+    * the final per-doc rollup. No window over the whole corpus, no
+    * sort until the bounded output.
+    */
+  val q136: QueryDef = QueryDef.sql(
+    "q136_ngram_novelty",
+    s"""WITH d AS (
+       |  SELECT doc_id, t, len(t) AS n
+       |  FROM (SELECT doc_id, $duckToks AS t FROM documents)
+       |  WHERE len(t) > 0),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(t[i + 1 : i + 8], ' ') AS sh
+       |  FROM (SELECT doc_id, t,
+       |          unnest(range(0, greatest(n - 8, 0) + 1)) AS i
+       |        FROM d)),
+       |firsts AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh),
+       |agg AS (
+       |  SELECT s.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_shingles,
+       |    CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_novel
+       |  FROM sh s JOIN firsts f ON f.sh = s.sh
+       |  GROUP BY s.doc_id)
+       |SELECT doc_id, n_shingles, n_novel,
+       |  CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    ngramNovelty(Tables.documents(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** The q136 kernel over any (doc_id, text) frame; unsorted output.
+    * Docs with no tokens vanish (no shingles, no score).
+    */
+  def ngramNovelty(docs: org.apache.spark.sql.DataFrame,
+                   n: Int = 8): org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .distinct()
+    val firsts = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firsts, "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .cast("bigint").as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
+}

@@ -27,7 +27,7 @@ object Dedup {
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
   def all: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89, q112)
+    Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89, q112, q135)
 
   /** Exact dedup on a normalized key: keep the lowest doc_id per group.
     * Scale: one hash exchange on the key; with pre-partitioned/bucketed
@@ -959,6 +959,102 @@ object Dedup {
         concat_ws(",",
           transform(array_sort(collect_list(col("v"))), x => x.cast("string")))
           .as("members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Canonical-representative selection (q135): q85's near-dup
+    * clusters composed with the quality score — instead of "keep the
+    * lowest doc_id", each cluster keeps its HIGHEST-quality member
+    * (doc_id ascending as the tie-break), the keep-policy production
+    * dedup actually wants: near-dup groups collapse to their best
+    * exemplar, not their first-crawled one. Output is one row per
+    * cluster with the representative, its qscore, and how many
+    * near-dups it displaces.
+    *
+    * Scale: the expensive part is cluster discovery (q85's machinery,
+    * already bounded); selection itself is one per-cluster argmax —
+    * a partial+final min_by aggregate, no window over the corpus. The
+    * qscore join is narrow column arithmetic computed on the scoped
+    * docs before the join. Representative choice orders on a DOUBLE:
+    * bit-identical across engines because the qscore formula is the
+    * literal-identical q23/q93 one.
+    */
+  val q135: QueryDef = QueryDef.sql(
+    "q135_cluster_representative",
+    s"""WITH RECURSIVE t AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest($duckToks) AS term
+       |    FROM documents WHERE doc_id < 100)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+       |  FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY d1, d2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sz s1 ON s1.doc_id = d1
+       |  JOIN sz s2 ON s2.doc_id = d2
+       |  WHERE n_common / (s1.n + s2.n - n_common) >= 0.7),
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM pairs
+       |  UNION SELECT d2 AS a, d1 AS b FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.v = e.b),
+       |comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+       |q AS (
+       |  SELECT doc_id,
+       |    (1.0 - punct_ratio) * (1.0 - digit_ratio)
+       |      * least(1.0, n_tokens / 64.0)
+       |      * (0.5 + stop_ratio) AS qscore
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(t) AS BIGINT) AS n_tokens,
+       |      (length(text) - length(regexp_replace(text, '\\p{P}', '', 'g'))) / length(text) AS punct_ratio,
+       |      (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio,
+       |      len(list_filter(t, x -> x IN ('the','a','an','and','of','to','is','in','it','on'))) / len(t) AS stop_ratio
+       |    FROM (SELECT doc_id, text, $duckToks AS t FROM documents
+       |          WHERE doc_id < 100))),
+       |ranked AS (
+       |  SELECT c.cluster_id, c.doc_id, q.qscore,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |                       ORDER BY q.qscore DESC, c.doc_id) AS rn
+       |  FROM comp c JOIN q ON q.doc_id = c.doc_id)
+       |SELECT cluster_id,
+       |  CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS rep_doc_id,
+       |  min(CASE WHEN rn = 1 THEN qscore END) AS rep_qscore,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(count(*) - 1 AS BIGINT) AS n_displaced
+       |FROM ranked GROUP BY cluster_id
+       |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+    val scoped = Tables.documents(s, dir).filter(col("doc_id") < 100)
+    val t = scoped
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .distinct()
+    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = t.toDF("d1", "term")
+      .join(t.toDF("d2", "term2"), col("term") === col("term2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common") / (col("n1") + col("n2") - col("n_common"))
+    val pairs = inter
+      .join(sz.toDF("dk1", "n1"), col("dk1") === col("d1"))
+      .join(sz.toDF("dk2", "n2"), col("dk2") === col("d2"))
+      .filter(jac >= 0.7)
+      .select(col("d1"), col("d2"))
+    val q = TextAnalytics.qualityBase(scoped)
+      .select(col("doc_id").as("q_doc"), col("qscore"))
+    connectedComponents(pairs)
+      .join(q, col("v") === col("q_doc"))
+      .groupBy(col("component").as("cluster_id"))
+      .agg(
+        min_by(col("v"), struct(-col("qscore"), col("v")))
+          .cast("bigint").as("rep_doc_id"),
+        // the representative's qscore IS the cluster max (ties share it)
+        max(col("qscore")).as("rep_qscore"),
+        count(lit(1)).cast("bigint").as("n_members"),
+        (count(lit(1)) - 1).cast("bigint").as("n_displaced"))
       .orderBy(col("cluster_id"))
   }
 

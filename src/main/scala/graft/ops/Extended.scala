@@ -22,7 +22,7 @@ object Extended {
   def all: Seq[QueryDef] = Seq(
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q101, q111, q118, q119, q122,
-    q123, q124)
+    q123, q124, q133)
 
   /** Relational pivot via the first-class DataFrame API (`.pivot` with
     * explicit values — no extra pass to discover them): quantity per
@@ -1093,4 +1093,60 @@ object Extended {
         min(col("k")).cast("bigint").as("min_k"),
         max(col("k")).cast("bigint").as("max_k"))
       .orderBy(col("event_type"))
+
+  /** Last-touch click attribution (q133): each purchase is credited to
+    * the same user's most recent click at or before it, and the credit
+    * expires after one hour (purchases with no click in the window stay
+    * unattributed, with NULL click columns). The product-analytics
+    * primitive behind conversion reporting, here built on the
+    * [[AsOfJoin]] union+window operator rather than an inequality join.
+    *
+    * Scale: [[AsOfJoin.asofBackward]] is one hash exchange of
+    * |purchases|+|clicks| rows on user_id plus one in-partition sort —
+    * sort-merge-join cost, no K x N time-range blowup. The one-hour
+    * expiry is a post-filter that NULLs the payload, not a join
+    * condition, so the operator cost is independent of the window
+    * width. Clicks are pre-thinned to one row per (user, ts) (max
+    * event_id wins, matching the oracle's ORDER BY ts DESC,
+    * event_id DESC LIMIT 1) so as-of tie semantics are deterministic
+    * across engines.
+    */
+  val q133: QueryDef = QueryDef.sql(
+    "q133_click_attribution",
+    """SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  c.click_id, c.gap_s
+      |FROM (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'purchase') p
+      |LEFT JOIN LATERAL (
+      |  SELECT c.event_id AS click_id,
+      |    (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
+      |  FROM events c
+      |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      |    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    clickAttribution(Tables.events(s, dir)).orderBy(col("event_id"))
+  }
+
+  /** The q133 kernel over any (event_id, user_id, event_type, ts)
+    * frame; unsorted output (the query adds the sink's total order).
+    */
+  def clickAttribution(events: org.apache.spark.sql.DataFrame,
+                       windowUs: Long = 3600000000L): org.apache.spark.sql.DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // one click per (user, ts): max event_id = the oracle's tie-winner
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("c_click_id"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(col("c_ts"))
+    AsOfJoin.asofBackward(purchases, clicks,
+        "user_id", "c_user", "ts", "c_ts", Seq("c_click_id", "c_ts"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        when(gapUs <= windowUs, col("c_click_id")).as("click_id"),
+        when(gapUs <= windowUs, (gapUs / 1000000L).cast("bigint"))
+          .as("gap_s"))
+  }
 }

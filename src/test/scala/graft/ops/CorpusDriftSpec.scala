@@ -1,0 +1,187 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Edge-case semantics for the drift/novelty/attribution/representative
+  * operators (q133–q136). The DuckDB oracle proves fixture agreement;
+  * these prove the kernels on shapes the fixture never produces
+  * (unattributed purchases, tie timestamps, identical and disjoint
+  * sources, re-crawled duplicates) plus plain-Scala replays on random
+  * inputs.
+  */
+class CorpusDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------
+  // q133 click attribution
+  // ---------------------------------------------------------------
+
+  private def eventsDf(rows: Seq[(Long, Long, String, Long)]): DataFrame =
+    rows.toDF("event_id", "user_id", "event_type", "tsm")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("tsm")).as("ts"))
+
+  test("q133: window edges, ties, and unattributed purchases") {
+    val S = 1000000L
+    val ev = eventsDf(Seq(
+      // user 1: click at t=100, purchase at t=200 -> gap 100
+      (1L, 1L, "click", 100 * S),
+      (2L, 1L, "purchase", 200 * S),
+      // user 1: purchase exactly 1h after the click -> still attributed
+      (3L, 1L, "purchase", (100 + 3600) * S),
+      // user 1: purchase 1h+1us after the click -> expired
+      (4L, 1L, "purchase", (100 + 3600) * S + 1),
+      // user 2: purchase before any click -> unattributed
+      (5L, 2L, "purchase", 50 * S),
+      (6L, 2L, "click", 60 * S),
+      // user 2: two clicks at the same ts -> max event_id wins
+      (7L, 2L, "click", 70 * S),
+      (8L, 2L, "click", 70 * S),
+      (9L, 2L, "purchase", 80 * S),
+      // user 3: click at the same instant as the purchase -> gap 0
+      (10L, 3L, "click", 500 * S),
+      (11L, 3L, "purchase", 500 * S)))
+    val got = Extended.clickAttribution(ev)
+      .select(col("event_id"), col("click_id"), col("gap_s"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(got(2L) == ((Some(1L), Some(100L))))
+    assert(got(3L) == ((Some(1L), Some(3600L))))
+    assert(got(4L) == ((None, None)), s"expired click must not attribute: ${got(4L)}")
+    assert(got(5L) == ((None, None)))
+    assert(got(9L) == ((Some(8L), Some(10L))), "same-ts tie must pick max event_id")
+    assert(got(11L) == ((Some(10L), Some(0L))))
+  }
+
+  // ---------------------------------------------------------------
+  // q134 source divergence
+  // ---------------------------------------------------------------
+
+  private def docsDf(rows: Seq[(Long, String, String)]): DataFrame =
+    rows.toDF("doc_id", "source", "text")
+
+  test("q134: identical sources diverge 0; disjoint sources emit no row") {
+    val d = docsDf(Seq(
+      (1L, "a", "x y z x"),
+      (2L, "b", "x x y z"),   // same multiset as a
+      (3L, "c", "p q r")))    // disjoint from both
+    val got = CorpusDrift.sourceDivergence(d)
+      .select(col("s1"), col("s2"), col("l1"))
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, l) => (a, b) -> l }.toMap
+    assert(got(("a", "b")) == 0.0)
+    assert(!got.contains(("a", "c")) && !got.contains(("b", "c")),
+      "zero-shared-vocab pairs are documented as absent")
+  }
+
+  test("q134: random corpora match a plain-Scala L1 over full vocab") {
+    val rnd = new Random(134L)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val rows = for {
+      s <- Seq("s1", "s2", "s3"); i <- 0 until 10
+    } yield {
+      val n = 1 + rnd.nextInt(12)
+      (s.hashCode.toLong + i, s,
+        Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = CorpusDrift.sourceDivergence(docsDf(rows))
+      .select(col("s1"), col("s2"), col("l1"))
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, l) => (a, b) -> l }.toMap
+    val counts: Map[String, Map[String, Long]] = rows.groupBy(_._2).map {
+      case (s, rs) =>
+        s -> rs.flatMap(_._3.split("\\s+")).groupBy(identity)
+          .map { case (t, ts) => t -> ts.size.toLong }
+    }
+    for {
+      s1 <- counts.keys; s2 <- counts.keys if s1 < s2
+    } {
+      val (c1, c2) = (counts(s1), counts(s2))
+      val (n1, n2) = (c1.values.sum, c2.values.sum)
+      val expect = (c1.keySet ++ c2.keySet).toSeq.map { t =>
+        math.abs(c1.getOrElse(t, 0L) * n2 - c2.getOrElse(t, 0L) * n1).toDouble
+      }.sum / (n1.toDouble * n2.toDouble)
+      assert(math.abs(got((s1, s2)) - expect) < 1e-12,
+        s"($s1,$s2): got ${got((s1, s2))}, expected $expect")
+      assert(got((s1, s2)) >= 0.0 && got((s1, s2)) <= 2.0)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // q136 n-gram novelty
+  // ---------------------------------------------------------------
+
+  test("q136: first doc scores 1.0, an exact re-crawl scores 0.0") {
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, "s", text), (2L, "s", text),
+      (3L, "s", "completely different words here now ok yes done"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusDrift.ngramNovelty(d)
+      .select(col("doc_id"), col("novelty"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0)
+    assert(got(2L) == 0.0, "verbatim duplicate of an earlier doc has no novel shingles")
+    assert(got(3L) == 1.0)
+  }
+
+  test("q136: random docs match a plain-Scala replay (min-1-window shingles)") {
+    val rnd = new Random(136L)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val rows = (0L until 12L).map { i =>
+      (i, "s", Seq.fill(1 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    def shingles8(text: String): Set[String] = {
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      if (t.isEmpty) Set.empty
+      else (0 to math.max(t.length - 8, 0))
+        .map(i => t.slice(i, i + 8).mkString(" ")).toSet
+    }
+    val firsts = rows.flatMap { case (id, _, tx) => shingles8(tx).map(_ -> id) }
+      .groupBy(_._1).map { case (sh, xs) => sh -> xs.map(_._2).min }
+    val expect = rows.map { case (id, _, tx) =>
+      val sh = shingles8(tx)
+      id -> ((sh.size.toLong, sh.count(s => firsts(s) == id).toLong))
+    }.toMap
+    val got = CorpusDrift.ngramNovelty(rows.toDF("doc_id", "source", "text"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, a, b) => id -> ((a, b)) }.toMap
+    assert(got == expect)
+  }
+
+  // ---------------------------------------------------------------
+  // q135 cluster representative
+  // ---------------------------------------------------------------
+
+  test("q135: representative is its cluster's max-qscore member (fixture)") {
+    val reps = SparkEntry_q135(spark, sfDir)
+    // cross-check against q85's membership + the shared quality kernel
+    val members = Dedup.q85.build(spark, sfDir)
+      .select(col("cluster_id"), col("members"))
+      .as[(Long, String)].collect()
+      .map { case (c, m) => c -> m.split(",").map(_.toLong).toSeq }.toMap
+    val qs = TextAnalytics.qualityBase(
+        Tables.documents(spark, sfDir).filter(col("doc_id") < 100))
+      .select(col("doc_id"), col("qscore")).as[(Long, Double)].collect().toMap
+    assert(reps.nonEmpty)
+    reps.foreach { case (cid, rep, repQ, nMembers, nDisplaced) =>
+      val mem = members(cid)
+      assert(mem.contains(rep), s"rep $rep not in cluster $cid")
+      assert(nMembers == mem.size && nDisplaced == mem.size - 1)
+      val maxQ = mem.map(qs).max
+      assert(repQ == maxQ, s"cluster $cid rep qscore $repQ != max $maxQ")
+      assert(rep == mem.filter(d => qs(d) == maxQ).min,
+        "qscore tie must break to the lowest doc_id")
+    }
+  }
+
+  private def SparkEntry_q135(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Dedup.q135.build(s, dir)
+      .select(col("cluster_id"), col("rep_doc_id"), col("rep_qscore"),
+        col("n_members"), col("n_displaced"))
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+}
