@@ -32,7 +32,8 @@ object ScaleCheck {
         "q54_langid", "q107_span_dedup",
         "q108_bigram_lm", "q112_source_overlap",
         "q113_sliding_span_dedup", "q114_tfidf_retrieval",
-        "q116_bigram_lm_score")
+        "q116_bigram_lm_score", "q134_source_divergence",
+        "q136_ngram_novelty")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()
