@@ -192,6 +192,80 @@ object EventStreams {
       }
   }
 
+  case class AttrState(clickTsUs: Long, clickId: Long)
+  case class Attribution(event_id: Long, user_id: Long, ts_s: String,
+                         click_id: Option[Long], gap_s: Option[Long])
+
+  // object-level so state-function closures reference it statically
+  // instead of capturing a (non-serializable) formatter instance
+  private val AttrTsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+
+  /** Streaming twin of the batch q133 last-touch attribution: every
+    * purchase is credited to the same user's most recent click at or
+    * before it, expiring after `windowUs`. State per user is ONE
+    * (click ts, click id) pair — O(1), the streaming shape of the
+    * batch as-of join — and expires via event-time timeout one
+    * attribution window after the click (correctness-neutral: a
+    * purchase arriving after the timeout is past the window for that
+    * click anyway, so it is unattributed under both rules).
+    *
+    * Per-trigger ordering: within a micro-batch the per-user events
+    * are sorted by (ts, click-before-purchase, event_id), so a
+    * same-instant click attributes at gap 0 and same-ts click ties
+    * resolve to the max event_id — the exact batch tie rules. Like
+    * [[debounce]], batch parity holds for per-user event-time-ordered
+    * arrival across triggers (spec-gated against the q133 kernel); a
+    * late purchase after a NEWER click has entered state stays
+    * unattributed rather than mis-attributed (the state click is
+    * ignored when it postdates the purchase).
+    */
+  def attribution(spark: SparkSession, events: Dataset[Event],
+                  windowUs: Long = 3600000000L,
+                  watermarkDelay: String = "10 minutes"): Dataset[Attribution] = {
+    import spark.implicits._
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[Event], state: GroupState[AttrState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toSeq.sortBy(e =>
+              (micros(e.ts), e.event_type != "click", e.event_id))
+            var last = state.getOption
+            val out = Seq.newBuilder[Attribution]
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              if (e.event_type == "click") {
+                if (last.forall(s => t > s.clickTsUs ||
+                    (t == s.clickTsUs && e.event_id > s.clickId)))
+                  last = Some(AttrState(t, e.event_id))
+              } else {
+                val m = last.filter(s =>
+                  s.clickTsUs <= t && t - s.clickTsUs <= windowUs)
+                out += Attribution(e.event_id, user,
+                  AttrTsFmt.format(java.time.Instant.ofEpochMilli(t / 1000)),
+                  m.map(_.clickId), m.map(s => (t - s.clickTsUs) / 1000000L))
+              }
+            }
+            last.foreach { s =>
+              state.update(s)
+              // expire one window after the click, clamped above the
+              // watermark (see sessionize); batch execution never fires
+              val wm = scala.util.Try(state.getCurrentWatermarkMs())
+                .getOrElse(Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max((s.clickTsUs + windowUs) / 1000, wm + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   case class RateState(open: Map[Long, Long], n: Long, sx: Long, sxx: Long)
   case class RateAnomaly(user_id: Long, day: Long, cnt: Long,
                          mean_cnt: Double, std_cnt: Double)

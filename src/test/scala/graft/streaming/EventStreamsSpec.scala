@@ -283,4 +283,71 @@ class EventStreamsSpec extends SparkSpec {
           s"onlyBatch=${(batch -- streamed).take(3)}")
     } finally query.stop()
   }
+
+  test("attribution stream equals the batch q133 kernel") {
+    val fixture = graft.ops.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val batch = graft.ops.Extended
+      .clickAttribution(graft.ops.Tables.events(spark, sfDir))
+      .select(col("event_id"), col("user_id"), col("ts_s"),
+        col("click_id"), col("gap_s"))
+      .as[(Long, Long, String, Option[Long], Option[Long])].collect().toSet
+    assert(batch.nonEmpty && batch.exists(_._4.isDefined),
+      "fixture should contain attributed purchases")
+    assert(batch.exists(_._4.isEmpty),
+      "fixture should contain unattributed purchases")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = attribution(spark, mem.toDS())
+      .writeStream.format("memory").queryName("attribution_test")
+      .outputMode("append").start()
+    try {
+      // event-time-ordered micro-batches: the documented parity regime
+      val (a, rest) = fixture.splitAt(fixture.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      Seq(a, b, c).foreach { part =>
+        mem.addData(part.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("attribution_test")
+        .as[(Long, Long, String, Option[Long], Option[Long])].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch diverge: onlyStream=${(streamed -- batch).take(3)} " +
+          s"onlyBatch=${(batch -- streamed).take(3)}")
+    } finally query.stop()
+  }
+
+  test("attribution state expiry is correctness-neutral (timeout then late purchase)") {
+    implicit val sq = spark.sqlContext
+    val S = 1000L // ms per second
+    def ev(id: Long, user: Long, tpe: String, tMs: Long) =
+      Event(id, new Timestamp(tMs), user, tpe, 0.0)
+    val mem = MemoryStream[Event]
+    // delay 90m: the t=3h tick moves the watermark to 1.5h — past the
+    // click+window timeout (1h), so user 1's state expires, while the
+    // t=2h purchase is still within allowed lateness and is processed
+    val query = attribution(spark, mem.toDS(),
+        windowUs = 3600000000L, watermarkDelay = "90 minutes")
+      .writeStream.format("memory").queryName("attribution_ttl_test")
+      .outputMode("append").start()
+    try {
+      // click at t=0; watermark pushed past click+window by a far-future
+      // event on another user -> user 1's state times out
+      mem.addData(ev(1L, 1L, "click", 0L))
+      query.processAllAvailable()
+      mem.addData(ev(2L, 2L, "click", 3L * 3600 * S))
+      query.processAllAvailable()
+      // purchase 2h after the click: outside the window, so expiry must
+      // not change the answer — unattributed either way
+      mem.addData(ev(3L, 1L, "purchase", 2L * 3600 * S))
+      query.processAllAvailable()
+      val got = spark.table("attribution_ttl_test")
+        .as[(Long, Long, String, Option[Long], Option[Long])].collect()
+        .filter(_._1 == 3L)
+      assert(got.length == 1 && got.head._4.isEmpty,
+        s"expired-state purchase must be unattributed: ${got.toList}")
+    } finally query.stop()
+  }
 }
