@@ -143,14 +143,22 @@ object CorpusDrift {
 
   /** The q136 kernel over any (doc_id, text) frame; unsorted output.
     * Docs with no tokens vanish (no shingles, no score).
+    *
+    * Two exchanges total: per-doc shingle dedup happens NARROWLY
+    * (array_distinct on the shingle array before the explode — no
+    * corpus-wide distinct exchange), first-occurrence is an
+    * unordered-frame window min on the single shingle exchange (no
+    * separate aggregate + probe-side re-exchange), and the per-doc
+    * rollup is the second exchange. A naive
+    * distinct -> groupBy -> join formulation costs four.
     */
   def ngramNovelty(docs: org.apache.spark.sql.DataFrame,
                    n: Int = 8): org.apache.spark.sql.DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
-      .distinct()
-    val firsts = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
-    sh.join(firsts, "sh")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), n))).as("sh"))
+      .withColumn("first_doc", min(col("doc_id")).over(w))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("bigint").as("n_shingles"),
