@@ -168,4 +168,68 @@ object CorpusDrift {
         (col("n_novel").cast("double") / col("n_shingles").cast("double"))
           .as("novelty"))
   }
+
+  // -----------------------------------------------------------------
+  // Incremental novelty: the production mode. A perpetual ingest keeps
+  // a first-seen shingle index and scores each batch against it,
+  // instead of re-running q136 over the whole corpus per snapshot.
+  // -----------------------------------------------------------------
+
+  /** First-seen shingle index over a corpus: (sh, first_doc) with
+    * first_doc = the lowest doc_id containing the shingle. The
+    * persisted state of the incremental novelty pipeline.
+    */
+  def buildFirstSeen(docs: org.apache.spark.sql.DataFrame,
+                     n: Int = 8): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), n))).as("sh"))
+      .groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+
+  /** Merge a delta corpus into a first-seen index WITHOUT rescanning
+    * history. min is commutative and associative, so any fold order of
+    * any batch split equals the full rebuild (spec-proven, N-delta).
+    *
+    * Scale: shingling touches only the delta; the merge is one
+    * exchange of index ∪ delta-index rows on sh. With the index
+    * persisted bucketed by sh, the history side co-locates and only
+    * the delta moves.
+    */
+  def upsertFirstSeen(index: org.apache.spark.sql.DataFrame,
+                      deltaDocs: org.apache.spark.sql.DataFrame,
+                      n: Int = 8): org.apache.spark.sql.DataFrame =
+    index.unionByName(buildFirstSeen(deltaDocs, n))
+      .groupBy(col("sh")).agg(min(col("first_doc")).as("first_doc"))
+
+  /** Score a batch's novelty against the accumulated index: a shingle
+    * is novel for a doc when it misses the index AND the doc is its
+    * first occurrence WITHIN the batch. For doc_ids that increase
+    * monotonically across batches (an ingest's natural order), folding
+    * [[upsertFirstSeen]] between batches and unioning these per-batch
+    * scores reproduces [[ngramNovelty]] over the concatenated corpus
+    * exactly (spec-proven).
+    *
+    * Scale: the batch side carries its window and the join on one sh
+    * exchange (partitioning reused); the index side streams into the
+    * join without ever being re-shingled.
+    */
+  def noveltyAgainstIndex(index: org.apache.spark.sql.DataFrame,
+                          batchDocs: org.apache.spark.sql.DataFrame,
+                          n: Int = 8): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    batchDocs
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), n))).as("sh"))
+      .withColumn("batch_first", min(col("doc_id")).over(w))
+      .join(index.select(col("sh"), lit(true).as("__seen")), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_shingles"),
+        sum(when(col("__seen").isNull && col("batch_first") === col("doc_id"),
+            1L).otherwise(0L))
+          .cast("bigint").as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
 }

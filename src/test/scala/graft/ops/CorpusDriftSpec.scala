@@ -184,4 +184,49 @@ class CorpusDriftSpec extends SparkSpec {
       .select(col("cluster_id"), col("rep_doc_id"), col("rep_qscore"),
         col("n_members"), col("n_displaced"))
       .as[(Long, Long, Double, Long, Long)].collect().toSeq
+
+  // ---------------------------------------------------------------
+  // incremental first-seen index + per-batch novelty
+  // ---------------------------------------------------------------
+
+  private def randomDocs(seed: Long, ids: Range): Seq[(Long, String, String)] = {
+    val rnd = new Random(seed)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    ids.map { i =>
+      (i.toLong, "s", Seq.fill(1 + rnd.nextInt(16))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+  }
+
+  test("first-seen index: N-delta fold in any order == full rebuild") {
+    val all = randomDocs(7L, 0 until 30)
+    val batches = Seq(all.slice(0, 7), all.slice(7, 19), all.slice(19, 30))
+    val rebuild = CorpusDrift.buildFirstSeen(docsDf(all))
+      .as[(String, Long)].collect().toSet
+    // fold the three deltas in every permutation
+    batches.permutations.foreach { perm =>
+      val folded = perm.foldLeft(CorpusDrift.buildFirstSeen(docsDf(Seq.empty))) {
+        (idx, b) => CorpusDrift.upsertFirstSeen(idx, docsDf(b))
+      }.as[(String, Long)].collect().toSet
+      assert(folded == rebuild, "fold order must not matter")
+    }
+  }
+
+  test("per-batch novelty vs folded index == one-shot q136 over the full corpus") {
+    val all = randomDocs(8L, 0 until 36)
+    val batches = Seq(all.slice(0, 12), all.slice(12, 25), all.slice(25, 36))
+    val oneShot = CorpusDrift.ngramNovelty(docsDf(all))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"))
+      .as[(Long, Long, Long)].collect().toSet
+    var index = CorpusDrift.buildFirstSeen(docsDf(Seq.empty))
+    val incremental = batches.flatMap { b =>
+      val scored = CorpusDrift.noveltyAgainstIndex(index, docsDf(b))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"))
+        .as[(Long, Long, Long)].collect()
+      index = CorpusDrift.upsertFirstSeen(index, docsDf(b))
+      scored
+    }.toSet
+    assert(incremental == oneShot,
+      s"onlyInc=${(incremental -- oneShot).take(3)} onlyFull=${(oneShot -- incremental).take(3)}")
+  }
 }
