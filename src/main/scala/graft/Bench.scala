@@ -33,10 +33,13 @@ object Bench {
     // hot — at sf0.001 row counts they never get there, and the first
     // timed sf0.1 run was paying multi-second interpretation penalties
     // on the heaviest queries (measured: first run 2-4x steady state).
-    val warmOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    // dev-only: comma-separated name prefixes to time a subset while
+    // iterating on one query (the driver never sets this); one parse
+    // shared by warmup and the timed pass so they can't diverge
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { wdir =>
       SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (n, _) => warmOnly.forall(_.exists(n.startsWith)) }
+        .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
         .foreach { case (_, fn) =>
           try fn(spark, wdir).count() catch { case _: Throwable => () }
         }
@@ -62,9 +65,6 @@ object Bench {
     // per-query max is kept (summed below, detail on stderr) so a real
     // tail regression stays visible instead of being median'd away.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    // dev-only: comma-separated name prefixes to time a subset while
-    // iterating on one query (the driver never sets this)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val results: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }

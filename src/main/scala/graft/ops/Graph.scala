@@ -90,10 +90,15 @@ object Graph {
         .select(col("dst").as("node"),
           expr("rank div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("insum"))
+      // damping (17x) div 20 DECOMPOSED as 17*(x div 20) + (17*(x mod 20)) div 20:
+      // identical for x >= 0 (x = 20q + r => both are 17q + (17r) div 20) but
+      // never forms 17*x, which overflows Long once a hub's in-sum passes
+      // Long.MaxValue/17 (~7% of total mass at the 8M-node broadcast limit)
       ranks = nodes.join(hinted(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(Teleport) +
-            expr("(17 * coalesce(insum, 0L)) div 20")).as("rank"))
+            expr("17 * (coalesce(insum, 0L) div 20) + (17 * (coalesce(insum, 0L) % 20)) div 20"))
+            .as("rank"))
         .localCheckpoint(eager = false)
     }
     ranks
@@ -114,7 +119,8 @@ object Graph {
     val iterCtes = (1 to IterN).map { t =>
       s"""r$t AS (
          |  SELECT n.node,
-         |    CAST($Teleport + (17 * COALESCE(s.insum, 0)) // 20 AS BIGINT) AS rank
+         |    CAST($Teleport + 17 * (COALESCE(s.insum, 0) // 20)
+         |      + (17 * (COALESCE(s.insum, 0) % 20)) // 20 AS BIGINT) AS rank
          |  FROM nodes n
          |  LEFT JOIN (
          |    SELECT e.dst AS node,

@@ -165,6 +165,7 @@ object Pq {
     */
   def loadIndex(spark: SparkSession, path: String): PqIndex = {
     import scala.collection.{Seq => CSeq}
+    recoverCells(spark, path)
     val meta = spark.read.parquet(path + "/meta").collect()(0)
     // row cells hold mutable.ArraySeq — declare collection.Seq, not
     // immutable.Seq (getSeq's cast is unchecked erasure)
@@ -175,9 +176,19 @@ object Pq {
     val cells0 = spark.read.parquet(path + "/cells")
     val tomb = new org.apache.hadoop.fs.Path(path + "/tombstones")
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cells =
+    // list FILES, not just the dir: compaction deletes folded tombstone
+    // files individually, which can leave the directory empty (reading
+    // an empty dir fails schema inference)
+    val tombFiles =
       if (fs.exists(tomb))
-        cells0.join(spark.read.parquet(tomb.toString).select(col("cid")).distinct(),
+        fs.listStatus(tomb).map(_.getPath)
+          .filter(p => !p.getName.startsWith("_")).toSeq
+      else Seq.empty
+    val cells =
+      if (tombFiles.nonEmpty)
+        cells0.join(
+          spark.read.parquet(tombFiles.map(_.toString): _*)
+            .select(col("cid")).distinct(),
           Seq("cid"), "left_anti")
       else cells0
     PqIndex(centers, codebooks, cells)
@@ -206,22 +217,71 @@ object Pq {
     ids.toDF("cid").select(col("cid")).distinct()
       .write.mode("append").parquet(path + "/tombstones")
 
+  /** If a compaction crashed between renaming the old cells aside and
+    * landing the rewrite, restore the backup (the rewrite is redone by
+    * re-running compaction; the tombstones it folded were only deleted
+    * AFTER the swap, so nothing is lost).
+    */
+  private def recoverCells(spark: SparkSession, path: String): Unit = {
+    val cellsP = new org.apache.hadoop.fs.Path(path + "/cells")
+    val fs = cellsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + "/cells_old")
+    if (!fs.exists(cellsP) && fs.exists(old)) fs.rename(old, cellsP)
+  }
+
   /** Fold pending tombstones into the cell files: rewrite the
     * surviving rows (same PARTITIONED BY center_id layout — probe
-    * pruning is preserved), swap atomically-enough via a sibling
-    * directory rename, drop the tombstone table. Quantizers are
-    * untouched; only data files move.
+    * pruning is preserved), swap via a sibling BACKUP rename, then
+    * drop exactly the tombstone FILES that were snapshotted at entry.
+    * Quantizers are untouched; only data files move.
+    *
+    * Concurrency + crash contract: a tombstone appended by
+    * [[deleteFromSavedIndex]] after the snapshot is neither folded nor
+    * deleted — it stays pending and applies on every load until the
+    * next compaction (deleting the whole tombstone DIR here would
+    * resurrect that vector). A crash before the swap leaves the old
+    * cells + all tombstones; between the backup rename and the swap,
+    * [[recoverCells]] restores the backup on next load; after the
+    * swap, at worst some folded tombstone files survive and re-apply
+    * as no-ops (the ids are already gone from the cells).
     */
   def compactIndex(spark: SparkSession, path: String): PqIndex = {
-    val idx = loadIndex(spark, path) // tombstones applied lazily here
+    recoverCells(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
     val cellsP = new org.apache.hadoop.fs.Path(path + "/cells")
     val fs = cellsP.getFileSystem(conf)
+    val tombDir = new org.apache.hadoop.fs.Path(path + "/tombstones")
+    val tombFiles =
+      if (fs.exists(tombDir))
+        fs.listStatus(tombDir).map(_.getPath)
+          .filter(p => !p.getName.startsWith("_")).toSeq
+      else Seq.empty
+    val cells0 = spark.read.parquet(cellsP.toString)
+    val cells =
+      if (tombFiles.nonEmpty)
+        cells0.join(
+          spark.read.parquet(tombFiles.map(_.toString): _*)
+            .select(col("cid")).distinct(),
+          Seq("cid"), "left_anti")
+      else cells0
     val tmp = new org.apache.hadoop.fs.Path(path + "/cells_compacting")
-    idx.cells.write.mode("overwrite").partitionBy("center_id").parquet(tmp.toString)
-    fs.delete(cellsP, true)
+    val old = new org.apache.hadoop.fs.Path(path + "/cells_old")
+    cells.write.mode("overwrite").partitionBy("center_id").parquet(tmp.toString)
+    fs.delete(old, true) // stale backup from a prior completed run
+    fs.rename(cellsP, old)
     fs.rename(tmp, cellsP)
-    fs.delete(new org.apache.hadoop.fs.Path(path + "/tombstones"), true)
+    fs.delete(old, true)
+    tombFiles.foreach(f => fs.delete(f, false))
+    // drop the dir only when no DATA file landed since the snapshot:
+    // strip leftover _SUCCESS markers, then a non-recursive delete
+    // refuses a non-empty dir, so a concurrent append is never lost
+    if (tombFiles.nonEmpty && fs.exists(tombDir)) {
+      val remaining = fs.listStatus(tombDir).map(_.getPath)
+      if (remaining.forall(_.getName.startsWith("_"))) {
+        remaining.foreach(f => fs.delete(f, false))
+        scala.util.Try(fs.delete(tombDir, false))
+      }
+    }
     loadIndex(spark, path)
   }
 

@@ -215,26 +215,63 @@ object NearDupStream {
     * [[graft.ops.Dedup.probeBandIndex]].
     */
   def readBandIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    recoverCompaction(spark, indexDir)
     val all = spark.read.parquet(indexDir) // batch_id from partition dirs
+    mergeOnRead(all)
+  }
+
+  /** Latest-batch-wins view of a (…, doc_id, batch_id) delta union. */
+  private def mergeOnRead(all: DataFrame): DataFrame = {
     val latest = all.groupBy(col("doc_id"))
       .agg(max(col("batch_id")).as("batch_id"))
     all.join(latest, Seq("doc_id", "batch_id")).drop("batch_id")
   }
 
-  /** Fold all delta partitions into one (`batch_id=0`), dropping
-    * superseded rows — same sibling-rename swap as Pq.compactIndex.
-    * Run between batches (the maintainer overwrites whole partitions,
-    * so a concurrent in-flight batch is not corrupted, but its delta
-    * could be folded twice — harmless, read stays latest-wins).
+  /** If a compaction crashed between renaming the old `batch_id=0`
+    * aside and landing the new one, restore the backup — the folded
+    * content it held is not yet anywhere else.
+    */
+  private def recoverCompaction(spark: SparkSession, indexDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val zero = new org.apache.hadoop.fs.Path(s"$indexDir/batch_id=0")
+    val fs = zero.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(indexDir + "_old0")
+    if (!fs.exists(zero) && fs.exists(old)) fs.rename(old, zero)
+  }
+
+  /** Fold the delta partitions present AT ENTRY into `batch_id=0`,
+    * dropping superseded rows. Safe to run CONCURRENTLY with the
+    * maintainer: only the snapshotted partition list is folded and
+    * only those partitions are deleted afterwards, so a delta the
+    * maintainer commits mid-compaction is never dropped (deleting the
+    * whole root here would lose it permanently — the streaming
+    * checkpoint marks it committed and never replays it). The
+    * `batch_id=0` replacement itself goes through a sibling backup
+    * rename ([[recoverCompaction]]): a crash at any point leaves
+    * either the old partitions, the backup, or the new fold readable.
+    * A crash during the trailing per-partition deletes leaves
+    * already-folded partitions behind — harmless duplicates under
+    * latest-wins reads, removed by the next compaction.
     */
   def compactBandIndex(spark: SparkSession, indexDir: String): Unit = {
+    recoverCompaction(spark, indexDir)
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(conf)
+    val snapshot = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch_id=")).toSeq
+    if (snapshot.isEmpty) return
     val tmp = new org.apache.hadoop.fs.Path(indexDir + "_compacting")
-    readBandIndex(spark, indexDir)
+    val zero = new org.apache.hadoop.fs.Path(s"$indexDir/batch_id=0")
+    val old0 = new org.apache.hadoop.fs.Path(indexDir + "_old0")
+    mergeOnRead(spark.read.option("basePath", indexDir)
+        .parquet(snapshot.map(_.toString): _*))
       .write.mode("overwrite").parquet(tmp.toString + "/batch_id=0")
-    fs.delete(root, true)
-    fs.rename(tmp, root)
+    fs.delete(old0, true) // stale backup from a prior completed run
+    if (fs.exists(zero)) fs.rename(zero, old0)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp, "batch_id=0"), zero)
+    fs.delete(old0, true)
+    snapshot.filter(_.getName != "batch_id=0").foreach(p => fs.delete(p, true))
+    fs.delete(tmp, true)
   }
 }

@@ -43,9 +43,19 @@ object Reservoir {
       .start()
 
   /** One micro-batch fold: current reservoir ∪ batch top-k → top-k,
-    * swapped in atomically (write-to-sibling + rename, so a reader
-    * never sees a half-written reservoir and a crashed fold leaves
-    * the old reservoir intact).
+    * swapped in via write-sibling + backup-rename so EVERY crash
+    * window leaves a recoverable state (see [[readReservoir]]):
+    * the new reservoir is fully written to `_swap` while the old one
+    * is still live, the old directory is renamed aside (not deleted)
+    * before the swap lands, and the backup is dropped only after the
+    * new root exists. A reader never sees a half-written reservoir;
+    * a crash at any point loses at most the CURRENT batch's fold,
+    * which the streaming checkpoint replays idempotently.
+    *
+    * Re-ingested doc_ids whose text changed carry a DIFFERENT skey;
+    * the winner is the max (skey, doc_id) row — an explicit,
+    * partition-order-independent rule (raw dropDuplicates would keep
+    * an arbitrary encounter-order row and break determinism).
     */
   private[streaming] def reservoirBatch(batch: DataFrame, reservoirDir: String,
                                         k: Int): Unit = {
@@ -54,7 +64,12 @@ object Reservoir {
     val merged = readReservoir(spark, reservoirDir) match {
       case Some(cur) =>
         cur.unionByName(delta)
-          .dropDuplicates("doc_id") // deterministic keys: replayed/re-ingested docs are no-ops
+          .groupBy(col("doc_id"))
+          .agg(
+            max_by(struct(col("source"), col("n_tokens"), col("skey")),
+              struct(col("skey"), col("doc_id"))).as("__w"))
+          .select(col("doc_id"), col("__w.source").as("source"),
+            col("__w.n_tokens").as("n_tokens"), col("__w.skey").as("skey"))
           .orderBy(col("skey").desc, col("doc_id"))
           .limit(k)
       case None => delta
@@ -63,15 +78,26 @@ object Reservoir {
     val root = new org.apache.hadoop.fs.Path(reservoirDir)
     val fs = root.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(reservoirDir + "_swap")
+    val old = new org.apache.hadoop.fs.Path(reservoirDir + "_old")
+    // materializes `merged` while the old root is still readable
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(root, true)
+    fs.delete(old, true) // stale backup from a prior completed fold
+    if (fs.exists(root)) fs.rename(root, old)
     fs.rename(tmp, root)
+    fs.delete(old, true)
   }
 
-  /** The current reservoir, or None before the first fold. */
+  /** The current reservoir, or None before the first fold. If a crash
+    * landed between the backup-rename and the swap (root missing but
+    * `_old` present), restore the backup first — the interrupted fold
+    * is replayed by the checkpoint, so serving the pre-fold state is
+    * exactly right.
+    */
   def readReservoir(spark: SparkSession, reservoirDir: String): Option[DataFrame] = {
     val root = new org.apache.hadoop.fs.Path(reservoirDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(reservoirDir + "_old")
+    if (!fs.exists(root) && fs.exists(old)) fs.rename(old, root)
     if (fs.exists(root)) Some(spark.read.parquet(reservoirDir)) else None
   }
 }

@@ -159,6 +159,42 @@ class NearDupStreamSpec extends SparkSpec {
     assert(probe.contains((9L, 1L)), s"probe missed the re-ingested twin: $probe")
   }
 
+  test("compaction crash window: the batch_id=0 backup restores on read") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("neardup-crash").toString
+    val idx = s"$dir/index"
+    NearDupStream.indexBatch(Seq(
+      KeyedDoc(1L, "alpha beta gamma delta epsilon zeta"),
+      KeyedDoc(2L, "one two three four five six")).toDF(), 0L, idx, 16, 2, 2)
+    NearDupStream.indexBatch(Seq(
+      KeyedDoc(3L, "seven eight nine ten eleven twelve")).toDF(), 1L, idx, 16, 2, 2)
+    NearDupStream.compactBandIndex(spark, idx)
+    val before = NearDupStream.readBandIndex(spark, idx)
+      .as[(Long, Int, Long)].collect().toSet
+    // simulate a crash between the backup rename and the swap: the
+    // compacted partition is aside as _old0, root has no batch_id=0
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$idx/batch_id=0"),
+      new org.apache.hadoop.fs.Path(idx + "_old0"))
+    val restored = NearDupStream.readBandIndex(spark, idx)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(restored == before, "backup must restore transparently")
+    // a post-compaction delta still merges latest-wins on top
+    NearDupStream.indexBatch(Seq(
+      KeyedDoc(3L, "replacement words entirely different from before now")).toDF(),
+      7L, idx, 16, 2, 2)
+    val served = NearDupStream.readBandIndex(spark, idx)
+      .as[(Long, Int, Long)].collect().toSet
+    val expect = graft.ops.Dedup.bandSignatures(Seq(
+        KeyedDoc(1L, "alpha beta gamma delta epsilon zeta"),
+        KeyedDoc(2L, "one two three four five six"),
+        KeyedDoc(3L, "replacement words entirely different from before now")).toDF(),
+      nHashes = 16, bandSize = 2, shingleSize = 2)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(served == expect)
+  }
+
   test("processBatch replay is idempotent: a batch never dedups against its own keys") {
     val dir = java.nio.file.Files.createTempDirectory("neardup-replay").toString
     def run(batch: Seq[KeyedDoc], id: Long): Unit =

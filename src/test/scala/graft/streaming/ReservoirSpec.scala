@@ -67,6 +67,52 @@ class ReservoirSpec extends SparkSpec {
     assert(after.size == k)
   }
 
+  test("re-ingested doc with CHANGED text resolves to the max-skey version, deterministically") {
+    val k = 100 // > corpus slice, so the conflicted doc is always retained
+    val dir = java.nio.file.Files.createTempDirectory("res4").toString + "/r"
+    Reservoir.reservoirBatch(corpus.take(60).toDF(), dir, k)
+    // re-crawl doc 3 with different text -> different n_tokens/skey
+    val recrawl = RDoc(3L, "s0", "one two three four five")
+    Reservoir.reservoirBatch(Seq(recrawl).toDF(), dir, k)
+    val rows = Reservoir.readReservoir(spark, dir).get
+      .select(col("doc_id"), col("skey")).as[(Long, Double)].collect().toMap
+    // expected winner: max skey among the two versions of doc 3
+    val versions = graft.ops.CurationOps
+      .weightedSample(Seq(corpus(2), recrawl).toDF(), 10)
+      .select(col("doc_id"), col("skey")).as[(Long, Double)].collect()
+      .map(_._2)
+    assert(rows.contains(3L), "k exceeds corpus size, doc 3 must be present")
+    assert(rows(3L) == versions.max,
+      s"conflicting re-ingest must keep the max-skey version: ${rows(3L)} vs ${versions.toList}")
+    // determinism: replay in the opposite order lands on the same reservoir
+    val dir2 = java.nio.file.Files.createTempDirectory("res5").toString + "/r"
+    Reservoir.reservoirBatch(Seq(recrawl).toDF(), dir2, k)
+    Reservoir.reservoirBatch(corpus.take(60).toDF(), dir2, k)
+    val rows2 = Reservoir.readReservoir(spark, dir2).get
+      .select(col("doc_id"), col("skey")).as[(Long, Double)].collect().toMap
+    assert(rows == rows2)
+  }
+
+  test("crash between backup-rename and swap: readReservoir restores the backup") {
+    val k = 25
+    val base = java.nio.file.Files.createTempDirectory("res6").toString
+    val dir = base + "/r"
+    Reservoir.reservoirBatch(corpus.take(80).toDF(), dir, k)
+    val before = Reservoir.readReservoir(spark, dir).get
+      .orderBy(col("skey").desc, col("doc_id")).collect().toSeq
+    // simulate the crash window: root renamed aside, swap never landed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "_old"))
+    val restored = Reservoir.readReservoir(spark, dir).get
+      .orderBy(col("skey").desc, col("doc_id")).collect().toSeq
+    assert(restored == before)
+    // and the next fold proceeds normally from the restored state
+    Reservoir.reservoirBatch(corpus.drop(80).toDF(), dir, k)
+    assert(Reservoir.readReservoir(spark, dir).get.count() == k)
+  }
+
   test("corpus smaller than k: reservoir holds every weighted doc, no padding") {
     val k = 1000
     val dir = java.nio.file.Files.createTempDirectory("res3").toString + "/r"
