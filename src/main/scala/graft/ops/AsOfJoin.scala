@@ -36,7 +36,36 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String]): DataFrame =
+    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime, payload,
+      forward = false)
+
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` in the same key — "what happened next"
+    * (next error after a purchase, next fill after an order). Same
+    * cost profile as [[asofBackward]]: one exchange, one sort, no
+    * K x N blowup — the in-partition walk just runs time-descending so
+    * the running carry holds the nearest FUTURE right row instead of
+    * the nearest past one.
+    */
+  def asofForward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String]): DataFrame =
+    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime, payload,
+      forward = true)
+
+  /** Shared union+window spine. Ordering: backward walks time
+    * ascending, forward descending; in BOTH directions right rows sort
+    * before co-timed left rows (`_side` 0 < 1), which makes the match
+    * inclusive at equal timestamps.
+    */
+  private def asofImpl(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String], forward: Boolean): DataFrame = {
     require(payload.forall(!left.columns.contains(_)),
       s"payload columns ${payload.mkString(",")} collide with left columns")
     val leftCols = left.columns.toSeq
@@ -50,8 +79,9 @@ object AsOfJoin {
         lit(0).as("_side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(payload.map(col): _*).as("_p"): _*)
+    val timeOrder = if (forward) col("_t").desc else col("_t").asc
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(timeOrder, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r, allowMissingColumns = false)
       .select(

@@ -27,7 +27,7 @@ object Dedup {
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
   def all: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89, q112, q135)
+    Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89, q112, q135, q139)
 
   /** Exact dedup on a normalized key: keep the lowest doc_id per group.
     * Scale: one hash exchange on the key; with pre-partitioned/bucketed
@@ -1056,6 +1056,67 @@ object Dedup {
         count(lit(1)).cast("bigint").as("n_members"),
         (count(lit(1)) - 1).cast("bigint").as("n_displaced"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** Shingle containment pairs (q139): asymmetric near-dup —
+    * C(A,B) = |A∩B| / |A| over 3-gram shingle sets, the sub-document
+    * signal Jaccard misses: a short doc fully quoted inside a long one
+    * has near-1 containment but low Jaccard (the union is dominated by
+    * the long doc), so symmetric dedup (q26/q87) never sees it. Emits
+    * both directions' containments; a pair qualifies when EITHER side
+    * is >= 0.5 (one doc substantially inside the other).
+    *
+    * Scale: same shape as the Jaccard pair queries — distinct
+    * (doc, shingle), self-join on shingle (at corpus scale the
+    * candidate step is [[minhashCandidates]]; this exact form is the
+    * verifier that runs on candidates), per-pair count, size join.
+    */
+  val q139: QueryDef = QueryDef.sql(
+    "q139_containment_pairs",
+    s"""WITH d0 AS (
+       |  SELECT doc_id, $duckToks AS t FROM documents WHERE doc_id < 250),
+       |dd AS (SELECT doc_id, t, len(t) AS n FROM d0 WHERE len(t) > 0),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS sh
+       |  FROM (SELECT doc_id, t,
+       |          unnest(range(0, greatest(n - 3, 0) + 1)) AS i FROM dd)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY d1, d2)
+       |SELECT d1, d2, CAST(n_common AS BIGINT) AS n_common,
+       |  CAST(n_common AS DOUBLE) / CAST(s1.n AS DOUBLE) AS containment_1,
+       |  CAST(n_common AS DOUBLE) / CAST(s2.n AS DOUBLE) AS containment_2
+       |FROM inter
+       |JOIN sz s1 ON s1.doc_id = d1
+       |JOIN sz s2 ON s2.doc_id = d2
+       |WHERE CAST(n_common AS DOUBLE) / CAST(s1.n AS DOUBLE) >= 0.5
+       |   OR CAST(n_common AS DOUBLE) / CAST(s2.n AS DOUBLE) >= 0.5
+       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    containmentPairs(Tables.documents(s, dir).filter(col("doc_id") < 250))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** The q139 kernel over any (doc_id, text) frame; unsorted output. */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+                       threshold: Double = 0.5): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), n)))
+        .as("sh"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.toDF("d1", "sh")
+      .join(sh.toDF("d2", "sh2"), col("sh") === col("sh2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    val c1 = col("n_common").cast("double") / col("n1").cast("double")
+    val c2 = col("n_common").cast("double") / col("n2").cast("double")
+    inter
+      .join(sz.toDF("dk1", "n1"), col("dk1") === col("d1"))
+      .join(sz.toDF("dk2", "n2"), col("dk2") === col("d2"))
+      .filter(c1 >= threshold || c2 >= threshold)
+      .select(col("d1"), col("d2"), col("n_common").cast("bigint").as("n_common"),
+        c1.as("containment_1"), c2.as("containment_2"))
   }
 
   /** Production embedding near-dup dedup: sign-LSH buckets make the

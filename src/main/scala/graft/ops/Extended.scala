@@ -22,7 +22,7 @@ object Extended {
   def all: Seq[QueryDef] = Seq(
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q101, q111, q118, q119, q122,
-    q123, q124, q133)
+    q123, q124, q133, q137, q138)
 
   /** Relational pivot via the first-class DataFrame API (`.pivot` with
     * explicit values — no extra pass to discover them): quantity per
@@ -1148,5 +1148,104 @@ object Extended {
         when(gapUs <= windowUs, col("c_click_id")).as("click_id"),
         when(gapUs <= windowUs, (gapUs / 1000000L).cast("bigint"))
           .as("gap_s"))
+  }
+
+  /** Post-purchase failure attribution (q137): each purchase paired
+    * with the same user's NEXT error event within ten minutes —
+    * "what broke right after checkout", the forward twin of q133,
+    * on [[AsOfJoin.asofForward]] (one exchange + one sort; the window
+    * width is a post-filter, not a join condition). Same-ts tie
+    * resolves to the MIN event_id, matching the oracle's
+    * ORDER BY ts ASC, event_id ASC LIMIT 1.
+    */
+  val q137: QueryDef = QueryDef.sql(
+    "q137_next_error",
+    """SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  e.error_id, e.gap_s
+      |FROM (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'purchase') p
+      |LEFT JOIN LATERAL (
+      |  SELECT c.event_id AS error_id,
+      |    (epoch_us(c.ts) - epoch_us(p.ts)) // 1000000 AS gap_s
+      |  FROM events c
+      |  WHERE c.event_type = 'error' AND c.user_id = p.user_id
+      |    AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE
+      |  ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) e ON true
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .agg(min(col("event_id")).as("e_error_id"))
+    val gapUs = unix_micros(col("e_ts")) - unix_micros(col("ts"))
+    AsOfJoin.asofForward(purchases, errors,
+        "user_id", "e_user", "ts", "e_ts", Seq("e_error_id", "e_ts"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        when(gapUs <= 600000000L, col("e_error_id")).as("error_id"),
+        when(gapUs <= 600000000L, (gapUs / 1000000L).cast("bigint"))
+          .as("gap_s"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Batch sessionization with conversion flag (q138): 30-minute-gap
+    * sessions per user (the classic lag -> new-session marker ->
+    * running-sum session id), one row per session with its span, event
+    * count, and whether it contained a purchase — the oracle-checked
+    * batch twin of the streaming
+    * [[graft.streaming.EventStreams.sessionize]] shape.
+    *
+    * Scale: ONE exchange (hash on user) carries both windows AND the
+    * final per-session aggregate — the windows sort in-partition and
+    * the groupBy keys (user_id, sid) are a superset of the partition
+    * key, so Catalyst plans partial+final agg with no second exchange.
+    * Micros-integer gap arithmetic on both engines.
+    */
+  val q138: QueryDef = QueryDef.sql(
+    "q138_sessions",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+      |  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS converted
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, sid""".stripMargin) { (s, dir) =>
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTime))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+          1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(running))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_s"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("bigint").as("converted"))
+      .select(col("user_id"), col("sid").cast("bigint").as("sid"),
+        col("n_events"), col("start_s"), col("end_s"), col("converted"))
+      .orderBy(col("user_id"), col("sid"))
   }
 }

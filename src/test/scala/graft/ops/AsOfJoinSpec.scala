@@ -40,4 +40,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.columns.toSet == Set("k", "ts", "tag", "v"))
   }
+
+  test("forward as-of: earliest right row at-or-after each left time, per key") {
+    val fills = Seq(
+      (1L, t(10), 110.0), (1L, t(20), 120.0), (1L, t(30), 130.0),
+      (2L, t(5), 50.0)).toDF("fkey", "fts", "px")
+    val orders = Seq(
+      (1L, t(10), "exact-at-first"),   // ts == fill ts -> inclusive match
+      (1L, t(15), "between"),          // next fill is t(20)
+      (1L, t(31), "after-last"),       // no future fill -> null
+      (2L, t(6), "past-only"),         // only fill is in the past -> null
+      (3L, t(9), "no-key"))            // key never filled -> null
+      .toDF("okey", "ots", "label")
+
+    val out = AsOfJoin.asofForward(orders, fills,
+      "okey", "fkey", "ots", "fts", payload = Seq("px"))
+      .select("label", "px").as[(String, Option[Double])].collect().toMap
+
+    assert(out == Map(
+      "exact-at-first" -> Some(110.0),
+      "between" -> Some(120.0),
+      "after-last" -> None,
+      "past-only" -> None,
+      "no-key" -> None))
+  }
+
+  test("forward and backward agree on exact-timestamp matches (inclusive both ways)") {
+    val r = Seq((1L, t(10), 1L)).toDF("k2", "ts2", "v")
+    val l = Seq((1L, t(10), "at")).toDF("k", "ts", "tag")
+    val fwd = AsOfJoin.asofForward(l, r, "k", "k2", "ts", "ts2", Seq("v"))
+      .select("v").as[Option[Long]].head()
+    val bwd = AsOfJoin.asofBackward(l, r, "k", "k2", "ts", "ts2", Seq("v"))
+      .select("v").as[Option[Long]].head()
+    assert(fwd == Some(1L) && bwd == Some(1L))
+  }
 }

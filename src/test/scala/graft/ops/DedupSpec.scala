@@ -234,4 +234,23 @@ class DedupSpec extends SparkSpec {
       shared.toDouble / math.min(bysrc(a).size, bysrc(b).size)))).toMap
     assert(out == expect, s"overlap matrix mismatch: got ${out.size} pairs, want ${expect.size}")
   }
+
+  test("containmentPairs finds a quoted sub-document that Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = ("totally different framing text opens here and then " + short +
+      " continues with much more unrelated material about engines shuffles " +
+      "partitions codecs broadcast joins windows and aggregation pipelines")
+    val d = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d)
+      .select("d1", "d2", "containment_1", "containment_2")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length == 1)
+    val (d1, d2, c1, c2) = got.head
+    assert((d1, d2) == ((1L, 2L)))
+    assert(c1 == 1.0, s"short doc fully contained: c1=$c1")
+    // with c1 = 1 (nc = n1), Jaccard = nc/(n1+n2-nc) = n1/n2 = c2, so
+    // c2 < 0.5 simultaneously shows the long side is mostly novel AND
+    // that symmetric Jaccard dedup would score this pair below 0.5
+    assert(c2 < 0.5, s"long doc mostly NOT contained: c2=$c2")
+  }
 }
