@@ -78,6 +78,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggs >= 2, s"expected partial+final hash agg, got $aggs")
   }
 
+  test("q138 sessions: one hash exchange feeds both windows AND the rollup") {
+    val nodes = collectNodes(Extended.q138.build(spark, sfDir))
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    // exchange 1: hash on user_id — the windows sort in-partition on it
+    // and the (user_id, sid) rollup is satisfied by the same clustering
+    // (grouping keys are a superset of the partition key, so Catalyst
+    // plans partial+final agg with NO second hash exchange); exchange
+    // 2: the sink's range sort. Anything more means the session rollup
+    // re-shuffled event rows.
+    assert(shuffles <= 2, s"q138 plan has $shuffles exchanges")
+    val windows = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(windows >= 1, s"expected window operators, got $windows")
+  }
+
   test("kNN brute force: query side is a broadcast, corpus side streams (no corpus shuffle before scoring)") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("vec_id"),
