@@ -21,7 +21,7 @@ object CurationOps {
 
   def all: Seq[QueryDef] =
     Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125,
-      q132)
+      q132, q140)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -809,5 +809,63 @@ object CurationOps {
       nHashes = 32, bandSize = 4, minSigAgreement = 0.7, maxPerSource = 10)
     curated.select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Per-source dataset card (q140): the one-row-per-source summary a
+    * curated corpus ships with — doc/token counts, exact-dup key
+    * count, language spread, quality-score bounds, tokens per doc.
+    * Every aggregate is engine-neutral by construction: counts and
+    * sums are BIGINT, the quality bounds are min/max (order-free over
+    * bit-identical doubles — a MEAN would sum doubles in engine-
+    * specific order and break the hash), and the per-doc ratio divides
+    * two BIGINTs with the same literal formula both sides.
+    *
+    * Scale: one partial+final aggregate pass keyed on source; the
+    * dup-key count rides the same pass as count(DISTINCT) (Catalyst
+    * expands to a two-phase distinct aggregate — still source-keyed,
+    * no extra corpus exchange beyond it).
+    */
+  val q140: QueryDef = QueryDef.sql(
+    "q140_dataset_card",
+    s"""WITH base AS (
+       |  SELECT source, lang, doc_id,
+       |    substring(text, 1, 30) AS dkey,
+       |    CAST(len($duckToks) AS BIGINT) AS nt,
+       |    (1.0 - (length(text) - length(regexp_replace(text, '\\p{P}', '', 'g'))) / length(text))
+       |      * (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text))
+       |      * least(1.0, CAST(len($duckToks) AS BIGINT) / 64.0)
+       |      * (0.5 + len(list_filter($duckToks, x -> x IN ('the','a','an','and','of','to','is','in','it','on'))) / len($duckToks))
+       |      AS qscore
+       |  FROM documents WHERE len($duckToks) > 0)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) - count(DISTINCT dkey) AS BIGINT) AS n_dup_keys,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  min(qscore) AS min_q,
+       |  max(qscore) AS max_q,
+       |  CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS tokens_per_doc
+       |FROM base GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    // dkey rides the quality pass as a passthrough column — ONE scan,
+    // no self-join; the n_tokens > 0 guard mirrors the SQL's len > 0
+    // (stop_ratio divides by token count on both engines)
+    TextAnalytics.qualityBase(
+        Tables.documents(s, dir)
+          .withColumn("dkey", substring(col("text"), 1, 30)),
+        extra = Seq("dkey"))
+      .filter(col("n_tokens") > 0)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("n_tokens"),
+        (count(lit(1)) - countDistinct(col("dkey"))).cast("bigint")
+          .as("n_dup_keys"),
+        countDistinct(col("lang")).cast("bigint").as("n_langs"),
+        min(col("qscore")).as("min_q"),
+        max(col("qscore")).as("max_q"))
+      .withColumn("tokens_per_doc",
+        col("n_tokens").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
   }
 }

@@ -78,20 +78,20 @@ object TextAnalytics {
     * arithmetic whose literal formula the DuckDB twins repeat verbatim
     * so the doubles hash-match.
     */
-  def qualityBase(docs: DataFrame): DataFrame = {
+  def qualityBase(docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     val stopsArr = array(probeStops.map(lit): _*)
     docs
-      .select(col("doc_id"), col("lang"), col("source"), col("text"),
-        toks(col("text")).as("t"))
+      .select(Seq(col("doc_id"), col("lang"), col("source"), col("text"),
+        toks(col("text")).as("t")) ++ extra.map(col): _*)
       .select(
-        col("doc_id"), col("lang"), col("source"),
-        size(col("t")).cast("bigint").as("n_tokens"),
-        ((length(col("text")) - length(regexp_replace(col("text"), "\\p{P}", "")))
-          / length(col("text"))).as("punct_ratio"),
-        ((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
-          / length(col("text"))).as("digit_ratio"),
-        (size(filter(col("t"), x => array_contains(stopsArr, x))) / size(col("t")))
-          .as("stop_ratio"))
+        Seq(col("doc_id"), col("lang"), col("source")) ++ extra.map(col) ++ Seq(
+          size(col("t")).cast("bigint").as("n_tokens"),
+          ((length(col("text")) - length(regexp_replace(col("text"), "\\p{P}", "")))
+            / length(col("text"))).as("punct_ratio"),
+          ((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            / length(col("text"))).as("digit_ratio"),
+          (size(filter(col("t"), x => array_contains(stopsArr, x))) / size(col("t")))
+            .as("stop_ratio")): _*)
       .withColumn("qscore",
         (lit(1.0) - col("punct_ratio")) * (lit(1.0) - col("digit_ratio"))
           * least(lit(1.0), col("n_tokens") / 64.0)
