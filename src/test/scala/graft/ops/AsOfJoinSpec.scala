@@ -65,6 +65,32 @@ class AsOfJoinSpec extends SparkSpec {
       "no-key" -> None))
   }
 
+  test("random inputs: both directions match a plain-Scala reference") {
+    val rnd = new scala.util.Random(37L)
+    val rights = Seq.tabulate(120) { i =>
+      (rnd.nextInt(6).toLong, t(rnd.nextInt(200)), i.toLong)
+    }.distinctBy(r => (r._1, r._2)) // unique (key, ts): the documented contract
+    val lefts = Seq.tabulate(80) { i =>
+      (rnd.nextInt(8).toLong, t(rnd.nextInt(200)), s"L$i")
+    }
+    val rdf = rights.toDF("k2", "ts2", "v")
+    val ldf = lefts.toDF("k", "ts", "tag")
+    def refMatch(k: Long, ts: Timestamp, fwd: Boolean): Option[Long] = {
+      val cand = rights.filter(r => r._1 == k &&
+        (if (fwd) !r._2.before(ts) else !r._2.after(ts)))
+      if (cand.isEmpty) None
+      else Some((if (fwd) cand.minBy(_._2.getTime) else cand.maxBy(_._2.getTime))._3)
+    }
+    val fwd = AsOfJoin.asofForward(ldf, rdf, "k", "k2", "ts", "ts2", Seq("v"))
+      .select("tag", "v").as[(String, Option[Long])].collect().toMap
+    val bwd = AsOfJoin.asofBackward(ldf, rdf, "k", "k2", "ts", "ts2", Seq("v"))
+      .select("tag", "v").as[(String, Option[Long])].collect().toMap
+    lefts.foreach { case (k, ts, tag) =>
+      assert(fwd(tag) == refMatch(k, ts, fwd = true), s"forward mismatch at $tag")
+      assert(bwd(tag) == refMatch(k, ts, fwd = false), s"backward mismatch at $tag")
+    }
+  }
+
   test("forward and backward agree on exact-timestamp matches (inclusive both ways)") {
     val r = Seq((1L, t(10), 1L)).toDF("k2", "ts2", "v")
     val l = Seq((1L, t(10), "at")).toDF("k", "ts", "tag")
