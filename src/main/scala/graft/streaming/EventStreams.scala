@@ -23,8 +23,8 @@ object EventStreams {
 
   /** File-source stream over an events parquet directory (the deploy
     * shape: new files land, Spark incrementally processes them).
-    * Handles the fixtures' TIMESTAMP(NANOS) the same way the batch
-    * reader does.
+    * Normalizes the timestamp encoding (nanos-as-long or NTZ) the same
+    * way the batch reader does.
     */
   def readEventStream(spark: SparkSession, dir: String,
                       maxFilesPerTrigger: Int = 1): DataFrame = {
