@@ -22,7 +22,7 @@ object Extended {
   def all: Seq[QueryDef] = Seq(
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q101, q111, q118, q119, q122,
-    q123, q124, q133, q137, q138)
+    q123, q124, q133, q137, q138, q141)
 
   /** Relational pivot via the first-class DataFrame API (`.pivot` with
     * explicit values — no extra pass to discover them): quantity per
@@ -1247,5 +1247,46 @@ object Extended {
       .select(col("user_id"), col("sid").cast("bigint").as("sid"),
         col("n_events"), col("start_s"), col("end_s"), col("converted"))
       .orderBy(col("user_id"), col("sid"))
+  }
+
+  /** RFM per purchasing user (q141): recency (whole days from the
+    * user's last purchase to the corpus' max event time), frequency
+    * (purchase count), monetary (exact DECIMAL(18,2) sum — a double
+    * sum's order is engine-specific, the standard money discipline
+    * here). The segmentation input every growth pipeline starts from.
+    *
+    * Scale: one purchase-filtered aggregate on user_id; the corpus max
+    * timestamp is a scalar aggregate broadcast onto the result rows.
+    */
+  val q141: QueryDef = QueryDef.sql(
+    "q141_rfm",
+    """WITH m AS (SELECT max(ts) AS mt FROM events),
+      |p AS (
+      |  SELECT user_id,
+      |    CAST(count(*) AS BIGINT) AS frequency,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary,
+      |    max(ts) AS last_p
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST((epoch_us(m.mt) - epoch_us(last_p)) // 86400000000 AS BIGINT)
+      |    AS recency_days,
+      |  frequency, monetary
+      |FROM p, m
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val m = ev.agg(max(col("ts")).as("mt"))
+    ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("frequency"),
+        money(col("value")).as("monetary"),
+        max(col("ts")).as("last_p"))
+      .crossJoin(broadcast(m))
+      .select(col("user_id"),
+        expr("(unix_micros(mt) - unix_micros(last_p)) div 86400000000L")
+          .cast("bigint").as("recency_days"),
+        col("frequency"), col("monetary"))
+      .orderBy(col("user_id"))
   }
 }

@@ -160,7 +160,8 @@ class PlanAuditSpec extends SparkSpec {
       "q117_centroid_classifier" -> "vectors x K-row broadcast of label centroids (K = distinct labels, bounded)",
       "q120_silhouette_by_label" -> "vectors x one-row broadcast packing the K label centroids",
       "q44_cluster_members" -> "points x one-row broadcast holding the K centers array",
-      "q97_semantic_dedup" -> "points x one-row broadcast holding the K centers array"
+      "q97_semantic_dedup" -> "points x one-row broadcast holding the K centers array",
+      "q141_rfm" -> "one-row broadcast holding the scalar corpus-max timestamp"
     )
     val bad = scala.collection.mutable.ListBuffer[String]()
     val observedBnlj = scala.collection.mutable.TreeSet[String]()
