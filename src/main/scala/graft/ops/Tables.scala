@@ -14,11 +14,11 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader only surfaces as raw nano-longs
-    * (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench);
-    * normalize to a TimestampType column (microsecond precision) here so
-    * every downstream operator sees a real timestamp.
+  /** events.parquet's physical timestamp encoding has varied across
+    * driver fixture generations (TIMESTAMP(NANOS) surfaced as raw
+    * longs under nanosAsLong; TIMESTAMP(MICROS) inferred as NTZ);
+    * normalize to a TimestampType column (microsecond precision) here
+    * so every downstream operator sees the same type regardless.
     */
   def events(s: SparkSession, dir: String): DataFrame =
     normalizeEventTs(load(s, dir, "events"))
