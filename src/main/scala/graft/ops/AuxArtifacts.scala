@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * recomputes the same frame internally in a separate action — a
   * nondeterministic builder would silently diverge from the query it
   * vouches for.
+  *
+  * Every dumped frame is SCALAR-COLUMN-ONLY: vector/matrix state is
+  * exploded to one row per element with an explicit position column
+  * (the oracle SQL re-assembles arrays with DuckDB's
+  * `list(x ORDER BY pos)`), because the driver's compare tooling
+  * sorts every dumped dir and cannot order array cells.
   */
 object AuxArtifacts {
 
@@ -24,19 +30,23 @@ object AuxArtifacts {
     // q46: SimHash signatures over the query's doc slice
     "aux_simhash_sig64" -> ((s, dir) =>
       Dedup.simhashSig64(Tables.documents(s, dir).filter(col("doc_id") < 500))),
-    // q45: MinHash signature matrix (array<bigint>) over the same slice
+    // q45: MinHash signature matrix over the same slice, exploded to
+    // (doc_id, pos, h) — one row per signature slot
     "aux_minhash_sig32" -> ((s, dir) =>
-      Dedup.minhashSignatures(Tables.documents(s, dir).filter(col("doc_id") < 500))),
+      Dedup.minhashSignatures(Tables.documents(s, dir).filter(col("doc_id") < 500))
+        .select(col("doc_id"), posexplode(col("mh")).as(Seq("pos", "h")))),
     // q47: sign-LSH buckets of every embedding under the 6-plane set
     "aux_sign_bucket6" -> ((s, dir) =>
       Similarity.signBuckets(embDouble(s, dir), nPlanes = 6)),
     // q51: same corpus under the 8-plane set (dedupByEmbedding's knob)
     "aux_sign_bucket8" -> ((s, dir) =>
       Similarity.signBuckets(embDouble(s, dir), nPlanes = 8)),
-    // q57: the deterministic multimodal stub embeddings
+    // q57: the deterministic multimodal stub embeddings, exploded to
+    // (vec_id, pos, x)
     "aux_mm_embed" -> ((s, dir) =>
       Multimodal.embedStub(s,
-        Multimodal.attachMedia(Tables.documents(s, dir))).toDF("vec_id", "v")),
+        Multimodal.attachMedia(Tables.documents(s, dir))).toDF("vec_id", "v")
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))),
     // q53: the probe targets (true cell centroids). The coarse centers
     // themselves are SQL-derivable (lloydIters=1 => first-k by id), but
     // the per-slot MEAN is a distributed float aggregation whose
@@ -50,6 +60,7 @@ object AuxArtifacts {
       val centers = KMeansAssign.lloydCenters(c, 8, 1, "cid", "cv")
       KMeansAssign.centroidMeans(
         KMeansAssign.assignMap(c, centers, "cv").drop("dist"), "cv")
+        .select(col("center_id"), posexplode(col("cvec")).as(Seq("pos", "x")))
     }),
     // q132: MinHash signatures over the curation pipeline's
     // deterministic exact-dedup prefix (quality -> lang allowlist ->
@@ -61,31 +72,45 @@ object AuxArtifacts {
     "aux_cur_sig32" -> ((s, dir) =>
       Dedup.minhashSignatures(graft.pipeline.Curation.exactStage(
         Tables.documents(s, dir), minTokens = 8, maxPunctRatio = 0.2,
-        keepLangs = Seq("en", "fr", "de")))),
+        keepLangs = Seq("en", "fr", "de")))
+        .select(col("doc_id"), posexplode(col("mh")).as(Seq("pos", "h")))),
     // q128: the 63-bit xxhash64 term hashes behind the auditable HLL —
     // registers, fold, and estimate are all re-derived in SQL from
     // these (Sketches.hllRegisters/hllEstimates are pure int/string
     // arithmetic past the hash)
     "aux_hll_hashes" -> ((s, dir) =>
       Sketches.hllHashes(Tables.documents(s, dir))),
+    // q106: the same hashes split into history (doc_id < 300) and
+    // delta parts, distinct within each — the oracle replays per-part
+    // registers, the register-wise max merge, and the full rebuild
+    "aux_hll_hashes_split" -> ((s, dir) =>
+      Sketches.hllHashesSplit(Tables.documents(s, dir), splitAt = 300)),
     // q130: the seeded xxhash64 bucket table behind the auditable CMS —
     // counters and min-estimates are pure BIGINT arithmetic past it
     "aux_cms_hashes" -> ((s, dir) =>
       Sketches.cmsHashes(Tables.documents(s, dir))),
     // q102: the trained IVF-PQ quantizer state (coarse centers +
-    // per-subspace codebooks) as ONE nested-array row — the saveIndex
-    // meta shape. Training is fully deterministic (hash-ordered sample,
-    // driver Lloyd, lloydIters=1 coarse init), so the query's internal
-    // rebuild is bit-identical; DuckDB re-derives the ENTIRE serving
-    // path over this state (normalize, assign, encode, LUT, ADC
-    // shortlist, exact re-rank).
+    // per-subspace codebooks), flattened to one row per float cell:
+    // part 'c' = coarse centers (i = center_id, j unused = 0),
+    // part 'k' = codebooks (i = subspace, j = code). Training is fully
+    // deterministic (hash-ordered sample, driver Lloyd, lloydIters=1
+    // coarse init), so the query's internal rebuild is bit-identical;
+    // DuckDB re-derives the ENTIRE serving path over this state
+    // (normalize, assign, encode, LUT, ADC shortlist, exact re-rank).
     "aux_pq_meta" -> ((s, dir) => {
       val idx = Pq.buildIndex(s, embDouble(s, dir),
         dim = 64, nCells = 8, m = 8, ksub = 16, lloydIters = 1)
       import s.implicits._
-      Seq((idx.centers.map(_.toSeq).toSeq,
-          idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
-        .toDF("centers", "codebooks")
+      val centerRows = for {
+        (cv, i) <- idx.centers.toSeq.zipWithIndex
+        (x, p) <- cv.toSeq.zipWithIndex
+      } yield ("c", i, 0, p, x)
+      val codebookRows = for {
+        (cb, j) <- idx.codebooks.toSeq.zipWithIndex
+        (w, c) <- cb.toSeq.zipWithIndex
+        (x, p) <- w.toSeq.zipWithIndex
+      } yield ("k", j, c, p, x)
+      (centerRows ++ codebookRows).toDF("part", "i", "j", "pos", "x")
     })
   )
 

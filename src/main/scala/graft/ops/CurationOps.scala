@@ -777,8 +777,9 @@ object CurationOps {
        |  WHERE nt >= 8 AND pr <= 0.2 AND lang IN ('en', 'fr', 'de')),
        |keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
        |e AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
-       |s AS (SELECT doc_id, mh
-       |      FROM read_parquet('__GRAFT_OUT__/aux_cur_sig32/*.parquet')),
+       |s AS (SELECT doc_id, list(h ORDER BY pos) AS mh
+       |      FROM read_parquet('__GRAFT_OUT__/aux_cur_sig32/*.parquet')
+       |      GROUP BY doc_id),
        |b AS (
        |  SELECT doc_id, g.b AS band, list_slice(mh, g.b*4 + 1, g.b*4 + 4) AS key
        |  FROM s CROSS JOIN (SELECT unnest(range(8)) AS b) g),

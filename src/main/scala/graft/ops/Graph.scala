@@ -60,35 +60,46 @@ object Graph {
   val BroadcastNodeLimit = 8000000L
 
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    // Loop-invariant frames, persisted ONCE each: the src-partitioned
+    // edge list (the only corpus-sized table — disk spillover; at
+    // cluster scale this is the standard iterative-graph pattern, e.g.
+    // GraphX's edge cache) and the node-sized out-degree table. The
+    // degree aggregate reuses e's hash partitioning (no exchange), and
+    // the node set is NOT a separate distinct pass — the distinct src
+    // set IS out's key set. One cold action (out.count, which pulls e
+    // through its cache on the way) materializes both caches AND
+    // evaluates the broadcast guard; the r7 shape paid the edge-build
+    // subtree (scan + join + distinct + repartition) twice more cold —
+    // once under nodes.distinct().count(), once under a persisted
+    // edge+degree join frame (bench isolation unpersists between reps,
+    // so every recorded rep paid that cold path: 7.7s recorded vs 3.3s
+    // warm at sf0.1 x 5 iters).
     val e = edges.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // Loop-invariant frames: every iteration re-reads the degree-
-    // annotated edge list and the node set, so persist both (disk
-    // spillover for the edge-sized one — at cluster scale this is the
-    // standard iterative-graph pattern, e.g. GraphX's edge cache).
-    // Without the cache the edge-build subtree (scan + distinct +
-    // repartition + degree join) appears once PER ITERATION in the
-    // final DAG; exchange reuse recovers only the pieces below the
-    // exchanges. Measured at sf0.1 x 5 iters: 6.7s -> see PLANS.md.
-    val withDeg = e.join(out, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bcastRanks = out.count() <= BroadcastNodeLimit
+    val nodes = out.select(col("src").as("node"))
     // The rank vector is node-sized, orders of magnitude smaller than
     // the edge list. When it fits the broadcast budget, ship it to the
     // executors each iteration: a broadcast-hash join streams the
     // cached edge partitions with NO per-iteration sort or exchange of
     // the edge-sized side (a sort-merge join would re-sort |E| rows
     // every iteration — measured 7.7s -> 2.6s at sf0.1 x 5 iters).
-    // The count also materializes the node cache up front.
-    val bcastRanks = nodes.count() <= BroadcastNodeLimit
+    // Above the budget, iterations degrade to shuffled joins where
+    // only the node-sized side moves: rankDeg exchanges on src and
+    // meets the cached, already-src-partitioned edge list in place.
     def hinted(df: DataFrame): DataFrame = if (bcastRanks) broadcast(df) else df
     var ranks = nodes.select(col("node"), lit(RankScale).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = withDeg
+      // Per-node contribution rank div outdeg computed BEFORE touching
+      // the edges (node-sized join + one division per node, not per
+      // edge), then fanned out across the cached edge partitions.
+      val rankDeg = out
         .join(hinted(ranks.withColumnRenamed("node", "src")), "src")
-        .select(col("dst").as("node"),
-          expr("rank div outdeg").as("c"))
+        .select(col("src"), expr("rank div outdeg").as("c"))
+      val contrib = e.join(hinted(rankDeg), "src")
+        .select(col("dst").as("node"), col("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("insum"))
       // damping (17x) div 20 DECOMPOSED as 17*(x div 20) + (17*(x mod 20)) div 20:
       // identical for x >= 0 (x = 20q + r => both are 17q + (17r) div 20) but

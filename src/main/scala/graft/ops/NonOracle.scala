@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * for q47, threshold dedup for q51, the full brute-force kNN for q57.
   * The kernels themselves are gated by unit/recall specs plus the
   * oracle-checked arithmetic twins (q27/q28/q29 for MinHash/LSH/
-  * SimHash, q31 for exact kNN). Still rows-only: sketches (q52/q106 —
-  * engine-specific sketch internals), iterative quantizer training
-  * (q53/q102/q105 — Lloyd/BPE loops whose float aggregation order is
-  * not pinned across engines).
+  * SimHash, q31 for exact kNN). Still rows-only: q52 ONLY — its
+  * estimates come from Spark's engine-internal datasketches binaries
+  * (approx_count_distinct / percentile_approx), whose register layout
+  * and compaction no other engine replays; its auditable twins are
+  * q128 (HLL) / q130 (CMS) / q106 (mergeable HLL state), all
+  * hash-checked.
   */
 object NonOracle {
 
@@ -45,8 +47,9 @@ object NonOracle {
   val q45 = QueryDef.sql(
     "q45_minhash_lsh_prod",
     """WITH s AS (
-      |  SELECT doc_id, mh
-      |  FROM read_parquet('__GRAFT_OUT__/aux_minhash_sig32/*.parquet')),
+      |  SELECT doc_id, list(h ORDER BY pos) AS mh
+      |  FROM read_parquet('__GRAFT_OUT__/aux_minhash_sig32/*.parquet')
+      |  GROUP BY doc_id),
       |b AS (
       |  SELECT doc_id, g.b AS band, list_slice(mh, g.b*4 + 1, g.b*4 + 4) AS key
       |  FROM s CROSS JOIN (SELECT unnest(range(8)) AS b) g)
@@ -203,8 +206,9 @@ object NonOracle {
        |             ELSE 1.0 - dot / (sqrt(na) * sqrt(nb)) END, center_id) AS rn
        |    FROM ad) WHERE rn = 1),
        |cen AS (
-       |  SELECT center_id, cvec
-       |  FROM read_parquet('__GRAFT_OUT__/aux_ivf_centroids/*.parquet')),
+       |  SELECT center_id, list(x ORDER BY pos) AS cvec
+       |  FROM read_parquet('__GRAFT_OUT__/aux_ivf_centroids/*.parquet')
+       |  GROUP BY center_id),
        |pq AS (
        |  SELECT q.vec_id AS qid, cen.center_id,
        |    list_sum(list_transform(range(1, len(q.embedding) + 1),
@@ -256,7 +260,7 @@ object NonOracle {
   val q102 = QueryDef.sql(
     "q102_knn_ivfpq",
     s"""WITH meta AS (
-       |  SELECT centers, codebooks
+       |  SELECT part, i, j, pos, x
        |  FROM read_parquet('__GRAFT_OUT__/aux_pq_meta/*.parquet')),
        |e AS (
        |  SELECT vec_id,
@@ -269,15 +273,11 @@ object NonOracle {
        |  FROM (SELECT vec_id, v,
        |          list_sum(list_transform(v, x -> x * x)) AS s2 FROM e)),
        |ctr AS (
-       |  SELECT i - 1 AS center_id, centers[i] AS cv
-       |  FROM meta CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
-       |  WHERE i <= len(centers)),
+       |  SELECT i AS center_id, list(x ORDER BY pos) AS cv
+       |  FROM meta WHERE part = 'c' GROUP BY i),
        |cb AS (
-       |  SELECT j.j - 1 AS j, c.c - 1 AS c, codebooks[j.j][c.c] AS w
-       |  FROM meta
-       |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) j
-       |  CROSS JOIN (SELECT unnest(generate_series(1, 256)) AS c) c
-       |  WHERE j.j <= len(codebooks) AND c.c <= len(codebooks[1])),
+       |  SELECT meta.i AS j, meta.j AS c, list(x ORDER BY pos) AS w
+       |  FROM meta WHERE part = 'k' GROUP BY meta.i, meta.j),
        |ad AS (
        |  SELECT nv.vec_id, ctr.center_id,
        |    list_sum(list_transform(range(1, len(nv.vn) + 1),
@@ -355,26 +355,83 @@ object NonOracle {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** Incremental distinct-token stats via mergeable HLL state
-    * (graft.ops.Sketches): history sketched once (doc_id < 300), the
-    * delta batch sketched separately, states merged register-wise —
-    * emitted beside the full-rebuild estimate, which it must equal
-    * row for row (SketchMergeSpec asserts it; sketch internals are
-    * engine-specific, so rows-only at the oracle).
+  /** Incremental distinct-token stats via mergeable AUDITABLE HLL
+    * state (graft.ops.Sketches): history registers built once
+    * (doc_id < 300), the delta batch's registers built separately,
+    * states merged register-wise (union + max — plain integer
+    * arithmetic) — emitted beside the full-rebuild estimate, which it
+    * must equal row for row. TWO-STAGE ORACLE (the q128 pattern):
+    * Verify dumps the per-part 63-bit hashes (aux_hll_hashes_split);
+    * DuckDB re-derives per-part registers, REPLAYS the max-merge, and
+    * independently rebuilds from the union — so the merge==rebuild
+    * identity is checked cross-engine, not just spec-asserted. The
+    * binary datasketches state path (distinctSketch/mergeSketchStates/
+    * hll_union) remains the engine-internal production twin, gated by
+    * SketchMergeSpec's merge==rebuild assertion.
     */
-  val q106 = QueryDef.rowsOnly("q106_sketch_merge") { (s, dir) =>
+  val q106 = QueryDef.sql(
+    "q106_sketch_merge",
+    """WITH h AS (
+      |  SELECT part, source, hbits
+      |  FROM read_parquet('__GRAFT_OUT__/aux_hll_hashes_split/*.parquet')),
+      |r0 AS (
+      |  SELECT part, source, CAST(hbits & 511 AS INT) AS idx, hbits >> 9 AS rest
+      |  FROM h),
+      |rpart AS (
+      |  SELECT part, source, idx,
+      |    max(CASE WHEN rest = 0 THEN 55
+      |             ELSE 55 - length(bin(rest)) END) AS rho
+      |  FROM r0 GROUP BY part, source, idx),
+      |rinc AS (
+      |  SELECT source, idx, max(rho) AS rho FROM rpart GROUP BY source, idx),
+      |rreb AS (
+      |  SELECT source, idx,
+      |    max(CASE WHEN rest = 0 THEN 55
+      |             ELSE 55 - length(bin(rest)) END) AS rho
+      |  FROM r0 GROUP BY source, idx),
+      |regs AS (
+      |  SELECT 'inc' AS path, source, idx, rho FROM rinc
+      |  UNION ALL SELECT 'reb', source, idx, rho FROM rreb),
+      |grid AS (
+      |  SELECT p.path, s.source, g.i
+      |  FROM (SELECT DISTINCT source FROM h) s
+      |  CROSS JOIN (SELECT unnest(['inc', 'reb']) AS path) p
+      |  CROSS JOIN (SELECT unnest(range(0, 512)) AS i) g),
+      |fullr AS (
+      |  SELECT grid.path, grid.source, grid.i, COALESCE(r.rho, 0) AS rho
+      |  FROM grid LEFT JOIN regs r
+      |    ON r.path = grid.path AND r.source = grid.source AND r.idx = grid.i),
+      |sums AS (
+      |  SELECT path, source,
+      |    list_sum(list(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE)
+      |      ORDER BY i)) AS z,
+      |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+      |  FROM fullr GROUP BY path, source),
+      |est AS (
+      |  SELECT path, source, v,
+      |    (0.7213 / (1.0 + 1.079 / 512.0) * 262144.0) / z AS raw
+      |  FROM sums),
+      |e2 AS (
+      |  SELECT path, source,
+      |    CASE WHEN raw <= 1280.0 AND v > 0
+      |      THEN 512.0 * round(ln(512.0 / CAST(v AS DOUBLE)), 9)
+      |      ELSE raw END AS hll_est
+      |  FROM est)
+      |SELECT i.source, i.hll_est AS est_incremental, r.hll_est AS est_rebuild
+      |FROM e2 i JOIN e2 r ON i.source = r.source
+      |WHERE i.path = 'inc' AND r.path = 'reb'
+      |ORDER BY i.source""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-      .select(col("source"), explode(TextAnalytics.toks(col("text"))).as("term"),
-        col("doc_id"))
-    val hist = Sketches.distinctSketch(docs.filter(col("doc_id") < 300), "source", "term")
-    val delta = Sketches.distinctSketch(docs.filter(col("doc_id") >= 300), "source", "term")
-    val merged = Sketches.estimates(
-      Sketches.mergeSketchStates(hist, delta, "source"), "source")
-      .withColumnRenamed("n_distinct", "est_incremental")
-    val full = Sketches.estimates(
-      Sketches.distinctSketch(docs, "source", "term"), "source")
-      .withColumnRenamed("n_distinct", "est_rebuild")
-    merged.join(full, "source").orderBy(col("source"))
+    val histReg = Sketches.hllRegisters(
+      Sketches.hllHashes(docs.filter(col("doc_id") < 300)))
+    val deltaReg = Sketches.hllRegisters(
+      Sketches.hllHashes(docs.filter(col("doc_id") >= 300)))
+    val inc = Sketches.hllEstimates(
+      Sketches.mergeRegisterStates(histReg, deltaReg))
+      .withColumnRenamed("hll_est", "est_incremental")
+    val reb = Sketches.hllEstimates(Sketches.hllRegisters(Sketches.hllHashes(docs)))
+      .withColumnRenamed("hll_est", "est_rebuild")
+    inc.join(reb, "source").orderBy(col("source"))
   }
 
   /** The full BPE training loop, UNROLLED into `nMerges` chained CTE
@@ -458,8 +515,9 @@ object NonOracle {
   val q57 = QueryDef.sql(
     "q57_multimodal_embed_knn",
     s"""WITH e AS (
-       |  SELECT vec_id, v
-       |  FROM read_parquet('__GRAFT_OUT__/aux_mm_embed/*.parquet')),
+       |  SELECT vec_id, list(x ORDER BY pos) AS v
+       |  FROM read_parquet('__GRAFT_OUT__/aux_mm_embed/*.parquet')
+       |  GROUP BY vec_id),
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
        |s AS (
        |  SELECT qid, e.vec_id AS cid,

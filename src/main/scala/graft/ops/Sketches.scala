@@ -72,6 +72,34 @@ object Sketches {
         xxhash64(col("term")).bitwiseAND(lit(Long.MaxValue)).as("hbits"))
       .distinct()
 
+  /** Per-split hashes for the auditable merge (q106): part 0 = history
+    * (doc_id < splitAt), part 1 = the delta batch, distinct WITHIN
+    * each part — so the oracle re-derives per-part registers, replays
+    * the register-wise max merge, and checks it against the full
+    * rebuild. Only the xxhash64 is engine-internal; everything past it
+    * is integer arithmetic.
+    */
+  def hllHashesSplit(docs: DataFrame, splitAt: Long): DataFrame =
+    docs
+      .select(
+        when(col("doc_id") < splitAt, lit(0)).otherwise(lit(1)).as("part"),
+        col("source"), explode(TextAnalytics.toks(col("text"))).as("term"))
+      .select(col("part"), col("source"),
+        xxhash64(col("term")).bitwiseAND(lit(Long.MaxValue)).as("hbits"))
+      .distinct()
+
+  /** Fold one auditable register-table state into another: union +
+    * register-wise max — the lossless HLL merge as PLAIN INTEGER
+    * arithmetic over (source, idx, rho) rows, the cross-engine-
+    * replayable twin of [[mergeSketchStates]]' binary hll_union.
+    * Merge == rebuild exactly, because max is associative over the
+    * per-part maxes (q106's oracle re-derives both sides).
+    */
+  def mergeRegisterStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("source"), col("idx"))
+      .agg(max(col("rho")).as("rho"))
+
   /** (source, idx, rho) register table: idx = low lgK bits, rho =
     * leading-zero run of the remaining 54-bit budget + 1, computed
     * with INTEGER/STRING ops only (bit length via `bin()`, no libm) so
