@@ -29,9 +29,11 @@ object CorpusDrift {
     * literal formula in both engines. Terms present in one source only
     * never materialize as join rows: their total contribution is
     * N2*(N1 - S1shared) + N1*(N2 - S2shared), recovered from the
-    * shared-term sums alone. Source pairs sharing NO terms emit no row
-    * (their L1 is trivially 2.0) — both engines use the same inner
-    * join, so the omission is symmetric.
+    * shared-term sums alone. EVERY source pair emits a row: pairs
+    * sharing no vocabulary — the MOST divergent case, which a monitor
+    * must see, not infer from absence — surface with shared_terms = 0
+    * and l1 = 2.0 via a left join from the S x S source-pair spine
+    * (an S-row broadcast nested loop; S is a pipeline constant).
     *
     * Scale: one exchange builds (source, term, c); the self-join keys
     * on term, whose fan-out per term is bounded by the number of
@@ -57,14 +59,15 @@ object CorpusDrift {
        |  JOIN tot t1 ON t1.source = a.source
        |  JOIN tot t2 ON t2.source = b.source
        |  GROUP BY s1, s2)
-       |SELECT s1, s2, shared_terms,
-       |  CAST(CAST(cross_num
-       |      + CAST(t2.n AS HUGEINT) * (t1.n - s1b)
-       |      + CAST(t1.n AS HUGEINT) * (t2.n - s2b) AS DOUBLE)
+       |SELECT t1.source AS s1, t2.source AS s2,
+       |  CAST(COALESCE(pair.shared_terms, 0) AS BIGINT) AS shared_terms,
+       |  CAST(CAST(COALESCE(cross_num, 0)
+       |      + CAST(t2.n AS HUGEINT) * (t1.n - COALESCE(s1b, 0))
+       |      + CAST(t1.n AS HUGEINT) * (t2.n - COALESCE(s2b, 0)) AS DOUBLE)
        |    / (CAST(t1.n AS DOUBLE) * CAST(t2.n AS DOUBLE)) AS DOUBLE) AS l1
-       |FROM pair
-       |JOIN tot t1 ON t1.source = s1
-       |JOIN tot t2 ON t2.source = s2
+       |FROM tot t1
+       |JOIN tot t2 ON t1.source < t2.source
+       |LEFT JOIN pair ON pair.s1 = t1.source AND pair.s2 = t2.source
        |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
     sourceDivergence(Tables.documents(s, dir)).orderBy(col("s1"), col("s2"))
   }
@@ -81,20 +84,27 @@ object CorpusDrift {
     val pair = tc.toDF("s1", "term", "c1")
       .join(tc.toDF("s2", "term2", "c2"),
         col("term") === col("term2") && col("s1") < col("s2"))
-      .join(broadcast(tot.toDF("ts1", "n1")), col("ts1") === col("s1"))
-      .join(broadcast(tot.toDF("ts2", "n2")), col("ts2") === col("s2"))
+      .join(broadcast(tot.toDF("ts1", "tn1")), col("ts1") === col("s1"))
+      .join(broadcast(tot.toDF("ts2", "tn2")), col("ts2") === col("s2"))
       .groupBy(col("s1"), col("s2"))
       .agg(
         count(lit(1)).cast("bigint").as("shared_terms"),
         sum(col("c1").cast(d38)).as("s1b"),
         sum(col("c2").cast(d38)).as("s2b"),
-        sum(abs(col("c1").cast(d38) * col("n2") - col("c2").cast(d38) * col("n1")))
-          .as("cross_num"),
-        first(col("n1")).as("n1"), first(col("n2")).as("n2"))
-    pair.select(col("s1"), col("s2"), col("shared_terms"),
-        ((col("cross_num")
-            + col("n2").cast(d38) * (col("n1") - col("s1b"))
-            + col("n1").cast(d38) * (col("n2") - col("s2b"))).cast("double")
+        sum(abs(col("c1").cast(d38) * col("tn2") - col("c2").cast(d38) * col("tn1")))
+          .as("cross_num"))
+    // S x S pair spine (S-row broadcast nested loop, S = source count
+    // — a pipeline constant): zero-shared-vocabulary pairs, the
+    // maximally divergent case, must EMIT (shared_terms=0, l1=2.0)
+    // rather than vanish from the monitor's view
+    val spine = broadcast(tot.toDF("s1", "n1"))
+      .join(broadcast(tot.toDF("s2", "n2")), col("s1") < col("s2"))
+    spine.join(pair, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"),
+        coalesce(col("shared_terms"), lit(0L)).as("shared_terms"),
+        ((coalesce(col("cross_num"), lit(0).cast(d38))
+            + col("n2").cast(d38) * (col("n1") - coalesce(col("s1b"), lit(0).cast(d38)))
+            + col("n1").cast(d38) * (col("n2") - coalesce(col("s2b"), lit(0).cast(d38)))).cast("double")
           / (col("n1").cast("double") * col("n2").cast("double"))).as("l1"))
   }
 

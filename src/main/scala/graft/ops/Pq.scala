@@ -165,7 +165,16 @@ object Pq {
     */
   def loadIndex(spark: SparkSession, path: String): PqIndex = {
     import scala.collection.{Seq => CSeq}
-    recoverCells(spark, path)
+    // read-only crash fallback: if a compaction died mid-swap, serve
+    // the sibling backup IN PLACE (same PARTITIONED BY center_id
+    // layout, so probe pruning is unaffected) — never rename from a
+    // read path (see recoverCells)
+    val cellsP = new org.apache.hadoop.fs.Path(path + "/cells")
+    val cfs = cellsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellsOld = new org.apache.hadoop.fs.Path(path + "/cells_old")
+    val cellsPath =
+      if (!cfs.exists(cellsP) && cfs.exists(cellsOld)) cellsOld.toString
+      else cellsP.toString
     val meta = spark.read.parquet(path + "/meta").collect()(0)
     // row cells hold mutable.ArraySeq — declare collection.Seq, not
     // immutable.Seq (getSeq's cast is unchecked erasure)
@@ -173,7 +182,7 @@ object Pq {
       .map(_.toArray).toArray
     val codebooks = meta.getSeq[CSeq[CSeq[Double]]](meta.fieldIndex("codebooks"))
       .map(_.map(_.toArray).toArray).toArray
-    val cells0 = spark.read.parquet(path + "/cells")
+    val cells0 = spark.read.parquet(cellsPath)
     val tomb = new org.apache.hadoop.fs.Path(path + "/tombstones")
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // list FILES, not just the dir: compaction deletes folded tombstone
@@ -220,13 +229,18 @@ object Pq {
   /** If a compaction crashed between renaming the old cells aside and
     * landing the rewrite, restore the backup (the rewrite is redone by
     * re-running compaction; the tombstones it folded were only deleted
-    * AFTER the swap, so nothing is lost).
+    * AFTER the swap, so nothing is lost). WRITER-ONLY: called solely
+    * from [[compactIndex]] — [[loadIndex]] reads the backup in place
+    * instead, so a serving load can never race a live swap (a restore
+    * between the compactor's two renames would nest the new cells
+    * inside the restored dir — Hadoop renames into an existing dir).
     */
   private def recoverCells(spark: SparkSession, path: String): Unit = {
     val cellsP = new org.apache.hadoop.fs.Path(path + "/cells")
     val fs = cellsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(path + "/cells_old")
-    if (!fs.exists(cellsP) && fs.exists(old)) fs.rename(old, cellsP)
+    if (!fs.exists(cellsP) && fs.exists(old) && !fs.rename(old, cellsP))
+      sys.error(s"pq cells recovery: rename $old -> $cellsP failed")
   }
 
   /** Fold pending tombstones into the cell files: rewrite the
@@ -268,8 +282,12 @@ object Pq {
     val old = new org.apache.hadoop.fs.Path(path + "/cells_old")
     cells.write.mode("overwrite").partitionBy("center_id").parquet(tmp.toString)
     fs.delete(old, true) // stale backup from a prior completed run
-    fs.rename(cellsP, old)
-    fs.rename(tmp, cellsP)
+    // checked renames: a silently-failed swap would serve stale or
+    // missing cells undetected
+    if (!fs.rename(cellsP, old))
+      sys.error(s"pq compaction: rename $cellsP -> $old failed")
+    if (!fs.rename(tmp, cellsP))
+      sys.error(s"pq compaction: rename $tmp -> $cellsP failed")
     fs.delete(old, true)
     tombFiles.foreach(f => fs.delete(f, false))
     // drop the dir only when no DATA file landed since the snapshot:

@@ -21,6 +21,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** java.sql.Timestamp -> microseconds since epoch with FLOOR
+    * semantics, matching the batch kernels' unix_micros for pre-1970
+    * event times too: getTime truncates toward zero, so the
+    * whole-second part must divide with floorDiv (getNanos is the
+    * non-negative sub-second part and needs no correction).
+    */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
   /** File-source stream over an events parquet directory (the deploy
     * shape: new files land, Spark incrementally processes them).
     * Normalizes the timestamp encoding (nanos-as-long or NTZ) the same
@@ -161,7 +170,7 @@ object EventStreams {
                watermarkDelay: String = "10 minutes"): Dataset[DebouncedEvent] = {
     import spark.implicits._
     val gapUs = windowMinutes * 60L * 1000000L
-    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(e => (e.user_id, e.event_type))
@@ -224,7 +233,7 @@ object EventStreams {
                   windowUs: Long = 3600000000L,
                   watermarkDelay: String = "10 minutes"): Dataset[Attribution] = {
     import spark.implicits._
-    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
     events
       .filter(e => e.event_type == "click" || e.event_type == "purchase")
       .withWatermark("ts", watermarkDelay)
@@ -290,7 +299,7 @@ object EventStreams {
     import spark.implicits._
     val baseUs = 1704067200000000L
     val dayUs = 86400000000L
-    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)

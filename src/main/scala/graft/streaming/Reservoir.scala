@@ -60,6 +60,11 @@ object Reservoir {
   private[streaming] def reservoirBatch(batch: DataFrame, reservoirDir: String,
                                         k: Int): Unit = {
     val spark = batch.sparkSession
+    // writer-side crash repair BEFORE the fold: restore a backup left
+    // by a swap that died mid-rename. Only this single-writer entry
+    // point repairs by rename; the serving read path falls back to
+    // reading the backup in place (see readReservoir).
+    recoverReservoir(spark, reservoirDir)
     val delta = CurationOps.weightedSample(batch, k)
     val merged = readReservoir(spark, reservoirDir) match {
       case Some(cur) =>
@@ -82,22 +87,41 @@ object Reservoir {
     // materializes `merged` while the old root is still readable
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     fs.delete(old, true) // stale backup from a prior completed fold
-    if (fs.exists(root)) fs.rename(root, old)
-    fs.rename(tmp, root)
+    // checked renames: a silently-failed swap would lose the fold
+    if (fs.exists(root) && !fs.rename(root, old))
+      sys.error(s"reservoir swap: rename $root -> $old failed")
+    if (!fs.rename(tmp, root))
+      sys.error(s"reservoir swap: rename $tmp -> $root failed")
     fs.delete(old, true)
+  }
+
+  /** Writer-only crash repair: if a fold died between the backup
+    * rename and the swap (root missing but `_old` present), rename
+    * the backup back — the interrupted fold is replayed by the
+    * checkpoint, so restoring the pre-fold state is exactly right.
+    * Called solely from [[reservoirBatch]] (the single writer); a
+    * read-path rename would race a live swap and rename the backup
+    * INTO the just-landed root dir.
+    */
+  private def recoverReservoir(spark: SparkSession, reservoirDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(reservoirDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(reservoirDir + "_old")
+    if (!fs.exists(root) && fs.exists(old) && !fs.rename(old, root))
+      sys.error(s"reservoir recovery: rename $old -> $root failed")
   }
 
   /** The current reservoir, or None before the first fold. If a crash
     * landed between the backup-rename and the swap (root missing but
-    * `_old` present), restore the backup first — the interrupted fold
-    * is replayed by the checkpoint, so serving the pre-fold state is
-    * exactly right.
+    * `_old` present), serve the backup IN PLACE — the read path never
+    * renames (see [[recoverReservoir]]).
     */
   def readReservoir(spark: SparkSession, reservoirDir: String): Option[DataFrame] = {
     val root = new org.apache.hadoop.fs.Path(reservoirDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(reservoirDir + "_old")
-    if (!fs.exists(root) && fs.exists(old)) fs.rename(old, root)
-    if (fs.exists(root)) Some(spark.read.parquet(reservoirDir)) else None
+    if (fs.exists(root)) Some(spark.read.parquet(reservoirDir))
+    else if (fs.exists(old)) Some(spark.read.parquet(old.toString))
+    else None
   }
 }

@@ -63,7 +63,7 @@ class CorpusDriftSpec extends SparkSpec {
   private def docsDf(rows: Seq[(Long, String, String)]): DataFrame =
     rows.toDF("doc_id", "source", "text")
 
-  test("q134: identical sources diverge 0; disjoint sources emit no row") {
+  test("q134: identical sources diverge 0; disjoint sources emit l1=2.0") {
     val d = docsDf(Seq(
       (1L, "a", "x y z x"),
       (2L, "b", "x x y z"),   // same multiset as a
@@ -73,8 +73,9 @@ class CorpusDriftSpec extends SparkSpec {
       .as[(String, String, Double)].collect()
       .map { case (a, b, l) => (a, b) -> l }.toMap
     assert(got(("a", "b")) == 0.0)
-    assert(!got.contains(("a", "c")) && !got.contains(("b", "c")),
-      "zero-shared-vocab pairs are documented as absent")
+    assert(got(("a", "c")) == 2.0 && got(("b", "c")) == 2.0,
+      "zero-shared-vocab pairs are maximal drift and must surface, not vanish")
+    assert(got.size == 3, "every source pair emits exactly one row")
   }
 
   test("q134: random corpora match a plain-Scala L1 over full vocab") {

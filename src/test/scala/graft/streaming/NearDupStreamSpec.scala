@@ -159,7 +159,7 @@ class NearDupStreamSpec extends SparkSpec {
     assert(probe.contains((9L, 1L)), s"probe missed the re-ingested twin: $probe")
   }
 
-  test("compaction crash window: the batch_id=0 backup restores on read") {
+  test("compaction crash window: the batch_id=0 backup serves in place on read") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("neardup-crash").toString
     val idx = s"$dir/index"

@@ -93,7 +93,7 @@ class ReservoirSpec extends SparkSpec {
     assert(rows == rows2)
   }
 
-  test("crash between backup-rename and swap: readReservoir restores the backup") {
+  test("crash between backup-rename and swap: readReservoir serves the backup in place") {
     val k = 25
     val base = java.nio.file.Files.createTempDirectory("res6").toString
     val dir = base + "/r"
