@@ -28,7 +28,8 @@ object TextAnalytics {
   private val probeStops = Seq("the", "a", "an", "and", "of", "to", "is", "in", "it", "on")
 
   def all: Seq[QueryDef] =
-    Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121, q126, q127, q129)
+    Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121, q126, q127,
+      q129, q142)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -513,6 +514,92 @@ object TextAnalytics {
           .cast("bigint").as("p99"))
       .orderBy(col("source"))
   }
+
+  /** Approximate per-source length quantiles (q142): the documented
+    * 100 TB companion to q121's exact kernel. Token lengths bucket into
+    * fixed-width bins (width [[quantileBucketWidth]]); the reported
+    * quantile is the INCLUSIVE UPPER EDGE of the first bucket whose
+    * cumulative count reaches the exact rank ceil(q*n) — a
+    * deterministic, engine-neutral definition (pure integer arithmetic,
+    * no t-digest randomness, no interpolation rule to disagree on) with
+    * a hard error bound: exact <= approx <= exact + width - 1
+    * (spec-gated against q121 on the fixture).
+    *
+    * Scale: ONE map-side-combined aggregate produces the (source,
+    * bucket) histogram — bucket-table-sized, NOT corpus-sized — then a
+    * window + rollup over that tiny frame. No per-group sort of the
+    * corpus (q121's honest exact cost); histograms are trivially
+    * mergeable across snapshots, so a perpetual pipeline folds daily
+    * bucket counts instead of re-scanning history.
+    */
+  val quantileBucketWidth = 16L
+
+  val q142: QueryDef = QueryDef.sql(
+    "q142_length_quantiles_approx",
+    s"""WITH t AS (
+       |  SELECT source, CAST(len($duckToks) AS BIGINT) AS nt
+       |  FROM documents),
+       |b AS (
+       |  SELECT source, nt // 16 AS bkt, CAST(count(*) AS BIGINT) AS c
+       |  FROM t GROUP BY source, bkt),
+       |r AS (
+       |  SELECT source, bkt, c,
+       |    CAST(sum(c) OVER (PARTITION BY source ORDER BY bkt
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM b)
+       |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN bkt * 16 + 15 END)
+       |    AS BIGINT) AS p50_hi,
+       |  CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN bkt * 16 + 15 END)
+       |    AS BIGINT) AS p90_hi,
+       |  CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bkt * 16 + 15 END)
+       |    AS BIGINT) AS p99_hi
+       |FROM r GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    approxLengthQuantiles(Tables.documents(s, dir)).orderBy(col("source"))
+  }
+
+  /** The mergeable half of q142: per-(source, bucket) doc counts —
+    * the persisted snapshot state a perpetual pipeline folds by
+    * ADDITION (spec-gated: split-and-merge equals the single pass).
+    */
+  def lengthHistogram(docs: DataFrame,
+                      width: Long = quantileBucketWidth): DataFrame =
+    docs
+      .select(col("source"), size(toks(col("text"))).cast("bigint").as("nt"))
+      .select(col("source"), expr(s"nt div $width").as("bkt"))
+      .groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).cast("bigint").as("c"))
+
+  /** The rollup half of q142: quantiles from a (source, bkt, c)
+    * histogram (bucket upper edge at rank ceil(q*n); same integer rank
+    * math as [[lengthQuantiles]]). The input frame is bucket-table
+    * sized, so the window + rollup are negligible at any corpus scale.
+    */
+  def quantilesFromHistogram(hist: DataFrame,
+                             width: Long = quantileBucketWidth): DataFrame = {
+    val ws = Window.partitionBy(col("source"))
+    val r = hist
+      .withColumn("cum",
+        sum(col("c")).over(ws.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"))
+      .withColumn("n", sum(col("c")).over(ws).cast("bigint"))
+    def edge = col("bkt") * width + (width - 1L)
+    r.groupBy(col("source"))
+      .agg(max(col("n")).cast("bigint").as("n_docs"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), edge))
+          .cast("bigint").as("p50_hi"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), edge))
+          .cast("bigint").as("p90_hi"),
+        min(when(col("cum") >= expr("(99 * n + 99) div 100"), edge))
+          .cast("bigint").as("p99_hi"))
+  }
+
+  /** The q142 kernel: histogram + rollup in one plan. */
+  def approxLengthQuantiles(docs: DataFrame,
+                            width: Long = quantileBucketWidth): DataFrame =
+    quantilesFromHistogram(lengthHistogram(docs, width), width)
 
   /** q116: [[bigramLogProb]] over the documents table. The twin
     * re-trains the same LM in SQL — same smoothing, same context

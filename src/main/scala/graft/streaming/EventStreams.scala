@@ -30,6 +30,16 @@ object EventStreams {
   private def micros(t: Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
 
+  /** Inverse of [[micros]]: microseconds since epoch -> Timestamp,
+    * floor-consistent for negative epochs (floorDiv/floorMod keep the
+    * sub-second part non-negative, as Timestamp.setNanos requires).
+    */
+  private def microsToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** File-source stream over an events parquet directory (the deploy
     * shape: new files land, Spark incrementally processes them).
     * Normalizes the timestamp encoding (nanos-as-long or NTZ) the same
@@ -78,12 +88,19 @@ object EventStreams {
     * in state forever and never be emitted. Event-time (not
     * processing-time) keeps the operator deterministic and replayable.
     * Input must carry a watermark on `ts` (applied here).
+    *
+    * Gap comparisons are in MICROSECONDS (state stores epoch-micros),
+    * matching the batch kernels' unix_micros arithmetic exactly — the
+    * fixtures carry sub-millisecond timestamps, and a ms-truncated gap
+    * would diverge from [[sessionizeBatch]]/q138 at the boundary.
+    * Stream==batch parity on event-time-ordered input is spec-gated
+    * (EventStreamsSpec), the q111/q123/q133 regime.
     */
   def sessionize(spark: SparkSession, events: Dataset[Event],
                  gapMinutes: Int = 30,
                  watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import spark.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -94,25 +111,26 @@ object EventStreams {
             // watermark passed last+gap: flush and clear
             val st = state.get
             state.remove()
-            Iterator.single(Session(userId, new Timestamp(st.start),
-              new Timestamp(st.last), st.n, st.sum))
+            Iterator.single(Session(userId, microsToTs(st.start),
+              microsToTs(st.last), st.n, st.sum))
           } else {
-            // events within a micro-batch are not ordered: sort the batch
-            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            // events within a micro-batch are not ordered: sort the
+            // batch (event_id tie-break mirrors the batch window order)
+            val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
-                case Some(st) if t - st.last <= gapMs =>
+                case Some(st) if t - st.last <= gapUs =>
                   // admissible late data (within the watermark) may be
                   // out of order ACROSS micro-batches: never move the
                   // session bounds backwards
                   cur = Some(st.copy(start = math.min(st.start, t),
                     last = math.max(st.last, t), n = st.n + 1, sum = st.sum + e.value))
                 case Some(st) =>
-                  closed += Session(userId, new Timestamp(st.start),
-                    new Timestamp(st.last), st.n, st.sum)
+                  closed += Session(userId, microsToTs(st.start),
+                    microsToTs(st.last), st.n, st.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -120,14 +138,17 @@ object EventStreams {
             }
             cur.foreach { st =>
               state.update(st)
-              // deadline = last event + gap, clamped above the current
-              // watermark (setTimeoutTimestamp rejects past deadlines
-              // for very late data). In BATCH execution the watermark
-              // node is eliminated and getCurrentWatermarkMs throws —
-              // timeouts never fire there, so any deadline works.
+              // deadline = last event + gap (micros -> ms, CEIL so the
+              // timeout can never fire early), clamped above the
+              // current watermark (setTimeoutTimestamp rejects past
+              // deadlines for very late data). In BATCH execution the
+              // watermark node is eliminated and getCurrentWatermarkMs
+              // throws — timeouts never fire there, so any deadline
+              // works.
               val wm = scala.util.Try(state.getCurrentWatermarkMs())
                 .getOrElse(Long.MinValue)
-              state.setTimeoutTimestamp(math.max(st.last + gapMs, wm + 1))
+              val deadlineMs = Math.floorDiv(st.last + gapUs + 999L, 1000L)
+              state.setTimeoutTimestamp(math.max(deadlineMs, wm + 1))
             }
             closed.result().iterator
           }
@@ -389,10 +410,13 @@ object EventStreams {
   /** Batch-mode sessionization of the same semantics via window
     * functions (lag + cumulative session-id), for the stored events
     * table — demonstrates the batch/stream duality of the operator.
+    * Gap arithmetic is in integer MICROSECONDS (unix_micros), the same
+    * comparison [[sessionize]] makes on its state — sub-millisecond
+    * event times sessionize identically on both paths (spec-gated).
     */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val gapSec = gapMinutes * 60L
+    val gapUs = gapMinutes * 60L * 1000000L
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     // a user's first row (lag null) starts session 1 explicitly — a
@@ -400,7 +424,7 @@ object EventStreams {
     val prev = lag(col("ts"), 1).over(byUser)
     val newSession =
       when(prev.isNull
-        || unix_timestamp(col("ts")) - unix_timestamp(prev) > gapSec, 1)
+        || unix_micros(col("ts")) - unix_micros(prev) > gapUs, 1)
         .otherwise(0)
     events
       .withColumn("is_new", newSession)

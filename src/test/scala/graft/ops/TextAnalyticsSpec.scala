@@ -102,4 +102,40 @@ class TextAnalyticsSpec extends SparkSpec {
     // 31 types over 90 tokens: top10 = common(30) + nine t_i pairs(18) = 48
     assert(ws._2 == 90L && ws._3 == 31L && ws._7 == 48.0 / 90.0)
   }
+
+  test("q142 approx quantiles: exact <= approx <= exact + width - 1 vs q121 on the fixture") {
+    val w = TextAnalytics.quantileBucketWidth
+    val exact = TextAnalytics.q121.build(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    val approx = TextAnalytics.q142.build(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(exact.nonEmpty && exact.keySet == approx.keySet)
+    exact.foreach { case (src, (e50, e90, e99)) =>
+      val (a50, a90, a99) = approx(src)
+      Seq(("p50", e50, a50), ("p90", e90, a90), ("p99", e99, a99)).foreach {
+        case (q, e, a) =>
+          assert(e <= a && a <= e + w - 1,
+            s"$src $q: approx $a outside [$e, ${e + w - 1}]")
+      }
+    }
+  }
+
+  test("q142 histogram is MERGEABLE: summed split histograms equal the full run") {
+    // the 100 TB property: per-snapshot histograms fold by addition —
+    // histogram each half separately, merge by summing bucket counts,
+    // and the quantile rollup must equal the single-pass run
+    val docs = Tables.documents(spark, sfDir)
+    val full = TextAnalytics.approxLengthQuantiles(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val ha = TextAnalytics.lengthHistogram(docs.filter(col("doc_id") % 2 === 0))
+    val hb = TextAnalytics.lengthHistogram(docs.filter(col("doc_id") % 2 === 1))
+    val mergedHist = ha.unionByName(hb)
+      .groupBy(col("source"), col("bkt"))
+      .agg(sum(col("c")).cast("bigint").as("c"))
+    val merged = TextAnalytics.quantilesFromHistogram(mergedHist)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(merged == full)
+  }
 }

@@ -319,6 +319,70 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionize stream equals sessionizeBatch on the fixture across micro-batches") {
+    // the documented parity regime: event-time-ordered input split
+    // across micro-batches, so sessions STITCH across batch boundaries
+    // (a session opened in batch 1 extends in batch 2 and closes by a
+    // later gap or by the watermark timeout)
+    val fixture = graft.ops.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val batch = sessionizeBatch(
+        graft.ops.Tables.events(spark, sfDir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            col("value")))
+      .select(col("user_id"), unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("n_events"),
+        col("total_value"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3, r._4) -> r._5).toMap
+    assert(batch.nonEmpty)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = sessionize(spark, mem.toDS())
+      .writeStream.format("memory").queryName("sessionize_parity_test")
+      .outputMode("append").start()
+    try {
+      // three micro-batches: cross-batch session stitching is the point
+      val (a, rest) = fixture.splitAt(fixture.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      Seq(a, b, c).foreach { part =>
+        mem.addData(part.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      // sentinel ticks on an unused user push the watermark past every
+      // open session's (last + gap) deadline; a second tick advances
+      // the batch in which the event-time timeouts actually fire
+      val t0 = fixture.last.ts.getTime
+      mem.addData(Event(9000001L,
+        new Timestamp(t0 + 86400000L), 999999L, "tick", 0.0))
+      query.processAllAvailable()
+      mem.addData(Event(9000002L,
+        new Timestamp(t0 + 2 * 86400000L), 999999L, "tick", 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("sessionize_parity_test")
+        .filter(col("user_id") =!= 999999L)
+        .select(col("user_id"), unix_micros(col("session_start")).as("s"),
+          unix_micros(col("session_end")).as("e"),
+          col("n_events").cast("long"), col("total_value"))
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2, r._3, r._4) -> r._5).toMap
+      assert(streamed.keySet == batch.keySet,
+        s"stream/batch session sets diverge: " +
+          s"onlyStream=${(streamed.keySet -- batch.keySet).take(3)} " +
+          s"onlyBatch=${(batch.keySet -- streamed.keySet).take(3)}")
+      // double sums fold in different orders (stream: event-time order;
+      // batch: partition order) — compare per-session with a relative
+      // tolerance instead of bit equality
+      streamed.foreach { case (k, v) =>
+        val b = batch(k)
+        assert(math.abs(v - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"total_value diverges for session $k: stream=$v batch=$b")
+      }
+    } finally query.stop()
+  }
+
   test("attribution state expiry is correctness-neutral (timeout then late purchase)") {
     implicit val sq = spark.sqlContext
     val S = 1000L // ms per second
