@@ -21,7 +21,7 @@ object CurationOps {
 
   def all: Seq[QueryDef] =
     Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125,
-      q132, q140)
+      q132, q140, q143)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -691,6 +691,127 @@ object CurationOps {
        |FROM dd LEFT JOIN rem USING (doc_id) LEFT JOIN ct USING (doc_id)
        |ORDER BY dd.doc_id""".stripMargin) { (s, dir) =>
     slidingSpanDedup(Tables.documents(s, dir), n = 8).orderBy(col("doc_id"))
+  }
+
+  /** Variable-length exact-substring matches (q143) — the attribution
+    * layer over q113's removal semantics, toward full Lee et al.
+    * ExactSubstr: instead of only striking duplicated n-windows, report
+    * the MAXIMAL variable-length matched spans with their source
+    * location and exact length. Each duplicated n-token window is
+    * anchored to its CANONICAL source — the globally first occurrence
+    * of that window (lowest (doc_id, start), exactly q113's keep-first
+    * rule) — and consecutive windows of one document anchored to the
+    * same source document on the same DIAGONAL (constant start offset)
+    * chain into one match: a run of k consecutive window positions is a
+    * duplicated substring of exactly k + n - 1 tokens, byte-for-byte
+    * shared with the source at the reported src_start. Only runs of
+    * match_len >= minLen emit — the variable threshold (minLen = 12
+    * over n = 8 windows in the registered query) that fixed-window
+    * marking cannot express.
+    *
+    * Exactness contract: every reported span IS a real duplicated
+    * substring of its source span (windows chain on one diagonal, so
+    * the texts are identical token-wise). Spans are exact and maximal
+    * for duplication AGAINST THE CANONICAL OCCURRENCE; a passage whose
+    * windows have scattered first occurrences (each window first seen
+    * in a different earlier doc) reports as its canonical-consistent
+    * fragments rather than one long span — the anchored semantics that
+    * keeps candidate generation linear where an all-pairs occurrence
+    * join is quadratic in hot grams. At minLen = n the UNION of
+    * reported spans covers exactly q113's struck windows (spec-gated).
+    *
+    * Scale: same two exchange classes as q113 — one content-keyed
+    * exchange (gram hash) for the canonical-occurrence window, then a
+    * (doc, src_doc, diagonal)-keyed exchange whose groups are
+    * doc-bounded. No occurrence-pair join, no corpus-sized sort.
+    */
+  def exactSubstrSpans(docs: org.apache.spark.sql.DataFrame,
+                       n: Int = 8,
+                       minLen: Int = 12): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && minLen >= n, s"need 1 <= n <= minLen, got n=$n minLen=$minLen")
+    val d = docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("nt", size(col("t")).cast("bigint"))
+    val occ = d.filter(col("nt") >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("nt") - n)).as("start"),
+        col("t"))
+      .select(col("doc_id"), col("start"),
+        xxhash64(concat_ws("\u0001",
+          slice(col("t"), (col("start") + 1).cast("int"), lit(n)))).as("g"))
+    // canonical source per gram: the globally-first occurrence (min
+    // struct orders by (doc_id, start) lexicographically); unordered
+    // frame = whole partition, so every row of the gram sees it
+    val wg = Window.partitionBy(col("g"))
+    val anchored = occ
+      .withColumn("f", min(struct(col("doc_id"), col("start"))).over(wg))
+      .filter(!(col("f.doc_id") === col("doc_id") && col("f.start") === col("start")))
+      .select(col("doc_id"), col("start"),
+        col("f.doc_id").as("src_doc"),
+        (col("start") - col("f.start")).as("diag"))
+    // consecutive starts in one (doc, src, diagonal) group share
+    // (start - row_number): the classic gaps-and-islands key
+    val wd = Window.partitionBy(col("doc_id"), col("src_doc"), col("diag"))
+      .orderBy(col("start"))
+    anchored
+      .withColumn("grp", col("start") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("src_doc"), col("diag"), col("grp"))
+      .agg(min(col("start")).as("s0"), count(lit(1)).as("k"))
+      .filter(col("k") + (n - 1) >= minLen)
+      .select(col("doc_id"),
+        col("s0").cast("bigint").as("start"),
+        (col("s0") + col("k") + (n - 1)).cast("bigint").as("end_tok"),
+        col("src_doc"),
+        (col("s0") - col("diag")).cast("bigint").as("src_start"),
+        (col("k") + (n - 1)).cast("bigint").as("match_len"))
+  }
+
+  /** q143: [[exactSubstrSpans]] over the documents table (n = 8,
+    * minLen = 12). The DuckDB twin replays the whole operator over RAW
+    * window strings where Spark equi-groups their xxhash64 — identical
+    * modulo a 64-bit collision, which the compare would surface, not
+    * mask (the q45/q113 argument). Pure integer arithmetic throughout.
+    */
+  val q143: QueryDef = QueryDef.sql(
+    "q143_exact_substr_spans",
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckToks AS t FROM documents),
+       |dd AS (SELECT doc_id, t, len(t) AS nt FROM d),
+       |occ AS (
+       |  SELECT doc_id, k AS start,
+       |    array_to_string(t[k + 1 : k + 8], chr(1)) AS g
+       |  FROM (SELECT doc_id, t, unnest(range(0, nt - 8 + 1)) AS k
+       |        FROM dd WHERE nt >= 8)),
+       |a AS (
+       |  SELECT doc_id, start,
+       |    first_value(doc_id) OVER w AS f_doc,
+       |    first_value(start) OVER w AS f_start
+       |  FROM occ
+       |  WINDOW w AS (PARTITION BY g ORDER BY doc_id, start
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+       |m AS (
+       |  SELECT doc_id, start, f_doc AS src_doc, start - f_start AS diag
+       |  FROM a WHERE NOT (doc_id = f_doc AND start = f_start)),
+       |r AS (
+       |  SELECT doc_id, src_doc, diag,
+       |    start - row_number() OVER (PARTITION BY doc_id, src_doc, diag
+       |                               ORDER BY start) AS grp,
+       |    start
+       |  FROM m),
+       |runs AS (
+       |  SELECT doc_id, src_doc, diag, grp,
+       |    min(start) AS s0, CAST(count(*) AS BIGINT) AS k
+       |  FROM r GROUP BY doc_id, src_doc, diag, grp)
+       |SELECT doc_id,
+       |  CAST(s0 AS BIGINT) AS start,
+       |  CAST(s0 + k + 7 AS BIGINT) AS end_tok,
+       |  src_doc,
+       |  CAST(s0 - diag AS BIGINT) AS src_start,
+       |  CAST(k + 7 AS BIGINT) AS match_len
+       |FROM runs WHERE k + 7 >= 12
+       |ORDER BY doc_id, start, src_doc, src_start""".stripMargin) { (s, dir) =>
+    exactSubstrSpans(Tables.documents(s, dir), n = 8, minLen = 12)
+      .orderBy(col("doc_id"), col("start"), col("src_doc"), col("src_start"))
   }
 
   /** Deterministic weighted sampling without replacement (q125):

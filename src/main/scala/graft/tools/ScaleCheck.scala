@@ -32,6 +32,7 @@ object ScaleCheck {
         "q54_langid", "q107_span_dedup",
         "q108_bigram_lm", "q112_source_overlap",
         "q113_sliding_span_dedup", "q114_tfidf_retrieval",
+        "q143_exact_substr_spans",
         "q116_bigram_lm_score", "q134_source_divergence",
         "q136_ngram_novelty", "q140_dataset_card")
     val out = s"/tmp/graft_scale_${factor}x_" +

@@ -214,6 +214,82 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q143 exact-substr spans: lengths, sources, diagonals on a hand corpus") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"shared$i").mkString(" ") // 12 tokens
+    val corpus = Seq(
+      (0L, s"alpha beta $shared gamma delta"),                   // source
+      (1L, s"intro words here $shared closing words there now"), // re-occurrence
+      (2L, (1 to 20).map(i => s"unique$i").mkString(" ")),       // unique
+      (3L, s"$shared bridge $shared"))                            // two copies
+      .toDF("doc_id", "text")
+    val out = CurationOps.exactSubstrSpans(corpus, n = 8, minLen = 12)
+      .orderBy(col("doc_id"), col("start"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // doc 1: the passage sits at tokens 3..14; doc 0's copy at 2..13 —
+    // ONE span of exactly 12 tokens on one diagonal
+    // doc 3: copy 1 at 0..11, copy 2 at 13..24, both vs doc 0 at 2..13
+    assert(out.toList == List(
+      (1L, 3L, 15L, 0L, 2L, 12L),
+      (3L, 0L, 12L, 0L, 2L, 12L),
+      (3L, 13L, 25L, 0L, 2L, 12L)), out.toList.toString)
+    // reported spans are REAL duplicates: the tokens equal the source's
+    val toksOf = corpus.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split("\\s+").toVector }.toMap
+    out.foreach { case (d, s, e, sd, ss, len) =>
+      assert(e - s == len)
+      assert(toksOf(d).slice(s.toInt, e.toInt) ==
+        toksOf(sd).slice(ss.toInt, (ss + len).toInt),
+        s"span ($d,$s) does not match its source")
+    }
+  }
+
+  test("q143 at minLen = n covers exactly q113's struck windows") {
+    import spark.implicits._
+    // fixture corpus: the span union at the window threshold must equal
+    // the fixed-window removal positions (the removal-set equivalence
+    // that makes q143 the attribution layer over q113)
+    val docs = Tables.documents(spark, sfDir)
+    val n = 8
+    val spans = CurationOps.exactSubstrSpans(docs, n = n, minLen = n)
+      .select(col("doc_id"), col("start"), col("end_tok"))
+      .as[(Long, Long, Long)].collect()
+    val covered = spans.flatMap { case (d, s, e) => (s until e).map(d -> _) }.toSet
+    // recompute q113's struck positions directly: duplicated windows
+    // (cnt > 1, rn > 1) cover [start, start + n)
+    val struck = CurationOps.slidingSpanDedup(docs, n = n)
+      .select(col("doc_id"), col("n_tokens"), col("removed_tokens"))
+      .as[(Long, Long, Long)].collect()
+    val removedByDoc = struck.map(r => r._1 -> r._3).toMap
+    val coveredByDoc = covered.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    removedByDoc.filter(_._2 > 0).foreach { case (d, rem) =>
+      assert(coveredByDoc.getOrElse(d, 0L) == rem,
+        s"doc $d: q143 covers ${coveredByDoc.getOrElse(d, 0L)} tokens, q113 removed $rem")
+    }
+    assert(coveredByDoc.keySet == removedByDoc.filter(_._2 > 0).keySet)
+  }
+
+  test("q143 anchored semantics: scattered first occurrences fragment the span (documented)") {
+    import spark.implicits._
+    // w1..w9 first appear as one passage in doc 0; x+w1..w8 in doc 1
+    // puts doc 1's window (w1..w8) on a DIFFERENT diagonal vs doc 0
+    // than doc 2's copy of w1..w9 — doc 2 still reports one full span
+    // (all its windows anchor to doc 0 on one diagonal)
+    val ws = (1 to 9).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (0L, ws),                    // canonical for all w-windows
+      (1L, s"x $ws"),              // re-occurrence, shifted diagonal
+      (2L, ws))                    // exact copy of doc 0
+      .toDF("doc_id", "text")
+    val out = CurationOps.exactSubstrSpans(corpus, n = 8, minLen = 8)
+      .orderBy(col("doc_id"), col("start"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(out == List(
+      (1L, 1L, 10L, 0L, 0L, 9L),   // doc 1: one 9-token span vs doc 0
+      (2L, 0L, 9L, 0L, 0L, 9L)),   // doc 2: one 9-token span vs doc 0
+      out.toString)
+  }
+
   test("q95 sketch-verified heavy hitters equal the exact full group-by") {
     val sketch = CurationOps.q95.build(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1))
