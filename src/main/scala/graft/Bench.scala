@@ -41,7 +41,8 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
         .foreach { case (_, fn) =>
-          try fn(spark, wdir).count() catch { case _: Throwable => () }
+          try fn(spark, wdir).queryExecution.toRdd.count()
+          catch { case _: Throwable => () }
         }
     }
     val failed = scala.collection.mutable.LinkedHashSet[String]()
@@ -72,7 +73,11 @@ object Bench {
         val ts = (1 to reps).map { _ =>
           isolate()
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
+          // toRdd.count() executes the query's own physical plan;
+          // Dataset.count() re-optimizes for the count alone and can
+          // prune real operators (q136's window + exchange) from the
+          // timed work
+          try { fn(spark, sfDir).queryExecution.toRdd.count() }
           catch { case e: Throwable =>
             if (failed.add(name))
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -161,13 +161,21 @@ object CorpusDrift {
     * separate aggregate + probe-side re-exchange), and the per-doc
     * rollup is the second exchange. A naive
     * distinct -> groupBy -> join formulation costs four.
+    *
+    * The corpus-sized exchange ships xxhash64(shingle) — 8 bytes per
+    * row instead of the ~60-byte raw 8-gram string (measured ~5x
+    * serialized-exchange reduction at 100x, PLANS.md) — while the
+    * DuckDB twin keys on the raw string: identical modulo a 64-bit
+    * collision, which the hash compare would SURFACE as a mismatch,
+    * not mask (the q45/q113 argument).
     */
   def ngramNovelty(docs: org.apache.spark.sql.DataFrame,
                    n: Int = 8): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
     docs
       .select(col("doc_id"),
-        explode(array_distinct(shingles(col("text"), n))).as("sh"))
+        explode(array_distinct(shingles(col("text"), n))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
       .withColumn("first_doc", min(col("doc_id")).over(w))
       .groupBy(col("doc_id"))
       .agg(
@@ -186,14 +194,18 @@ object CorpusDrift {
   // -----------------------------------------------------------------
 
   /** First-seen shingle index over a corpus: (sh, first_doc) with
-    * first_doc = the lowest doc_id containing the shingle. The
-    * persisted state of the incremental novelty pipeline.
+    * sh = xxhash64 of the shingle and first_doc = the lowest doc_id
+    * containing it. The persisted state of the incremental novelty
+    * pipeline — hash keys make the stored index and every exchange
+    * against it 8 bytes per shingle instead of the raw n-gram string
+    * (collision-tolerant by the same 64-bit argument as q136 itself).
     */
   def buildFirstSeen(docs: org.apache.spark.sql.DataFrame,
                      n: Int = 8): org.apache.spark.sql.DataFrame =
     docs
       .select(col("doc_id"),
-        explode(array_distinct(shingles(col("text"), n))).as("sh"))
+        explode(array_distinct(shingles(col("text"), n))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
       .groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
 
   /** Merge a delta corpus into a first-seen index WITHOUT rescanning
@@ -229,7 +241,8 @@ object CorpusDrift {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
     batchDocs
       .select(col("doc_id"),
-        explode(array_distinct(shingles(col("text"), n))).as("sh"))
+        explode(array_distinct(shingles(col("text"), n))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
       .withColumn("batch_first", min(col("doc_id")).over(w))
       .join(index.select(col("sh"), lit(true).as("__seen")), Seq("sh"), "left")
       .groupBy(col("doc_id"))
@@ -237,6 +250,73 @@ object CorpusDrift {
         count(lit(1)).cast("bigint").as("n_shingles"),
         sum(when(col("__seen").isNull && col("batch_first") === col("doc_id"),
             1L).otherwise(0L))
+          .cast("bigint").as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
+
+  /** [[noveltyAgainstIndex]] with a map-side Bloom pre-strike — the
+    * mostly-NOVEL-batch fast path (a fresh crawl of genuinely new
+    * content). Exact same output as the plain kernel (spec-proven):
+    *
+    *  1. a Bloom filter of the index's shingle hashes builds map-side
+    *     (treeAggregate — the index is scanned once, never shuffled);
+    *  2. every batch shingle probes the broadcast bloom NARROWLY.
+    *     Bloom-MISS rows are certainly absent from the index — they
+    *     skip the index join entirely and pay only a window over
+    *     their own (miss-sized) exchange for within-batch
+    *     first-occurrence;
+    *  3. only bloom-HIT rows — true re-occurrences plus an fpp sliver
+    *     — pay the exact left join against the index; their
+    *     within-batch window rides the same sh exchange the join
+    *     needs (one exchange for both).
+    *
+    * The probe is per-shingle deterministic, so ALL occurrences of a
+    * shingle land on one side and each side's within-batch min is the
+    * true batch_first — exactness does not depend on the bloom's fpp.
+    *
+    * Wire volume: a mostly-novel batch ships its (tiny) hit sliver to
+    * the index join instead of every row; a mostly-DUP batch (steady
+    * re-crawl) is hit-dominated and the exact join stays batch-sized —
+    * irreducible with one-sided bloom certainty, see PLANS.md ("q136
+    * at 100x").
+    */
+  def noveltyAgainstIndexBloom(index: org.apache.spark.sql.DataFrame,
+                               batchDocs: org.apache.spark.sql.DataFrame,
+                               n: Int = 8,
+                               expectedItems: Long = 1000000L,
+                               fpp: Double = 0.03): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    // stat.bloomFilter NPEs on a ZERO-ROW frame (its treeAggregate
+    // never creates a filter to serialize) — an empty index means
+    // nothing can be seen, which the plain kernel handles with no
+    // bloom at all
+    val bloom =
+      try index.stat.bloomFilter("sh", math.max(expectedItems, 1L), fpp)
+      catch { case _: NullPointerException => null }
+    if (bloom == null) return noveltyAgainstIndex(index, batchDocs, n)
+    val rows = batchDocs
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), n))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+      .withColumn("__hit",
+        coalesce(graft.functions.functions.bloom_might_contain(col("sh"), bloom),
+          lit(false)))
+    val miss = rows.filter(!col("__hit"))
+      .withColumn("batch_first", min(col("doc_id")).over(w))
+      .select(col("doc_id"),
+        (col("batch_first") === col("doc_id")).as("__novel"))
+    val hit = rows.filter(col("__hit"))
+      .withColumn("batch_first", min(col("doc_id")).over(w))
+      .join(index.select(col("sh"), lit(true).as("__seen")), Seq("sh"), "left")
+      .select(col("doc_id"),
+        (col("__seen").isNull && col("batch_first") === col("doc_id")).as("__novel"))
+    miss.unionByName(hit)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_shingles"),
+        sum(when(col("__novel"), 1L).otherwise(0L))
           .cast("bigint").as("n_novel"))
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         (col("n_novel").cast("double") / col("n_shingles").cast("double"))

@@ -21,7 +21,7 @@ object CurationOps {
 
   def all: Seq[QueryDef] =
     Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125,
-      q132, q140, q143)
+      q132, q140, q143, q144)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -812,6 +812,126 @@ object CurationOps {
        |ORDER BY doc_id, start, src_doc, src_start""".stripMargin) { (s, dir) =>
     exactSubstrSpans(Tables.documents(s, dir), n = 8, minLen = 12)
       .orderBy(col("doc_id"), col("start"), col("src_doc"), col("src_start"))
+  }
+
+  /** Corpus-wide LONGEST repeated substring (q144): the maximal L such
+    * that some L-token window occurs at least twice anywhere in the
+    * corpus (across documents or overlapping within one), plus the
+    * lexicographically-smallest such window and its first two
+    * occurrence locations — the suffix-array question ("what is the
+    * single largest verbatim repeat in this corpus?") answered
+    * Spark-idiomatically.
+    *
+    * Algorithm: "a duplicated L-window exists" is MONOTONE in L (every
+    * prefix of a duplicated window is duplicated), so the driver
+    * binary-searches L with one hash-probe job per step —
+    * O(log maxDocLen) jobs, the BPE-style bounded driver-control
+    * pattern. Each probe exchanges xxhash64(window) with map-side
+    * partial counts (8-byte rows, per-task-distinct capped). Hash
+    * collisions can only OVERSTATE a probe (false "dup exists"), so
+    * the candidate is verified with RAW window strings and walked down
+    * until a true duplicate confirms — the result is collision-exact.
+    * The winner's occurrence list is duplicate-window-sized (tiny);
+    * its window/pivot are negligible.
+    *
+    * Scale: log2(maxDocLen) corpus scans + hash exchanges; window
+    * hashing is O(tokens x L) per probe (a rolling-hash Expression
+    * would make it O(tokens); documented trade, not needed at current
+    * profile). The exact-verify pass at the found L is one
+    * string-keyed exchange.
+    */
+  def longestRepeatedSubstring(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("nt", size(col("t")).cast("bigint"))
+      .filter(col("nt") >= 1)
+    def winCol(len: Int) =
+      concat_ws("\u0001", slice(col("t"), (col("start") + 1).cast("int"), lit(len)))
+    def occs(len: Int) = d.filter(col("nt") >= len)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("nt") - len)).as("start"), col("t"))
+    def hasDup(len: Int, exact: Boolean): Boolean = {
+      val key = if (exact) winCol(len) else xxhash64(winCol(len))
+      occs(len).select(key.as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).limit(1).count() > 0
+    }
+    val empty = Seq.empty[(Long, String, Long, Long, Long, Long, Long)]
+      .toDF("match_len", "span_text", "d1", "s1", "d2", "s2", "n_occ")
+    val maxLen = d.agg(max(col("nt"))).as[Option[Long]].head().getOrElse(0L)
+    if (maxLen < 1 || !hasDup(1, exact = true)) return empty
+    // invariant: dup exists at lo (hash-verified); search the top
+    var lo = 1
+    var hi = maxLen.toInt
+    while (lo < hi) {
+      val mid = lo + (hi - lo + 1) / 2
+      if (hasDup(mid, exact = false)) lo = mid else hi = mid - 1
+    }
+    // hash collisions only overstate: walk down to the true maximum
+    while (lo > 1 && !hasDup(lo, exact = true)) lo -= 1
+    val L = lo
+    val sub = occs(L).select(col("doc_id"), col("start"), winCol(L).as("s"))
+    val winner = broadcast(
+      sub.groupBy(col("s")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .agg(min(col("s")).as("ws")))
+    val wAll = Window.orderBy(col("doc_id"), col("start"))
+    sub.join(winner, col("s") === col("ws"))
+      .select(col("doc_id"), col("start"), col("ws"))
+      .withColumn("rn", row_number().over(wAll))
+      .groupBy(col("ws"))
+      .agg(
+        max(when(col("rn") === 1, col("doc_id"))).cast("bigint").as("d1"),
+        max(when(col("rn") === 1, col("start"))).cast("bigint").as("s1"),
+        max(when(col("rn") === 2, col("doc_id"))).cast("bigint").as("d2"),
+        max(when(col("rn") === 2, col("start"))).cast("bigint").as("s2"),
+        count(lit(1)).cast("bigint").as("n_occ"))
+      .select(lit(L.toLong).as("match_len"),
+        translate(col("ws"), "\u0001", " ").as("span_text"),
+        col("d1"), col("s1"), col("d2"), col("s2"), col("n_occ"))
+  }
+
+  /** q144: [[longestRepeatedSubstring]] over the documents table. The
+    * DuckDB twin brute-forces the SAME answer from first principles —
+    * every substring of every length, grouped, max duplicated length,
+    * lexicographic-min winner, first-two occurrences — feasible at
+    * oracle scale (sum nt^2/2 ~ 9e5 rows at sf0.01) precisely because
+    * it does NOT use the binary search, making the oracle an
+    * independent derivation rather than a replay.
+    */
+  val q144: QueryDef = QueryDef.sql(
+    "q144_longest_repeated_substring",
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckToks AS t FROM documents),
+       |dd AS (SELECT doc_id, t, len(t) AS nt FROM d WHERE len(t) >= 1),
+       |li AS (SELECT doc_id, t, nt, unnest(range(1, nt + 1)) AS L FROM dd),
+       |pos AS (
+       |  SELECT doc_id, t, L, unnest(range(0, nt - L + 1)) AS start
+       |  FROM li),
+       |sub AS (
+       |  SELECT doc_id, L, start,
+       |    array_to_string(t[start + 1 : start + L], chr(1)) AS s
+       |  FROM pos),
+       |dup AS (
+       |  SELECT L, s FROM sub GROUP BY L, s HAVING count(*) >= 2),
+       |ml AS (SELECT max(L) AS ml FROM dup),
+       |ws AS (SELECT min(s) AS ws FROM dup JOIN ml ON dup.L = ml.ml),
+       |occ AS (
+       |  SELECT sub.doc_id, sub.start, ml.ml, ws.ws,
+       |    row_number() OVER (ORDER BY sub.doc_id, sub.start) AS rn
+       |  FROM sub JOIN ml ON sub.L = ml.ml JOIN ws ON sub.s = ws.ws)
+       |SELECT CAST(ml AS BIGINT) AS match_len,
+       |  replace(ws, chr(1), ' ') AS span_text,
+       |  CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS d1,
+       |  CAST(max(CASE WHEN rn = 1 THEN start END) AS BIGINT) AS s1,
+       |  CAST(max(CASE WHEN rn = 2 THEN doc_id END) AS BIGINT) AS d2,
+       |  CAST(max(CASE WHEN rn = 2 THEN start END) AS BIGINT) AS s2,
+       |  CAST(count(*) AS BIGINT) AS n_occ
+       |FROM occ GROUP BY ml, ws
+       |ORDER BY match_len""".stripMargin) { (s, dir) =>
+    longestRepeatedSubstring(Tables.documents(s, dir)).orderBy(col("match_len"))
   }
 
   /** Deterministic weighted sampling without replacement (q125):

@@ -91,11 +91,17 @@ object ScaleCheck {
     }
 
     val qs = graft.SparkEntry.queries
+    // materialize via toRdd.count(), NOT Dataset.count(): count()
+    // re-optimizes with only the row count as output, and column
+    // pruning then deletes any operator whose outputs feed no key,
+    // filter, or kept column — q136's whole window + sh exchange
+    // vanished that way, so the probe timed a plan the query never
+    // runs. toRdd executes the query's own physical plan verbatim.
     def time(n: String, dir: String): Double = {
-      qs(n)(spark, dir).count() // warmup/codegen
+      qs(n)(spark, dir).queryExecution.toRdd.count() // warmup/codegen
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        qs(n)(spark, dir).count()
+        qs(n)(spark, dir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       ts.min

@@ -21,8 +21,12 @@ object StageProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)
+    // toRdd.count() executes the query's own physical plan; a
+    // Dataset.count() re-optimizes for the row count alone and can
+    // prune whole operators (q136's window + sh exchange) out of the
+    // measurement
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { w =>
-      fn(spark, w).count()
+      fn(spark, w).queryExecution.toRdd.count()
     }
     case class S(var submitted: Long = 0, var completed: Long = 0,
                  var tasks: Int = 0, var gc: Long = 0, var run: Long = 0,
@@ -49,7 +53,7 @@ object StageProbe {
       }
     })
     val t0 = System.nanoTime()
-    fn(spark, sfDir).count()
+    fn(spark, sfDir).queryExecution.toRdd.count()
     val total = (System.nanoTime() - t0) / 1e9
     Thread.sleep(500)
     println(f"[probe] $name total=$total%.2fs")

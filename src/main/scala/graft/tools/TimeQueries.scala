@@ -35,13 +35,16 @@ object TimeQueries {
     // warmup (codegen + JIT) on the small SFs, same as Bench
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { wdir =>
       picked.foreach { case (_, fn) =>
-        try fn(spark, wdir).count() catch { case _: Throwable => () }
+        try fn(spark, wdir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
       }
     }
     picked.foreach { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // toRdd: execute the query's own plan (count() would let column
+        // pruning delete operators that only feed non-key aggregates)
+        fn(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[time] $name%-28s ${times.map(t => f"$t%.2f").mkString(" ")}")

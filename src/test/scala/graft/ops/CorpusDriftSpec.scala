@@ -203,12 +203,12 @@ class CorpusDriftSpec extends SparkSpec {
     val all = randomDocs(7L, 0 until 30)
     val batches = Seq(all.slice(0, 7), all.slice(7, 19), all.slice(19, 30))
     val rebuild = CorpusDrift.buildFirstSeen(docsDf(all))
-      .as[(String, Long)].collect().toSet
+      .as[(Long, Long)].collect().toSet
     // fold the three deltas in every permutation
     batches.permutations.foreach { perm =>
       val folded = perm.foldLeft(CorpusDrift.buildFirstSeen(docsDf(Seq.empty))) {
         (idx, b) => CorpusDrift.upsertFirstSeen(idx, docsDf(b))
-      }.as[(String, Long)].collect().toSet
+      }.as[(Long, Long)].collect().toSet
       assert(folded == rebuild, "fold order must not matter")
     }
   }
@@ -229,5 +229,25 @@ class CorpusDriftSpec extends SparkSpec {
     }.toSet
     assert(incremental == oneShot,
       s"onlyInc=${(incremental -- oneShot).take(3)} onlyFull=${(oneShot -- incremental).take(3)}")
+  }
+
+  test("bloom pre-strike novelty equals the plain index kernel (incl. empty index)") {
+    val all = randomDocs(9L, 0 until 40)
+    val batches = Seq(all.slice(0, 14), all.slice(14, 28), all.slice(28, 40))
+    var index = CorpusDrift.buildFirstSeen(docsDf(Seq.empty))
+    batches.foreach { b =>
+      val plain = CorpusDrift.noveltyAgainstIndex(index, docsDf(b))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"))
+        .as[(Long, Long, Long)].collect().toSet
+      // tiny bloom (high collision pressure) so false positives are
+      // actually exercised: exactness must not depend on fpp
+      val bloomed = CorpusDrift.noveltyAgainstIndexBloom(index, docsDf(b),
+          expectedItems = 8L, fpp = 0.5)
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(bloomed == plain,
+        s"onlyBloom=${(bloomed -- plain).take(3)} onlyPlain=${(plain -- bloomed).take(3)}")
+      index = CorpusDrift.upsertFirstSeen(index, docsDf(b))
+    }
   }
 }

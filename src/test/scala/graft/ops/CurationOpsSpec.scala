@@ -290,6 +290,65 @@ class CurationOpsSpec extends SparkSpec {
       out.toString)
   }
 
+  test("q144 longest repeated substring: cross-doc, overlapping, and no-dup cases") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val cross = Seq(
+      (0L, s"alpha beta $shared gamma"),
+      (1L, s"intro $shared closing words"),
+      (2L, "totally unrelated text right here"))
+      .toDF("doc_id", "text")
+    val got = CurationOps.longestRepeatedSubstring(cross)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().toList
+    // the 12-token passage is the longest repeat; first occurrence in
+    // doc 0 at token 2, second in doc 1 at token 1; exactly 2 occs
+    assert(got == List((12L, shared, 0L, 2L, 1L, 1L, 2L)), got.toString)
+
+    // overlapping WITHIN one doc: "a a a a a" repeats "a a a a" at
+    // starts 0 and 1 (overlap allowed, the standard LRS convention)
+    val overlap = Seq((7L, "a a a a a")).toDF("doc_id", "text")
+    val ov = CurationOps.longestRepeatedSubstring(overlap)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().toList
+    assert(ov == List((4L, "a a a a", 7L, 0L, 7L, 1L, 2L)), ov.toString)
+
+    // all-unique corpus: no duplicated window at any length -> empty
+    val uniq = Seq((1L, "w1 w2 w3"), (2L, "w4 w5")).toDF("doc_id", "text")
+    assert(CurationOps.longestRepeatedSubstring(uniq).count() == 0L)
+  }
+
+  test("q144 matches a plain-Scala brute force on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(144L)
+    (1 to 3).foreach { trial =>
+      val vocab = Vector("a", "b", "c", "d")
+      val rows = (0L until 10L).map { i =>
+        (i, Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      // brute force: all (doc, start, len) substrings, longest with
+      // count >= 2, lexicographic-min winner, first two occurrences
+      val subs = rows.flatMap { case (id, tx) =>
+        val t = tx.split("\\s+").toVector
+        for {
+          len <- 1 to t.length; s <- 0 to t.length - len
+        } yield (t.slice(s, s + len).mkString(" "), len, id, s.toLong)
+      }
+      val dup = subs.groupBy(x => (x._2, x._1)).filter(_._2.size >= 2)
+      val expect =
+        if (dup.isEmpty) Nil
+        else {
+          val ml = dup.keys.map(_._1).max
+          val ws = dup.keys.filter(_._1 == ml).map(_._2).min
+          val occ = dup((ml, ws)).map(x => (x._3, x._4)).sorted
+          List((ml.toLong, ws, occ(0)._1, occ(0)._2, occ(1)._1, occ(1)._2,
+            occ.size.toLong))
+        }
+      val got = CurationOps.longestRepeatedSubstring(rows.toDF("doc_id", "text"))
+        .as[(Long, String, Long, Long, Long, Long, Long)].collect().toList
+      assert(got == expect, s"trial $trial: got $got expect $expect")
+    }
+  }
+
   test("q95 sketch-verified heavy hitters equal the exact full group-by") {
     val sketch = CurationOps.q95.build(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1))
