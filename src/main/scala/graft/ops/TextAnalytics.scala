@@ -29,7 +29,7 @@ object TextAnalytics {
 
   def all: Seq[QueryDef] =
     Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121, q126, q127,
-      q129, q142)
+      q129, q142, q145)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -763,5 +763,70 @@ object TextAnalytics {
        |FROM agg
        |ORDER BY source""".stripMargin) { (s, dir) =>
     lexicalStats(Tables.documents(s, dir))
+  }
+
+  /** Lift-ranked collocation mining (q145): adjacent token pairs whose
+    * observed frequency beats the independence expectation — lift =
+    * N·c(a,b) / (c(a)·c(b)) — with min support 10, top 50 by
+    * (lift desc, a, b). The PMI-family statistic a tokenizer/phrase
+    * vocabulary builder runs over the corpus; lift IS exp(PMI), so the
+    * ranking is PMI's, but it needs no logarithm — cross-engine floats
+    * stay deterministic because each factor is an exact BIGINT cast to
+    * DOUBLE and the (mul, mul, div) fold order is pinned on both
+    * engines (and, unlike BIGINT n*cnt, the DOUBLE products cannot
+    * overflow at any corpus size).
+    *
+    * Scale: ONE token-pair explode feeds ONE corpus-sized exchange
+    * (partial+final count on (a, next)), where `next` is NULL at each
+    * document's last token so the pair-count frame alone determines
+    * unigram counts (c(x) = Σ_b cnt(x, b) — every occurrence of x
+    * emits exactly one pair row) and the corpus total N. Everything
+    * downstream — unigram rollup, scalar N, the support-filtered
+    * candidate join — is vocabulary-sized or smaller. The scalar N
+    * rides a one-row broadcast (BNLJ-whitelisted).
+    */
+  val q145: QueryDef = QueryDef.sql(
+    "q145_collocations",
+    s"""WITH d AS (SELECT $duckToks AS t FROM documents),
+       |pr AS (
+       |  SELECT unnest(list_transform(range(1, len(t) + 1),
+       |    i -> struct_pack(a := t[i],
+       |                     b := CASE WHEN i < len(t) THEN t[i+1] END))) AS s
+       |  FROM d WHERE len(t) >= 1),
+       |pc AS (SELECT s.a AS a, s.b AS b, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM pr GROUP BY 1, 2),
+       |uni AS (SELECT a AS tok, CAST(sum(cnt) AS BIGINT) AS c FROM pc GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni)
+       |SELECT a, b, cnt,
+       |  (CAST(n AS DOUBLE) * CAST(cnt AS DOUBLE))
+       |    / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+       |FROM pc CROSS JOIN tot
+       |JOIN uni ua ON ua.tok = pc.a
+       |JOIN uni ub ON ub.tok = pc.b
+       |WHERE b IS NOT NULL AND cnt >= 10
+       |ORDER BY lift DESC, a, b LIMIT 50""".stripMargin) { (s, dir) =>
+    val pairs = Tables.documents(s, dir)
+      .select(toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(explode(transform(sequence(lit(1), size(col("t"))),
+        i => struct(element_at(col("t"), i).as("a"),
+          when(i < size(col("t")), element_at(col("t"), i + 1)).as("b")))).as("s"))
+      .groupBy(col("s.a").as("a"), col("s.b").as("b"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      // vocabulary-sized; feeds three branches (unigrams, N, candidates)
+      .localCheckpoint(eager = false)
+    val uni = pairs.groupBy(col("a").as("tok"))
+      .agg(sum(col("cnt")).cast("bigint").as("c"))
+      .localCheckpoint(eager = false)
+    val tot = uni.agg(sum(col("c")).cast("bigint").as("n"))
+    pairs.filter(col("b").isNotNull && col("cnt") >= 10)
+      .crossJoin(broadcast(tot))
+      .join(uni.toDF("ta", "ca"), col("ta") === col("a"))
+      .join(uni.toDF("tb", "cb"), col("tb") === col("b"))
+      .select(col("a"), col("b"), col("cnt"),
+        ((col("n").cast("double") * col("cnt").cast("double"))
+          / (col("ca").cast("double") * col("cb").cast("double"))).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(50)
   }
 }

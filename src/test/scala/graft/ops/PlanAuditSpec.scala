@@ -162,7 +162,8 @@ class PlanAuditSpec extends SparkSpec {
       "q44_cluster_members" -> "points x one-row broadcast holding the K centers array",
       "q97_semantic_dedup" -> "points x one-row broadcast holding the K centers array",
       "q141_rfm" -> "one-row broadcast holding the scalar corpus-max timestamp",
-      "q134_source_divergence" -> "S x S source-pair spine (S = source count, a pipeline constant); zero-shared-vocab pairs must emit l1=2.0"
+      "q134_source_divergence" -> "S x S source-pair spine (S = source count, a pipeline constant); zero-shared-vocab pairs must emit l1=2.0",
+      "q145_collocations" -> "one-row broadcast holding the scalar corpus token count"
     )
     val bad = scala.collection.mutable.ListBuffer[String]()
     val observedBnlj = scala.collection.mutable.TreeSet[String]()
