@@ -60,25 +60,40 @@ object Graph {
   val BroadcastNodeLimit = 8000000L
 
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    // Loop-invariant frames, persisted ONCE each: the src-partitioned
-    // edge list (the only corpus-sized table — disk spillover; at
-    // cluster scale this is the standard iterative-graph pattern, e.g.
-    // GraphX's edge cache) and the node-sized out-degree table. The
-    // degree aggregate reuses e's hash partitioning (no exchange), and
-    // the node set is NOT a separate distinct pass — the distinct src
-    // set IS out's key set. One cold action (out.count, which pulls e
-    // through its cache on the way) materializes both caches AND
-    // evaluates the broadcast guard; the r7 shape paid the edge-build
-    // subtree (scan + join + distinct + repartition) twice more cold —
-    // once under nodes.distinct().count(), once under a persisted
+    // Loop-invariant frames, persisted ONCE each: the edge list (the
+    // only corpus-sized table — disk spillover; at cluster scale this
+    // is the standard iterative-graph pattern, e.g. GraphX's edge
+    // cache) and the node-sized out-degree table. The node set is NOT
+    // a separate distinct pass — the distinct src set IS out's key
+    // set. One cold action (out.count, which pulls eRaw through its
+    // cache on the way) materializes both caches AND evaluates the
+    // broadcast guard; the r7 shape paid the edge-build subtree
+    // (scan + join + distinct + repartition) twice more cold — once
+    // under nodes.distinct().count(), once under a persisted
     // edge+degree join frame (bench isolation unpersists between reps,
     // so every recorded rep paid that cold path: 7.7s recorded vs 3.3s
     // warm at sf0.1 x 5 iters).
-    val e = edges.repartition(col("src"))
+    val eRaw = edges
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val out = eRaw.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bcastRanks = out.count() <= BroadcastNodeLimit
+    // Src-partitioning the edge cache only pays off on the
+    // non-broadcast fallback, where per-iteration shuffled joins meet
+    // the edges in place. On the broadcast path the edge partitions
+    // are streamed as-is, so the edge-sized repartition exchange would
+    // be pure cold-start cost (~edge-table wire volume for nothing);
+    // the degree groupBy above is map-side combined either way, so its
+    // exchange is node x partition sized, not edge sized.
+    val e =
+      if (bcastRanks) eRaw
+      else {
+        val r = eRaw.repartition(col("src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.queryExecution.toRdd.count()
+        eRaw.unpersist(blocking = false)
+        r
+      }
     val nodes = out.select(col("src").as("node"))
     // The rank vector is node-sized, orders of magnitude smaller than
     // the edge list. When it fits the broadcast budget, ship it to the

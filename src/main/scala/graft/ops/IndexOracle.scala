@@ -166,7 +166,7 @@ object IndexOracle {
     val docs = Tables.documents(s, dir)
     val n = docs.count().toInt
     InvertedIndex.referenceFormat(
-      InvertedIndex.termDocMatrix(Normalize.tokens(docs), n))
+      InvertedIndex.termDocMatrixFast(Normalize.tokens(docs), n))
       .orderBy(col("term"))
   }
 

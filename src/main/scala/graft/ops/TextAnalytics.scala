@@ -268,13 +268,37 @@ object TextAnalytics {
     }
   }
 
+  /** Count of the most frequent element of a string array, in
+    * O(n log n): sort the array, then a single linear fold tracking
+    * (prev, current-run, best-run). Replaces the former
+    * O(distinct x tokens) distinct-scan formulation — on a 100k-token
+    * pathological document that was ~10^10 interpreted comparisons in
+    * one task; this is ~100k. The fold's `run` starts at 0 so the
+    * sentinel `prev = ""` is harmless even if a real token is "".
+    */
+  private def topTokenCount(t: Column): Column = {
+    val s = array_sort(t)
+    aggregate(
+      s,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
   /** Repetition metrics (q86) — the Gopher-rules boilerplate signals a
     * pre-training filter runs per document: duplicate-trigram fraction
     * (1 - distinct/total word 3-grams) and top-token fraction (share of
     * the most frequent token). Pure column arithmetic, narrow, scan
-    * speed; both formulas literal-identical in the DuckDB twin so the
-    * doubles hash-match. The top-token scan is O(distinct * tokens) per
-    * doc — bounded by doc length, not corpus size.
+    * speed. The top-token count is a sorted-run-length fold
+    * ([[topTokenCount]], O(n log n) per doc); the DuckDB twin reaches
+    * the same integer via `list_aggregate(t, 'mode')` + one filter —
+    * different linear path, identical count, so the doubles still
+    * hash-match.
     */
   val q86: QueryDef = QueryDef.sql(
     "q86_repetition_stats",
@@ -283,8 +307,7 @@ object TextAnalytics {
        |  CAST(len(g) AS BIGINT) AS n_3grams,
        |  1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
        |    AS dup_3gram_ratio,
-       |  CAST(list_max(list_transform(list_distinct(t),
-       |      x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
+       |  CAST(len(list_filter(t, y -> y = list_aggregate(t, 'mode'))) AS DOUBLE)
        |    / CAST(len(t) AS DOUBLE) AS top_token_ratio
        |FROM (
        |  SELECT doc_id, t,
@@ -305,8 +328,7 @@ object TextAnalytics {
       size(col("g")).cast("bigint").as("n_3grams"),
       (lit(1.0) - size(array_distinct(col("g"))).cast("double")
         / size(col("g")).cast("double")).as("dup_3gram_ratio"),
-      (array_max(transform(array_distinct(col("t")),
-        x => size(filter(col("t"), y => y === x)))).cast("double")
+      (topTokenCount(col("t")).cast("double")
         / size(col("t")).cast("double")).as("top_token_ratio"))
       .orderBy(col("doc_id"))
   }
