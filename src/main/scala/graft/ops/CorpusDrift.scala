@@ -16,7 +16,7 @@ object CorpusDrift {
 
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
-  def all: Seq[QueryDef] = Seq(q134, q136)
+  def all: Seq[QueryDef] = Seq(q134, q136, q146)
 
   /** Pairwise source-distribution divergence (q134): for every source
     * pair, the L1 distance between their unigram distributions —
@@ -321,5 +321,53 @@ object CorpusDrift {
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         (col("n_novel").cast("double") / col("n_shingles").cast("double"))
           .as("novelty"))
+  }
+
+  /** Incremental novelty, oracle-checked end to end (q146): a 40/60
+    * modulo split of the documents fixture plays history vs incoming
+    * batch — [[buildFirstSeen]] indexes the history, then
+    * [[noveltyAgainstIndexBloom]] scores the batch against it (bloom
+    * pre-strike included, so the production path — map-side bloom
+    * build, narrow probe, miss rows skipping the index join — is what
+    * the DuckDB hash-compare certifies, not just the plain kernel).
+    * The modulo split is scale-factor independent and interleaves
+    * history and batch doc_ids, exercising both bloom sides: shared
+    * boilerplate shingles HIT, fresh content MISSES. The twin re-derives
+    * the history shingle set and batch-first occurrences over raw
+    * shingle strings where Spark keys xxhash64 — identical modulo a
+    * 64-bit collision the hash compare would surface, not mask.
+    */
+  val q146: QueryDef = QueryDef.sql(
+    "q146_incremental_novelty",
+    s"""WITH d AS (
+       |  SELECT doc_id, t, len(t) AS n
+       |  FROM (SELECT doc_id, $duckToks AS t FROM documents)
+       |  WHERE len(t) > 0),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(t[i + 1 : i + 8], ' ') AS sh
+       |  FROM (SELECT doc_id, t,
+       |          unnest(range(0, greatest(n - 8, 0) + 1)) AS i
+       |        FROM d)),
+       |hist AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 5 < 2),
+       |b AS (SELECT doc_id, sh FROM sh WHERE doc_id % 5 >= 2),
+       |firsts AS (SELECT sh, min(doc_id) AS batch_first FROM b GROUP BY sh),
+       |agg AS (
+       |  SELECT b.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_shingles,
+       |    CAST(sum(CASE WHEN h.sh IS NULL AND f.batch_first = b.doc_id
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM b
+       |  JOIN firsts f ON f.sh = b.sh
+       |  LEFT JOIN hist h ON h.sh = b.sh
+       |  GROUP BY b.doc_id)
+       |SELECT doc_id, n_shingles, n_novel,
+       |  CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val index = buildFirstSeen(docs.filter(col("doc_id") % 5 < 2))
+    noveltyAgainstIndexBloom(index, docs.filter(col("doc_id") % 5 >= 2))
+      .orderBy(col("doc_id"))
   }
 }

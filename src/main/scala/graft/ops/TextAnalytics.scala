@@ -29,7 +29,7 @@ object TextAnalytics {
 
   def all: Seq[QueryDef] =
     Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121, q126, q127,
-      q129, q142, q145)
+      q129, q142, q145, q147, q148)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -276,7 +276,7 @@ object TextAnalytics {
     * one task; this is ~100k. The fold's `run` starts at 0 so the
     * sentinel `prev = ""` is harmless even if a real token is "".
     */
-  private def topTokenCount(t: Column): Column = {
+  private[graft] def topTokenCount(t: Column): Column = {
     val s = array_sort(t)
     aggregate(
       s,
@@ -850,5 +850,145 @@ object TextAnalytics {
           / (col("ca").cast("double") * col("cb").cast("double"))).as("lift"))
       .orderBy(col("lift").desc, col("a"), col("b"))
       .limit(50)
+  }
+
+  /** Sum over the runs of a sorted string array of run_length^2 — the
+    * Simpson-index numerator Σ c_i² — in one O(n log n) array-local
+    * pass (sort + linear fold), no per-doc exchange. The sentinel
+    * prev = "" never matches a real token (toks filters empties), and
+    * the run>0 guard makes the initial flush a no-op either way.
+    */
+  private[graft] def sumSqRunLengths(t: Column): Column = {
+    val s = array_sort(t)
+    aggregate(
+      s,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("ss")),
+      (acc, x) => {
+        val same = x === acc.getField("prev")
+        struct(
+          x.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("ss"))
+            .otherwise(acc.getField("ss")
+              + acc.getField("run") * acc.getField("run")).as("ss"))
+      },
+      acc => acc.getField("ss")
+        + acc.getField("run") * acc.getField("run"))
+  }
+
+  /** Lexical diversity per document (q147): type-token ratio and the
+    * Simpson diversity index 1 - Σ c_i²/n² — the probability two
+    * independently drawn tokens differ. The repetition-quality signal
+    * complementary to q86's top-token share: q86 catches one dominant
+    * token, Simpson catches distributional collapse across the whole
+    * vocabulary (a doc cycling 3 tokens evenly passes q86's threshold
+    * yet scores Simpson ≈ 0.67 vs ≈ 1.0 for natural text).
+    *
+    * Scale: entirely array-local — Σ c_i² comes from a sorted-run
+    * fold ([[sumSqRunLengths]]), types from array_distinct; NO
+    * exchange at all before the output sort, so the query runs at
+    * scan speed on any corpus. The DuckDB twin takes the orthodox
+    * explode → GROUP BY path to the same integers; the doubles
+    * hash-match because the final (1 - ss/(n·n)) formula is literal-
+    * identical on both sides.
+    */
+  val q147: QueryDef = QueryDef.sql(
+    "q147_lexical_diversity",
+    s"""WITH d AS (SELECT doc_id, $duckToks AS t FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM d)
+       |  GROUP BY doc_id, tok),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(c * c) AS BIGINT) AS ss
+       |  FROM cnt GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_types,
+       |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+       |  1.0 - CAST(ss AS DOUBLE)
+       |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS simpson
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("bigint").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("bigint").as("n_types"),
+        col("t"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (lit(1.0) - sumSqRunLengths(col("t")).cast("double")
+          / (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          .as("simpson"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bucketed vocabulary-growth curve (q148): cumulative distinct
+    * word types vs cumulative tokens as the corpus is consumed in
+    * doc_id order, sampled at fixed 100-doc buckets — the Heaps'-law
+    * audit a tokenizer-vocabulary sizing pass runs (V(n) ~ K·n^β;
+    * a flattening curve says more data stops buying new vocabulary).
+    *
+    * Scale: a type's first occurrence is a min aggregate on the token
+    * (ONE corpus-sized exchange); everything after is bucket-sized —
+    * per-bucket new-type counts are vocabulary-sized before their
+    * rollup, the token totals map-side combine to one row per bucket,
+    * and the cumulative window runs over the bucket-count-sized frame
+    * (thousands of rows at 100 TB, one partition is correct there —
+    * the global-order window never touches corpus-sized data).
+    */
+  val q148: QueryDef = QueryDef.sql(
+    "q148_vocab_growth",
+    s"""WITH d AS (SELECT doc_id, $duckToks AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS tok FROM d),
+       |firsts AS (SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY tok),
+       |nt AS (SELECT first_doc // 100 AS bucket,
+       |         CAST(count(*) AS BIGINT) AS new_types
+       |       FROM firsts GROUP BY 1),
+       |tc AS (SELECT doc_id // 100 AS bucket,
+       |         CAST(count(*) AS BIGINT) AS n_tokens
+       |       FROM tok GROUP BY 1),
+       |dc AS (SELECT doc_id // 100 AS bucket,
+       |         CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM documents GROUP BY 1)
+       |SELECT dc.bucket, dc.n_docs,
+       |  COALESCE(tc.n_tokens, 0) AS n_tokens,
+       |  COALESCE(nt.new_types, 0) AS new_types,
+       |  CAST(sum(COALESCE(tc.n_tokens, 0)) OVER
+       |    (ORDER BY dc.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cum_tokens,
+       |  CAST(sum(COALESCE(nt.new_types, 0)) OVER
+       |    (ORDER BY dc.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cum_types
+       |FROM dc
+       |LEFT JOIN tc ON tc.bucket = dc.bucket
+       |LEFT JOIN nt ON nt.bucket = dc.bucket
+       |ORDER BY dc.bucket""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val nt = tok.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr("first_doc div 100").as("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("new_types"))
+    val tc = tok.groupBy(expr("doc_id div 100").as("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"))
+    val dc = docs.groupBy(expr("doc_id div 100").as("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    dc.join(tc, Seq("bucket"), "left")
+      .join(nt, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("bigint"))
+      .withColumn("cum_types", sum(col("new_types")).over(w).cast("bigint"))
+      .orderBy(col("bucket"))
   }
 }

@@ -33,8 +33,10 @@ object ScaleCheck {
         "q108_bigram_lm", "q112_source_overlap",
         "q113_sliding_span_dedup", "q114_tfidf_retrieval",
         "q143_exact_substr_spans",
+        "q144_longest_repeated_substring", "q145_collocations",
         "q116_bigram_lm_score", "q134_source_divergence",
-        "q136_ngram_novelty", "q140_dataset_card")
+        "q136_ngram_novelty", "q140_dataset_card",
+        "q146_incremental_novelty")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()

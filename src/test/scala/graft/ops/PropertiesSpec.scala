@@ -152,4 +152,25 @@ class PropertiesSpec extends SparkSpec {
     assert(again.collect().forall(_.getLong(2) == 0L),
       "second span-dedup pass removed chunks — not idempotent")
   }
+
+  private val tokArray: Gen[Seq[String]] = for {
+    n <- Gen.choose(1, 40)
+    xs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "e"))
+  } yield xs
+
+  test("property: sorted-run folds match plain-Scala counting (q86 top-token, q147 Simpson)") {
+    val arrays = samples(tokArray, 120)
+    val df = arrays.map(Tuple1(_)).toDF("t")
+    val got = df.select(
+      graft.ops.TextAnalytics.topTokenCount(col("t")).as("top"),
+      graft.ops.TextAnalytics.sumSqRunLengths(col("t")).as("ss"))
+      .as[(Int, Long)].collect()
+    arrays.zip(got).foreach { case (xs, (top, ss)) =>
+      val counts = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(top.toLong == counts.values.max,
+        s"topTokenCount mismatch on $xs")
+      assert(ss == counts.values.map(c => c * c).sum,
+        s"sumSqRunLengths mismatch on $xs")
+    }
+  }
 }
