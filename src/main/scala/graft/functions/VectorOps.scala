@@ -398,4 +398,63 @@ object VectorOps {
     while (k < syms.size) { out(k) = UTF8String.fromString(syms.get(k)); k += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  /** 64-bit hash of one token's UTF-8 bytes (FNV-1a + the shared
+    * splitmix64 finalizer, which decorrelates the FNV values before
+    * the polynomial combine).
+    */
+  private def tokenHash(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var h = FnvOffset
+    var i = 0
+    while (i < n) {
+      h ^= (s.getByte(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** All `len`-token-window rolling hashes of a string array:
+    * out(i) = polynomial hash (mod 2^64) of token hashes [i, i+len),
+    * i in [0, n-len]. Total cost O(total token bytes + n) — each token
+    * is hashed ONCE and windows roll in O(1), vs the O(n·len)
+    * slice+concat+xxhash64 formulation (per-window concatenation
+    * re-reads len tokens). The polynomial runs over per-token 64-bit
+    * hashes, so there is no concat-boundary ambiguity (("ab","c") vs
+    * ("a","bc") hash differently by construction, which a
+    * delimiter-joined concat only gets by trusting the delimiter to
+    * never occur in a token). Equal windows ALWAYS collide (the probe
+    * use-case needs that direction to be certain); unequal windows
+    * collide with ~2^-64 probability — callers that need exactness
+    * verify candidates on raw strings (q144's walk-down).
+    */
+  def rollingWindowHashes(arr: ArrayData, len: Int): ArrayData = {
+    val n = arr.numElements()
+    if (len <= 0 || n < len)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = tokenHash(arr.getUTF8String(i)); i += 1 }
+    // B^(len-1) mod 2^64 for the roll-off term
+    var bp = 1L
+    var k = 1
+    while (k < len) { bp *= FnvPrime; k += 1 }
+    val out = new Array[Long](n - len + 1)
+    var h = 0L
+    i = 0
+    while (i < len) { h = h * FnvPrime + th(i); i += 1 }
+    out(0) = h
+    i = len
+    while (i < n) {
+      h = (h - th(i - len) * bp) * FnvPrime + th(i)
+      out(i - len + 1) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

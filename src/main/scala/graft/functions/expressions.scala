@@ -140,6 +140,33 @@ case class ShingleMinHashExpr(child: Expression, nHashes: Int, shingleSize: Int)
     copy(child = newChild)
 }
 
+/** All `len`-token-window rolling hashes of an ARRAY<STRING> column
+  * (see VectorOps.rollingWindowHashes): ARRAY<BIGINT> of length
+  * n-len+1 (empty when n < len). O(token bytes + n) per row — each
+  * token hashed once, windows roll in O(1) — vs the O(n·len)
+  * per-window slice+concat+xxhash64 formulation. The probe kernel of
+  * q144's binary search; any fixed-width window-dedup exchange can key
+  * on it.
+  */
+case class RollingWindowHashExpr(child: Expression, len: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(len >= 1, s"rolling_window_hashes needs len >= 1, got $len")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_window_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.rollingWindowHashes(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], len)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorOps.rollingWindowHashes($c, $len)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingWindowHashExpr =
+    copy(child = newChild)
+}
+
 /** Nearest-centroid argmin against a driver-side center set. The
   * centers ride into the generated code as a reference object — the
   * reference's DistributedCache broadcast pattern (ProcessData.java:
@@ -448,6 +475,9 @@ object functions {
   def shingle_minhash(c: Column, nHashes: Int, shingleSize: Int): Column =
     Shim.column(ShingleMinHashExpr(Shim.expression(c), nHashes, shingleSize))
 
+  def rolling_window_hashes(c: Column, len: Int): Column =
+    Shim.column(RollingWindowHashExpr(Shim.expression(c), len))
+
   def nearest_center(c: Column, centers: Array[Array[Double]]): Column =
     Shim.column(NearestCenterExpr(Shim.expression(c),
       centers.map(_.toIndexedSeq).toIndexedSeq))
@@ -571,6 +601,8 @@ object GraftExtensions {
       MinHashSigExpr(es(0), intArg(es(1), "minhash_sig")))
     f("shingle_minhash", es => ShingleMinHashExpr(
       es(0), intArg(es(1), "shingle_minhash"), intArg(es(2), "shingle_minhash")))
+    f("rolling_window_hashes", es => RollingWindowHashExpr(
+      es(0), intArg(es(1), "rolling_window_hashes")))
     f("unit_normalize", es => UnitNormalizeExpr(dblVec(es.head)))
     f("nearest_center", es => NearestCenterExpr(
       dblVec(es(0)), nestedDoublesArg(es(1), "nearest_center")))

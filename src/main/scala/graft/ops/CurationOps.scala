@@ -835,10 +835,11 @@ object CurationOps {
     * its window/pivot are negligible.
     *
     * Scale: log2(maxDocLen) corpus scans + hash exchanges; window
-    * hashing is O(tokens x L) per probe (a rolling-hash Expression
-    * would make it O(tokens); documented trade, not needed at current
-    * profile). The exact-verify pass at the found L is one
-    * string-keyed exchange.
+    * hashing is O(token bytes + tokens) per probe via the codegen
+    * rolling-hash kernel ([[graft.functions.RollingWindowHashExpr]] —
+    * each token hashed once, windows roll in O(1); the previous
+    * slice+concat formulation was O(tokens·L) per probe). The
+    * exact-verify pass at the found L is one string-keyed exchange.
     */
   def longestRepeatedSubstring(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
@@ -852,9 +853,20 @@ object CurationOps {
     def occs(len: Int) = d.filter(col("nt") >= len)
       .select(col("doc_id"),
         explode(sequence(lit(0L), col("nt") - len)).as("start"), col("t"))
+    // hash probe: the codegen rolling-hash kernel emits ALL window
+    // hashes of a doc in O(token bytes + n) — the per-window
+    // slice+concat+xxhash64 formulation re-reads len tokens per
+    // window, O(n·len), which dominates probes at the large mid
+    // values the binary search visits first. Exactness is unaffected:
+    // equal windows always share a hash (probe can only OVERSTATE),
+    // and the walk-down verifies on raw strings.
     def hasDup(len: Int, exact: Boolean): Boolean = {
-      val key = if (exact) winCol(len) else xxhash64(winCol(len))
-      occs(len).select(key.as("g"))
+      val probe =
+        if (exact) occs(len).select(winCol(len).as("g"))
+        else d.filter(col("nt") >= len).select(
+          explode(graft.functions.functions.rolling_window_hashes(col("t"), len))
+            .as("g"))
+      probe
         .groupBy(col("g")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).limit(1).count() > 0
     }

@@ -22,7 +22,7 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
-  def all: Seq[QueryDef] = Seq(q30, q31, q117, q120)
+  def all: Seq[QueryDef] = Seq(q30, q31, q117, q120, q149)
 
   /** Per-vector L2 norm (pinned fold order; identical formula in the
     * DuckDB twin so doubles are bit-identical).
@@ -442,5 +442,91 @@ object Similarity {
       |FROM pred GROUP BY label, clabel
       |ORDER BY label, predicted""".stripMargin) { (s, dir) =>
     nearestCentroidConfusion(Tables.embeddings(s, dir))
+  }
+
+  /** Scalar (int8-style) quantization of the embedding corpus (q149):
+    * per-dimension [min,max] trained over the corpus, each component
+    * encoded to an integer code in [0,254] with explicit half-up
+    * rounding — `floor((x-mn)*254/(mx-mn) + 0.5)` — and per-vector
+    * reconstruction error reported (Σ(x-decode)² in pinned dim order,
+    * plus the max |error| component). SQ8 is the standard 4x
+    * memory/bandwidth cut for ANN serving (what IVF_SQ8 pairs with
+    * cell routing); unlike PQ (q102) it needs no codebook k-means and
+    * decodes with two flops, trading recall for simplicity.
+    *
+    * Scale shape: training is ONE map-side-combined aggregate to
+    * dim-count rows (64 here), collected like Lloyd centers; encoding
+    * is a pure narrow map with the bounds riding in as literal arrays
+    * — the corpus never shuffles. All arithmetic is IEEE add/mul/div/
+    * floor with the same literal formula and fold order in the DuckDB
+    * twin, so codes AND error doubles hash-match bit-exactly. The
+    * explicit `+0.5, floor` avoids round(): Spark round() is HALF_UP,
+    * DuckDB rounds half-to-even on doubles — the one-ulp trap this
+    * formula sidesteps by construction.
+    */
+  val q149: QueryDef = QueryDef.sql(
+    "q149_scalar_quantization",
+    """WITH d0 AS (
+      |  SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM d0),
+      |mm AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
+      |enc AS (
+      |  SELECT d.vec_id, d.dim, d.x, mm.mn, mm.mx,
+      |    CASE WHEN mm.mx > mm.mn
+      |      THEN CAST(least(254.0, greatest(0.0,
+      |        floor((d.x - mm.mn) * 254.0 / (mm.mx - mm.mn) + 0.5))) AS BIGINT)
+      |      ELSE 0 END AS q
+      |  FROM dims d JOIN mm USING (dim)),
+      |dec AS (
+      |  SELECT vec_id, dim, q, x,
+      |    CASE WHEN mx > mn THEN mn + CAST(q AS DOUBLE) * (mx - mn) / 254.0
+      |         ELSE mn END AS xr
+      |  FROM enc),
+      |agg AS (
+      |  SELECT vec_id,
+      |    string_agg(CAST(q AS VARCHAR), ' ' ORDER BY dim) AS codes,
+      |    list_sum(list((x - xr) * (x - xr) ORDER BY dim)) AS err2,
+      |    max(abs(x - xr)) AS err_max
+      |  FROM dec GROUP BY vec_id)
+      |SELECT vec_id, codes, err2, err_max FROM agg
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    // train: per-dim bounds, one aggregate to dim-count rows
+    val mm = emb
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("dim"))
+      .collect()
+    val mnA = array(mm.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val mxA = array(mm.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    // encode + error: pure narrow map, bounds as literal arrays
+    val v = col("embedding").cast("array<double>")
+    val qArr = transform(v, (x, i) => {
+      val mn = element_at(mnA, i + 1)
+      val mx = element_at(mxA, i + 1)
+      when(mx > mn,
+        least(lit(254.0), greatest(lit(0.0),
+          floor((x - mn) * 254.0 / (mx - mn) + 0.5))).cast("bigint"))
+        .otherwise(lit(0L))
+    })
+    val xrArr = transform(qArr, (q, i) => {
+      val mn = element_at(mnA, i + 1)
+      val mx = element_at(mxA, i + 1)
+      when(mx > mn, mn + q.cast("double") * (mx - mn) / 254.0).otherwise(mn)
+    })
+    emb.select(col("vec_id"), v.as("xs"), qArr.as("qs"), xrArr.as("xrs"))
+      .select(
+        col("vec_id"),
+        concat_ws(" ", transform(col("qs"), q => q.cast("string"))).as("codes"),
+        aggregate(
+          zip_with(col("xs"), col("xrs"), (x, xr) => (x - xr) * (x - xr)),
+          lit(0.0), (a, e) => a + e).as("err2"),
+        array_max(zip_with(col("xs"), col("xrs"),
+          (x, xr) => abs(x - xr))).as("err_max"))
+      .orderBy(col("vec_id"))
   }
 }

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared delta-directory store for streaming-maintained indexes
+  * (the LSH band index, the first-seen novelty index): each committed
+  * micro-batch writes a `batch_id=<k>` partition; reads union the
+  * partitions and fold them with an index-specific merge; a compactor
+  * folds everything into `batch_id=0`.
+  *
+  * Crash contract (shared by every index built on this store):
+  *  - the maintainer's per-batch write is a DETERMINISTIC overwrite of
+  *    its own partition, so a replayed micro-batch (checkpoint says
+  *    uncommitted) lands byte-identically — exactly-once by rewrite;
+  *  - compaction snapshots the partition list AT ENTRY, folds only the
+  *    snapshot, and deletes only the snapshot afterwards — a delta the
+  *    maintainer commits mid-compaction is never dropped (the
+  *    streaming checkpoint marks it committed and never replays it);
+  *  - the `batch_id=0` replacement goes through a sibling backup
+  *    rename: a crash at any point leaves the old partitions, the
+  *    backup, or the new fold readable. Readers recover READ-ONLY by
+  *    unioning the backup in place as batch 0 (renaming it back from a
+  *    read path would race a LIVE compactor's swap — a restore between
+  *    the compactor's two renames makes its second rename land the new
+  *    fold INSIDE the restored dir, nesting a partition dir and
+  *    duplicating rows); only the compactor — the single writer —
+  *    repairs by rename;
+  *  - a crash during the trailing per-partition deletes leaves
+  *    already-folded partitions behind — harmless duplicates under any
+  *    idempotent fold (latest-wins, min), removed by the next
+  *    compaction.
+  */
+private[streaming] object DeltaStore {
+
+  /** Raw union of all delta partitions, `batch_id` taken from the
+    * partition directories, with a crashed compaction's sibling backup
+    * unioned IN PLACE as batch 0. None when the root holds no
+    * `batch_id=` partitions and no backup exists (callers pick their
+    * empty-index semantics).
+    */
+  def readRaw(spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(conf)
+    val zero = new Path(s"$indexDir/batch_id=0")
+    val old = new Path(indexDir + "_old0")
+    val backup = !fs.exists(zero) && fs.exists(old)
+    val hasParts = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch_id="))
+    if (hasParts) {
+      val live = spark.read.parquet(indexDir) // batch_id from partition dirs
+      Some(
+        if (backup)
+          live.unionByName(spark.read.parquet(old.toString)
+            .withColumn("batch_id",
+              lit(0).cast(live.schema("batch_id").dataType)))
+        else live)
+    } else if (backup)
+      Some(spark.read.parquet(old.toString).withColumn("batch_id", lit(0L)))
+    else None
+  }
+
+  /** If a compaction crashed between renaming the old `batch_id=0`
+    * aside and landing the new one, restore the backup — the folded
+    * content it held is not yet anywhere else. WRITER-ONLY: called
+    * solely from [[compact]] (readers fall back to reading the backup
+    * in place — see [[readRaw]]), so the restore can never race a
+    * live swap.
+    */
+  private def recoverCompaction(spark: SparkSession, indexDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val zero = new Path(s"$indexDir/batch_id=0")
+    val fs = zero.getFileSystem(conf)
+    val old = new Path(indexDir + "_old0")
+    if (!fs.exists(zero) && fs.exists(old) && !fs.rename(old, zero))
+      sys.error(s"delta-store recovery: rename $old -> $zero failed")
+  }
+
+  /** Fold the delta partitions present AT ENTRY into `batch_id=0`
+    * with the index's own merge (`fold` receives the raw union with
+    * its `batch_id` column and returns the folded rows), dropping
+    * superseded rows. Safe to run CONCURRENTLY with the maintainer —
+    * see the crash contract above.
+    */
+  def compact(spark: SparkSession, indexDir: String,
+              fold: DataFrame => DataFrame): Unit = {
+    recoverCompaction(spark, indexDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return
+    val snapshot = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch_id=")).toSeq
+    if (snapshot.isEmpty) return
+    val tmp = new Path(indexDir + "_compacting")
+    val zero = new Path(s"$indexDir/batch_id=0")
+    val old0 = new Path(indexDir + "_old0")
+    fold(spark.read.option("basePath", indexDir)
+        .parquet(snapshot.map(_.toString): _*))
+      .write.mode("overwrite").parquet(tmp.toString + "/batch_id=0")
+    fs.delete(old0, true) // stale backup from a prior completed run
+    // every swap rename is checked: a silently-failed rename here
+    // would drop the fold (or strand it in the tmp dir) undetected
+    if (fs.exists(zero) && !fs.rename(zero, old0))
+      sys.error(s"delta-store compaction: rename $zero -> $old0 failed")
+    if (!fs.rename(new Path(tmp, "batch_id=0"), zero))
+      sys.error(s"delta-store compaction: rename $tmp/batch_id=0 -> $zero failed")
+    fs.delete(old0, true)
+    snapshot.filter(_.getName != "batch_id=0").foreach(p => fs.delete(p, true))
+    fs.delete(tmp, true)
+  }
+}

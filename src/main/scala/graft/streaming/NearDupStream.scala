@@ -214,37 +214,12 @@ object NearDupStream {
     * equi-join, the cost compaction amortizes away). Feed this to
     * [[graft.ops.Dedup.probeBandIndex]].
     */
-  def readBandIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = root.getFileSystem(conf)
-    val zero = new org.apache.hadoop.fs.Path(s"$indexDir/batch_id=0")
-    val old = new org.apache.hadoop.fs.Path(indexDir + "_old0")
-    // Crash recovery is READ-ONLY here: if a compaction died between
-    // renaming batch_id=0 aside and landing the new fold, the folded
-    // rows live only in the sibling backup — read it IN PLACE as batch
-    // 0. Renaming it back from a read path would race a LIVE
-    // compactor's swap: a restore between the compactor's two renames
-    // makes its second rename land the new fold INSIDE the restored
-    // dir (Hadoop renames into an existing dir), nesting a partition
-    // dir and duplicating rows. Only [[compactBandIndex]] — the single
-    // writer — repairs by rename.
-    val backup = !fs.exists(zero) && fs.exists(old)
-    val hasParts = fs.exists(root) &&
-      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch_id="))
-    val all =
-      if (hasParts) {
-        val live = spark.read.parquet(indexDir) // batch_id from partition dirs
-        if (backup)
-          live.unionByName(spark.read.parquet(old.toString)
-            .withColumn("batch_id",
-              lit(0).cast(live.schema("batch_id").dataType)))
-        else live
-      } else if (backup)
-        spark.read.parquet(old.toString).withColumn("batch_id", lit(0L))
-      else spark.read.parquet(indexDir) // empty/missing: fail as before
-    mergeOnRead(all)
-  }
+  def readBandIndex(spark: SparkSession, indexDir: String): DataFrame =
+    mergeOnRead(DeltaStore.readRaw(spark, indexDir)
+      // empty/missing: fail as before (an absent band index is a call
+      // error, not an empty index — probeBandIndex has no useful
+      // zero-state)
+      .getOrElse(spark.read.parquet(indexDir)))
 
   /** Latest-batch-wins view of a (…, doc_id, batch_id) delta union. */
   private def mergeOnRead(all: DataFrame): DataFrame = {
@@ -253,59 +228,12 @@ object NearDupStream {
     all.join(latest, Seq("doc_id", "batch_id")).drop("batch_id")
   }
 
-  /** If a compaction crashed between renaming the old `batch_id=0`
-    * aside and landing the new one, restore the backup — the folded
-    * content it held is not yet anywhere else. WRITER-ONLY: called
-    * solely from [[compactBandIndex]] (readers fall back to reading
-    * the backup in place — see [[readBandIndex]]), so the restore can
-    * never race a live swap.
-    */
-  private def recoverCompaction(spark: SparkSession, indexDir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val zero = new org.apache.hadoop.fs.Path(s"$indexDir/batch_id=0")
-    val fs = zero.getFileSystem(conf)
-    val old = new org.apache.hadoop.fs.Path(indexDir + "_old0")
-    if (!fs.exists(zero) && fs.exists(old) && !fs.rename(old, zero))
-      sys.error(s"band-index recovery: rename $old -> $zero failed")
-  }
-
   /** Fold the delta partitions present AT ENTRY into `batch_id=0`,
-    * dropping superseded rows. Safe to run CONCURRENTLY with the
-    * maintainer: only the snapshotted partition list is folded and
-    * only those partitions are deleted afterwards, so a delta the
-    * maintainer commits mid-compaction is never dropped (deleting the
-    * whole root here would lose it permanently — the streaming
-    * checkpoint marks it committed and never replays it). The
-    * `batch_id=0` replacement itself goes through a sibling backup
-    * rename ([[recoverCompaction]]): a crash at any point leaves
-    * either the old partitions, the backup, or the new fold readable.
-    * A crash during the trailing per-partition deletes leaves
-    * already-folded partitions behind — harmless duplicates under
-    * latest-wins reads, removed by the next compaction.
+    * dropping superseded rows — [[DeltaStore.compact]] with the
+    * latest-batch-wins merge; the crash contract (snapshot-only
+    * deletes, sibling-backup swap, read-only reader recovery) is the
+    * store's, shared with the novelty index.
     */
-  def compactBandIndex(spark: SparkSession, indexDir: String): Unit = {
-    recoverCompaction(spark, indexDir)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = root.getFileSystem(conf)
-    val snapshot = fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("batch_id=")).toSeq
-    if (snapshot.isEmpty) return
-    val tmp = new org.apache.hadoop.fs.Path(indexDir + "_compacting")
-    val zero = new org.apache.hadoop.fs.Path(s"$indexDir/batch_id=0")
-    val old0 = new org.apache.hadoop.fs.Path(indexDir + "_old0")
-    mergeOnRead(spark.read.option("basePath", indexDir)
-        .parquet(snapshot.map(_.toString): _*))
-      .write.mode("overwrite").parquet(tmp.toString + "/batch_id=0")
-    fs.delete(old0, true) // stale backup from a prior completed run
-    // every swap rename is checked: a silently-failed rename here
-    // would drop the fold (or strand it in the tmp dir) undetected
-    if (fs.exists(zero) && !fs.rename(zero, old0))
-      sys.error(s"band-index compaction: rename $zero -> $old0 failed")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp, "batch_id=0"), zero))
-      sys.error(s"band-index compaction: rename $tmp/batch_id=0 -> $zero failed")
-    fs.delete(old0, true)
-    snapshot.filter(_.getName != "batch_id=0").foreach(p => fs.delete(p, true))
-    fs.delete(tmp, true)
-  }
+  def compactBandIndex(spark: SparkSession, indexDir: String): Unit =
+    DeltaStore.compact(spark, indexDir, mergeOnRead)
 }
