@@ -22,7 +22,18 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
-  def all: Seq[QueryDef] = Seq(q30, q31, q117, q120, q149)
+  def all: Seq[QueryDef] = Seq(q30, q31, q117, q120, q149, q150)
+
+  /** The q31 cosine formula over two DuckDB list columns — identical
+    * literal fold to the codegen CosineSimilarityExpr (dot and norms
+    * accumulated in index order), so scores are bit-identical across
+    * engines.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
   /** Per-vector L2 norm (pinned fold order; identical formula in the
     * DuckDB twin so doubles are bit-identical).
@@ -528,5 +539,162 @@ object Similarity {
         array_max(zip_with(col("xs"), col("xrs"),
           (x, xr) => abs(x - xr))).as("err_max"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Per-vector SQ8 decode (q149's formulas) as a narrow column over
+    * a double-array column, with the trained per-dim bounds riding in
+    * as literal arrays: decode(encode(x)). Shared by q150's candidate
+    * scoring.
+    */
+  private def sq8Reconstruct(v: org.apache.spark.sql.Column, mnA: org.apache.spark.sql.Column, mxA: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val qArr = transform(v, (x, i) => {
+      val mn = element_at(mnA, i + 1)
+      val mx = element_at(mxA, i + 1)
+      when(mx > mn,
+        least(lit(254.0), greatest(lit(0.0),
+          floor((x - mn) * 254.0 / (mx - mn) + 0.5))).cast("bigint"))
+        .otherwise(lit(0L))
+    })
+    transform(qArr, (q, i) => {
+      val mn = element_at(mnA, i + 1)
+      val mx = element_at(mxA, i + 1)
+      when(mx > mn, mn + q.cast("double") * (mx - mn) / 254.0).otherwise(mn)
+    })
+  }
+
+  /** IVF-SQ8 ANN serving (q150): coarse cells route candidates, the
+    * shortlist scores against SQ8-RECONSTRUCTED vectors (q149's
+    * quantizer — at serving scale the cells store 1-byte codes, 8x
+    * smaller than float32, and decode is two flops per dim), and the
+    * top-`rerank` survivors re-rank exactly over raw vectors — the
+    * same coarse/compressed/exact three-stage contract as IVF-PQ
+    * (q102) with the simpler quantizer. Centers are fixture-pinned
+    * (vec_id < 8, as q53) so the oracle replays the exact assignment.
+    *
+    * Scale shape: the corpus side is two NARROW codegen maps
+    * (nearest_center assignment; SQ8 decode with literal-array
+    * bounds) — it never shuffles except the candidate join on
+    * center_id, which is the IVF contract (cells persisted
+    * PARTITIONED BY center_id serve it storage-pruned, see
+    * Pq.saveIndex). Probes explode a literal 8-center array per
+    * query: no join, no exchange on the query side until the
+    * candidate equi-join.
+    *
+    * Determinism: every score is the pinned q31 cosine fold (Spark
+    * CosineSimilarityExpr == DuckDB cosSql, bit-identical); the SQ8
+    * codes/decodes are q149's integer-exact formulas; all ranks
+    * tie-break on id. The oracle re-derives the WHOLE path — bounds,
+    * codes, decode, cell assignment, probes, both rankings — from the
+    * raw parquet.
+    */
+  val q150: QueryDef = QueryDef.sql(
+    "q150_knn_ivf_sq8",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |ctr AS (
+       |  SELECT CAST(vec_id AS INT) AS center_id, embedding AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |ad AS (
+       |  SELECT e.vec_id, ctr.center_id,
+       |    CASE WHEN list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+       |           OR list_sum(list_transform(ctr.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+       |         THEN 1.0
+       |         ELSE 1.0 - ${cosSql("e.embedding", "ctr.cv")} END AS dist
+       |  FROM e CROSS JOIN ctr),
+       |asg AS (
+       |  SELECT vec_id, center_id FROM (
+       |    SELECT vec_id, center_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, center_id) AS rn
+       |    FROM ad) WHERE rn = 1),
+       |d0 AS (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM e),
+       |dims AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x FROM d0),
+       |mm AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
+       |dec AS (
+       |  SELECT d.vec_id, d.dim,
+       |    CASE WHEN mm.mx > mm.mn
+       |      THEN mm.mn + CAST(
+       |        CAST(least(254.0, greatest(0.0,
+       |          floor((d.x - mm.mn) * 254.0 / (mm.mx - mm.mn) + 0.5))) AS BIGINT)
+       |        AS DOUBLE) * (mm.mx - mm.mn) / 254.0
+       |      ELSE mm.mn END AS xr
+       |  FROM dims d JOIN mm USING (dim)),
+       |xrv AS (SELECT vec_id, list(xr ORDER BY dim) AS xr FROM dec GROUP BY vec_id),
+       |pq2 AS (
+       |  SELECT q.vec_id AS qid, ctr.center_id,
+       |    CASE WHEN list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+       |           OR list_sum(list_transform(ctr.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+       |         THEN 1.0
+       |         ELSE 1.0 - ${cosSql("q.embedding", "ctr.cv")} END AS dist
+       |  FROM e q CROSS JOIN ctr WHERE q.vec_id < 10),
+       |pr AS (
+       |  SELECT qid, center_id FROM (
+       |    SELECT qid, center_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY dist, center_id) AS rn
+       |    FROM pq2) WHERE rn <= 3),
+       |cand AS (
+       |  SELECT pr.qid, asg.vec_id AS cid
+       |  FROM pr JOIN asg USING (center_id) WHERE pr.qid <> asg.vec_id),
+       |ap AS (
+       |  SELECT cand.qid, cand.cid,
+       |    ${cosSql("qe.embedding", "xrv.xr")} AS approx
+       |  FROM cand JOIN e qe ON cand.qid = qe.vec_id
+       |            JOIN xrv ON cand.cid = xrv.vec_id),
+       |short AS (
+       |  SELECT qid, cid, approx FROM (
+       |    SELECT qid, cid, approx,
+       |      row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS arnk
+       |    FROM ap) WHERE arnk <= 10),
+       |s AS (
+       |  SELECT short.qid, short.cid, short.approx,
+       |    ${cosSql("qe.embedding", "ce.embedding")} AS score
+       |  FROM short JOIN e qe ON short.qid = qe.vec_id
+       |             JOIN e ce ON short.cid = ce.vec_id)
+       |SELECT qid, cid, approx, score, rnk FROM (
+       |  SELECT qid, cid, approx, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+       |  FROM s)
+       |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+    import graft.functions.functions.cosine_similarity
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centers: Array[Array[Double]] = emb.filter(col("vec_id") < 8)
+      .orderBy(col("vec_id"))
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val mm = emb.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("dim")).collect()
+    val mnA = array(mm.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val mxA = array(mm.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    // corpus side: narrow codegen argmin + narrow SQ8 reconstruct
+    val asg = graft.cluster.KMeansAssign.assignMap(emb, centers, "v")
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        sq8Reconstruct(col("v"), mnA, mxA).as("xr"), col("center_id"))
+    // query side: explode the literal center array, keep 3 probes
+    val centArr = array(centers.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)): _*)
+    val wp = Window.partitionBy(col("qid")).orderBy(col("dist"), col("center_id"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("qid"), col("qv"),
+        posexplode(centArr).as(Seq("center_id", "cv0")))
+      .select(col("qid"), col("qv"), col("center_id"),
+        (lit(1.0) - cosine_similarity(col("qv"), col("cv0"))).as("dist"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("qv"), col("center_id"))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("cid"))
+    val shortlist = probes.join(asg, Seq("center_id"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("qv"), col("cid"), col("cv"),
+        cosine_similarity(col("qv"), col("xr")).as("approx"))
+      .withColumn("arnk", row_number().over(wa))
+      .filter(col("arnk") <= 10)
+    val wr = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    shortlist
+      .select(col("qid"), col("cid"), col("approx"),
+        cosine_similarity(col("qv"), col("cv")).as("score"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("qid"), col("rnk"))
   }
 }

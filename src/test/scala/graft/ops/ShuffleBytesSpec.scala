@@ -60,6 +60,29 @@ class ShuffleBytesSpec extends SparkSpec {
     assert(bytes < 128 * 1024, s"q86 shuffled $bytes bytes")
   }
 
+  test("q147 lexical diversity shuffles only the output sort (array-local folds)") {
+    val bytes = shuffleBytes {
+      TextAnalytics.q147.build(spark, sfDir).collect()
+    }
+    // Σc² and the type count are array-local per doc — the ONLY
+    // exchange is the ORDER BY over result rows (plus its range
+    // sampling). A corpus-sized exchange here means someone rewrote
+    // the fold as explode+groupBy.
+    assert(bytes < 128 * 1024, s"q147 shuffled $bytes bytes")
+  }
+
+  test("q149 SQ8 encode is narrow: only the dim-bounds aggregate and output sort shuffle") {
+    val bytes = shuffleBytes {
+      Similarity.q149.build(spark, sfDir).collect()
+    }
+    // bounds job: 64 dims x partitions of (dim, min, max) partials;
+    // encode: pure map with literal-array bounds; output sort over
+    // vector-count rows. The embedding payloads must never shuffle —
+    // at 100 TB the corpus side of SQ8 stays where it is.
+    assert(bytes > 0, "expected the dim-bounds exchange")
+    assert(bytes < 256 * 1024, s"q149 shuffled $bytes bytes")
+  }
+
   test("connectedComponents rounds shuffle label-sized rows, not edge payloads") {
     import spark.implicits._
     // 200 vertices, ~400 edges of (long, long): label frames are
