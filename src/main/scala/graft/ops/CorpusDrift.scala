@@ -16,7 +16,7 @@ object CorpusDrift {
 
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
-  def all: Seq[QueryDef] = Seq(q134, q136, q146)
+  def all: Seq[QueryDef] = Seq(q134, q136, q146, q151)
 
   /** Pairwise source-distribution divergence (q134): for every source
     * pair, the L1 distance between their unigram distributions —
@@ -369,5 +369,74 @@ object CorpusDrift {
     val index = buildFirstSeen(docs.filter(col("doc_id") % 5 < 2))
     noveltyAgainstIndexBloom(index, docs.filter(col("doc_id") % 5 >= 2))
       .orderBy(col("doc_id"))
+  }
+
+  /** Per-source length-distribution drift (q151): the chi-square
+    * goodness-of-fit statistic of each source's doc-length histogram
+    * (200-char buckets) against the corpus-wide distribution —
+    * Σ_b (o_b - e_b)²/e_b with e_b = n_s·c_b/N. The monitor question
+    * "which source's output suddenly looks different?" answered with
+    * a statistic that is PURE rational arithmetic over exact integer
+    * counts (unlike PSI/KL, whose ln() differs across libm
+    * implementations and would break the bit-exact oracle).
+    *
+    * Zero-observed buckets contribute their full e_b penalty, so the
+    * per-source fold runs over the complete source × corpus-bucket
+    * spine (S·B rows, both pipeline constants) — built broadcast ×
+    * broadcast like q134's pair spine, never touching corpus-sized
+    * data. The corpus pass itself is one map-side-combined count to B
+    * rows plus one to S·B rows. Fold order is pinned by an ordered
+    * bucket list on both engines (q120's blocked-mean discipline), so
+    * the chi² doubles hash-match.
+    */
+  val q151: QueryDef = QueryDef.sql(
+    "q151_source_length_drift",
+    s"""WITH b AS (
+       |  SELECT source, n_chars // 200 AS bucket FROM documents),
+       |cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bucket),
+       |sb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS o
+       |       FROM b GROUP BY source, bucket),
+       |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM b GROUP BY source),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+       |spine AS (SELECT ns.source, ns.n_docs, cb.bucket, cb.c, tot.n
+       |          FROM ns CROSS JOIN cb CROSS JOIN tot),
+       |terms AS (
+       |  SELECT source, n_docs, bucket,
+       |    (CAST(COALESCE(sb.o, 0) AS DOUBLE)
+       |       - CAST(spine.n_docs AS DOUBLE) * CAST(spine.c AS DOUBLE) / CAST(spine.n AS DOUBLE))
+       |    * (CAST(COALESCE(sb.o, 0) AS DOUBLE)
+       |       - CAST(spine.n_docs AS DOUBLE) * CAST(spine.c AS DOUBLE) / CAST(spine.n AS DOUBLE))
+       |    / (CAST(spine.n_docs AS DOUBLE) * CAST(spine.c AS DOUBLE) / CAST(spine.n AS DOUBLE))
+       |      AS term
+       |  FROM spine LEFT JOIN sb USING (source, bucket))
+       |SELECT source, n_docs,
+       |  CAST((SELECT count(*) FROM cb) - 1 AS BIGINT) AS dof,
+       |  list_sum(list(term ORDER BY bucket)) AS chi2
+       |FROM terms
+       |GROUP BY source, n_docs
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    val b = Tables.documents(s, dir)
+      .select(col("source"), expr("n_chars div 200").as("bucket"))
+    val cb = b.groupBy(col("bucket")).agg(count(lit(1)).cast("bigint").as("c"))
+    val sb = b.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("o"))
+    val ns = b.groupBy(col("source")).agg(count(lit(1)).cast("bigint").as("n_docs"))
+    val tot = b.agg(count(lit(1)).cast("bigint").as("n"))
+    val nb = cb.agg(count(lit(1)).cast("bigint").as("nb"))
+    val e = col("n_docs").cast("double") * col("c").cast("double") / col("n").cast("double")
+    val spine = broadcast(ns).crossJoin(broadcast(cb)).crossJoin(broadcast(tot))
+    spine.join(sb, Seq("source", "bucket"), "left")
+      .select(col("source"), col("n_docs"), col("bucket"),
+        ((coalesce(col("o"), lit(0L)).cast("double") - e)
+          * (coalesce(col("o"), lit(0L)).cast("double") - e) / e).as("term"))
+      .groupBy(col("source"), col("n_docs"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("term")))).as("ts"))
+      .crossJoin(broadcast(nb))
+      .select(col("source"), col("n_docs"),
+        (col("nb") - 1L).cast("bigint").as("dof"),
+        aggregate(col("ts"), lit(0.0),
+          (acc, t) => acc + t.getField("term")).as("chi2"))
+      .orderBy(col("source"))
   }
 }

@@ -163,7 +163,8 @@ class PlanAuditSpec extends SparkSpec {
       "q97_semantic_dedup" -> "points x one-row broadcast holding the K centers array",
       "q141_rfm" -> "one-row broadcast holding the scalar corpus-max timestamp",
       "q134_source_divergence" -> "S x S source-pair spine (S = source count, a pipeline constant); zero-shared-vocab pairs must emit l1=2.0",
-      "q145_collocations" -> "one-row broadcast holding the scalar corpus token count"
+      "q145_collocations" -> "one-row broadcast holding the scalar corpus token count",
+      "q151_source_length_drift" -> "S x B source/bucket spine (both pipeline constants) + scalar N + scalar bucket count, all broadcast; zero-observed buckets must contribute their e_b penalty"
     )
     val bad = scala.collection.mutable.ListBuffer[String]()
     val observedBnlj = scala.collection.mutable.TreeSet[String]()
