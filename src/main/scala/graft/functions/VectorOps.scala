@@ -439,7 +439,16 @@ object VectorOps {
         Array.emptyLongArray)
     val th = new Array[Long](n)
     var i = 0
-    while (i < n) { th(i) = tokenHash(arr.getUTF8String(i)); i += 1 }
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      // null elements are legal in ARRAY<STRING> (containsNull) and
+      // the function is SQL-registered: hash them as a fixed sentinel
+      // (distinct from the empty string's FNV state) so null == null
+      // windows still collide and nothing NPEs
+      th(i) = if (s == null) mix64(FnvOffset ^ 0x517cc1b727220a95L)
+        else tokenHash(s)
+      i += 1
+    }
     // B^(len-1) mod 2^64 for the roll-off term
     var bp = 1L
     var k = 1

@@ -505,30 +505,16 @@ object Similarity {
       |SELECT vec_id, codes, err2, err_max FROM agg
       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
+      // the twin's unnest-based agg naturally drops zero-length
+      // vectors; match it (an unguarded narrow map would emit a
+      // codes="", err_max=NULL row for them)
+      .filter(size(col("embedding")) > 0)
     // train: per-dim bounds, one aggregate to dim-count rows
-    val mm = emb
-      .select(posexplode(col("embedding").cast("array<double>"))
-        .as(Seq("dim", "x")))
-      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .orderBy(col("dim"))
-      .collect()
-    val mnA = array(mm.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
-    val mxA = array(mm.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    val (mnA, mxA) = sq8TrainBounds(emb)
     // encode + error: pure narrow map, bounds as literal arrays
     val v = col("embedding").cast("array<double>")
-    val qArr = transform(v, (x, i) => {
-      val mn = element_at(mnA, i + 1)
-      val mx = element_at(mxA, i + 1)
-      when(mx > mn,
-        least(lit(254.0), greatest(lit(0.0),
-          floor((x - mn) * 254.0 / (mx - mn) + 0.5))).cast("bigint"))
-        .otherwise(lit(0L))
-    })
-    val xrArr = transform(qArr, (q, i) => {
-      val mn = element_at(mnA, i + 1)
-      val mx = element_at(mxA, i + 1)
-      when(mx > mn, mn + q.cast("double") * (mx - mn) / 254.0).otherwise(mn)
-    })
+    val qArr = sq8Encode(v, mnA, mxA)
+    val xrArr = sq8Decode(qArr, mnA, mxA)
     emb.select(col("vec_id"), v.as("xs"), qArr.as("qs"), xrArr.as("xrs"))
       .select(
         col("vec_id"),
@@ -541,13 +527,30 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** Per-vector SQ8 decode (q149's formulas) as a narrow column over
-    * a double-array column, with the trained per-dim bounds riding in
-    * as literal arrays: decode(encode(x)). Shared by q150's candidate
-    * scoring.
+  /** Per-dim [min,max] over an `embedding` frame, returned as literal
+    * array columns ready to ride into a narrow encode map.
     */
-  private def sq8Reconstruct(v: org.apache.spark.sql.Column, mnA: org.apache.spark.sql.Column, mxA: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val qArr = transform(v, (x, i) => {
+  private def sq8TrainBounds(emb: DataFrame)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val mm = emb
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("dim"))
+      .collect()
+    (array(mm.map(r => lit(r.getDouble(1))).toIndexedSeq: _*),
+      array(mm.map(r => lit(r.getDouble(2))).toIndexedSeq: _*))
+  }
+
+  /** SQ8 code array: explicit half-up floor((x-mn)·254/range + 0.5),
+    * clamped to [0,254]; constant dims encode 0. ONE definition shared
+    * by q149's codes and q150's candidate reconstruction — the
+    * quantization formula must never fork between them.
+    */
+  private def sq8Encode(v: org.apache.spark.sql.Column,
+                        mnA: org.apache.spark.sql.Column,
+                        mxA: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(v, (x, i) => {
       val mn = element_at(mnA, i + 1)
       val mx = element_at(mxA, i + 1)
       when(mx > mn,
@@ -555,12 +558,27 @@ object Similarity {
           floor((x - mn) * 254.0 / (mx - mn) + 0.5))).cast("bigint"))
         .otherwise(lit(0L))
     })
+
+  /** SQ8 decode of a code array: mn + q·range/254 (constant dims decode
+    * to mn).
+    */
+  private def sq8Decode(qArr: org.apache.spark.sql.Column,
+                        mnA: org.apache.spark.sql.Column,
+                        mxA: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(qArr, (q, i) => {
       val mn = element_at(mnA, i + 1)
       val mx = element_at(mxA, i + 1)
       when(mx > mn, mn + q.cast("double") * (mx - mn) / 254.0).otherwise(mn)
     })
-  }
+
+  /** decode(encode(x)) over a double-array column — what an SQ8 cell
+    * store serves at query time. Composes [[sq8Encode]]/[[sq8Decode]];
+    * used by q150's candidate scoring.
+    */
+  private def sq8Reconstruct(v: org.apache.spark.sql.Column,
+                             mnA: org.apache.spark.sql.Column,
+                             mxA: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sq8Decode(sq8Encode(v, mnA, mxA), mnA, mxA)
 
   /** IVF-SQ8 ANN serving (q150): coarse cells route candidates, the
     * shortlist scores against SQ8-RECONSTRUCTED vectors (q149's
@@ -589,10 +607,11 @@ object Similarity {
     */
   val q150: QueryDef = QueryDef.sql(
     "q150_knn_ivf_sq8",
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |          WHERE len(embedding) > 0),
        |ctr AS (
        |  SELECT CAST(vec_id AS INT) AS center_id, embedding AS cv
-       |  FROM embeddings WHERE vec_id < 8),
+       |  FROM e WHERE vec_id < 8),
        |ad AS (
        |  SELECT e.vec_id, ctr.center_id,
        |    CASE WHEN list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
@@ -655,6 +674,9 @@ object Similarity {
        |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
     import graft.functions.functions.cosine_similarity
     val emb = Tables.embeddings(s, dir)
+      // match the twin's len(embedding) > 0 guard: a zero-length
+      // vector would score NULL there and 0.0 here
+      .filter(size(col("embedding")) > 0)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val centers: Array[Array[Double]] = emb.filter(col("vec_id") < 8)
       .orderBy(col("vec_id"))
@@ -665,9 +687,13 @@ object Similarity {
       .orderBy(col("dim")).collect()
     val mnA = array(mm.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
     val mxA = array(mm.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
-    // corpus side: narrow codegen argmin + narrow SQ8 reconstruct
+    // corpus side: narrow codegen argmin + narrow SQ8 reconstruct.
+    // The candidate exchange carries ONLY the reconstructed vector —
+    // raw vectors rejoin on the <=10-per-query survivors, so the one
+    // corpus-sized exchange ships what an SQ8 cell store would
+    // actually hold (at serving scale: 1-byte codes, not float32)
     val asg = graft.cluster.KMeansAssign.assignMap(emb, centers, "v")
-      .select(col("vec_id").as("cid"), col("v").as("cv"),
+      .select(col("vec_id").as("cid"),
         sq8Reconstruct(col("v"), mnA, mxA).as("xr"), col("center_id"))
     // query side: explode the literal center array, keep 3 probes
     val centArr = array(centers.toIndexedSeq.map(c =>
@@ -685,12 +711,14 @@ object Similarity {
     val wa = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("cid"))
     val shortlist = probes.join(asg, Seq("center_id"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("qv"), col("cid"), col("cv"),
+      .select(col("qid"), col("qv"), col("cid"),
         cosine_similarity(col("qv"), col("xr")).as("approx"))
       .withColumn("arnk", row_number().over(wa))
       .filter(col("arnk") <= 10)
+    // exact re-rank: raw vectors fetched for the survivors only
     val wr = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     shortlist
+      .join(emb.select(col("vec_id").as("cid"), col("v").as("cv")), Seq("cid"))
       .select(col("qid"), col("cid"), col("approx"),
         cosine_similarity(col("qv"), col("cv")).as("score"))
       .withColumn("rnk", row_number().over(wr))

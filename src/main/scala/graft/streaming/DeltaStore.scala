@@ -83,17 +83,36 @@ private[streaming] object DeltaStore {
     * its `batch_id` column and returns the folded rows), dropping
     * superseded rows. Safe to run CONCURRENTLY with the maintainer —
     * see the crash contract above.
+    *
+    * `keepLatest` excludes the HIGHEST batch_id partition from the
+    * fold. Required for any index whose maintainer reads history
+    * filtered by `batch_id < current` (the novelty index's replay
+    * guard): the latest partition may belong to a batch whose
+    * checkpoint has not committed yet, and folding it into batch_id=0
+    * would erase the provenance the guard filters on — a crash-replay
+    * of that batch would then score against its own shingles. Indexes
+    * whose replay never reads the store (the band index: a replayed
+    * micro-batch recomputes its delta from the batch data alone) can
+    * leave it false and compact everything.
     */
   def compact(spark: SparkSession, indexDir: String,
-              fold: DataFrame => DataFrame): Unit = {
+              fold: DataFrame => DataFrame,
+              keepLatest: Boolean = false): Unit = {
     recoverCompaction(spark, indexDir)
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(indexDir)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return
-    val snapshot = fs.listStatus(root).map(_.getPath)
+    val all = fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith("batch_id=")).toSeq
-    if (snapshot.isEmpty) return
+    def idOf(p: Path): Long = p.getName.stripPrefix("batch_id=").toLong
+    val snapshot =
+      if (keepLatest && all.nonEmpty) {
+        val latest = all.maxBy(idOf)
+        // keeping only batch 0 behind would fold nothing new; skip
+        all.filterNot(_ == latest)
+      } else all
+    if (snapshot.isEmpty || snapshot.forall(_.getName == "batch_id=0")) return
     val tmp = new Path(indexDir + "_compacting")
     val zero = new Path(s"$indexDir/batch_id=0")
     val old0 = new Path(indexDir + "_old0")

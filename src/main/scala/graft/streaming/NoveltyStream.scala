@@ -90,10 +90,15 @@ object NoveltyStream {
               org.apache.spark.sql.types.LongType))))
     }
 
-  /** Fold all delta partitions into `batch_id=0` with the min merge —
-    * [[DeltaStore.compact]]'s crash contract applies unchanged.
+  /** Fold delta partitions into `batch_id=0` with the min merge.
+    * `keepLatest = true` is LOAD-BEARING here: the newest partition
+    * may belong to a batch whose checkpoint has not committed, and
+    * folding it away would defeat the `batch_id < current` replay
+    * guard — the replayed batch would find its own shingles in
+    * batch 0 and score n_novel = 0 (spec-pinned).
     */
   def compactFirstSeen(spark: SparkSession, indexDir: String): Unit =
     DeltaStore.compact(spark, indexDir, raw =>
-      raw.groupBy(col("sh")).agg(min(col("first_doc")).as("first_doc")))
+      raw.groupBy(col("sh")).agg(min(col("first_doc")).as("first_doc")),
+      keepLatest = true)
 }

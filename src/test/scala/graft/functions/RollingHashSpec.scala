@@ -64,4 +64,16 @@ class RollingHashSpec extends SparkSpec {
       "SELECT rolling_window_hashes(array('a','b','c'), 2) AS h").head()
     assert(r.getSeq[Long](0).length == 2)
   }
+
+  test("null array elements hash as a sentinel (no NPE; null==null, null!=empty)") {
+    gf.register(spark)
+    val r = spark.sql(
+      """SELECT rolling_window_hashes(array('a', CAST(NULL AS STRING), 'a', CAST(NULL AS STRING)), 2) AS h,
+        |       rolling_window_hashes(array(CAST(NULL AS STRING)), 1) AS hn,
+        |       rolling_window_hashes(array(''), 1) AS he""".stripMargin).head()
+    val h = r.getSeq[Long](0)
+    assert(h.length == 3 && h(0) == h(2), "equal (tok,null) windows must collide")
+    assert(r.getSeq[Long](1).head != r.getSeq[Long](2).head,
+      "null sentinel must differ from the empty string's hash")
+  }
 }

@@ -56,14 +56,24 @@ class NoveltyStreamSpec extends SparkSpec {
     val view = NoveltyStream.readFirstSeen(spark, s"$dir/index")
       .as[(Long, Long)].collect().toSet
 
-    // compaction folds to one partition; the first-seen view and a
-    // subsequent batch's scoring are unchanged
+    // compaction folds everything EXCEPT the latest partition (which
+    // may belong to an uncommitted batch — keepLatest); the first-seen
+    // view is unchanged
     NoveltyStream.compactFirstSeen(spark, s"$dir/index")
     val parts = new java.io.File(s"$dir/index").listFiles()
-      .map(_.getName).filter(_.startsWith("batch_id=")).toSeq
-    assert(parts == Seq("batch_id=0"), s"compaction left: $parts")
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSeq.sorted
+    assert(parts == Seq("batch_id=0", "batch_id=2"), s"compaction left: $parts")
     assert(NoveltyStream.readFirstSeen(spark, s"$dir/index")
       .as[(Long, Long)].collect().toSet == view)
+
+    // the scenario keepLatest exists for: batch 2's checkpoint never
+    // committed, compaction ran during the outage (above), and the
+    // stream now REPLAYS batch 2 — its own delta must still be
+    // excludable by the batch_id < 2 guard, so the replay scores
+    // exactly as the original run did
+    NoveltyStream.scoreBatch(b3.toDF(), 2L, s"$dir/index", s"$dir/out", 3)
+    assert(scores(spark.read.parquet(s"$dir/out")) == oneShot,
+      "replay after compaction diverged — the latest delta was folded away")
 
     // compaction-crash window: batch_id=0 renamed aside to the sibling
     // backup — readers must serve the backup in place, unchanged
