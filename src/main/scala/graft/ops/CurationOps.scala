@@ -21,7 +21,7 @@ object CurationOps {
 
   def all: Seq[QueryDef] =
     Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125,
-      q132, q140, q143, q144)
+      q132, q140, q143, q144, q152, q154)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -1121,5 +1121,165 @@ object CurationOps {
       .withColumn("tokens_per_doc",
         col("n_tokens").cast("double") / col("n_docs").cast("double"))
       .orderBy(col("source"))
+  }
+
+  /** Data-contract validation (q152): the Deequ/dbt-test-style ingest
+    * gate — every upstream feed promises a schema contract (text
+    * present, n_chars consistent with text, lang in the declared
+    * domain, doc_id unique) and this audit counts violations PER
+    * SOURCE so a broken feed is named, not averaged away. Run before
+    * anything downstream trusts the batch: a feed that starts
+    * shipping null text or colliding doc_ids poisons dedup keys and
+    * split stability (q99 keys on content, q25 on text hashes) long
+    * before any quality metric notices.
+    *
+    * Scale: every check but uniqueness is a narrow row-local flag;
+    * uniqueness is ONE exchange keyed doc_id (window count — no join
+    * back), and the per-source rollup partial-aggregates to S rows.
+    * Pure integer counts end-to-end, so the oracle comparison is
+    * exact by construction. The contract constants are declared
+    * literally on both engines.
+    */
+  val q152: QueryDef = QueryDef.sql(
+    "q152_data_contract",
+    """WITH f AS (
+      |  SELECT source,
+      |    CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END AS v_null,
+      |    CASE WHEN text IS NOT NULL
+      |           AND (n_chars IS NULL OR n_chars <> length(text))
+      |      THEN 1 ELSE 0 END AS v_len,
+      |    CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr','zh')
+      |      THEN 1 ELSE 0 END AS v_lang,
+      |    CASE WHEN count(*) OVER (PARTITION BY doc_id) > 1
+      |      THEN 1 ELSE 0 END AS v_dup
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(v_null) AS BIGINT) AS n_null_text,
+      |  CAST(sum(v_len) AS BIGINT) AS n_len_mismatch,
+      |  CAST(sum(v_lang) AS BIGINT) AS n_bad_lang,
+      |  CAST(sum(v_dup) AS BIGINT) AS n_dup_id,
+      |  CAST(sum(CASE WHEN v_null + v_len + v_lang + v_dup = 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+      |FROM f
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    dataContract(Tables.documents(s, dir)).orderBy(col("source"))
+  }
+
+  /** The q152 kernel over any (doc_id, text, lang, source, n_chars)
+    * frame; unsorted output.
+    */
+  def dataContract(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val contractLangs = Seq("de", "en", "es", "fr", "zh")
+    val w = Window.partitionBy(col("doc_id"))
+    docs
+      .withColumn("id_cnt", count(lit(1)).over(w))
+      .select(col("source"),
+        when(col("text").isNull || length(col("text")) === 0, 1L)
+          .otherwise(0L).as("v_null"),
+        when(col("text").isNotNull
+            && (col("n_chars").isNull
+              || col("n_chars") =!= length(col("text"))), 1L)
+          .otherwise(0L).as("v_len"),
+        when(col("lang").isNull
+            || !col("lang").isin(contractLangs.map(x => x: Any): _*), 1L)
+          .otherwise(0L).as("v_lang"),
+        when(col("id_cnt") > 1, 1L).otherwise(0L).as("v_dup"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_rows"),
+        sum(col("v_null")).cast("bigint").as("n_null_text"),
+        sum(col("v_len")).cast("bigint").as("n_len_mismatch"),
+        sum(col("v_lang")).cast("bigint").as("n_bad_lang"),
+        sum(col("v_dup")).cast("bigint").as("n_dup_id"),
+        sum(when(col("v_null") + col("v_len") + col("v_lang") + col("v_dup")
+          === 0, 1L).otherwise(0L)).cast("bigint").as("n_clean"))
+  }
+
+  /** Cross-document boundary stitching (q154): boundary keys — the
+    * first-2-token head and last-2-token tail of every document —
+    * where some document's TAIL equals another document's HEAD. That
+    * signature marks chunked extractions of one underlying text
+    * (overlapping crawl fragments, paginated articles, sliding-window
+    * re-chunking of an already-chunked corpus): content that is
+    * contiguous in the source but entered the corpus as separate
+    * "documents", which document-level dedup can never catch (the
+    * fragments are not near-duplicates of EACH OTHER). Per key the
+    * report carries how many docs end with it (n_tail), start with it
+    * (n_head), both (n_self: head == tail, e.g. a doc that is one
+    * repeated phrase), and the stitch-pair count
+    * n_tail·n_head − n_self (self-stitches excluded); only keys with
+    * actual stitch evidence emit.
+    *
+    * Scale: a narrow map emits ≤ 2 tiny (key, flags) rows per
+    * document, then ONE exchange groups by the boundary string —
+    * per-key state is three counters, group count is bounded by
+    * 2·n_docs, and nothing corpus-text-sized ever moves. Pure integer
+    * arithmetic end-to-end, so the oracle comparison is exact by
+    * construction.
+    */
+  val q154: QueryDef = QueryDef.sql(
+    "q154_boundary_stitch",
+    s"""WITH d AS (
+       |  SELECT doc_id, t FROM (SELECT doc_id, $duckToks AS t FROM documents)
+       |  WHERE len(t) >= 2),
+       |hk AS (
+       |  SELECT doc_id,
+       |    array_to_string(t[1 : 2], ' ') AS head,
+       |    array_to_string(t[len(t) - 1 : len(t)], ' ') AS tail
+       |  FROM d),
+       |r AS (
+       |  SELECT head AS key, 0 AS tl, 1 AS hd, 0 AS sf FROM hk WHERE head <> tail
+       |  UNION ALL
+       |  SELECT tail AS key, 1 AS tl, 0 AS hd, 0 AS sf FROM hk WHERE head <> tail
+       |  UNION ALL
+       |  SELECT head AS key, 1 AS tl, 1 AS hd, 1 AS sf FROM hk WHERE head = tail),
+       |agg AS (
+       |  SELECT key,
+       |    CAST(sum(tl) AS BIGINT) AS n_tail,
+       |    CAST(sum(hd) AS BIGINT) AS n_head,
+       |    CAST(sum(sf) AS BIGINT) AS n_self
+       |  FROM r GROUP BY key)
+       |SELECT key, n_tail, n_head, n_self,
+       |  n_tail * n_head - n_self AS stitch_pairs
+       |FROM agg
+       |WHERE n_tail * n_head - n_self > 0
+       |ORDER BY key""".stripMargin) { (s, dir) =>
+    boundaryStitch(Tables.documents(s, dir)).orderBy(col("key"))
+  }
+
+  /** The q154 kernel over any (doc_id, text) frame; unsorted output.
+    * Docs with fewer than two tokens have no 2-token boundary and
+    * vanish.
+    */
+  def boundaryStitch(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hk = docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(
+        concat_ws(" ", slice(col("t"), 1, 2)).as("head"),
+        concat_ws(" ", slice(col("t"), -2, 2)).as("tail"))
+    hk
+      .select(explode(when(col("head") === col("tail"),
+          array(struct(col("head").as("key"),
+            lit(1L).as("tl"), lit(1L).as("hd"), lit(1L).as("sf"))))
+        .otherwise(array(
+          struct(col("head").as("key"),
+            lit(0L).as("tl"), lit(1L).as("hd"), lit(0L).as("sf")),
+          struct(col("tail").as("key"),
+            lit(1L).as("tl"), lit(0L).as("hd"), lit(0L).as("sf")))))
+        .as("r"))
+      .select(col("r.key").as("key"), col("r.tl"), col("r.hd"), col("r.sf"))
+      .groupBy(col("key"))
+      .agg(
+        sum(col("tl")).cast("bigint").as("n_tail"),
+        sum(col("hd")).cast("bigint").as("n_head"),
+        sum(col("sf")).cast("bigint").as("n_self"))
+      .withColumn("stitch_pairs",
+        col("n_tail") * col("n_head") - col("n_self"))
+      .filter(col("stitch_pairs") > 0)
   }
 }

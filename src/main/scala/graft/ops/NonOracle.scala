@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
 object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
-    q45, q46, q47, q51, q52, q53, q57, q102, q105, q106, q128, q130)
+    q45, q46, q47, q51, q52, q53, q57, q102, q105, q106, q128, q130, q153)
 
   /** The q31 cosine formula over two DuckDB list columns — identical
     * literal fold to the codegen CosineSimilarityExpr, so scores are
@@ -59,6 +59,119 @@ object NonOracle {
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     Dedup.minhashCandidates(Tables.documents(s, dir).filter(col("doc_id") < 500))
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Auditable MinHash (q153): per-candidate-pair calibration of the
+    * signature-estimated Jaccard against the EXACT 3-shingle-set
+    * Jaccard — the q128/q130 auditable-sketch discipline applied to
+    * the dedup pipeline's own approximation. The operational question
+    * it answers: "are 32 permutations enough at our dedup threshold,
+    * and is the banding's candidate set biased?" — est_j is what the
+    * pipeline acts on, exact_j is the truth, and abs_err is the
+    * per-pair audit a threshold-tuning pass aggregates.
+    *
+    * Scale: candidates come from the q45 banded equi-join (never
+    * all-pairs); signatures join back per-candidate on doc_id; the
+    * exact intersection joins candidate pairs to the per-doc distinct
+    * shingle rows keyed (doc, shingle-hash) — all work is
+    * candidate-bounded, and the shingle exchange ships 8-byte
+    * xxhash64 keys (q136's argument: a collision would surface in the
+    * compare, not hide). TWO-STAGE ORACLE: DuckDB re-derives bands,
+    * candidate pairs, and slot-match counts from the dumped signature
+    * matrix (aux_minhash_sig32), and the exact Jaccard from raw
+    * shingle strings; est/exact/abs_err formulas are literal-identical
+    * on both sides.
+    */
+  val q153 = QueryDef.sql(
+    "q153_minhash_calibration",
+    """WITH s AS (
+       |  SELECT doc_id, list(h ORDER BY pos) AS mh
+       |  FROM read_parquet('__GRAFT_OUT__/aux_minhash_sig32/*.parquet')
+       |  GROUP BY doc_id),
+       |b AS (
+       |  SELECT doc_id, g.b AS band, list_slice(mh, g.b*4 + 1, g.b*4 + 4) AS key
+       |  FROM s CROSS JOIN (SELECT unnest(range(8)) AS b) g),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, c.doc_id AS d2
+       |  FROM b a JOIN b c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+       |  GROUP BY d1, d2),
+       |m AS (
+       |  SELECT cand.d1, cand.d2,
+       |    CAST(len(list_filter(range(1, 33), i -> s1.mh[i] = s2.mh[i])) AS BIGINT)
+       |      AS n_match
+       |  FROM cand JOIN s s1 ON s1.doc_id = cand.d1
+       |            JOIN s s2 ON s2.doc_id = cand.d2),
+       |d AS (
+       |  SELECT doc_id, t, len(t) AS n
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+       |        FROM documents WHERE doc_id < 500)
+       |  WHERE len(t) > 0),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS sg
+       |  FROM (SELECT doc_id, t, unnest(range(0, greatest(n - 3, 0) + 1)) AS i
+       |        FROM d)),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY doc_id),
+       |iv AS (
+       |  SELECT m2.d1, m2.d2, CAST(count(*) AS BIGINT) AS inter
+       |  FROM m m2 JOIN sh a ON a.doc_id = m2.d1
+       |            JOIN sh b2 ON b2.doc_id = m2.d2 AND b2.sg = a.sg
+       |  GROUP BY m2.d1, m2.d2)
+       |SELECT m.d1, m.d2, m.n_match,
+       |  CAST(m.n_match AS DOUBLE) / 32.0 AS est_j,
+       |  CAST(COALESCE(iv.inter, 0) AS BIGINT) AS n_inter,
+       |  CAST(c1.c + c2.c - COALESCE(iv.inter, 0) AS BIGINT) AS n_union,
+       |  CAST(COALESCE(iv.inter, 0) AS DOUBLE)
+       |    / CAST(c1.c + c2.c - COALESCE(iv.inter, 0) AS DOUBLE) AS exact_j,
+       |  abs(CAST(m.n_match AS DOUBLE) / 32.0
+       |    - CAST(COALESCE(iv.inter, 0) AS DOUBLE)
+       |      / CAST(c1.c + c2.c - COALESCE(iv.inter, 0) AS DOUBLE)) AS abs_err
+       |FROM m JOIN cnt c1 ON c1.doc_id = m.d1
+       |       JOIN cnt c2 ON c2.doc_id = m.d2
+       |       LEFT JOIN iv ON iv.d1 = m.d1 AND iv.d2 = m.d2
+       |ORDER BY m.d1, m.d2""".stripMargin) { (s, dir) =>
+    NonOracle.minhashCalibration(
+      Tables.documents(s, dir).filter(col("doc_id") < 500))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** The q153 kernel over any (doc_id, text) frame; unsorted output.
+    * Docs with no tokens drop out (no shingle set to audit).
+    */
+  def minhashCalibration(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cand = Dedup.minhashCandidates(docs)
+    val sig = Dedup.minhashSignatures(docs)
+    val shg = docs
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text"), 3))).as("sg"))
+      .select(col("doc_id"), xxhash64(col("sg")).as("sh"))
+    val cnt = shg.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    val inter = cand
+      .join(shg.toDF("d1", "sh"), Seq("d1"))
+      .join(shg.toDF("d2", "sh"), Seq("d2", "sh"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).cast("bigint").as("inter"))
+    val estJ = col("n_match").cast("double") / lit(32.0)
+    val exactJ = coalesce(col("inter"), lit(0L)).cast("double") /
+      (col("c1") + col("c2") - coalesce(col("inter"), lit(0L))).cast("double")
+    cand
+      .join(sig.toDF("d1", "mh1"), Seq("d1"))
+      .join(sig.toDF("d2", "mh2"), Seq("d2"))
+      .withColumn("n_match",
+        size(filter(zip_with(col("mh1"), col("mh2"), (x, y) => x === y),
+          b => b)).cast("bigint"))
+      .join(cnt.toDF("d1", "c1"), Seq("d1"))
+      .join(cnt.toDF("d2", "c2"), Seq("d2"))
+      .join(inter, Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"), col("n_match"),
+        estJ.as("est_j"),
+        coalesce(col("inter"), lit(0L)).cast("bigint").as("n_inter"),
+        (col("c1") + col("c2") - coalesce(col("inter"), lit(0L)))
+          .cast("bigint").as("n_union"),
+        exactJ.as("exact_j"),
+        abs(estJ - exactJ).as("abs_err"))
   }
 
   /** SimHash near-dup pairs via the codegen'd simhash64 expression.

@@ -14,7 +14,9 @@ import graft.cluster.KMeansAssign
   */
 object TrainingData {
 
-  def all: Seq[QueryDef] = Seq(q97, q98, q99, q103)
+  private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  def all: Seq[QueryDef] = Seq(q97, q98, q99, q103, q155)
 
   /** Self-contained SemDeDup library entry: derive the K cluster
     * centers from the data itself ([[KMeansAssign.lloydCenters]],
@@ -255,5 +257,124 @@ object TrainingData {
         lit("D").as("op"), lit(3L).as("seq"))
     Cdc.applyCdc(snap, up.unionByName(del), "doc_id", "op", Some("seq"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Leakage-safe train/val/test split (q155): q99's content-keyed
+    * split assigns each DOCUMENT independently — so a near-duplicate
+    * pair can land train/test and leak evaluation data into training
+    * verbatim (the dedup-then-split ordering bug every eval-contamination
+    * postmortem rediscovers). This operator splits at NEAR-DUP-CLUSTER
+    * granularity instead: q85's token-Jaccard >= 0.7 components (same
+    * doc slice, same threshold), every member inheriting the split of
+    * the cluster REPRESENTATIVE (min doc_id = the component label),
+    * keyed by the q99 Karp-Rabin fingerprint of the representative's
+    * text. By construction no cluster straddles a split — the spec
+    * demonstrates the q99 leak on a planted pair and its absence here.
+    *
+    * Scale: pair building is q85's bounded-slice shape (the production
+    * path blocks by MinHash bands first — q45 — before any pairwise
+    * work); components come from [[Dedup.connectedComponents]]
+    * (label-sized rows per round, never edge payloads); the
+    * representative-text join keys on the component label; the
+    * fingerprint is a narrow fold. Split semantics (80/10/10 on
+    * fingerprint % 100) are IDENTICAL literals to q99, so a cluster of
+    * size 1 splits exactly as q99 would split its lone member.
+    */
+  val q155: QueryDef = QueryDef.sql(
+    "q155_leakage_safe_split",
+    s"""WITH RECURSIVE t AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest($duckToks) AS term
+       |    FROM documents WHERE doc_id < 100)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+       |  FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY d1, d2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sz s1 ON s1.doc_id = d1
+       |  JOIN sz s2 ON s2.doc_id = d2
+       |  WHERE n_common / (s1.n + s2.n - n_common) >= 0.7),
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM pairs
+       |  UNION SELECT d2 AS a, d1 AS b FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.v = e.b),
+       |comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+       |mem AS (
+       |  SELECT d.doc_id, COALESCE(comp.cluster_id, d.doc_id) AS cluster_id
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+       |  LEFT JOIN comp ON comp.doc_id = d.doc_id),
+       |csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |        FROM mem GROUP BY cluster_id),
+       |rep AS (
+       |  SELECT c.cluster_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(regexp_extract_all(doc.text, '.'),
+       |                       ch -> CAST(ascii(ch) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+       |  FROM csz c JOIN documents doc ON doc.doc_id = c.cluster_id)
+       |SELECT mem.doc_id, mem.cluster_id, csz.cluster_size,
+       |  CASE WHEN rep.fingerprint % 100 < 80 THEN 'train'
+       |       WHEN rep.fingerprint % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM mem
+       |JOIN csz ON csz.cluster_id = mem.cluster_id
+       |JOIN rep ON rep.cluster_id = mem.cluster_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    leakageSafeSplit(Tables.documents(s, dir).filter(col("doc_id") < 100))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q155 kernel over any (doc_id, text) frame; unsorted output. */
+  def leakageSafeSplit(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.ops.{Dedup, TextAnalytics}
+    // q85's near-dup graph: distinct token sets, Jaccard >= 0.7
+    val t = docs
+      .select(col("doc_id"), explode(TextAnalytics.toks(col("text"))).as("term"))
+      .distinct()
+    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = t.toDF("d1", "term")
+      .join(t.toDF("d2", "term2"),
+        col("term") === col("term2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common") / (col("n1") + col("n2") - col("n_common"))
+    val pairs = inter
+      .join(sz.toDF("dk1", "n1"), col("dk1") === col("d1"))
+      .join(sz.toDF("dk2", "n2"), col("dk2") === col("d2"))
+      .filter(jac >= 0.7)
+      .select(col("d1"), col("d2"))
+    val comp = Dedup.connectedComponents(pairs)
+      .toDF("m_doc_id", "component")
+    val mem = docs.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("m_doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    val csz = mem.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("bigint").as("cluster_size"))
+    // the representative IS the component label (min member): fetch its
+    // text once per cluster and fingerprint it with q99's exact fold
+    val fp = aggregate(
+      transform(regexp_extract_all(col("text"), lit("."), lit(0)),
+        c => ascii(c).cast("bigint")),
+      lit(0L),
+      (a, b) => (a * 31L + b) % 1000000007L)
+    val rep = csz.select(col("cluster_id"))
+      .join(docs.select(col("doc_id").as("r_doc_id"), col("text")),
+        col("cluster_id") === col("r_doc_id"))
+      .select(col("cluster_id").as("f_cluster_id"), fp.as("fingerprint"))
+    mem
+      .join(csz, Seq("cluster_id"))
+      .join(rep, col("cluster_id") === col("f_cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        when(col("fingerprint") % 100 < 80, "train")
+          .when(col("fingerprint") % 100 < 90, "val")
+          .otherwise("test").as("split"))
   }
 }

@@ -407,4 +407,78 @@ class CurationOpsSpec extends SparkSpec {
     assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
       "top-k sampling must not shuffle")
   }
+
+  test("q152 data contract: each planted violation is counted once, in its source, and only there") {
+    import spark.implicits._
+    val docs = Seq(
+      // clean row
+      (0L, "good text here", "en", "feed_a", 14L),
+      // null text (n_chars irrelevant — not double-counted as len mismatch)
+      (1L, null.asInstanceOf[String], "en", "feed_a", 0L),
+      // empty text counts as null_text
+      (2L, "", "en", "feed_a", 0L),
+      // n_chars lies about the length
+      (3L, "short", "en", "feed_b", 999L),
+      // lang outside the declared domain
+      (4L, "hello there", "xx", "feed_b", 11L),
+      // doc_id collision ACROSS sources: both rows flagged
+      (5L, "dup id row one", "en", "feed_a", 14L),
+      (5L, "dup id row two", "en", "feed_b", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CurationOps.dataContract(docs)
+      .select("source", "n_rows", "n_null_text", "n_len_mismatch",
+        "n_bad_lang", "n_dup_id", "n_clean")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("feed_a") == (("feed_a", 4L, 2L, 0L, 0L, 1L, 1L)))
+    assert(got("feed_b") == (("feed_b", 3L, 0L, 1L, 1L, 1L, 0L)))
+  }
+
+  test("q154 boundary stitch: pair accounting, self-stitch exclusion, short docs vanish") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x y mid a b"),   // tail "a b"
+      (1L, "a b tail w"),    // head "a b" -> stitches with doc 0
+      (2L, "p q p q"),       // head == tail == "p q" (self)
+      (3L, "w w end p q"),   // tail "p q" -> stitches with doc 2's head
+      (4L, "solo"),          // < 2 tokens -> no boundary
+      (5L, "a b"))           // head == tail == "a b" (len-2 doc)
+      .toDF("doc_id", "text")
+    val got = CurationOps.boundaryStitch(docs)
+      .select(col("key"), col("n_tail"), col("n_head"), col("n_self"), col("stitch_pairs"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // "a b": tails {0, 5}, heads {1, 5}, self {5}
+    //   pairs = 2*2 - 1 = 3: (0->1), (0->5), (5->1); (5->5) excluded
+    assert(got("a b") == ((2L, 2L, 1L, 3L)))
+    // "p q": tails {2, 3}, heads {2}, self {2} -> pairs = 2*1 - 1 = 1 (3->2)
+    assert(got("p q") == ((2L, 1L, 1L, 1L)))
+    // no other key has stitch evidence; doc 4 contributed nothing
+    assert(got.keySet == Set("a b", "p q"))
+  }
+
+  test("q154 matches a plain-Scala replay on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(154)
+    val words = Vector("m", "n", "o")
+    val docs = (0L until 80L).map { i =>
+      (i, Seq.fill(2 + rnd.nextInt(6))(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val hk = docs.map { case (_, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      (toks.take(2).mkString(" "), toks.takeRight(2).mkString(" "))
+    }
+    val keys = hk.flatMap { case (h, tl) => Seq(h, tl) }.distinct
+    val want = keys.map { k =>
+      val nt = hk.count(_._2 == k).toLong
+      val nh = hk.count(_._1 == k).toLong
+      val ns = hk.count(p => p._1 == k && p._2 == k).toLong
+      k -> ((nt, nh, ns, nt * nh - ns))
+    }.filter(_._2._4 > 0).toMap
+    val got = CurationOps.boundaryStitch(docs.toDF("doc_id", "text"))
+      .select(col("key"), col("n_tail"), col("n_head"), col("n_self"), col("stitch_pairs"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == want)
+  }
 }

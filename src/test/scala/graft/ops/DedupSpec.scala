@@ -253,4 +253,43 @@ class DedupSpec extends SparkSpec {
     // that symmetric Jaccard dedup would score this pair below 0.5
     assert(c2 < 0.5, s"long doc mostly NOT contained: c2=$c2")
   }
+
+  test("q153 minhash calibration: exact duplicates audit at error 0; exact_j matches a set replay") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, base),                                  // dup pair 0-1
+      (1L, base),
+      (2L, base + " extra tail words here"),       // near-dup of 0/1
+      (3L, "totally different text with no shared window at all"))
+      .toDF("doc_id", "text")
+    val got = NonOracle.minhashCalibration(docs)
+      .select("d1", "d2", "n_match", "est_j",
+        "n_inter", "n_union", "exact_j", "abs_err")
+      .as[(Long, Long, Long, Double, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // the exact-duplicate pair must be a candidate and audit clean
+    val (_, _, nm, est, ni, nu, ex, err) = got((0L, 1L))
+    assert(nm == 32L && est == 1.0 && ex == 1.0 && err == 0.0)
+    assert(ni == nu, "identical docs: intersection == union")
+    // every audited pair's exact_j matches a plain-Scala shingle-set replay
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) Set.empty
+      else if (toks.length <= 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = Map(0L -> base, 1L -> base,
+      2L -> (base + " extra tail words here"),
+      3L -> "totally different text with no shared window at all")
+      .view.mapValues(shingleSet).toMap
+    got.foreach { case ((d1, d2), (_, _, _, estJ, ni2, nu2, exJ, errJ)) =>
+      val (a, b) = (sets(d1), sets(d2))
+      val inter = (a & b).size.toLong
+      val union = (a ++ b).size.toLong
+      assert((ni2, nu2) == ((inter, union)), s"($d1,$d2) set replay mismatch")
+      assert(exJ == inter.toDouble / union.toDouble)
+      assert(errJ == math.abs(estJ - exJ))
+    }
+  }
 }

@@ -112,4 +112,60 @@ class TrainingDataSpec extends SparkSpec {
     assert(fpToSplit.map(_._1).distinct.length == fpToSplit.length,
       "same fingerprint mapped to two splits")
   }
+
+  /** q99's exact Karp-Rabin fingerprint + split, replayed in Scala. */
+  private def q99Split(text: String): String = {
+    val fp = text.foldLeft(0L)((a, c) => (a * 31L + c.toLong) % 1000000007L)
+    if (fp % 100 < 80) "train" else if (fp % 100 < 90) "val" else "test"
+  }
+
+  test("q155: clusters never straddle splits; singletons split exactly as q99") {
+    import spark.implicits._
+    val near = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (0L, near),                     // cluster {0,1,2}: high token overlap
+      (1L, near + " eleven"),
+      (2L, "ten nine eight seven six five four three two one"),
+      (3L, "completely unrelated text about something else entirely"),
+      (4L, "another standalone document with its own words only"))
+      .toDF("doc_id", "text")
+    val got = TrainingData.leakageSafeSplit(docs)
+      .select("doc_id", "cluster_id", "cluster_size", "split")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // the near-dup trio lands in ONE cluster with ONE split
+    assert(Set(0L, 1L, 2L).map(got(_)._2) == Set(0L), "trio must cluster under min id 0")
+    assert(Set(0L, 1L, 2L).map(got(_)._4).size == 1, "cluster split must be unanimous")
+    assert(got(0L)._3 == 3L)
+    // the cluster's split is the q99 split of the REPRESENTATIVE (doc 0)
+    assert(got(0L)._4 == q99Split(near))
+    // singletons: own cluster, size 1, and exactly q99's doc-level split
+    Seq(3L, 4L).foreach { d =>
+      assert(got(d)._2 == d && got(d)._3 == 1L)
+      assert(got(d)._4 == q99Split(if (d == 3) "completely unrelated text about something else entirely"
+        else "another standalone document with its own words only"))
+    }
+  }
+
+  test("q155 on the fixture: q99 WOULD leak the big near-dup cluster; q155 does not") {
+    import spark.implicits._
+    val out = TrainingData.q155.build(spark, sfDir)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    // no cluster straddles splits
+    val bySplit = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    bySplit.foreach { case (cid, splits) =>
+      assert(splits.size == 1, s"cluster $cid spans splits $splits")
+    }
+    // the leak q155 exists to prevent: q99's doc-level split DOES cut at
+    // least one multi-member near-dup cluster across train/test|val
+    val q99 = TrainingData.q99.build(spark, sfDir)
+      .filter(col("doc_id") < 100)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val multi = out.groupBy(_._2).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "fixture has no multi-member cluster under doc_id<100")
+    val leaked = multi.values.exists(ms => ms.map(m => q99(m._1)).toSet.size > 1)
+    assert(leaked,
+      "expected q99's independent split to straddle at least one near-dup cluster")
+  }
 }
