@@ -36,7 +36,11 @@ object ScaleCheck {
         "q144_longest_repeated_substring", "q145_collocations",
         "q116_bigram_lm_score", "q134_source_divergence",
         "q136_ngram_novelty", "q140_dataset_card",
-        "q146_incremental_novelty")
+        "q146_incremental_novelty",
+        // q153/q155 are deliberately absent: both run on bounded doc
+        // slices (candidate audit, q85-slice clustering), so replica
+        // scaling would not exercise their corpus-sized stages
+        "q152_data_contract", "q154_boundary_stitch")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()
