@@ -416,7 +416,17 @@ object CorpusDrift {
        |FROM terms
        |GROUP BY source, n_docs
        |ORDER BY source""".stripMargin) { (s, dir) =>
-    val b = Tables.documents(s, dir)
+    sourceLengthDrift(Tables.documents(s, dir)).orderBy(col("source"))
+  }
+
+  /** The q151 kernel over any (source, n_chars) frame; unsorted
+    * output. [[graft.streaming.DriftStream]] reproduces these chi²
+    * doubles BIT-EXACTLY from incremental histogram state (same
+    * term formula, same ordered-bucket fold) — parity is spec-pinned.
+    */
+  def sourceLengthDrift(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val b = docs
       .select(col("source"), expr("n_chars div 200").as("bucket"))
     val cb = b.groupBy(col("bucket")).agg(count(lit(1)).cast("bigint").as("c"))
     val sb = b.groupBy(col("source"), col("bucket"))
@@ -437,6 +447,5 @@ object CorpusDrift {
         (col("nb") - 1L).cast("bigint").as("dof"),
         aggregate(col("ts"), lit(0.0),
           (acc, t) => acc + t.getField("term")).as("chi2"))
-      .orderBy(col("source"))
   }
 }

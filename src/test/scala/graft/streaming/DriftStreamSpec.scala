@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class LenDoc(doc_id: Long, n_chars: Long)
+
+/** Streaming drift monitor: each checkpointed micro-batch's chi² must
+  * BIT-EXACTLY equal the q151 batch kernel
+  * ([[graft.ops.CorpusDrift.sourceLengthDrift]]) run over the prefix
+  * corpus with every batch tagged as its own source — through replay,
+  * compaction (keepLatest), and the compaction-crash backup window.
+  */
+class DriftStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three batches with deliberately different length regimes: b2 is a
+  // shifted feed (all docs ~5 buckets longer), so its chi² must spike
+  private val b1 = Seq(LenDoc(1, 100), LenDoc(2, 150), LenDoc(3, 420))
+  private val b2 = Seq(LenDoc(4, 1100), LenDoc(5, 1180), LenDoc(6, 1250))
+  private val b3 = Seq(LenDoc(7, 120), LenDoc(8, 410), LenDoc(9, 1210))
+
+  /** The q151 kernel over batches 0..k, each tagged as its own source,
+    * keeping only the row for batch k — the parity reference.
+    */
+  private def kernelRow(upTo: Int): (Long, Long, Double) = {
+    val batches = Seq(b1, b2, b3).take(upTo + 1)
+    val tagged = batches.zipWithIndex.flatMap { case (b, i) =>
+      b.map(d => (d.doc_id, s"b$i", d.n_chars))
+    }.toDF("doc_id", "source", "n_chars")
+    val r = graft.ops.CorpusDrift.sourceLengthDrift(tagged)
+      .filter(col("source") === s"b$upTo")
+      .select(col("n_docs"), col("dof"), col("chi2"))
+      .as[(Long, Long, Double)].head()
+    r
+  }
+
+  private def streamedRow(outDir: String, k: Int): (Long, Long, Long, Double) =
+    spark.read.parquet(s"$outDir/batch_id=$k")
+      .select(col("n_docs"), col("n_total"), col("dof"), col("chi2"))
+      .as[(Long, Long, Long, Double)].head()
+
+  test("streamed chi2 == q151 kernel over the tagged prefix corpus; replay, compaction, crash window") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("drift-stream").toString
+    val mem = MemoryStream[LenDoc]
+    val q = DriftStream.monitor(mem.toDF(),
+      s"$dir/ref", s"$dir/out", s"$dir/ckpt")
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // bit-exact parity per batch, incl. batch 0 against an empty
+    // reference (its own histogram IS the corpus -> chi2 = 0)
+    (0 to 2).foreach { k =>
+      val (nd, nt, dof, chi2) = streamedRow(s"$dir/out", k)
+      val (knd, kdof, kchi2) = kernelRow(k)
+      assert(nd == knd && dof == kdof, s"batch $k shape mismatch")
+      assert(chi2 == kchi2, s"batch $k: streamed $chi2 != kernel $kchi2")
+      assert(nt == Seq(b1, b2, b3).take(k + 1).map(_.size).sum.toLong)
+    }
+    assert(streamedRow(s"$dir/out", 0)._4 == 0.0,
+      "first batch defines the corpus and cannot drift from it")
+    // the shifted feed (b2) must spike vs the conforming b3
+    assert(streamedRow(s"$dir/out", 1)._4 > streamedRow(s"$dir/out", 2)._4,
+      "shifted-length batch must score higher drift than a conforming one")
+
+    // replaying the LAST batch overwrites its own partitions; the
+    // batch_id < current guard keeps its own delta out of its
+    // reference, so the score is byte-identical
+    val before = streamedRow(s"$dir/out", 2)
+    DriftStream.scoreBatch(b3.toDF(), 2L, s"$dir/ref", s"$dir/out")
+    assert(streamedRow(s"$dir/out", 2) == before)
+    val view = DriftStream.readHistogram(spark, s"$dir/ref")
+      .as[(Long, Long)].collect().toSet
+
+    // compaction folds all but the latest delta (keepLatest — under a
+    // SUM fold, losing the guard would DOUBLE-COUNT a replayed batch)
+    DriftStream.compactHistogram(spark, s"$dir/ref")
+    val parts = new java.io.File(s"$dir/ref").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSeq.sorted
+    assert(parts == Seq("batch_id=0", "batch_id=2"), s"compaction left: $parts")
+    assert(DriftStream.readHistogram(spark, s"$dir/ref")
+      .as[(Long, Long)].collect().toSet == view)
+
+    // replay after compaction: still byte-identical (the guard can
+    // still exclude the batch's own contribution)
+    DriftStream.scoreBatch(b3.toDF(), 2L, s"$dir/ref", s"$dir/out")
+    assert(streamedRow(s"$dir/out", 2) == before,
+      "replay after compaction diverged — sum fold double-counted the batch")
+
+    // compaction-crash window: batch_id=0 renamed aside — readers must
+    // serve the sibling backup unchanged; next compaction restores it
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/ref")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/ref/batch_id=0"),
+      new org.apache.hadoop.fs.Path(s"$dir/ref_old0")))
+    assert(DriftStream.readHistogram(spark, s"$dir/ref")
+      .as[(Long, Long)].collect().toSet == view)
+    DriftStream.compactHistogram(spark, s"$dir/ref")
+    assert(DriftStream.readHistogram(spark, s"$dir/ref")
+      .as[(Long, Long)].collect().toSet == view)
+  }
+}
