@@ -16,7 +16,7 @@ object CorpusDrift {
 
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
-  def all: Seq[QueryDef] = Seq(q134, q136, q146, q151)
+  def all: Seq[QueryDef] = Seq(q134, q136, q146, q151, q156)
 
   /** Pairwise source-distribution divergence (q134): for every source
     * pair, the L1 distance between their unigram distributions —
@@ -447,5 +447,96 @@ object CorpusDrift {
         (col("nb") - 1L).cast("bigint").as("dof"),
         aggregate(col("ts"), lit(0.0),
           (acc, t) => acc + t.getField("term")).as("chi2"))
+  }
+
+  /** Corpus snapshot diff (q156): the crawl-to-crawl change report —
+    * given two corpus versions, per source: how many docs were added,
+    * removed, changed, unchanged, and the net token delta. The
+    * complement of q103 (which APPLIES a change log): here there is no
+    * log, only two snapshots, and the diff must be DERIVED — the audit
+    * a pipeline runs before deciding whether a refreshed crawl is
+    * worth re-processing (q136/q146 answer "is the text new"; q156
+    * answers "what happened to the feed"). Fixture versions are
+    * deterministic slices: A = doc_id < 450, B = doc_id >= 50 with
+    * every doc_id % 7 == 3 doc revised (a modulus coprime to the fixture's source = doc_id % 20 assignment, so changes hit every source).
+    *
+    * Scale: ONE full-outer equi-join on doc_id (both sides hash to the
+    * same partitioning) + a source-sized rollup; the change test
+    * compares xxhash64(text) so at 100 TB the join can carry (id,
+    * source, hash, token count) projections, never full text twice —
+    * the DuckDB twin compares raw strings (q136's collision-surfaces-
+    * as-mismatch argument). Token counts are narrow; all outputs
+    * integers.
+    */
+  val q156: QueryDef = QueryDef.sql(
+    "q156_snapshot_diff",
+    s"""WITH va AS (
+       |  SELECT doc_id, source, text FROM documents WHERE doc_id < 450),
+       |vb AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 7 = 3 THEN text || ' [rev2]' ELSE text END AS text
+       |  FROM documents WHERE doc_id >= 50),
+       |j AS (
+       |  SELECT COALESCE(vb.source, va.source) AS source,
+       |    CASE WHEN va.doc_id IS NULL THEN 'added'
+       |         WHEN vb.doc_id IS NULL THEN 'removed'
+       |         WHEN va.text <> vb.text THEN 'changed'
+       |         ELSE 'unchanged' END AS status,
+       |    COALESCE(len(list_filter(string_split_regex(va.text, '\\s+'),
+       |      x -> x <> '')), 0) AS tok_a,
+       |    COALESCE(len(list_filter(string_split_regex(vb.text, '\\s+'),
+       |      x -> x <> '')), 0) AS tok_b
+       |  FROM va FULL OUTER JOIN vb ON va.doc_id = vb.doc_id)
+       |SELECT source,
+       |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       |  CAST(sum(tok_b - tok_a) AS BIGINT) AS tok_delta
+       |FROM j
+       |GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val va = docs.filter(col("doc_id") < 450)
+      .select(col("doc_id"), col("source"), col("text"))
+    val vb = docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+    snapshotDiff(va, vb).orderBy(col("source"))
+  }
+
+  /** The q156 kernel over two (doc_id, source, text) snapshots;
+    * unsorted output.
+    */
+  def snapshotDiff(va: org.apache.spark.sql.DataFrame,
+                   vb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def nTok(c: org.apache.spark.sql.Column) =
+      coalesce(size(toks(c)), lit(-1)) // size(null) is -1 already; unify
+    val a = va.select(col("doc_id"), col("source").as("src_a"),
+      col("text").as("text_a"))
+    val b = vb.select(col("doc_id"), col("source").as("src_b"),
+      col("text").as("text_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("src_b"), col("src_a")).as("source"),
+        when(col("text_a").isNull, "added")
+          .when(col("text_b").isNull, "removed")
+          .when(xxhash64(col("text_a")) =!= xxhash64(col("text_b")), "changed")
+          .otherwise("unchanged").as("status"),
+        greatest(nTok(col("text_a")), lit(0)).cast("bigint").as("tok_a"),
+        greatest(nTok(col("text_b")), lit(0)).cast("bigint").as("tok_b"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L))
+          .cast("bigint").as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L))
+          .cast("bigint").as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L))
+          .cast("bigint").as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+          .cast("bigint").as("n_unchanged"),
+        sum(col("tok_b") - col("tok_a")).cast("bigint").as("tok_delta"))
   }
 }

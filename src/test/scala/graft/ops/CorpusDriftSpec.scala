@@ -250,4 +250,32 @@ class CorpusDriftSpec extends SparkSpec {
       index = CorpusDrift.upsertFirstSeen(index, docsDf(b))
     }
   }
+
+  // ---------------------------------------------------------------
+  // q156 snapshot diff
+  // ---------------------------------------------------------------
+
+  test("q156: add/remove/change/unchanged accounting, source attribution, token deltas") {
+    val va = Seq(
+      (1L, "s1", "one two three"),        // unchanged
+      (2L, "s1", "old words here"),       // changed in B (and re-sourced)
+      (3L, "s2", "will be removed soon")) // removed
+      .toDF("doc_id", "source", "text")
+    val vb = Seq(
+      (1L, "s1", "one two three"),
+      // changed doc moved to source s2: B's source wins the attribution
+      (2L, "s2", "new words here now"),
+      (4L, "s2", "brand new document"))   // added
+      .toDF("doc_id", "source", "text")
+    val got = CorpusDrift.snapshotDiff(va, vb)
+      .select("source", "n_added", "n_removed", "n_changed", "n_unchanged",
+        "tok_delta")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // s1: doc 1 unchanged (delta 0)
+    assert(got("s1") == (("s1", 0L, 0L, 0L, 1L, 0L)))
+    // s2: doc 4 added (+3 tokens), doc 3 removed (-4), doc 2 changed
+    // under its NEW source (4 - 3 = +1) -> net 0
+    assert(got("s2") == (("s2", 1L, 1L, 1L, 0L, 0L)))
+  }
 }
