@@ -480,7 +480,7 @@ object CorpusDrift {
        |  SELECT COALESCE(vb.source, va.source) AS source,
        |    CASE WHEN va.doc_id IS NULL THEN 'added'
        |         WHEN vb.doc_id IS NULL THEN 'removed'
-       |         WHEN va.text <> vb.text THEN 'changed'
+       |         WHEN va.text IS DISTINCT FROM vb.text THEN 'changed'
        |         ELSE 'unchanged' END AS status,
        |    COALESCE(len(list_filter(string_split_regex(va.text, '\\s+'),
        |      x -> x <> '')), 0) AS tok_a,
@@ -514,16 +514,21 @@ object CorpusDrift {
       : org.apache.spark.sql.DataFrame = {
     def nTok(c: org.apache.spark.sql.Column) =
       coalesce(size(toks(c)), lit(-1)) // size(null) is -1 already; unify
+    // presence is a row property, not a text property: a present row
+    // with NULL text must not read as absent (the twin keys on
+    // doc_id IS NULL), so explicit flags ride through the join, and
+    // the change test is NULL-SAFE (<=> on hashes here, IS DISTINCT
+    // FROM on raw text in the twin) so null-vs-text reads as changed
     val a = va.select(col("doc_id"), col("source").as("src_a"),
-      col("text").as("text_a"))
+      col("text").as("text_a"), lit(true).as("in_a"))
     val b = vb.select(col("doc_id"), col("source").as("src_b"),
-      col("text").as("text_b"))
+      col("text").as("text_b"), lit(true).as("in_b"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(
         coalesce(col("src_b"), col("src_a")).as("source"),
-        when(col("text_a").isNull, "added")
-          .when(col("text_b").isNull, "removed")
-          .when(xxhash64(col("text_a")) =!= xxhash64(col("text_b")), "changed")
+        when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "removed")
+          .when(!(xxhash64(col("text_a")) <=> xxhash64(col("text_b"))), "changed")
           .otherwise("unchanged").as("status"),
         greatest(nTok(col("text_a")), lit(0)).cast("bigint").as("tok_a"),
         greatest(nTok(col("text_b")), lit(0)).cast("bigint").as("tok_b"))

@@ -137,11 +137,28 @@ object NonOracle {
 
   /** The q153 kernel over any (doc_id, text) frame; unsorted output.
     * Docs with no tokens drop out (no shingle set to audit).
+    *
+    * The signature kernel runs over the corpus ONCE: the (doc_id, mh)
+    * frame is lazily localCheckpoint'd (the Dedup.scala:208 idiom), so
+    * the band derivation (both sides of the candidate self-join) and
+    * the two per-candidate signature joins all reuse the materialized
+    * partitions instead of re-running shingle_minhash — naively this
+    * kernel costs 4+ corpus passes of the hash loop.
     */
   def minhashCalibration(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val cand = Dedup.minhashCandidates(docs)
-    val sig = Dedup.minhashSignatures(docs)
+    val sig = Dedup.minhashSignatures(docs).localCheckpoint(false)
+    // bands derived FROM the checkpointed signatures (what
+    // Dedup.bandSignatures computes, re-rooted on sig)
+    val bands = sig
+      .withColumn("band", explode(sequence(lit(0), lit(7))))
+      .select(col("doc_id"), col("band"),
+        xxhash64(slice(col("mh"), col("band") * 4 + 1, lit(4))).as("band_sig"))
+    val cand = bands.toDF("d1", "band", "bsig")
+      .join(bands.toDF("d2", "band2", "bsig2"),
+        col("band") === col("band2") && col("bsig") === col("bsig2")
+          && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
     val shg = docs
       .select(col("doc_id"),
         explode(array_distinct(Dedup.shingles(col("text"), 3))).as("sg"))

@@ -62,6 +62,28 @@ private[streaming] object DeltaStore {
     else None
   }
 
+  /** Scoped store read shared by the replay-guarded maintainers: the
+    * raw union filtered to `batch_id < beforeBatch` (the guard — a
+    * batch scoring itself must not see its own possibly-half-written
+    * partition), falling back to an EMPTY frame of `schema` when the
+    * store does not exist yet. Centralized here because the guard
+    * semantics are load-bearing for crash correctness and must not
+    * drift between indexes.
+    */
+  def readScopedOr(spark: SparkSession, indexDir: String,
+                   beforeBatch: Option[Long],
+                   schema: org.apache.spark.sql.types.StructType): DataFrame =
+    readRaw(spark, indexDir) match {
+      case Some(raw) =>
+        beforeBatch match {
+          case Some(b) => raw.filter(col("batch_id") < b)
+          case None => raw
+        }
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
   /** If a compaction crashed between renaming the old `batch_id=0`
     * aside and landing the new one, restore the backup — the folded
     * content it held is not yet anywhere else. WRITER-ONLY: called

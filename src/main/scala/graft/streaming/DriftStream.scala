@@ -9,32 +9,41 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * is scored against the length-distribution accumulated from all
   * batches up to and INCLUDING itself (exactly q151's source-vs-corpus
   * semantics, with "source" = this batch and "corpus" = everything
-  * seen so far), then contributes its own histogram to the reference.
-  * A feed that suddenly ships truncated or concatenated documents
-  * shows up as a chi² spike on the batch where it happens — while the
-  * corpus totals N and the running buckets never have to be rebuilt.
+  * seen so far), then persists the updated reference. A feed that
+  * suddenly ships truncated or concatenated documents shows up as a
+  * chi² spike on the batch where it happens — while the reference
+  * never has to be rebuilt from a corpus rescan.
   *
   * Cross-batch state is the bucketed histogram — BUCKET-count-sized
-  * (hundreds of rows), not corpus-sized — persisted as [[DeltaStore]]
-  * delta partitions folded by SUM (count histograms are the canonical
-  * mergeable state, the q142 property). Scoring reads only partitions
-  * with `batch_id < current` and a replayed batch overwrites its own
-  * partitions, so the crash/replay contract is [[NoveltyStream]]'s:
-  * replay is byte-identical, and compaction keeps the latest
-  * (possibly uncommitted) delta out of the fold (`keepLatest`).
+  * (hundreds of rows), not corpus-sized — persisted in a
+  * [[DeltaStore]] where each `batch_id=<k>` partition holds the FULL
+  * CUMULATIVE histogram through batch k and reads take the latest
+  * partition (latest-wins). NOT per-batch deltas summed on read: sum
+  * is not an idempotent fold, so DeltaStore's tolerated crash window
+  * (compaction dying during its trailing per-partition deletes leaves
+  * already-folded partitions behind) would double-count those batches;
+  * under latest-wins every leftover is itself a complete valid
+  * snapshot and re-reading it changes nothing. Cumulative snapshots
+  * cost bucket-count rows per batch — the mergeable-histogram size
+  * argument (q142), spent on crash-safety instead of space.
+  *
+  * Scoring reads only partitions with `batch_id < current` and a
+  * replayed batch overwrites its own partition, so the replay contract
+  * is [[NoveltyStream]]'s: byte-identical replay, compaction keeps the
+  * latest (possibly uncommitted) delta out of the fold (`keepLatest`).
   *
   * PARITY (spec-pinned, bit-exact): the streamed chi² of batch k
   * equals the `source = <tag k>` row of
   * [[graft.ops.CorpusDrift.sourceLengthDrift]] run over the
   * concatenation of batches 0..k with each batch tagged as its own
   * source — same term formula, same ordered-bucket fold, evaluated
-  * here from incremental histogram state instead of a corpus rescan.
+  * here from the incremental reference instead of a corpus rescan.
   */
 object DriftStream {
 
   /** Monitor a streaming (doc_id, n_chars) frame: per micro-batch, a
-    * one-row chi² score lands in `outDir/batch_id=<k>` and the batch's
-    * histogram delta in `refDir/batch_id=<k>`.
+    * one-row chi² score lands in `outDir/batch_id=<k>` and the updated
+    * cumulative histogram in `refDir/batch_id=<k>`.
     */
   def monitor(docs: DataFrame, refDir: String, outDir: String,
               checkpointDir: String): StreamingQuery =
@@ -47,33 +56,40 @@ object DriftStream {
       .start()
 
   /** One micro-batch of [[monitor]], named so replay idempotence is
-    * directly testable. Empty batches score nothing and write an
-    * empty delta (harmless under the SUM fold).
+    * directly testable. ONE pass over the batch (its histogram
+    * aggregation) and one bucket-sized store read — the reference and
+    * the combined spine then live on the driver, so the scoring plan
+    * never re-reads parquet or re-aggregates the batch. Empty batches
+    * score nothing and persist the unchanged reference.
     */
   private[streaming] def scoreBatch(batch: DataFrame, batchId: Long,
                                     refDir: String, outDir: String): Unit = {
     val spark = batch.sparkSession
-    val hb = histogram(batch)
-    val ref = readHistogram(spark, refDir, beforeBatch = Some(batchId))
+    import spark.implicits._
+    val hb: Map[Long, Long] = histogram(batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref: Map[Long, Long] =
+      readHistogram(spark, refDir, beforeBatch = Some(batchId))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // combined = reference + this batch: q151's "corpus includes the
     // source", which also guarantees e_b > 0 for every batch bucket
-    val combined = ref.unionByName(hb)
-      .groupBy(col("bucket")).agg(sum(col("c")).cast("bigint").as("c"))
-    // scalars are bucket-rollup-sized driver reads, not corpus reads
-    val nDocs = hb.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
-    val nTot = combined.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
-    val nb = combined.count()
+    val combined: Seq[(Long, Long)] = (ref.keySet ++ hb.keySet).toSeq.sorted
+      .map(k => k -> (ref.getOrElse(k, 0L) + hb.getOrElse(k, 0L)))
+    val nDocs = hb.values.sum
+    val nTot = combined.map(_._2).sum
     val score =
       if (nDocs == 0L) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], scoreSchema)
       else {
-        // MIRROR of sourceLengthDrift's term + fold, evaluated over the
-        // combined bucket spine: e = n_docs·c_b/N as doubles in the same
-        // op order, zero-observed buckets paying their full e_b penalty,
+        // MIRROR of sourceLengthDrift's term + fold over the combined
+        // bucket spine: e = n_docs·c_b/N as doubles in the same op
+        // order, zero-observed buckets paying their full e_b penalty,
         // terms folded in bucket order from 0.0 — bit-equal by
-        // construction to the batch kernel over the tagged prefix corpus
+        // construction to the batch kernel over the tagged prefix
+        // corpus (spec-pinned)
         val e = lit(nDocs.toDouble) * col("c").cast("double") / lit(nTot.toDouble)
-        combined.join(hb.toDF("bucket", "o"), Seq("bucket"), "left")
+        combined.map { case (b, c) => (b, c, hb.get(b)) }
+          .toDF("bucket", "c", "o")
           .select(col("bucket"),
             ((coalesce(col("o"), lit(0L)).cast("double") - e)
               * (coalesce(col("o"), lit(0L)).cast("double") - e) / e).as("term"))
@@ -82,12 +98,13 @@ object DriftStream {
           .select(
             lit(nDocs).as("n_docs"),
             lit(nTot).as("n_total"),
-            lit(nb - 1L).as("dof"),
+            lit(combined.size.toLong - 1L).as("dof"),
             aggregate(col("ts"), lit(0.0),
               (acc, t) => acc + t.getField("term")).as("chi2"))
       }
     score.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-    hb.write.mode("overwrite").parquet(s"$refDir/batch_id=$batchId")
+    combined.toDF("bucket", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$refDir/batch_id=$batchId")
   }
 
   private val scoreSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -100,47 +117,49 @@ object DriftStream {
     org.apache.spark.sql.types.StructField("chi2",
       org.apache.spark.sql.types.DoubleType)))
 
+  private val refSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("c",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("batch_id",
+      org.apache.spark.sql.types.LongType)))
+
   /** q151's 200-char bucketing of an (n_chars) frame to (bucket, c). */
   private[streaming] def histogram(docs: DataFrame): DataFrame =
     docs.select(expr("n_chars div 200").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).cast("bigint").as("c"))
 
-  /** Current reference histogram: sum(c) per bucket over the delta
-    * partitions (sum is the mergeable fold — superseded partitions
-    * left by a compaction crash are snapshot-scoped and never
-    * double-counted, [[DeltaStore]]'s contract). `beforeBatch`
-    * excludes partitions at or past a batch id — the replay guard.
-    * An absent directory is a valid empty reference.
+  /** Current reference histogram: the LATEST cumulative snapshot among
+    * the visible partitions (latest-wins — see the class doc for why
+    * not a sum of deltas). `beforeBatch` excludes partitions at or
+    * past a batch id — the replay guard ([[DeltaStore.readScopedOr]]).
+    * An absent store is a valid empty reference.
     */
   def readHistogram(spark: SparkSession, refDir: String,
-                    beforeBatch: Option[Long] = None): DataFrame =
-    DeltaStore.readRaw(spark, refDir) match {
-      case Some(raw) =>
-        val scoped = beforeBatch match {
-          case Some(b) => raw.filter(col("batch_id") < b)
-          case None => raw
-        }
-        scoped.groupBy(col("bucket")).agg(sum(col("c")).cast("bigint").as("c"))
-      case None =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("bucket",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("c",
-              org.apache.spark.sql.types.LongType))))
-    }
+                    beforeBatch: Option[Long] = None): DataFrame = {
+    val raw = DeltaStore.readScopedOr(spark, refDir, beforeBatch, refSchema)
+    val latest = raw.agg(max(col("batch_id"))).head().get(0)
+    if (latest == null)
+      raw.select(col("bucket"), col("c")) // empty
+    else
+      raw.filter(col("batch_id") === lit(latest))
+        .select(col("bucket"), col("c"))
+  }
 
-  /** Fold delta partitions into `batch_id=0` with the sum merge.
-    * `keepLatest = true` for the same reason as
-    * [[NoveltyStream.compactFirstSeen]]: the newest partition may
-    * belong to an uncommitted batch, and folding it into batch 0
-    * would defeat the `batch_id < current` replay guard — worse here
-    * than for the min-fold index, because a SUM fold would
-    * double-count the replayed batch's contribution.
+  /** Fold delta partitions into `batch_id=0` with the latest-wins
+    * merge (each partition is a complete cumulative snapshot, so the
+    * fold just keeps the newest one). `keepLatest = true` for the same
+    * reason as [[NoveltyStream.compactFirstSeen]]: the newest
+    * partition may belong to an uncommitted batch, and folding it into
+    * batch 0 would put the batch's own contribution inside the
+    * reference its replay reads.
     */
   def compactHistogram(spark: SparkSession, refDir: String): Unit =
-    DeltaStore.compact(spark, refDir, raw =>
-      raw.groupBy(col("bucket")).agg(sum(col("c")).cast("bigint").as("c")),
-      keepLatest = true)
+    DeltaStore.compact(spark, refDir, raw => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      raw.withColumn("mx", max(col("batch_id")).over(w))
+        .filter(col("batch_id") === col("mx"))
+        .select(col("bucket"), col("c"))
+    }, keepLatest = true)
 }

@@ -73,22 +73,15 @@ object NoveltyStream {
     */
   def readFirstSeen(spark: SparkSession, indexDir: String,
                     beforeBatch: Option[Long] = None): DataFrame =
-    DeltaStore.readRaw(spark, indexDir) match {
-      case Some(raw) =>
-        val scoped = beforeBatch match {
-          case Some(b) => raw.filter(col("batch_id") < b)
-          case None => raw
-        }
-        scoped.groupBy(col("sh")).agg(min(col("first_doc")).as("first_doc"))
-      case None =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("sh",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("first_doc",
-              org.apache.spark.sql.types.LongType))))
-    }
+    DeltaStore.readScopedOr(spark, indexDir, beforeBatch,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("sh",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("first_doc",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType))))
+      .groupBy(col("sh")).agg(min(col("first_doc")).as("first_doc"))
 
   /** Fold delta partitions into `batch_id=0` with the min merge.
     * `keepLatest = true` is LOAD-BEARING here: the newest partition

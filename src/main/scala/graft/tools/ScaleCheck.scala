@@ -39,7 +39,12 @@ object ScaleCheck {
         "q146_incremental_novelty",
         // q153/q155 are deliberately absent: both run on bounded doc
         // slices (candidate audit, q85-slice clustering), so replica
-        // scaling would not exercise their corpus-sized stages
+        // scaling would not exercise their corpus-sized stages.
+        // q156 is absent for q89's reason: its snapshots are doc_id
+        // RANGES (A < 450, B >= 50), and id-shifted replicas all land
+        // on B's side — the probe would scale "added" rows, not the
+        // diff join both sides feed; the full-outer join's scale
+        // argument is the plan pin in PLANS.md instead
         "q152_data_contract", "q154_boundary_stitch")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")

@@ -259,13 +259,17 @@ class CorpusDriftSpec extends SparkSpec {
     val va = Seq(
       (1L, "s1", "one two three"),        // unchanged
       (2L, "s1", "old words here"),       // changed in B (and re-sourced)
-      (3L, "s2", "will be removed soon")) // removed
+      (3L, "s2", "will be removed soon"), // removed
+      // PRESENT row with null text: must read as changed (text filled
+      // in B), never as "added" — presence is a row property
+      (5L, "s3", null.asInstanceOf[String]))
       .toDF("doc_id", "source", "text")
     val vb = Seq(
       (1L, "s1", "one two three"),
       // changed doc moved to source s2: B's source wins the attribution
       (2L, "s2", "new words here now"),
-      (4L, "s2", "brand new document"))   // added
+      (4L, "s2", "brand new document"),   // added
+      (5L, "s3", "text arrived late"))    // null -> text = changed
       .toDF("doc_id", "source", "text")
     val got = CorpusDrift.snapshotDiff(va, vb)
       .select("source", "n_added", "n_removed", "n_changed", "n_unchanged",
@@ -277,5 +281,7 @@ class CorpusDriftSpec extends SparkSpec {
     // s2: doc 4 added (+3 tokens), doc 3 removed (-4), doc 2 changed
     // under its NEW source (4 - 3 = +1) -> net 0
     assert(got("s2") == (("s2", 1L, 1L, 1L, 0L, 0L)))
+    // s3: null-text row present in BOTH snapshots -> changed, +3 tokens
+    assert(got("s3") == (("s3", 0L, 0L, 1L, 0L, 3L)))
   }
 }

@@ -70,16 +70,20 @@ class DriftStreamSpec extends SparkSpec {
       "shifted-length batch must score higher drift than a conforming one")
 
     // replaying the LAST batch overwrites its own partitions; the
-    // batch_id < current guard keeps its own delta out of its
+    // batch_id < current guard keeps its own snapshot out of its
     // reference, so the score is byte-identical
     val before = streamedRow(s"$dir/out", 2)
     DriftStream.scoreBatch(b3.toDF(), 2L, s"$dir/ref", s"$dir/out")
     assert(streamedRow(s"$dir/out", 2) == before)
     val view = DriftStream.readHistogram(spark, s"$dir/ref")
       .as[(Long, Long)].collect().toSet
+    // keep partition 1's cumulative snapshot for the leftover scenario
+    val snap1 = spark.read.parquet(s"$dir/ref/batch_id=1")
+      .as[(Long, Long)].collect().toSeq
 
-    // compaction folds all but the latest delta (keepLatest — under a
-    // SUM fold, losing the guard would DOUBLE-COUNT a replayed batch)
+    // compaction folds all but the latest snapshot (keepLatest: the
+    // newest partition may belong to an uncommitted batch, and folding
+    // it into batch 0 would put the batch inside its replay reference)
     DriftStream.compactHistogram(spark, s"$dir/ref")
     val parts = new java.io.File(s"$dir/ref").listFiles()
       .map(_.getName).filter(_.startsWith("batch_id=")).toSeq.sorted
@@ -91,7 +95,21 @@ class DriftStreamSpec extends SparkSpec {
     // still exclude the batch's own contribution)
     DriftStream.scoreBatch(b3.toDF(), 2L, s"$dir/ref", s"$dir/out")
     assert(streamedRow(s"$dir/out", 2) == before,
-      "replay after compaction diverged — sum fold double-counted the batch")
+      "replay after compaction diverged")
+
+    // DeltaStore's delete-loop crash window: compaction may die during
+    // its trailing per-partition deletes, leaving an already-folded
+    // partition behind. A SUM-of-deltas design would double-count it —
+    // cumulative latest-wins snapshots must not care. Simulate the
+    // leftover and assert both the view and a replay are unchanged.
+    snap1.toDF("bucket", "c").write.mode("overwrite")
+      .parquet(s"$dir/ref/batch_id=1")
+    assert(DriftStream.readHistogram(spark, s"$dir/ref")
+      .as[(Long, Long)].collect().toSet == view,
+      "leftover superseded snapshot changed the reference view")
+    DriftStream.scoreBatch(b3.toDF(), 2L, s"$dir/ref", s"$dir/out")
+    assert(streamedRow(s"$dir/out", 2) == before,
+      "leftover superseded snapshot changed a replay's score")
 
     // compaction-crash window: batch_id=0 renamed aside — readers must
     // serve the sibling backup unchanged; next compaction restores it
