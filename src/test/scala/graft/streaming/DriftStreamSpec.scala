@@ -124,4 +124,20 @@ class DriftStreamSpec extends SparkSpec {
     assert(DriftStream.readHistogram(spark, s"$dir/ref")
       .as[(Long, Long)].collect().toSet == view)
   }
+
+  test("empty batch: no score row, reference carried forward unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("drift-empty").toString
+    DriftStream.scoreBatch(b1.toDF(), 0L, s"$dir/ref", s"$dir/out")
+    val view = DriftStream.readHistogram(spark, s"$dir/ref")
+      .as[(Long, Long)].collect().toSet
+    DriftStream.scoreBatch(b1.toDF().limit(0), 1L, s"$dir/ref", s"$dir/out")
+    assert(spark.read.parquet(s"$dir/out/batch_id=1").count() == 0,
+      "an empty batch has no distribution to score")
+    assert(DriftStream.readHistogram(spark, s"$dir/ref")
+      .as[(Long, Long)].collect().toSet == view,
+      "empty batch must persist the reference unchanged")
+    // and the NEXT batch still scores against the carried reference
+    DriftStream.scoreBatch(b2.toDF(), 2L, s"$dir/ref", s"$dir/out")
+    assert(spark.read.parquet(s"$dir/out/batch_id=2").count() == 1)
+  }
 }
