@@ -21,7 +21,7 @@ object CurationOps {
 
   def all: Seq[QueryDef] =
     Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125,
-      q132, q140, q143, q144, q152, q154)
+      q132, q140, q143, q144, q152, q154, q157)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -1121,6 +1121,72 @@ object CurationOps {
       .withColumn("tokens_per_doc",
         col("n_tokens").cast("double") / col("n_docs").cast("double"))
       .orderBy(col("source"))
+  }
+
+  /** Context-length planning audit (q157): for each candidate maximum
+    * sequence length, the padding and truncation cost of the
+    * one-document-per-sequence regime (SFT/eval tokenization — q88's
+    * greedy packing is the PRETRAINING regime where docs concatenate;
+    * here each doc pads to L or truncates at L, and the planner picks
+    * L to balance padding waste against truncated text). Per L:
+    * sequence count, kept/padding/truncated token totals, and the two
+    * waste fractions a capacity plan reads off.
+    *
+    * Scale: a narrow map emits |L| tiny rows per doc (the candidate
+    * list is a literal), the rollup partial-aggregates to |L| rows —
+    * scan-speed with a constant-size output. Integer counts
+    * end-to-end; the two fractions are single literal-identical
+    * divisions.
+    */
+  val q157: QueryDef = QueryDef.sql(
+    "q157_padding_audit",
+    s"""WITH n AS (
+       |  SELECT CAST(len(t) AS BIGINT) AS n
+       |  FROM (SELECT $duckToks AS t FROM documents)
+       |  WHERE len(t) > 0),
+       |x AS (
+       |  SELECT l.max_len, n.n FROM n
+       |  CROSS JOIN (SELECT unnest([64, 128, 256, 512]) AS max_len) l)
+       |SELECT CAST(max_len AS BIGINT) AS max_len,
+       |  CAST(count(*) AS BIGINT) AS n_seqs,
+       |  CAST(sum(n) AS BIGINT) AS total_tokens,
+       |  CAST(sum(least(n, max_len)) AS BIGINT) AS kept_tokens,
+       |  CAST(sum(max_len - least(n, max_len)) AS BIGINT) AS padding_tokens,
+       |  CAST(sum(greatest(n - max_len, 0)) AS BIGINT) AS truncated_tokens,
+       |  CAST(sum(max_len - least(n, max_len)) AS DOUBLE)
+       |    / CAST(count(*) * max_len AS DOUBLE) AS padding_frac,
+       |  CAST(sum(greatest(n - max_len, 0)) AS DOUBLE)
+       |    / CAST(sum(n) AS DOUBLE) AS truncated_frac
+       |FROM x
+       |GROUP BY max_len
+       |ORDER BY max_len""".stripMargin) { (s, dir) =>
+    paddingAudit(Tables.documents(s, dir)).orderBy(col("max_len"))
+  }
+
+  /** The q157 kernel over any (text) frame; unsorted output. Docs with
+    * no tokens are not sequences and are excluded on both engines.
+    */
+  def paddingAudit(docs: org.apache.spark.sql.DataFrame,
+                   candidateLens: Seq[Long] = Seq(64L, 128L, 256L, 512L))
+      : org.apache.spark.sql.DataFrame = {
+    val n = docs.select(size(toks(col("text"))).cast("bigint").as("n"))
+      .filter(col("n") > 0)
+    val kept = least(col("n"), col("max_len"))
+    n.select(explode(array(candidateLens.map(lit): _*)).as("max_len"), col("n"))
+      .groupBy(col("max_len"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_seqs"),
+        sum(col("n")).cast("bigint").as("total_tokens"),
+        sum(kept).cast("bigint").as("kept_tokens"),
+        sum(col("max_len") - kept).cast("bigint").as("padding_tokens"),
+        sum(greatest(col("n") - col("max_len"), lit(0L)))
+          .cast("bigint").as("truncated_tokens"))
+      .select(col("max_len"), col("n_seqs"), col("total_tokens"),
+        col("kept_tokens"), col("padding_tokens"), col("truncated_tokens"),
+        (col("padding_tokens").cast("double")
+          / (col("n_seqs") * col("max_len")).cast("double")).as("padding_frac"),
+        (col("truncated_tokens").cast("double")
+          / col("total_tokens").cast("double")).as("truncated_frac"))
   }
 
   /** Data-contract validation (q152): the Deequ/dbt-test-style ingest

@@ -443,16 +443,29 @@ object Dedup {
                      shingleSize: Int = 3, keep: Seq[String] = Nil): DataFrame = {
     require(nHashes >= bandSize && nHashes % bandSize == 0,
       s"nHashes ($nHashes) must be a positive multiple of bandSize ($bandSize)")
-    docs.select(
-      col("doc_id") +: keep.map(col) :+
-        graft.functions.functions.shingle_minhash(
-          col("text"), nHashes, shingleSize).as("mh"): _*)
+    bandsFromSignatures(
+      docs.select(
+        col("doc_id") +: keep.map(col) :+
+          graft.functions.functions.shingle_minhash(
+            col("text"), nHashes, shingleSize).as("mh"): _*),
+      nHashes, bandSize, keep)
+  }
+
+  /** Band keys from an EXISTING (doc_id, mh) signature frame — the
+    * one definition of band derivation (slice → xxhash64), shared by
+    * [[bandSignatures]] and callers that materialize signatures once
+    * and reuse them (q153's calibration audit). The band formula must
+    * never fork from the q45 twin's `list_slice(mh, b*4+1, b*4+4)`.
+    */
+  def bandsFromSignatures(sig: DataFrame, nHashes: Int = 32,
+                          bandSize: Int = 4,
+                          keep: Seq[String] = Nil): DataFrame =
+    sig
       .withColumn("band", explode(sequence(lit(0), lit(nHashes / bandSize - 1))))
       .select(
         col("doc_id") +: keep.map(col) :+ col("band") :+
           xxhash64(slice(col("mh"), col("band") * bandSize + 1, lit(bandSize)))
             .as("band_sig"): _*)
-  }
 
   /** MinHash-LSH candidates: narrow signatures, band signatures as
     * xxhash64 of each signature slice, then ONE equi-join on

@@ -148,12 +148,9 @@ object NonOracle {
   def minhashCalibration(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val sig = Dedup.minhashSignatures(docs).localCheckpoint(false)
-    // bands derived FROM the checkpointed signatures (what
-    // Dedup.bandSignatures computes, re-rooted on sig)
-    val bands = sig
-      .withColumn("band", explode(sequence(lit(0), lit(7))))
-      .select(col("doc_id"), col("band"),
-        xxhash64(slice(col("mh"), col("band") * 4 + 1, lit(4))).as("band_sig"))
+    // bands derived FROM the checkpointed signatures — same derivation
+    // as the live dedup path (one definition, Dedup.bandsFromSignatures)
+    val bands = Dedup.bandsFromSignatures(sig)
     val cand = bands.toDF("d1", "band", "bsig")
       .join(bands.toDF("d2", "band2", "bsig2"),
         col("band") === col("band2") && col("bsig") === col("bsig2")

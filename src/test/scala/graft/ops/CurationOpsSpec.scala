@@ -434,6 +434,46 @@ class CurationOpsSpec extends SparkSpec {
     assert(got("feed_b") == (("feed_b", 3L, 0L, 1L, 1L, 1L, 0L)))
   }
 
+  test("q152 matches a plain-Scala replay on random corpora with injected violations") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1520)
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val rows: Seq[(Long, String, String, String, Long)] = (0 until 120).map { i =>
+      val text: String =
+        if (rnd.nextInt(10) == 0) null
+        else if (rnd.nextInt(10) == 0) ""
+        else Seq.fill(1 + rnd.nextInt(6))("w" + rnd.nextInt(9)).mkString(" ")
+      val nChars: Long =
+        if (text != null && rnd.nextInt(8) == 0) text.length + 7L
+        else if (text == null) 0L else text.length.toLong
+      val lang = if (rnd.nextInt(12) == 0) "qq" else langs(rnd.nextInt(5))
+      // ~10% doc_id collisions
+      val id = if (rnd.nextInt(10) == 0) rnd.nextInt(20).toLong else 1000L + i
+      (id, text, lang, s"s${rnd.nextInt(4)}", nChars)
+    }
+    val got = CurationOps.dataContract(
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("source", "n_rows", "n_null_text", "n_len_mismatch",
+        "n_bad_lang", "n_dup_id", "n_clean")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val idCount = rows.groupBy(_._1).view.mapValues(_.size).toMap
+    val want = rows.groupBy(_._4).map { case (src, rs) =>
+      val flags = rs.map { case (id, text, lang, _, nChars) =>
+        val vNull = text == null || text.isEmpty
+        val vLen = text != null && nChars != text.length.toLong
+        val vLang = !langs.contains(lang)
+        val vDup = idCount(id) > 1
+        (vNull, vLen, vLang, vDup)
+      }
+      src -> ((src, rs.size.toLong,
+        flags.count(_._1).toLong, flags.count(_._2).toLong,
+        flags.count(_._3).toLong, flags.count(_._4).toLong,
+        flags.count(f => !f._1 && !f._2 && !f._3 && !f._4).toLong))
+    }
+    assert(got == want)
+  }
+
   test("q154 boundary stitch: pair accounting, self-stitch exclusion, short docs vanish") {
     import spark.implicits._
     val docs = Seq(
@@ -455,6 +495,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(got("p q") == ((2L, 1L, 1L, 1L)))
     // no other key has stitch evidence; doc 4 contributed nothing
     assert(got.keySet == Set("a b", "p q"))
+  }
+
+  test("q157 padding audit: hand-computed waste at each candidate length; empty docs excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      "a b c",                                  // 3 tokens
+      (1 to 10).map(i => s"t$i").mkString(" "), // 10 tokens
+      "")                                       // 0 tokens -> not a sequence
+      .map(Tuple1(_)).toDF("text")
+    val got = CurationOps.paddingAudit(docs, candidateLens = Seq(4L, 8L))
+      .select("max_len", "n_seqs", "total_tokens", "kept_tokens",
+        "padding_tokens", "truncated_tokens", "padding_frac", "truncated_frac")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // L=4: doc1 kept 3 pad 1; doc2 kept 4 trunc 6 -> pad 1/8, trunc 6/13
+    assert(got(4L) == ((4L, 2L, 13L, 7L, 1L, 6L, 1.0 / 8.0, 6.0 / 13.0)))
+    // L=8: doc1 kept 3 pad 5; doc2 kept 8 trunc 2 -> pad 5/16, trunc 2/13
+    assert(got(8L) == ((8L, 2L, 13L, 11L, 5L, 2L, 5.0 / 16.0, 2.0 / 13.0)))
   }
 
   test("q154 matches a plain-Scala replay on random corpora") {
