@@ -4,6 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Load transparency: the r9 record overstated the engine 17% total
+    // (5x on single queries) purely from box load, and only a judge
+    // re-run could tell. Capture /proc/loadavg at start and end so the
+    // record itself says whether the box was quiet; the full detail
+    // (1/5/15-min loads + every query's rep vector, which cannot fit
+    // in the driver's bounded tail window) goes to BENCH_DETAIL.json.
+    def loadavg(): Seq[Double] =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+    val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -115,8 +126,35 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
+    val loadEnd = loadavg()
+    // 1-min load at start and end, 1 decimal: enough to adjudicate a
+    // loaded run (quiet box ~0-2 on 32 cpus vs the bench's own ~10-30),
+    // small enough to keep the metric line inside the tail window
+    def fmt1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val loadJ = s"[${fmt1(loadStart.head)},${fmt1(loadEnd.head)}]"
+    // Full adjudication detail — per-query rep vectors under full
+    // names plus 1/5/15-min loads — is ~5 KB at 160 queries and would
+    // blow the driver's ~2000-char tail buffer, so it goes to a
+    // sidecar committed next to the round artifacts.
+    val detail = new StringBuilder
+    detail ++= s"""{"sf":$sfNum,"reps":$reps,"cpus":$cpus,"""
+    detail ++= s""""load_start":${loadStart.map(fmt).mkString("[", ",", "]")},"""
+    detail ++= s""""load_end":${loadEnd.map(fmt).mkString("[", ",", "]")},"""
+    detail ++= results.map { case (n, ts) =>
+      "\"" + n + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("\"rep_times\":{", ",", "}}")
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
+      try w.println(detail.result()) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_DETAIL.json write failed: $e")
+    }
     val metricLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"max":${fmt(maxTotal)},"reps":$reps,"errors":$errs,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"max":${fmt(maxTotal)},"reps":$reps,"load":$loadJ,"errors":$errs,"sf":$sfNum}"""
+    if (metricLine.length > 1950)
+      System.err.println(s"[bench] WARNING metric line ${metricLine.length} chars " +
+        "— approaching the driver's ~2000-char tail window")
     // Stop Spark BEFORE printing so nothing (shutdown hooks, executor
     // teardown) can write after the metric line — it must be the final
     // stdout line for the driver's tail parser.

@@ -147,6 +147,42 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Karp-Rabin document fingerprint (q39): fold (h*31 + codepoint)
+    * mod 1e9+7 over the text's code points, SKIPPING '\n' — the exact
+    * value of the q39 DuckDB twin's
+    * `list_reduce(regexp_extract_all(text, '.') -> ascii)` (RE2's `.`
+    * matches every character except newline; `ascii` is the code
+    * point). Decodes UTF-8 straight off the UTF8String bytes: one
+    * compiled pass, no per-character string array — the interpreted
+    * `aggregate` HOF formulation this replaces materialized a
+    * doc-length array of single-char strings per row.
+    *
+    * Overflow-free: h < 1e9+7 and code points < 0x110000, so
+    * h*31 + cp < 2^35.
+    */
+  def karpRabin(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = text.numBytes
+    var i = 0
+    var h = 0L
+    while (i < n) {
+      val b0 = text.getByte(i) & 0xFF
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+      else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+      else { cp = b0 & 0x07; len = 4 }
+      var j = 1
+      while (j < len && i + j < n) {
+        cp = (cp << 6) | (text.getByte(i + j) & 0x3F)
+        j += 1
+      }
+      if (cp != '\n') h = (h * 31L + cp) % 1000000007L
+      i += len
+    }
+    h
+  }
+
   /** Nearest of `centers` (K rows x dim) to `v` by cosine distance;
     * returns a (center_id INT, dist DOUBLE) InternalRow. Deterministic
     * tie-break on the lower center index (strict `<`), matching the

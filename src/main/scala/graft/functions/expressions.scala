@@ -38,6 +38,31 @@ case class PorterStemExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Karp-Rabin fingerprint of a string column — the q39 content
+  * fingerprint ((h*31 + codepoint) mod 1e9+7 over non-newline code
+  * points, see VectorOps.karpRabin). Codegen over the raw UTF-8
+  * bytes; replaces the interpreted per-character
+  * `aggregate(regexp_extract_all(text, '.'), ...)` HOF, which
+  * materialized a doc-sized single-char-string array per row (the
+  * same interpreted-HOF shape that cost q40 66s before its BitSet
+  * registration).
+  */
+case class KarpRabinExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "karp_rabin_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.karpRabin(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.karpRabin($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): KarpRabinExpr =
+    copy(child = newChild)
+}
+
 /** Cosine similarity between two ARRAY<DOUBLE> columns. */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -458,6 +483,9 @@ object functions {
   def porter_stem(c: Column): Column =
     Shim.column(PorterStemExpr(Shim.expression(c)))
 
+  def karp_rabin_fingerprint(c: Column): Column =
+    Shim.column(KarpRabinExpr(Shim.expression(c)))
+
   def cosine_similarity(a: Column, b: Column): Column =
     Shim.column(
       CosineSimilarityExpr(Shim.expression(a), Shim.expression(b)))
@@ -594,6 +622,7 @@ object GraftExtensions {
   private[functions] def register(
       f: (String, Seq[Expression] => Expression) => Unit): Unit = {
     f("porter_stem", es => PorterStemExpr(es.head))
+    f("karp_rabin_fingerprint", es => KarpRabinExpr(es.head))
     f("cosine_similarity", es => CosineSimilarityExpr(dblVec(es(0)), dblVec(es(1))))
     f("cosine_distance", es => CosineDistanceExpr(dblVec(es(0)), dblVec(es(1))))
     f("simhash64", es => SimHash64Expr(es.head))

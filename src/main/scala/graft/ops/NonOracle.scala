@@ -36,6 +36,17 @@ object NonOracle {
        |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** [[cosSql]] guarded with Spark's zero-norm => 0.0 convention
+    * (VectorOps.cosine) — see Similarity.cosSqlZ. Every scoring stage
+    * uses this form so a degenerate all-zero vector cannot make DuckDB
+    * (NULL/inf) and Spark (0.0) rank a shortlist differently.
+    */
+  private def cosSqlZ(a: String, b: String): String =
+    s"""CASE WHEN list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+       |       OR list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+       |     THEN 0.0
+       |     ELSE ${cosSql(a, b)} END""".stripMargin
+
   /** Production MinHash-LSH near-dup candidates (xxhash64 path).
     * TWO-STAGE ORACLE: Verify dumps the signature matrix
     * (aux_minhash_sig32); DuckDB re-derives the 8 band slices and the
@@ -242,7 +253,7 @@ object NonOracle {
        |  FROM q JOIN bkt c USING (bucket) WHERE q.qid <> c.vec_id),
        |s AS (
        |  SELECT qid, cid,
-       |    ${cosSql("qe.embedding", "ce.embedding")} AS score
+       |    ${cosSqlZ("qe.embedding", "ce.embedding")} AS score
        |  FROM cand JOIN e qe ON cand.qid = qe.vec_id
        |            JOIN e ce ON cand.cid = ce.vec_id)
        |SELECT qid, cid, score, rnk FROM (
@@ -274,7 +285,7 @@ object NonOracle {
        |  FROM bkt a JOIN bkt b USING (bucket) WHERE a.vec_id < b.vec_id),
        |s AS (
        |  SELECT qid, cid,
-       |    ${cosSql("qe.embedding", "ce.embedding")} AS score
+       |    ${cosSqlZ("qe.embedding", "ce.embedding")} AS score
        |  FROM p JOIN e qe ON p.qid = qe.vec_id
        |         JOIN e ce ON p.cid = ce.vec_id),
        |dup AS (SELECT DISTINCT cid FROM s WHERE score >= 0.35)
@@ -355,7 +366,7 @@ object NonOracle {
        |  FROM pr JOIN asg USING (center_id) WHERE pr.qid <> asg.vec_id),
        |s AS (
        |  SELECT cand.qid, cand.cid,
-       |    ${cosSql("qe.embedding", "ce.embedding")} AS score
+       |    ${cosSqlZ("qe.embedding", "ce.embedding")} AS score
        |  FROM cand JOIN e qe ON cand.qid = qe.vec_id
        |            JOIN e ce ON cand.cid = ce.vec_id)
        |SELECT qid, cid, score, rnk FROM (
@@ -467,7 +478,7 @@ object NonOracle {
        |    FROM adc) WHERE arnk <= 24),
        |s AS (
        |  SELECT short.qid, short.cid,
-       |    ${cosSql("qe.v", "ce.v")} AS score
+       |    ${cosSqlZ("qe.v", "ce.v")} AS score
        |  FROM short JOIN e qe ON short.qid = qe.vec_id
        |             JOIN e ce ON short.cid = ce.vec_id)
        |SELECT qid, cid, score, rnk FROM (
@@ -648,7 +659,7 @@ object NonOracle {
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
        |s AS (
        |  SELECT qid, e.vec_id AS cid,
-       |    ${cosSql("qv", "v")} AS score
+       |    ${cosSqlZ("qv", "v")} AS score
        |  FROM q CROSS JOIN e WHERE qid <> e.vec_id)
        |SELECT qid, cid, score, rnk FROM (
        |  SELECT qid, cid, score,

@@ -35,6 +35,20 @@ object Similarity {
        |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** [[cosSql]] with Spark's zero-norm convention (VectorOps.cosine
+    * returns 0.0 when either norm is zero): unguarded, DuckDB divides
+    * by zero (NULL/inf) where Spark scores 0.0, silently diverging a
+    * shortlist ranking on a degenerate vector — e.g. an all-zero
+    * SQ8-reconstructed candidate when a dimension's corpus range
+    * collapses. Use this form wherever a twin SCORES vectors (the
+    * distance stages express the same guard as `THEN 1.0`).
+    */
+  private def cosSqlZ(a: String, b: String): String =
+    s"""CASE WHEN list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+       |       OR list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+       |     THEN 0.0
+       |     ELSE ${cosSql(a, b)} END""".stripMargin
+
   /** Per-vector L2 norm (pinned fold order; identical formula in the
     * DuckDB twin so doubles are bit-identical).
     */
@@ -654,7 +668,7 @@ object Similarity {
        |  FROM pr JOIN asg USING (center_id) WHERE pr.qid <> asg.vec_id),
        |ap AS (
        |  SELECT cand.qid, cand.cid,
-       |    ${cosSql("qe.embedding", "xrv.xr")} AS approx
+       |    ${cosSqlZ("qe.embedding", "xrv.xr")} AS approx
        |  FROM cand JOIN e qe ON cand.qid = qe.vec_id
        |            JOIN xrv ON cand.cid = xrv.vec_id),
        |short AS (
@@ -664,7 +678,7 @@ object Similarity {
        |    FROM ap) WHERE arnk <= 10),
        |s AS (
        |  SELECT short.qid, short.cid, short.approx,
-       |    ${cosSql("qe.embedding", "ce.embedding")} AS score
+       |    ${cosSqlZ("qe.embedding", "ce.embedding")} AS score
        |  FROM short JOIN e qe ON short.qid = qe.vec_id
        |             JOIN e ce ON short.cid = ce.vec_id)
        |SELECT qid, cid, approx, score, rnk FROM (

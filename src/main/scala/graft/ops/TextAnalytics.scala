@@ -402,7 +402,14 @@ object TextAnalytics {
 
   /** Document fingerprinting: Karp-Rabin polynomial rolling hash over
     * the character stream, mod 1e9+7 — a content fingerprint any
-    * engine can reproduce (unlike xxhash64). One narrow pass.
+    * engine can reproduce (unlike xxhash64). One narrow pass through
+    * the codegen [[graft.functions.KarpRabinExpr]] kernel (a single
+    * compiled fold over the UTF-8 bytes); the previous
+    * `aggregate(regexp_extract_all(text, '.'), ...)` formulation
+    * materialized a doc-length array of single-char strings per row
+    * and folded it interpreted. The twin's RE2 `.` skips '\n' and
+    * `ascii` is the code point — the kernel mirrors both exactly, so
+    * the SQL is unchanged.
     */
   val q39: QueryDef = QueryDef.sql(
     "q39_doc_fingerprint",
@@ -417,11 +424,8 @@ object TextAnalytics {
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
-        aggregate(
-          transform(regexp_extract_all(col("text"), lit("."), lit(0)),
-            c => ascii(c).cast("bigint")),
-          lit(0L),
-          (a, b) => (a * 31L + b) % 1000000007L).as("fingerprint"))
+        graft.functions.functions.karp_rabin_fingerprint(col("text"))
+          .as("fingerprint"))
       .orderBy(col("doc_id"))
   }
 

@@ -195,11 +195,8 @@ object TrainingData {
       |  (fingerprint * 2654435761) % 1000000007 AS shuffle_key
       |FROM f
       |ORDER BY split, shuffle_key, doc_id""".stripMargin) { (s, dir) =>
-    val fp = aggregate(
-      transform(regexp_extract_all(col("text"), lit("."), lit(0)),
-        c => ascii(c).cast("bigint")),
-      lit(0L),
-      (a, b) => (a * 31L + b) % 1000000007L)
+    // q39's codegen Karp-Rabin kernel (same fold the twin's SQL runs)
+    val fp = graft.functions.functions.karp_rabin_fingerprint(col("text"))
     Tables.documents(s, dir)
       .select(col("doc_id"), fp.as("fingerprint"))
       .select(col("doc_id"), col("fingerprint"),
@@ -360,11 +357,8 @@ object TrainingData {
       .agg(count(lit(1)).cast("bigint").as("cluster_size"))
     // the representative IS the component label (min member): fetch its
     // text once per cluster and fingerprint it with q99's exact fold
-    val fp = aggregate(
-      transform(regexp_extract_all(col("text"), lit("."), lit(0)),
-        c => ascii(c).cast("bigint")),
-      lit(0L),
-      (a, b) => (a * 31L + b) % 1000000007L)
+    // (the codegen Karp-Rabin kernel — same value as the twin's SQL)
+    val fp = graft.functions.functions.karp_rabin_fingerprint(col("text"))
     val rep = csz.select(col("cluster_id"))
       .join(docs.select(col("doc_id").as("r_doc_id"), col("text")),
         col("cluster_id") === col("r_doc_id"))

@@ -28,9 +28,25 @@ import org.apache.spark.sql.functions._
   *    duplicating rows); only the compactor — the single writer —
   *    repairs by rename;
   *  - a crash during the trailing per-partition deletes leaves
-  *    already-folded partitions behind — harmless duplicates under any
-  *    idempotent fold (latest-wins, min), removed by the next
-  *    compaction.
+  *    already-folded partitions behind. Deletes run OLDEST-FIRST
+  *    (ascending numeric batch_id — NOT listStatus order, which is
+  *    lexicographic and would delete batch_id=10 before batch_id=2),
+  *    so the survivors always form a SUFFIX {k..max} of the folded id
+  *    range. That shape is what makes leftovers harmless for every
+  *    fold this store supports:
+  *      - latest-wins keyed on batch_id (the drift reference, the
+  *        band index's per-doc merge): for any key, the max surviving
+  *        batch holding it is either the key's true latest delta
+  *        (which also won inside batch 0's fold — same value) or
+  *        absent (batch 0 wins). A PREFIX of survivors would break
+  *        this: an old leftover would shadow batch 0's newer fold for
+  *        keys whose latest delta was already deleted;
+  *      - order-insensitive idempotent folds (min, set-union — the
+  *        novelty first-seen index): re-folding any subset of
+  *        already-folded rows is a no-op regardless of survivor shape.
+  *    The next compaction folds the suffix again — by the same
+  *    argument the re-fold reproduces batch 0 exactly — then resumes
+  *    the deletes.
   */
 private[streaming] object DeltaStore {
 
@@ -119,7 +135,11 @@ private[streaming] object DeltaStore {
     */
   def compact(spark: SparkSession, indexDir: String,
               fold: DataFrame => DataFrame,
-              keepLatest: Boolean = false): Unit = {
+              keepLatest: Boolean = false,
+              // test seam: invoked before each trailing per-partition
+              // delete so specs can crash the delete loop mid-way and
+              // exercise the suffix-survivor contract above
+              onDelete: Path => Unit = _ => ()): Unit = {
     recoverCompaction(spark, indexDir)
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(indexDir)
@@ -149,7 +169,13 @@ private[streaming] object DeltaStore {
     if (!fs.rename(new Path(tmp, "batch_id=0"), zero))
       sys.error(s"delta-store compaction: rename $tmp/batch_id=0 -> $zero failed")
     fs.delete(old0, true)
-    snapshot.filter(_.getName != "batch_id=0").foreach(p => fs.delete(p, true))
+    // OLDEST-FIRST (ascending numeric id): a crash anywhere in this
+    // loop leaves a SUFFIX of the folded range behind — the only
+    // leftover shape under which latest-wins-on-batch_id reads and
+    // re-folds are unchanged (see the crash contract above)
+    snapshot.filter(_.getName != "batch_id=0").sortBy(idOf).foreach { p =>
+      onDelete(p); fs.delete(p, true)
+    }
     fs.delete(tmp, true)
   }
 }

@@ -23,7 +23,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (compaction dying during its trailing per-partition deletes leaves
   * already-folded partitions behind) would double-count those batches;
   * under latest-wins every leftover is itself a complete valid
-  * snapshot and re-reading it changes nothing. Cumulative snapshots
+  * snapshot, and because DeltaStore deletes folded partitions
+  * OLDEST-FIRST the leftovers are always the NEWEST folded snapshots —
+  * the max-batch_id partition a read picks is never staler than the
+  * batch_id=0 fold (spec-pinned with a simulated mid-delete crash at
+  * double-digit batch ids). Cumulative snapshots
   * cost bucket-count rows per batch — the mergeable-histogram size
   * argument (q142), spent on crash-safety instead of space.
   *
@@ -155,11 +159,13 @@ object DriftStream {
     * batch 0 would put the batch's own contribution inside the
     * reference its replay reads.
     */
-  def compactHistogram(spark: SparkSession, refDir: String): Unit =
+  def compactHistogram(spark: SparkSession, refDir: String,
+                       onDelete: org.apache.hadoop.fs.Path => Unit = _ => ())
+      : Unit =
     DeltaStore.compact(spark, refDir, raw => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy()
       raw.withColumn("mx", max(col("batch_id")).over(w))
         .filter(col("batch_id") === col("mx"))
         .select(col("bucket"), col("c"))
-    }, keepLatest = true)
+    }, keepLatest = true, onDelete = onDelete)
 }

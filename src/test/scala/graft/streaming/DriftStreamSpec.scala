@@ -125,6 +125,61 @@ class DriftStreamSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet == view)
   }
 
+  test("mid-delete compaction crash at double-digit ids: leftovers are a " +
+      "suffix, latest-wins view and replay unchanged") {
+    // Twelve committed batches so ids reach double digits — listStatus
+    // is lexicographic (batch_id=10 < batch_id=2) and a delete loop in
+    // that order could remove the NEWEST folded snapshot while older
+    // ones survive; a latest-wins read would then pick a stale
+    // leftover over batch 0's newer fold. DeltaStore deletes
+    // oldest-first (numeric), so a crash must always leave a SUFFIX.
+    val dir = java.nio.file.Files.createTempDirectory("drift-crash").toString
+    val batches = (0 to 11).map { k =>
+      Seq(LenDoc(k * 10L, 50L + 200L * (k % 4)), LenDoc(k * 10L + 1, 1100L))
+    }
+    batches.zipWithIndex.foreach { case (b, k) =>
+      DriftStream.scoreBatch(b.toDF(), k.toLong, s"$dir/ref", s"$dir/out")
+    }
+    val view = DriftStream.readHistogram(spark, s"$dir/ref")
+      .as[(Long, Long)].collect().toSet
+    val before = streamedRow(s"$dir/out", 11)
+
+    // crash the delete loop after two deletions (keepLatest holds back
+    // batch 11; folded range is 0..10, so deletes are 1,2 then boom)
+    var deleted = Vector.empty[String]
+    val boom = intercept[RuntimeException] {
+      DriftStream.compactHistogram(spark, s"$dir/ref", onDelete = p => {
+        if (deleted.size == 2) sys.error("simulated mid-delete crash")
+        deleted :+= p.getName
+      })
+    }
+    assert(boom.getMessage.contains("simulated"))
+    assert(deleted == Vector("batch_id=1", "batch_id=2"),
+      s"deletes must run oldest-first numeric, got $deleted")
+    val survivors = new java.io.File(s"$dir/ref").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).toSeq.sorted
+    assert(survivors == Seq(0L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L),
+      s"survivors must be a suffix of the folded range plus 0: $survivors")
+
+    // latest-wins read still serves the newest snapshot, and a replay
+    // of the (uncommitted-eligible) last batch is byte-identical
+    assert(DriftStream.readHistogram(spark, s"$dir/ref")
+      .as[(Long, Long)].collect().toSet == view,
+      "mid-delete crash changed the reference view")
+    DriftStream.scoreBatch(batches(11).toDF(), 11L, s"$dir/ref", s"$dir/out")
+    assert(streamedRow(s"$dir/out", 11) == before,
+      "mid-delete crash changed a replayed batch's score")
+
+    // the next compaction re-folds the suffix and converges
+    DriftStream.compactHistogram(spark, s"$dir/ref")
+    val after = new java.io.File(s"$dir/ref").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSeq.sorted
+    assert(after == Seq("batch_id=0", "batch_id=11"), s"post-crash compaction left: $after")
+    assert(DriftStream.readHistogram(spark, s"$dir/ref")
+      .as[(Long, Long)].collect().toSet == view)
+  }
+
   test("empty batch: no score row, reference carried forward unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("drift-empty").toString
     DriftStream.scoreBatch(b1.toDF(), 0L, s"$dir/ref", s"$dir/out")
