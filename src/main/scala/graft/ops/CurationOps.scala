@@ -21,7 +21,7 @@ object CurationOps {
 
   def all: Seq[QueryDef] =
     Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125,
-      q132, q140, q143, q144, q152, q154, q157)
+      q132, q140, q143, q144, q152, q154, q157, q159, q161)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -812,6 +812,176 @@ object CurationOps {
        |ORDER BY doc_id, start, src_doc, src_start""".stripMargin) { (s, dir) =>
     exactSubstrSpans(Tables.documents(s, dir), n = 8, minLen = 12)
       .orderBy(col("doc_id"), col("start"), col("src_doc"), col("src_start"))
+  }
+
+  /** Memorization-risk audit (q159) — the privacy complement of
+    * q143/q144: those find text REPEATED ACROSS the corpus; this finds
+    * n-token windows repeated `minReps`+ times WITHIN one document but
+    * occurring in NO other document. Such spans are the memorization
+    * hazard a dedup pass never touches: cross-doc dedup leaves them
+    * alone (they are globally unique), yet their in-doc repetition
+    * amplifies gradient weight on content only one document ever
+    * contained — the classic extractable-memorization shape (unique
+    * string, repeated context). A curation pipeline strikes or
+    * downweights them before packing.
+    *
+    * Emits one row per (document, window content): the first in-doc
+    * offset, the repeat count, and the raw span text.
+    *
+    * Scale: ONE content-keyed exchange — occurrences pre-partition on
+    * the window hash, so both the per-(window, doc) count and the
+    * per-window doc count are partition-local aggregates on that one
+    * exchange (HashPartitioning(g) satisfies the (g, doc_id)
+    * clustering). Survivors are audit-sized; the span text rejoins
+    * array-locally on doc_id (the q150 raw-rejoins-on-survivors
+    * discipline), so window strings never ride the corpus exchange.
+    * The DuckDB twin replays the whole operator over RAW window
+    * strings where Spark groups their xxhash64 — identical modulo a
+    * 64-bit collision, which the compare would surface, not mask (the
+    * q45/q113 argument).
+    */
+  def memorizationRisk(docs: org.apache.spark.sql.DataFrame,
+                       n: Int = 8,
+                       minReps: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && minReps >= 2,
+      s"need n >= 1 and minReps >= 2, got n=$n minReps=$minReps")
+    val d = docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("nt", size(col("t")).cast("bigint"))
+    val occ = d.filter(col("nt") >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("nt") - n)).as("start"),
+        col("t"))
+      .select(col("doc_id"), col("start"),
+        xxhash64(concat_ws("\u0001",
+          slice(col("t"), (col("start") + 1).cast("int"), lit(n)))).as("g"))
+      // the one exchange: both aggregates below cluster on prefixes of
+      // (g, doc_id), so they run partition-local on this partitioning
+      .repartition(col("g"))
+    val perDoc = occ.groupBy(col("g"), col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("c"), min(col("start")).as("s0"))
+    // nd == 1 => the group's single row IS the candidate, so min()
+    // over the group reads that row's fields without a self-join
+    val risky = perDoc.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"),
+        min(col("doc_id")).as("doc_id"),
+        min(col("s0")).cast("bigint").as("start"),
+        min(col("c")).as("n_reps"))
+      .filter(col("nd") === 1L && col("n_reps") >= minReps.toLong)
+      .select(col("doc_id"), col("start"), col("n_reps"))
+    d.join(broadcast(risky), Seq("doc_id"))
+      .select(col("doc_id"), col("start"), col("n_reps"),
+        concat_ws(" ",
+          slice(col("t"), (col("start") + 1).cast("int"), lit(n))).as("span_text"))
+  }
+
+  /** q159: [[memorizationRisk]] over the documents table (n = 4
+    * windows, >= 2 in-doc repeats, no other document). n is a plan
+    * parameter — a privacy pass on real data runs 50+-token windows;
+    * the synthetic fixture only has in-doc-unique repeats this short.
+    */
+  val q159: QueryDef = QueryDef.sql(
+    "q159_memorization_risk",
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckToks AS t FROM documents),
+       |dd AS (SELECT doc_id, t, len(t) AS nt FROM d),
+       |occ AS (
+       |  SELECT doc_id, k AS start,
+       |    array_to_string(t[k + 1 : k + 4], chr(1)) AS g
+       |  FROM (SELECT doc_id, t, unnest(range(0, nt - 4 + 1)) AS k
+       |        FROM dd WHERE nt >= 4)),
+       |pd AS (
+       |  SELECT g, doc_id, CAST(count(*) AS BIGINT) AS c, min(start) AS s0
+       |  FROM occ GROUP BY g, doc_id),
+       |sv AS (
+       |  SELECT g, count(*) AS nd, min(doc_id) AS doc_id,
+       |    CAST(min(s0) AS BIGINT) AS start, min(c) AS n_reps
+       |  FROM pd GROUP BY g)
+       |SELECT sv.doc_id, sv.start, sv.n_reps,
+       |  array_to_string(dd.t[sv.start + 1 : sv.start + 4], ' ') AS span_text
+       |FROM sv JOIN dd ON dd.doc_id = sv.doc_id
+       |WHERE sv.nd = 1 AND sv.n_reps >= 2
+       |ORDER BY sv.doc_id, sv.start""".stripMargin) { (s, dir) =>
+    memorizationRisk(Tables.documents(s, dir), n = 4, minReps = 2)
+      .orderBy(col("doc_id"), col("start"))
+  }
+
+  /** Epoch-allocation planner (q161): turn a token budget, the
+    * per-source token counts, and the q110 temperature weights into
+    * per-source epoch counts with an over-repetition flag — the
+    * planning readout q157 provides for sequence length, here for
+    * mixing. alloc_s = budget · w_s / Σw; epochs_s = alloc_s /
+    * n_tokens_s; sources scheduled past `maxEpochs` passes flag as
+    * over-repeated (the Muennighoff et al. 2023 "repeating beyond ~4
+    * epochs stops helping" rule of thumb) — the signal to either cap
+    * the source (and re-spread its budget) or shrink its weight.
+    *
+    * Float discipline: weights are q110's sqrt (correctly rounded per
+    * IEEE 754); the ONLY multi-term sum, Σw, folds over the ordered
+    * source list (the q151 discipline — source count is tiny);
+    * everything else is literal-identical mul/div on exact inputs, so
+    * the doubles hash-match.
+    *
+    * Scale: one partial+final aggregate to source granularity; all
+    * planning arithmetic is on the source-count-sized frame.
+    */
+  def epochAllocation(docs: org.apache.spark.sql.DataFrame,
+                      budgetTokens: Long,
+                      maxEpochs: Double = 4.0): org.apache.spark.sql.DataFrame = {
+    val c = docs
+      .select(col("source"), size(toks(col("text"))).cast("bigint").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).cast("bigint").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val m = c.agg(max(col("n_tokens")).as("max_n"))
+    val share = col("n_tokens").cast("double") / col("max_n").cast("double")
+    val w = c.crossJoin(broadcast(m))
+      .select(col("source"), col("n_tokens"), sqrt(share).as("weight"))
+    val tw = w
+      .agg(sort_array(collect_list(struct(col("source"), col("weight")))).as("ws"))
+      .select(aggregate(col("ws"), lit(0.0),
+        (a, x) => a + x.getField("weight")).as("wsum"))
+    w.crossJoin(broadcast(tw))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        (lit(budgetTokens.toDouble) * col("weight") / col("wsum")).as("alloc_tokens"),
+        (lit(budgetTokens.toDouble) * col("weight") / col("wsum")
+          / col("n_tokens").cast("double")).as("epochs"))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("alloc_tokens"), col("epochs"),
+        ceil(col("epochs")).cast("bigint").as("epochs_ceil"),
+        when(col("epochs") > maxEpochs, 1L).otherwise(0L).as("over_repeated"))
+      .orderBy(col("source"))
+  }
+
+  /** q161: [[epochAllocation]] at a 100k-token budget over the
+    * documents table. The budget is a plan parameter (a real run
+    * passes its own); 100k against the sf0.01 fixture's ~28k tokens
+    * exercises both flag values — the smallest sources are upweighted
+    * past 4 epochs while the rest stay under.
+    */
+  val q161: QueryDef = QueryDef.sql(
+    "q161_epoch_allocation",
+    s"""WITH c AS (
+       |  SELECT source, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+       |  FROM (SELECT source, $duckToks AS t FROM documents)
+       |  GROUP BY source
+       |  HAVING CAST(sum(len(t)) AS BIGINT) > 0),
+       |m AS (SELECT max(n_tokens) AS max_n FROM c),
+       |w AS (
+       |  SELECT source, n_tokens,
+       |    sqrt(CAST(n_tokens AS DOUBLE) / CAST(max_n AS DOUBLE)) AS weight
+       |  FROM c, m),
+       |tw AS (SELECT list_sum(list(weight ORDER BY source)) AS wsum FROM w),
+       |a AS (
+       |  SELECT source, n_tokens, weight,
+       |    100000.0 * weight / wsum AS alloc_tokens,
+       |    100000.0 * weight / wsum / CAST(n_tokens AS DOUBLE) AS epochs
+       |  FROM w, tw)
+       |SELECT source, n_tokens, weight, alloc_tokens, epochs,
+       |  CAST(ceil(epochs) AS BIGINT) AS epochs_ceil,
+       |  CAST(CASE WHEN epochs > 4.0 THEN 1 ELSE 0 END AS BIGINT) AS over_repeated
+       |FROM a
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    epochAllocation(Tables.documents(s, dir), budgetTokens = 100000L)
   }
 
   /** Corpus-wide LONGEST repeated substring (q144): the maximal L such

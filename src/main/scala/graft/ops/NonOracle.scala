@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
 object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
-    q45, q46, q47, q51, q52, q53, q57, q102, q105, q106, q128, q130, q153)
+    q45, q46, q47, q51, q52, q53, q57, q102, q105, q106, q128, q130, q153,
+    q160)
 
   /** The q31 cosine formula over two DuckDB list columns — identical
     * literal fold to the codegen CosineSimilarityExpr, so scores are
@@ -590,14 +591,17 @@ object NonOracle {
     * exponentially (2^20 base scans); materialization makes it one
     * pass per iteration.
     */
-  private def bpeSql(nMerges: Int): String = {
+  private def bpeChainSql(nMerges: Int): String = {
+    // seg CTEs carry `word` (unused by q105's merge output, keyed on
+    // by q160's fertility rollup: segN(word) IS the word's final
+    // segmentation under the learned merges)
     val head =
       """WITH w AS (
         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
         |    SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word
         |    FROM documents WHERE doc_id < 500) GROUP BY word),
         |seg0 AS MATERIALIZED (
-        |  SELECT freq, list_append(regexp_extract_all(word, '(?s).'), '</w>') AS s
+        |  SELECT word, freq, list_append(regexp_extract_all(word, '(?s).'), '</w>') AS s
         |  FROM w WHERE word <> '')""".stripMargin
     val iters = (1 to nMerges).map { i =>
       s"""p$i AS MATERIALIZED (
@@ -608,7 +612,7 @@ object NonOracle {
          |  GROUP BY a, b),
          |b$i AS MATERIALIZED (SELECT a, b FROM p$i WHERE cnt >= 2 ORDER BY cnt DESC, a, b LIMIT 1),
          |seg$i AS MATERIALIZED (
-         |  SELECT freq,
+         |  SELECT word, freq,
          |    CASE WHEN mb.a IS NULL THEN s
          |         ELSE list_reduce(list_transform(s, x -> [x]),
          |           (acc, x) -> CASE WHEN acc[-1] = mb.a AND x[1] = mb.b
@@ -617,10 +621,14 @@ object NonOracle {
          |    END AS s
          |  FROM seg${i - 1} LEFT JOIN b$i mb ON TRUE)""".stripMargin
     }
+    (head +: iters).mkString(",\n")
+  }
+
+  private def bpeSql(nMerges: Int): String = {
     val unions = (1 to nMerges)
       .map(i => s"""SELECT CAST(${i - 1} AS BIGINT) AS rank, a AS "left", b AS "right" FROM b$i""")
       .mkString("\nUNION ALL ")
-    (head +: iters).mkString(",\n") +
+    bpeChainSql(nMerges) +
       s""",\nm AS (\n$unions)\nSELECT rank, "left", "right" FROM m ORDER BY rank"""
   }
 
@@ -640,6 +648,81 @@ object NonOracle {
     merges.zipWithIndex
       .map { case ((a, b), r) => (r.toLong, a, b) }
       .toDF("rank", "left", "right")
+  }
+
+  /** Tokenizer fertility per source (q160): the data-card numbers that
+    * link q38's token counts to q140's per-source rollup — under the
+    * q105 BPE vocabulary, how many subword units does each source's
+    * text cost? Emits per source: whitespace-word and BPE-unit totals,
+    * char/byte volume (whitespace excluded — the units are per-word),
+    * fertility = units/word, chars/token and bytes/token. A source
+    * whose bytes/token runs high (script or jargon the vocabulary
+    * never learned) burns context length; the number feeds the q157
+    * padding audit and q161's budget math.
+    *
+    * Scale: ONE corpus aggregate (the (source, word) rollup,
+    * checkpointed so training and the rollup share it); segmentation
+    * runs on DISTINCT (source, word) rows via the codegen
+    * BpeSegmentExpr — word-type-sized work, not corpus-sized. FULL-
+    * REPLAY ORACLE: DuckDB re-learns the 20 merges from raw documents
+    * (the q105 chain, which also yields each word's final
+    * segmentation: training's merge application IS greedy inference
+    * for in-vocabulary words) and re-derives every count and ratio —
+    * integer sums + literal-identical divisions.
+    */
+  val q160 = QueryDef.sql(
+    "q160_tokenizer_fertility",
+    bpeChainSql(20) +
+      s""",
+         |sw AS (
+         |  SELECT source, word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+         |    FROM documents WHERE doc_id < 500) GROUP BY source, word),
+         |u AS (SELECT word, CAST(len(s) AS BIGINT) AS units FROM seg20),
+         |r AS (
+         |  SELECT sw.source,
+         |    CAST(sum(sw.freq) AS BIGINT) AS n_words,
+         |    CAST(sum(sw.freq * u.units) AS BIGINT) AS n_tokens,
+         |    CAST(sum(sw.freq * length(sw.word)) AS BIGINT) AS n_chars,
+         |    CAST(sum(sw.freq * strlen(sw.word)) AS BIGINT) AS n_bytes
+         |  FROM sw JOIN u USING (word) GROUP BY sw.source)
+         |SELECT source, n_words, n_tokens, n_chars, n_bytes,
+         |  CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+         |  CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token,
+         |  CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS bytes_per_token
+         |FROM r ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+    // the one corpus pass; checkpointed because it feeds BOTH the
+    // trainer's word-type table and the fertility rollup
+    val sw = docs
+      .select(col("source"),
+        explode(TextAnalytics.toks(col("text"))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).cast("bigint").as("freq"))
+      .localCheckpoint(true)
+    val words = sw.groupBy(col("word"))
+      .agg(sum(col("freq")).cast("bigint").as("freq"))
+    val merges = Bpe.train(words, nMerges = 20)
+    val u = sw.withColumn("units",
+      size(graft.functions.functions.bpe_segment(col("word"), merges))
+        .cast("bigint"))
+    u.groupBy(col("source"))
+      .agg(
+        sum(col("freq")).cast("bigint").as("n_words"),
+        sum(col("freq") * col("units")).cast("bigint").as("n_tokens"),
+        sum(col("freq") * length(col("word")).cast("bigint"))
+          .cast("bigint").as("n_chars"),
+        sum(col("freq") * octet_length(col("word")).cast("bigint"))
+          .cast("bigint").as("n_bytes"))
+      .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
+        col("n_bytes"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"),
+        (col("n_bytes").cast("double") / col("n_tokens").cast("double"))
+          .as("bytes_per_token"))
+      .orderBy(col("source"))
   }
 
   /** Full multimodal pipeline: attach media -> (stub) embed -> exact

@@ -29,7 +29,7 @@ object TextAnalytics {
 
   def all: Seq[QueryDef] =
     Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121, q126, q127,
-      q129, q142, q145, q147, q148)
+      q129, q142, q145, q147, q148, q158)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -730,6 +730,123 @@ object TextAnalytics {
        |FROM r GROUP BY source
        |ORDER BY source""".stripMargin) { (s, dir) =>
     gopherRules(Tables.documents(s, dir))
+  }
+
+  /** Classifier calibration audit (q158): reliability table + expected
+    * calibration error (ECE) for the q109 quality classifier — the
+    * q153 "audit the pipeline's own approximation" discipline applied
+    * to the quality gate. q109's score feeds the q98 quota and q110
+    * mixture math; if the score is miscalibrated (a "0.9" doc is good
+    * only 60% of the time), those consumers silently skew. Predicted
+    * probability is bucketed into fixed deciles; the observed-positive
+    * label is the q126 Gopher all-rules pass (the fixture's label
+    * proxy — a trained label column plugs into the same shape); each
+    * bucket reports observed positive rate vs the bucket midpoint and
+    * the ECE = Σ_b (n_b/N)·|mid_b − rate_b| over buckets.
+    *
+    * Midpoint-ECE (histogram binning), not mean-confidence-ECE: the
+    * midpoint variant derives ENTIRELY from integer counts + literal
+    * divisions (bit-exact across engines), where mean confidence
+    * would sum corpus-many doubles in nondeterministic order. The ECE
+    * fold runs over the ordered 10-bucket list (the q151 discipline).
+    *
+    * Scale: ONE narrow corpus pass computes score and label together
+    * (both derive from the same token array), then one partial+final
+    * aggregate to 10 bucket rows; everything after is bucket-sized.
+    */
+  val q158: QueryDef = QueryDef.sql(
+    "q158_calibration_audit",
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS nt,
+       |    CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS sl,
+       |    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS na,
+       |    CAST(len(list_filter(t, x -> x IN ('the','a','an','and','of','to','is','in','it','on'))) AS BIGINT) AS ns,
+       |    (length(text) - length(regexp_replace(text, '\\p{P}', '', 'g'))) / length(text) AS punct_ratio,
+       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio
+       |  FROM (SELECT doc_id, text, $duckToks AS t FROM documents)),
+       |z AS (
+       |  SELECT doc_id,
+       |    -2.0 + (ns / nt) * 6.0 + least(1.0, nt / 64.0) * 2.0
+       |      - punct_ratio * 8.0 - digit_ratio * 4.0 AS z,
+       |    CAST(CASE WHEN nt >= 50 AND nt <= 100000
+       |               AND 3 * nt <= sl AND sl <= 10 * nt
+       |               AND 10 * na >= 8 * nt AND ns >= 2
+       |      THEN 1 ELSE 0 END AS BIGINT) AS pos
+       |  FROM f WHERE nt > 0),
+       |b AS (
+       |  SELECT CAST(floor((0.5 + 0.5 * (z / (1.0 + abs(z)))) * 10.0) AS BIGINT)
+       |           AS bucket,
+       |         pos
+       |  FROM z),
+       |g AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(pos) AS BIGINT) AS n_pos
+       |  FROM b GROUP BY bucket),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM g),
+       |t AS (
+       |  SELECT bucket, n_docs, n_pos,
+       |    (CAST(bucket AS DOUBLE) + 0.5) / 10.0 AS conf_mid,
+       |    CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pos_rate
+       |  FROM g),
+       |t2 AS (
+       |  SELECT bucket, n_docs, n_pos, conf_mid, pos_rate,
+       |    abs(conf_mid - pos_rate) AS abs_gap
+       |  FROM t),
+       |t3 AS (
+       |  SELECT t2.*, CAST(n_docs AS DOUBLE) / CAST(tot.n AS DOUBLE) * abs_gap AS w_gap
+       |  FROM t2, tot),
+       |e AS (SELECT list_sum(list(w_gap ORDER BY bucket)) AS ece FROM t3)
+       |SELECT bucket, n_docs, n_pos, conf_mid, pos_rate, abs_gap, ece
+       |FROM t3, e
+       |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val stopsArr = array(probeStops.map(lit): _*)
+    // ONE pass: q109's features and q126's rule counters off the same
+    // token array (each twin CTE re-derives them separately — oracles
+    // need equivalence, not the scale shape)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("bigint").as("nt"),
+        aggregate(col("t"), lit(0L), (a, x) => a + length(x).cast("bigint")).as("sl"),
+        size(filter(col("t"), x => x.rlike("[A-Za-z]"))).cast("bigint").as("na"),
+        size(filter(col("t"), x => array_contains(stopsArr, x))).cast("bigint").as("ns"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "\\p{P}", "")))
+          / length(col("text"))).as("punct_ratio"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          / length(col("text"))).as("digit_ratio"))
+      .filter(col("nt") > 0)
+    val zc = lit(-2.0) + (col("ns") / col("nt")) * 6.0 +
+      least(lit(1.0), col("nt") / 64.0) * 2.0 -
+      col("punct_ratio") * 8.0 - col("digit_ratio") * 4.0
+    val posc = when(col("nt") >= 50L && col("nt") <= 100000L &&
+      lit(3L) * col("nt") <= col("sl") && col("sl") <= lit(10L) * col("nt") &&
+      lit(10L) * col("na") >= lit(8L) * col("nt") && col("ns") >= 2L, 1L)
+      .otherwise(0L)
+    val sc = base.select(zc.as("z"), posc.as("pos"))
+      .select(
+        floor((lit(0.5) + lit(0.5) * (col("z") / (lit(1.0) + abs(col("z")))))
+          * 10.0).cast("bigint").as("bucket"),
+        col("pos"))
+    val g = sc.groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("pos")).cast("bigint").as("n_pos"))
+    val tot = g.agg(sum(col("n_docs")).cast("bigint").as("n"))
+    val t3 = g.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_docs"), col("n_pos"), col("n"),
+        ((col("bucket").cast("double") + 0.5) / 10.0).as("conf_mid"),
+        (col("n_pos").cast("double") / col("n_docs").cast("double")).as("pos_rate"))
+      .withColumn("abs_gap", abs(col("conf_mid") - col("pos_rate")))
+      .withColumn("w_gap",
+        col("n_docs").cast("double") / col("n").cast("double") * col("abs_gap"))
+    val e = t3
+      .agg(sort_array(collect_list(struct(col("bucket"), col("w_gap")))).as("ws"))
+      .select(aggregate(col("ws"), lit(0.0),
+        (a, x) => a + x.getField("w_gap")).as("ece"))
+    t3.crossJoin(broadcast(e))
+      .select(col("bucket"), col("n_docs"), col("n_pos"), col("conf_mid"),
+        col("pos_rate"), col("abs_gap"), col("ece"))
+      .orderBy(col("bucket"))
   }
 
   /** Per-source lexical statistics (q127): the data-card vocabulary

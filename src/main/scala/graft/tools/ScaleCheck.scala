@@ -70,7 +70,7 @@ object ScaleCheck {
       else s"${f.length}:${f.lastModified}"
     val fingerprint = (new java.io.File(base).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => s"${f.getName}=${fpOf(f)}") :+ s"factor=$factor" :+ "recipe=v2")
+      .map(f => s"${f.getName}=${fpOf(f)}") :+ s"factor=$factor" :+ "recipe=v3")
       .mkString("\n")
     val okMarker = new java.io.File(out, "_GRAFT_SCALE_OK")
     val fresh = okMarker.exists() &&
@@ -83,6 +83,23 @@ object ScaleCheck {
       }.reduce(_ unionByName _)
       rep.repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(out + "/documents.parquet")
+      // embeddings replicate the same way (vec_ids shifted; one dim
+      // perturbed per replica so replicas are not byte-identical —
+      // +i/1000 on dim 0 keeps vectors well-formed and shifts the SQ8
+      // dim-0 range realistically). The ANN queries' query batch and
+      // coarse centers key on vec_id < 10 / < 8, so only replica 0
+      // serves them and the CORPUS side is what scales — exactly the
+      // serving-scale question.
+      val emb = spark.read.parquet(base + "/embeddings.parquet")
+      val embRep = (0 until factor).map { i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+          .withColumn("embedding",
+            concat(array((element_at(col("embedding"), 1)
+                + lit(i.toFloat / 1000.0f)).cast("float")),
+              slice(col("embedding"), 2, 100000)))
+      }.reduce(_ unionByName _)
+      embRep.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(out + "/embeddings.parquet")
       // sibling tables copy as-is — including directory-style parquet
       // tables (the single-file copy used to silently skip those)
       def copyRec(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
@@ -95,7 +112,7 @@ object ScaleCheck {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       new java.io.File(base).listFiles()
         .filter(f => f.getName.endsWith(".parquet") &&
-          f.getName != "documents.parquet")
+          f.getName != "documents.parquet" && f.getName != "embeddings.parquet")
         .foreach(f => copyRec(f.toPath, java.nio.file.Paths.get(out, f.getName)))
       java.nio.file.Files.write(okMarker.toPath, fingerprint.getBytes("UTF-8"))
       println(s"[scale] built ${factor}x corpus at $out")

@@ -196,4 +196,38 @@ class BpeSpec extends SparkSpec {
     val f = Bpe.wordFreqs(docs).as[(String, Long)].collect().toMap
     assert(f == Map("a" -> 3L, "b" -> 2L))
   }
+
+  test("q160 fertility: totals match an independent corpus replay; unit bounds hold") {
+    val rows = NonOracle.q160.build(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    // independent per-source word/char/byte totals straight off the
+    // raw text (the BPE unit count is the only column the oracle alone
+    // re-derives; everything else must agree with this replay)
+    val raw = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 500)
+      .select(col("source"), col("text"))
+      .as[(String, String)].collect()
+      .flatMap { case (src, t) => t.split("\\s+").filter(_.nonEmpty).map(src -> _) }
+      .groupBy(_._1).view.mapValues { pairs =>
+        val words = pairs.map(_._2)
+        (words.length.toLong,
+          words.map(w => w.codePointCount(0, w.length).toLong).sum,
+          words.map(_.getBytes("UTF-8").length.toLong).sum)
+      }.toMap
+    rows.foreach { case (src, nw, ntok, nch, nby, fert, cpt, bpt) =>
+      val (rw, rc, rb) = raw.getOrElse(src, (0L, 0L, 0L))
+      assert(nw == rw, s"$src word count")
+      assert(nch == rc, s"$src char count")
+      assert(nby == rb, s"$src byte count")
+      // every word costs at least 1 unit and at most codepoints+1
+      assert(ntok >= nw, s"$src: fewer units than words")
+      assert(ntok <= nch + nw, s"$src: more units than codepoints+1 per word")
+      assert(nby >= nch, s"$src: bytes < chars")
+      assert(fert == ntok.toDouble / nw.toDouble)
+      assert(cpt == nch.toDouble / ntok.toDouble)
+      assert(bpt == nby.toDouble / ntok.toDouble)
+    }
+  }
 }

@@ -515,6 +515,54 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(8L) == ((8L, 2L, 13L, 11L, 5L, 2L, 5.0 / 16.0, 2.0 / 13.0)))
   }
 
+  test("q159 memorization risk: in-doc-only repeats flag; cross-doc presence or minReps excludes") {
+    import spark.implicits._
+    val corpus = Seq(
+      // "p q r s" twice in doc 1 and nowhere else -> the hazard shape
+      (1L, "p q r s x p q r s"),
+      // "a b c d" 3x in doc 2 BUT also in doc 3 -> globally non-unique
+      (2L, "a b c d y a b c d z a b c d"),
+      (3L, "a b c d k l m n"),
+      // "k l m n" once each in docs 3 and 4 -> neither repeated nor unique
+      (4L, "k l m n o j h g"),
+      // overlapping in-doc repeats: "u v w t" 3x, its rotations 2x each
+      (5L, "u v w t u v w t u v w t")
+    ).toDF("doc_id", "text")
+    def run(minReps: Int) =
+      CurationOps.memorizationRisk(corpus, n = 4, minReps = minReps)
+        .select(col("doc_id"), col("start"), col("n_reps"), col("span_text"))
+        .as[(Long, Long, Long, String)].collect().toSet
+    assert(run(2) == Set(
+      (1L, 0L, 2L, "p q r s"),
+      (5L, 0L, 3L, "u v w t"),
+      (5L, 1L, 2L, "v w t u"),
+      (5L, 2L, 2L, "w t u v"),
+      (5L, 3L, 2L, "t u v w")))
+    assert(run(3) == Set((5L, 0L, 3L, "u v w t")),
+      "minReps must gate on the in-doc repeat count")
+  }
+
+  test("q161 epoch allocation: exact budget split by sqrt weight; strict > maxEpochs flag") {
+    import spark.implicits._
+    // srcA 10 tokens, srcB 40 -> weights 0.5 and 1.0 (sqrt exact),
+    // wsum 1.5; budget 240 -> A: 80 tokens = 8 epochs (over), B: 160
+    // tokens = 4.0 epochs EXACTLY -> not over (strict >). All doubles
+    // here are exact binary fractions, so equality asserts are safe.
+    val corpus = Seq(
+      (1L, "srcA", (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, "srcB", (1 to 40).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = CurationOps.epochAllocation(corpus, budgetTokens = 240L)
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("alloc_tokens"), col("epochs"), col("epochs_ceil"),
+        col("over_repeated"))
+      .as[(String, Long, Double, Double, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("srcA") == (("srcA", 10L, 0.5, 80.0, 8.0, 8L, 1L)))
+    assert(got("srcB") == (("srcB", 40L, 1.0, 160.0, 4.0, 4L, 0L)),
+      "exactly maxEpochs must NOT flag (strict >)")
+  }
+
   test("q154 matches a plain-Scala replay on random corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(154)

@@ -164,7 +164,9 @@ class PlanAuditSpec extends SparkSpec {
       "q141_rfm" -> "one-row broadcast holding the scalar corpus-max timestamp",
       "q134_source_divergence" -> "S x S source-pair spine (S = source count, a pipeline constant); zero-shared-vocab pairs must emit l1=2.0",
       "q145_collocations" -> "one-row broadcast holding the scalar corpus token count",
-      "q151_source_length_drift" -> "S x B source/bucket spine (both pipeline constants) + scalar N + scalar bucket count, all broadcast; zero-observed buckets must contribute their e_b penalty"
+      "q151_source_length_drift" -> "S x B source/bucket spine (both pipeline constants) + scalar N + scalar bucket count, all broadcast; zero-observed buckets must contribute their e_b penalty",
+      "q158_calibration_audit" -> "10 bucket rows x two scalar broadcasts (corpus doc count, ordered-fold ECE)",
+      "q161_epoch_allocation" -> "source rows x scalar broadcasts (max source size, ordered-fold weight sum)"
     )
     val bad = scala.collection.mutable.ListBuffer[String]()
     val observedBnlj = scala.collection.mutable.TreeSet[String]()
@@ -190,6 +192,20 @@ class PlanAuditSpec extends SparkSpec {
     val stale = bnljWhitelist.keySet -- observedBnlj
     assert(stale.isEmpty,
       s"whitelist entries whose plans no longer nested-loop: $stale")
+  }
+
+  test("q159 memorization risk: one content-keyed exchange feeds both aggregates") {
+    val nodes = collectNodes(CurationOps.q159.build(spark, sfDir))
+    // exchange 1: hash on the window hash g — HashPartitioning(g)
+    // satisfies both the (g, doc_id) and the (g) aggregates, so they
+    // run partition-local on it; exchange 2: the sink's range sort of
+    // the audit-sized survivors. A third exchange means an aggregate
+    // re-shuffled the corpus-sized occurrence rows.
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 2, s"q159 plan has $shuffles exchanges")
+    // span text rejoins on the survivors via broadcast, never sort-merge
+    assert(nodes.count(_.isInstanceOf[SortMergeJoinExec]) == 0,
+      "survivor rejoin degraded to a corpus sort-merge join")
   }
 
   test("nearest-center assignment is a pure map: zero exchanges") {

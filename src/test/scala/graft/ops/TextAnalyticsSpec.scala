@@ -138,4 +138,25 @@ class TextAnalyticsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().toSet
     assert(merged == full)
   }
+
+  test("q158 calibration audit: bucket identities and the ordered ECE fold hold bit-exactly") {
+    val rows = TextAnalytics.q158.build(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9), "score in (0,1) => decile 0..9")
+    assert(rows.forall(r => r._3 >= 0 && r._3 <= r._2), "0 <= n_pos <= n_docs")
+    val n = rows.map(_._2).sum
+    rows.foreach { case (b, nd, np, mid, rate, gap, _) =>
+      // same literal double ops as both engines
+      assert(mid == (b.toDouble + 0.5) / 10.0)
+      assert(rate == np.toDouble / nd.toDouble)
+      assert(gap == math.abs(mid - rate))
+    }
+    // ECE = left fold of (n_b/N)*gap_b in bucket order from 0.0 — the
+    // scalar every row repeats must equal a driver-side replay
+    val ece = rows.sortBy(_._1)
+      .foldLeft(0.0) { case (a, r) => a + r._2.toDouble / n.toDouble * r._6 }
+    assert(rows.forall(_._7 == ece), s"ECE fold mismatch: ${rows.head._7} vs $ece")
+  }
 }
