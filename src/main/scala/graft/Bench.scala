@@ -112,11 +112,18 @@ object Bench {
     // the window and the driver would record parsed=null.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // trailing zeros add ~20 wasted chars across 160 queries, and the
+    // metric line must stay inside the driver's ~2000-char tail window
+    def fmtq(v: Double): String = {
+      val s = fmt(v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
     def short(name: String): String = name.takeWhile(_ != '_')
     require(medians.keys.map(short).toSet.size == medians.size,
       "qNN bench-key prefixes collide; JSON would drop a timing")
     val qs = medians.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
+      .map { case (k, v) => "\"" + short(k) + "\":" + fmtq(v) }
       .mkString("{", ",", "}")
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
     // sum of per-query WORST reps: total stays the robust number, but
@@ -139,6 +146,7 @@ object Bench {
     // sidecar committed next to the round artifacts.
     val detail = new StringBuilder
     detail ++= s"""{"sf":$sfNum,"reps":$reps,"cpus":$cpus,"""
+    detail ++= s""""total_median":${fmt(total)},"total_max":${fmt(maxTotal)},"""
     detail ++= s""""load_start":${loadStart.map(fmt).mkString("[", ",", "]")},"""
     detail ++= s""""load_end":${loadEnd.map(fmt).mkString("[", ",", "]")},"""
     detail ++= results.map { case (n, ts) =>
@@ -150,8 +158,13 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_DETAIL.json write failed: $e")
     }
+    // lean on purpose: "max" (worst-rep sum) and per-query rep vectors
+    // live in BENCH_DETAIL.json; "errors" appears only when non-empty —
+    // every char here competes with per-query entries for the driver's
+    // ~2000-char tail window (161 queries hit 1950 with all fields in)
+    val errsField = if (failed.isEmpty) "" else s""","errors":$errs"""
     val metricLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"max":${fmt(maxTotal)},"reps":$reps,"load":$loadJ,"errors":$errs,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"load":$loadJ$errsField,"sf":$sfNum}"""
     if (metricLine.length > 1950)
       System.err.println(s"[bench] WARNING metric line ${metricLine.length} chars " +
         "— approaching the driver's ~2000-char tail window")

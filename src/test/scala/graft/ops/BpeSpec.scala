@@ -197,6 +197,49 @@ class BpeSpec extends SparkSpec {
     assert(f == Map("a" -> 3L, "b" -> 2L))
   }
 
+  test("greedy inference == sequential training-order merge application (q160's oracle premise)") {
+    // q160's twin reads each word's segmentation off the TRAINING
+    // chain (merges applied in rank order, left-to-right non-overlap)
+    // while Spark segments via the kernel's greedy best-rank-first
+    // loop. The two are equivalent — a rank-r merge can neither
+    // enable nor disable a lower-rank pair occurrence that greedy
+    // would have taken first — but that equivalence is the oracle's
+    // load-bearing premise, so pin it on real corpus words.
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val words = Bpe.wordFreqs(docs)
+    val merges = Bpe.train(words, nMerges = 20)
+    def sequential(word: String): Seq[String] = {
+      var syms = {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < word.length) {
+          val n = Character.charCount(word.codePointAt(i))
+          out += word.substring(i, i + n); i += n
+        }
+        out += "</w>"; out.toSeq
+      }
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            out += a + b; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms
+    }
+    val vocab = words.select(col("word")).as[String].collect()
+    val got = vocab.toSeq.toDF("word")
+      .select(col("word"), bpe_segment(col("word"), merges).as("s"))
+      .as[(String, Seq[String])].collect().toMap
+    vocab.foreach { w =>
+      assert(got(w) == sequential(w),
+        s"greedy != sequential for '$w': ${got(w)} vs ${sequential(w)}")
+    }
+  }
+
   test("q160 fertility: totals match an independent corpus replay; unit bounds hold") {
     val rows = NonOracle.q160.build(spark, sfDir)
       .as[(String, Long, Long, Long, Long, Double, Double, Double)]

@@ -83,6 +83,30 @@ class ShuffleBytesSpec extends SparkSpec {
     assert(bytes < 256 * 1024, s"q149 shuffled $bytes bytes")
   }
 
+  test("q158 calibration audit shuffles only 10-bucket partials (score+label fused in one pass)") {
+    val bytes = shuffleBytes {
+      TextAnalytics.q158.build(spark, sfDir).collect()
+    }
+    // one partial+final aggregate to <= 10 (bucket, n, n_pos) rows per
+    // partition plus the bucket-ordered sort; corpus text/token data
+    // must never cross the wire
+    assert(bytes > 0, "expected the bucket aggregate exchange")
+    assert(bytes < 64 * 1024, s"q158 shuffled $bytes bytes")
+  }
+
+  test("q159 memorization risk ships hash+position rows, never window text") {
+    val bytes = shuffleBytes {
+      CurationOps.q159.build(spark, sfDir).collect()
+    }
+    // the one content-keyed exchange carries (g: i64, doc_id, start)
+    // per window occurrence (~3.5k windows at sf0.001 -> low 100s of
+    // KB with row overhead); shipping the joined 4-token window
+    // STRINGS instead would multiply this several-fold — the ceiling
+    // is set between the two
+    assert(bytes > 0, "expected the window-hash exchange")
+    assert(bytes < 512 * 1024, s"q159 shuffled $bytes bytes")
+  }
+
   test("connectedComponents rounds shuffle label-sized rows, not edge payloads") {
     import spark.implicits._
     // 200 vertices, ~400 edges of (long, long): label frames are
