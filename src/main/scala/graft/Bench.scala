@@ -11,7 +11,8 @@ object Bench {
     // (1/5/15-min loads + every query's rep vector, which cannot fit
     // in the driver's bounded tail window) goes to BENCH_DETAIL.json.
     def loadavg(): Seq[Double] =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         .split("\\s+").take(3).toSeq.map(_.toDouble)
       catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
     val loadStart = loadavg()

@@ -157,6 +157,20 @@ object VectorOps {
     * `aggregate` HOF formulation this replaces materialized a
     * doc-length array of single-char strings per row.
     *
+    * DELIBERATE line-terminator divergence from the replaced Spark
+    * HOF: Java's regex `.` also excludes \r, NEL (U+0085), LS
+    * (U+2028), and PS (U+2029), which RE2/DuckDB does NOT — so on
+    * text containing those, the OLD Spark fold disagreed with its own
+    * oracle (a latent hash mismatch waiting for a \r in the fixture).
+    * This kernel sides with the twin: only '\n' is skipped; a "a\rb"
+    * doc now folds (97,13,98). Spec-pinned both ways
+    * (KarpRabinSpec).
+    *
+    * Malformed UTF-8 (Spark never validates; latin-1 ingest can
+    * produce it) is folded garbage-in-garbage-out but SAFELY: an
+    * invalid lead byte decodes as its own 1-byte code point rather
+    * than swallowing following characters.
+    *
     * Overflow-free: h < 1e9+7 and code points < 0x110000, so
     * h*31 + cp < 2^35.
     */
@@ -171,7 +185,9 @@ object VectorOps {
       if (b0 < 0x80) cp = b0
       else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
       else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
-      else { cp = b0 & 0x07; len = 4 }
+      else if ((b0 & 0xF8) == 0xF0) { cp = b0 & 0x07; len = 4 }
+      else cp = b0 // invalid lead/continuation byte: 1-byte garbage,
+                   // never swallows the following characters
       var j = 1
       while (j < len && i + j < n) {
         cp = (cp << 6) | (text.getByte(i + j) & 0x3F)

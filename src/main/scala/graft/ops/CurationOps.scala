@@ -533,6 +533,28 @@ object CurationOps {
     * Scale: one partial+final agg to source granularity (narrow
     * after that — the source table is tiny), a 1-row max broadcast.
     */
+  /** q110's temperature-weight chain — THE single definition of the
+    * per-source token rollup, the n_tokens > 0 guard, the scalar max
+    * broadcast, and the sqrt(share-of-largest) weight, consumed by
+    * q110 and the q161 epoch planner (whose correctness claim is
+    * "q110's weights": a second copy could silently drift). Returns
+    * (source, n_tokens, max_n, weight).
+    */
+  private def sqrtSourceWeights(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // n_tokens > 0 guard (both engines, identically): an all-whitespace
+    // source would make share 0/0 — NaN in Spark, engine-dependent in
+    // DuckDB — so the oracle hash would diverge on such a corpus
+    val c = docs
+      .select(col("source"), size(toks(col("text"))).cast("bigint").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).cast("bigint").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val m = c.agg(max(col("n_tokens")).as("max_n"))
+    c.crossJoin(broadcast(m))
+      .withColumn("weight",
+        sqrt(col("n_tokens").cast("double") / col("max_n").cast("double")))
+  }
+
   val q110: QueryDef = QueryDef.sql(
     "q110_source_temperature",
     s"""WITH c AS (
@@ -547,19 +569,11 @@ object CurationOps {
        |    / (CAST(n_tokens AS DOUBLE) / CAST(max_n AS DOUBLE)) AS boost
        |FROM c, m
        |ORDER BY source""".stripMargin) { (s, dir) =>
-    // n_tokens > 0 guard (both engines, identically): an all-whitespace
-    // source would make boost 0/0 — NaN in Spark, engine-dependent in
-    // DuckDB — so the oracle hash would diverge on such a corpus
-    val c = Tables.documents(s, dir)
-      .select(col("source"), size(toks(col("text"))).cast("bigint").as("nt"))
-      .groupBy(col("source")).agg(sum(col("nt")).cast("bigint").as("n_tokens"))
-      .filter(col("n_tokens") > 0)
-    val m = c.agg(max(col("n_tokens")).as("max_n"))
     val share = col("n_tokens").cast("double") / col("max_n").cast("double")
-    c.crossJoin(broadcast(m))
+    sqrtSourceWeights(Tables.documents(s, dir))
       .select(col("source"), col("n_tokens"),
-        sqrt(share).as("rel_weight"),
-        (sqrt(share) / share).as("boost"))
+        col("weight").as("rel_weight"),
+        (col("weight") / share).as("boost"))
       .orderBy(col("source"))
   }
 
@@ -928,14 +942,8 @@ object CurationOps {
   def epochAllocation(docs: org.apache.spark.sql.DataFrame,
                       budgetTokens: Long,
                       maxEpochs: Double = 4.0): org.apache.spark.sql.DataFrame = {
-    val c = docs
-      .select(col("source"), size(toks(col("text"))).cast("bigint").as("nt"))
-      .groupBy(col("source")).agg(sum(col("nt")).cast("bigint").as("n_tokens"))
-      .filter(col("n_tokens") > 0)
-    val m = c.agg(max(col("n_tokens")).as("max_n"))
-    val share = col("n_tokens").cast("double") / col("max_n").cast("double")
-    val w = c.crossJoin(broadcast(m))
-      .select(col("source"), col("n_tokens"), sqrt(share).as("weight"))
+    val w = sqrtSourceWeights(docs)
+      .select(col("source"), col("n_tokens"), col("weight"))
     val tw = w
       .agg(sort_array(collect_list(struct(col("source"), col("weight")))).as("ws"))
       .select(aggregate(col("ws"), lit(0.0),

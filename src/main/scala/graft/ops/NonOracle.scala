@@ -27,26 +27,9 @@ object NonOracle {
     q45, q46, q47, q51, q52, q53, q57, q102, q105, q106, q128, q130, q153,
     q160)
 
-  /** The q31 cosine formula over two DuckDB list columns — identical
-    * literal fold to the codegen CosineSimilarityExpr, so scores are
-    * bit-identical across engines (see q31's scaladoc).
-    */
-  private def cosSql(a: String, b: String): String =
-    s"""list_sum(list_transform(range(1, len($a) + 1),
-       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-       |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
-
-  /** [[cosSql]] guarded with Spark's zero-norm => 0.0 convention
-    * (VectorOps.cosine) — see Similarity.cosSqlZ. Every scoring stage
-    * uses this form so a degenerate all-zero vector cannot make DuckDB
-    * (NULL/inf) and Spark (0.0) rank a shortlist differently.
-    */
-  private def cosSqlZ(a: String, b: String): String =
-    s"""CASE WHEN list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
-       |       OR list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
-       |     THEN 0.0
-       |     ELSE ${cosSql(a, b)} END""".stripMargin
+  // the shared twin cosine fragments (single definition: TwinSql)
+  private def cosSql(a: String, b: String): String = TwinSql.cos(a, b)
+  private def cosSqlZ(a: String, b: String): String = TwinSql.cosZ(a, b)
 
   /** Production MinHash-LSH near-dup candidates (xxhash64 path).
     * TWO-STAGE ORACLE: Verify dumps the signature matrix

@@ -24,30 +24,9 @@ object Similarity {
 
   def all: Seq[QueryDef] = Seq(q30, q31, q117, q120, q149, q150)
 
-  /** The q31 cosine formula over two DuckDB list columns — identical
-    * literal fold to the codegen CosineSimilarityExpr (dot and norms
-    * accumulated in index order), so scores are bit-identical across
-    * engines.
-    */
-  private def cosSql(a: String, b: String): String =
-    s"""list_sum(list_transform(range(1, len($a) + 1),
-       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-       |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
-
-  /** [[cosSql]] with Spark's zero-norm convention (VectorOps.cosine
-    * returns 0.0 when either norm is zero): unguarded, DuckDB divides
-    * by zero (NULL/inf) where Spark scores 0.0, silently diverging a
-    * shortlist ranking on a degenerate vector — e.g. an all-zero
-    * SQ8-reconstructed candidate when a dimension's corpus range
-    * collapses. Use this form wherever a twin SCORES vectors (the
-    * distance stages express the same guard as `THEN 1.0`).
-    */
-  private def cosSqlZ(a: String, b: String): String =
-    s"""CASE WHEN list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
-       |       OR list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
-       |     THEN 0.0
-       |     ELSE ${cosSql(a, b)} END""".stripMargin
+  // the shared twin cosine fragments (single definition: TwinSql)
+  private def cosSql(a: String, b: String): String = TwinSql.cos(a, b)
+  private def cosSqlZ(a: String, b: String): String = TwinSql.cosZ(a, b)
 
   /** Per-vector L2 norm (pinned fold order; identical formula in the
     * DuckDB twin so doubles are bit-identical).

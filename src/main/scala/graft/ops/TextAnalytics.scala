@@ -27,6 +27,35 @@ object TextAnalytics {
     */
   private val probeStops = Seq("the", "a", "an", "and", "of", "to", "is", "in", "it", "on")
 
+  /** The q109 linear-classifier logit — THE single definition of the
+    * demo weights, consumed by q109 and the q158 calibration audit
+    * (which exists to audit exactly this score: a second copy could
+    * silently drift and the audit would keep grading the stale
+    * formula with every test green). Callers pass their own feature
+    * columns; the expression tree is identical wherever it is built.
+    */
+  private[ops] def classifierZ(stopRatio: Column, nTokens: Column,
+                               punctRatio: Column, digitRatio: Column): Column =
+    lit(-2.0) + stopRatio * 6.0 + least(lit(1.0), nTokens / 64.0) * 2.0 -
+      punctRatio * 8.0 - digitRatio * 4.0
+
+  /** q109's squash: the RATIONAL sigmoid 0.5 + 0.5·z/(1+|z|) (IEEE-
+    * exact on both engines, unlike libm exp — see q109's scaladoc).
+    */
+  private[ops] def rationalSigmoid(z: Column): Column =
+    lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))
+
+  /** q126's four Gopher rules over the per-doc integer counters —
+    * (count, wordlen, alpha, stop) in that order; single definition
+    * consumed by the q126 report and the q158 label proxy.
+    */
+  private[ops] def gopherRuleFlags(nt: Column, sl: Column,
+                                   na: Column, ns: Column): Seq[Column] = Seq(
+    nt >= 50L && nt <= 100000L,
+    lit(3L) * nt <= sl && sl <= lit(10L) * nt,
+    lit(10L) * na >= lit(8L) * nt,
+    ns >= 2L)
+
   def all: Seq[QueryDef] =
     Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121, q126, q127,
       q129, q142, q145, q147, q148, q158)
@@ -158,11 +187,9 @@ object TextAnalytics {
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val z = qualityBase(Tables.documents(s, dir))
       .select(col("doc_id"),
-        (lit(-2.0) + col("stop_ratio") * 6.0
-          + least(lit(1.0), col("n_tokens") / 64.0) * 2.0
-          - col("punct_ratio") * 8.0 - col("digit_ratio") * 4.0).as("z"))
-    z.select(col("doc_id"), col("z"),
-        (lit(0.5) + lit(0.5) * (col("z") / (lit(1.0) + abs(col("z"))))).as("score"))
+        classifierZ(col("stop_ratio"), col("n_tokens"),
+          col("punct_ratio"), col("digit_ratio")).as("z"))
+    z.select(col("doc_id"), col("z"), rationalSigmoid(col("z")).as("score"))
       .withColumn("keep",
         when(col("score") >= 0.5, 1L).otherwise(0L))
       .orderBy(col("doc_id"))
@@ -688,11 +715,10 @@ object TextAnalytics {
         aggregate(col("t"), lit(0L), (a, x) => a + length(x).cast("bigint")).as("sl"),
         size(filter(col("t"), x => x.rlike("[A-Za-z]"))).cast("bigint").as("na"),
         size(filter(col("t"), x => x.isin(probeStops: _*))).cast("bigint").as("ns"))
-      .select(col("source"),
-        (col("nt") >= 50L && col("nt") <= 100000L).as("r_count"),
-        (lit(3L) * col("nt") <= col("sl") && col("sl") <= lit(10L) * col("nt")).as("r_wordlen"),
-        (lit(10L) * col("na") >= lit(8L) * col("nt")).as("r_alpha"),
-        (col("ns") >= 2L).as("r_stop"))
+      .select(Seq(col("source")) ++
+        gopherRuleFlags(col("nt"), col("sl"), col("na"), col("ns"))
+          .zip(Seq("r_count", "r_wordlen", "r_alpha", "r_stop"))
+          .map { case (c, n) => c.as(n) }: _*)
     d.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("r_count") && col("r_wordlen") && col("r_alpha") && col("r_stop"), 1L)
@@ -816,17 +842,16 @@ object TextAnalytics {
         ((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
           / length(col("text"))).as("digit_ratio"))
       .filter(col("nt") > 0)
-    val zc = lit(-2.0) + (col("ns") / col("nt")) * 6.0 +
-      least(lit(1.0), col("nt") / 64.0) * 2.0 -
-      col("punct_ratio") * 8.0 - col("digit_ratio") * 4.0
-    val posc = when(col("nt") >= 50L && col("nt") <= 100000L &&
-      lit(3L) * col("nt") <= col("sl") && col("sl") <= lit(10L) * col("nt") &&
-      lit(10L) * col("na") >= lit(8L) * col("nt") && col("ns") >= 2L, 1L)
-      .otherwise(0L)
+    // the shared builders: q109's weights and q126's rules have ONE
+    // definition each — the audit cannot drift from what it audits
+    val zc = classifierZ(col("ns") / col("nt"), col("nt"),
+      col("punct_ratio"), col("digit_ratio"))
+    val posc = when(
+      gopherRuleFlags(col("nt"), col("sl"), col("na"), col("ns"))
+        .reduce(_ && _), 1L).otherwise(0L)
     val sc = base.select(zc.as("z"), posc.as("pos"))
       .select(
-        floor((lit(0.5) + lit(0.5) * (col("z") / (lit(1.0) + abs(col("z")))))
-          * 10.0).cast("bigint").as("bucket"),
+        floor(rationalSigmoid(col("z")) * 10.0).cast("bigint").as("bucket"),
         col("pos"))
     val g = sc.groupBy(col("bucket"))
       .agg(count(lit(1)).cast("bigint").as("n_docs"),

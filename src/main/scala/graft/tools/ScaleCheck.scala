@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * `factor`x and print the time ratio. Near-linear ratios (and
   * sub-factor ratios where fixed job overhead amortizes) are the
   * evidence behind the "narrow ops run at scan speed" claims in
-  * PLANS.md. Non-document tables are copied unchanged, so only
-  * documents-driven queries scale.
+  * PLANS.md. The EMBEDDINGS table replicates the same way (vec_ids
+  * shifted, dim 0 perturbed per replica) so ANN serving probes scale
+  * their corpus side while fixed-id query batches (`vec_id < 10`)
+  * stay replica-0-sized; all other tables are copied unchanged, so
+  * only documents- and embeddings-driven queries scale.
   *
   * Measurement only — correctness oracles always run against the
   * untouched driver fixtures.
@@ -94,9 +97,16 @@ object ScaleCheck {
       val embRep = (0 until factor).map { i =>
         emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
           .withColumn("embedding",
-            concat(array((element_at(col("embedding"), 1)
-                + lit(i.toFloat / 1000.0f)).cast("float")),
-              slice(col("embedding"), 2, 100000)))
+            // zero-length vectors (a fixture shape the similarity
+            // queries guard with len > 0) pass through untouched —
+            // element_at on them would throw under ANSI, or worse
+            // produce a 1-element [null] vector that slips past every
+            // len > 0 guard downstream
+            when(size(col("embedding")) === 0, col("embedding"))
+              .otherwise(concat(
+                array((element_at(col("embedding"), 1)
+                  + lit(i.toFloat / 1000.0f)).cast("float")),
+                slice(col("embedding"), 2, 100000))))
       }.reduce(_ unionByName _)
       embRep.repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(out + "/embeddings.parquet")

@@ -5,14 +5,15 @@ import graft.functions.{functions => gf}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 
-/** KarpRabinExpr (q39's fingerprint kernel) must equal the
-  * formulation it replaced — Spark's own
-  * `aggregate(regexp_extract_all(text, '.') -> ascii, ...)` fold —
-  * character for character, because the DuckDB twin still runs that
-  * formulation. The interesting disagreements live at newlines (both
-  * regex engines' `.` skips them) and multi-byte code points (the
-  * kernel decodes UTF-8 itself; `ascii` is the full code point, not
-  * the first byte).
+/** KarpRabinExpr (q39's fingerprint kernel). Its contract is the
+  * DUCKDB TWIN's semantics — RE2's `.` skips ONLY '\n', `ascii` is
+  * the full code point — which the kernel must match on every input.
+  * The Spark HOF it replaced (`aggregate(regexp_extract_all(text,
+  * '.') -> ascii)`) used JAVA regex, whose `.` also excludes \r, NEL
+  * (U+0085), LS (U+2028), PS (U+2029): on text containing those, the
+  * old fold disagreed with its own oracle. The kernel deliberately
+  * sides with the twin; both the equivalence (outside the
+  * line-terminator set) and the divergence (on it) are pinned here.
   */
 class KarpRabinSpec extends SparkSpec {
   import spark.implicits._
@@ -21,7 +22,8 @@ class KarpRabinSpec extends SparkSpec {
     Iterator.continually(g.sample).flatten.take(n).toSeq
 
   // mixes 1-, 2-, 3- and 4-byte UTF-8, newlines in every position,
-  // and the empty string
+  // and the empty string — but NOT \r/NEL/LS/PS, where old-HOF
+  // equivalence deliberately does not hold (see the divergence test)
   private val textGen: Gen[String] = for {
     n <- Gen.choose(0, 40)
     cs <- Gen.listOfN(n, Gen.oneOf(
@@ -42,11 +44,46 @@ class KarpRabinSpec extends SparkSpec {
       .select(gf.karp_rabin_fingerprint(col("text")).as("f"))
       .as[Long].collect().toSeq
 
-  test("kernel == the regexp_extract_all + aggregate fold it replaced") {
+  /** The twin's exact semantics, replayed reference-style: code
+    * points in order, only '\n' skipped, (h*31 + cp) mod 1e9+7.
+    */
+  private def re2Fingerprint(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp != '\n') h = (h * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  test("kernel == the replaced HOF outside the Java-vs-RE2 line-terminator set") {
     val texts = samples(textGen, 200) ++ Seq(
       "", "\n", "plain ascii only", "ends with newline\n",
       "\nstarts with newline", "mixé 多byte 😀 tail")
     assert(kernelFingerprint(texts) == hofFingerprint(texts))
+  }
+
+  test("kernel == RE2/DuckDB semantics on ALL inputs, including \\r/NEL/LS/PS") {
+    val texts = samples(textGen, 60) ++ Seq(
+      "a\rb", "\r", "a\u0085b", "a\u2028b", "a\u2029b",
+      "cr\rlf\n mixed\r\n", "ends\r")
+    texts.foreach { t =>
+      assert(kernelFingerprint(Seq(t)) == Seq(re2Fingerprint(t)),
+        s"kernel != RE2 reference for ${t.map(_.toInt).mkString("[", ",", "]")}")
+    }
+  }
+
+  test("deliberate divergence from the old HOF: \\r is NOT skipped (it was a latent oracle mismatch)") {
+    // Java regex '.' drops the \r, RE2/DuckDB keeps it — the kernel
+    // must fold it, so "a\rb" != "ab" under the kernel while the old
+    // HOF conflated them (and would have hash-mismatched DuckDB)
+    assert(kernelFingerprint(Seq("a\rb")) == Seq((97L * 31 + 13) * 31 % 1000000007L + 98),
+      "\\r must be folded like any non-\\n code point")
+    assert(kernelFingerprint(Seq("a\rb")) != kernelFingerprint(Seq("ab")))
+    assert(hofFingerprint(Seq("a\rb")) == hofFingerprint(Seq("ab")),
+      "(documenting the old HOF's Java-regex behavior this kernel left behind)")
   }
 
   test("known values: empty 0; 'ab' = (97*31+98) mod p; newline skipped") {
