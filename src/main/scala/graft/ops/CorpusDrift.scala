@@ -16,7 +16,7 @@ object CorpusDrift {
 
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
-  def all: Seq[QueryDef] = Seq(q134, q136, q146, q151, q156)
+  def all: Seq[QueryDef] = Seq(q134, q136, q146, q151, q156, q163)
 
   /** Pairwise source-distribution divergence (q134): for every source
     * pair, the L1 distance between their unigram distributions —
@@ -389,6 +389,79 @@ object CorpusDrift {
     * bucket list on both engines (q120's blocked-mean discipline), so
     * the chi² doubles hash-match.
     */
+  /** Per-source QUALITY-score drift (q163): the q151 chi² machinery
+    * pointed at the q109 classifier's score deciles instead of doc
+    * lengths — "which source's quality distribution suddenly looks
+    * different from the corpus?", the monitor a curation pipeline
+    * wants on the very score its q93/q98 gates act on (a feed that
+    * starts shipping boilerplate shifts its score mass down long
+    * before its LENGTH histogram moves). Buckets are q158's fixed
+    * deciles; the statistic is pure rational arithmetic over integer
+    * counts (the q151 argument), and the score itself is the
+    * single-definition classifierZ/rationalSigmoid pair, so all three
+    * quality consumers (gate, audit, drift) grade the same number.
+    *
+    * Scale: ONE narrow pass to (source, decile), then the shared
+    * broadcast S×B spine — B is exactly 10 here, so the spine is even
+    * smaller than q151's.
+    */
+  val q163: QueryDef = QueryDef.sql(
+    "q163_quality_drift",
+    s"""WITH f AS (
+       |  SELECT source,
+       |    CAST(len(t) AS BIGINT) AS nt,
+       |    (length(text) - length(regexp_replace(text, '\\p{P}', '', 'g'))) / length(text) AS punct_ratio,
+       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio,
+       |    len(list_filter(t, x -> x IN ('the','a','an','and','of','to','is','in','it','on'))) / len(t) AS stop_ratio
+       |  FROM (SELECT source, text, $duckToks AS t FROM documents)),
+       |b AS (
+       |  SELECT source,
+       |    CAST(floor((0.5 + 0.5 * (z / (1.0 + abs(z)))) * 10.0) AS BIGINT) AS bucket
+       |  FROM (
+       |    SELECT source,
+       |      -2.0 + stop_ratio * 6.0 + least(1.0, nt / 64.0) * 2.0
+       |        - punct_ratio * 8.0 - digit_ratio * 4.0 AS z
+       |    FROM f WHERE nt > 0)),
+       |cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bucket),
+       |sb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS o
+       |       FROM b GROUP BY source, bucket),
+       |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM b GROUP BY source),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+       |spine AS (SELECT ns.source, ns.n_docs, cb.bucket, cb.c, tot.n
+       |          FROM ns CROSS JOIN cb CROSS JOIN tot),
+       |terms AS (
+       |  SELECT source, n_docs, bucket,
+       |    (CAST(COALESCE(sb.o, 0) AS DOUBLE)
+       |       - CAST(spine.n_docs AS DOUBLE) * CAST(spine.c AS DOUBLE) / CAST(spine.n AS DOUBLE))
+       |    * (CAST(COALESCE(sb.o, 0) AS DOUBLE)
+       |       - CAST(spine.n_docs AS DOUBLE) * CAST(spine.c AS DOUBLE) / CAST(spine.n AS DOUBLE))
+       |    / (CAST(spine.n_docs AS DOUBLE) * CAST(spine.c AS DOUBLE) / CAST(spine.n AS DOUBLE))
+       |      AS term
+       |  FROM spine LEFT JOIN sb USING (source, bucket))
+       |SELECT source, n_docs,
+       |  CAST((SELECT count(*) FROM cb) - 1 AS BIGINT) AS dof,
+       |  list_sum(list(term ORDER BY bucket)) AS chi2
+       |FROM terms
+       |GROUP BY source, n_docs
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    qualityScoreDrift(Tables.documents(s, dir)).orderBy(col("source"))
+  }
+
+  /** The q163 kernel over any (source, ...documents) frame; unsorted
+    * output. Score deciles from the single-definition classifier
+    * expressions, then the shared [[chiSquareByBucket]] spine.
+    */
+  def qualityScoreDrift(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    chiSquareByBucket(TextAnalytics.qualityBase(docs)
+      .filter(col("n_tokens") > 0)
+      .select(col("source"),
+        floor(TextAnalytics.rationalSigmoid(
+          TextAnalytics.classifierZ(col("stop_ratio"), col("n_tokens"),
+            col("punct_ratio"), col("digit_ratio"))) * 10.0)
+          .cast("bigint").as("bucket")))
+
   val q151: QueryDef = QueryDef.sql(
     "q151_source_length_drift",
     s"""WITH b AS (
@@ -425,9 +498,19 @@ object CorpusDrift {
     * term formula, same ordered-bucket fold) — parity is spec-pinned.
     */
   def sourceLengthDrift(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    chiSquareByBucket(docs
+      .select(col("source"), expr("n_chars div 200").as("bucket")))
+
+  /** The q151 chi² spine over ANY (source, bucket) frame — THE single
+    * definition of the term formula, the broadcast S×B spine (zero-
+    * observed buckets paying their full e_b penalty), and the
+    * ordered-bucket fold, consumed by q151 (length buckets), q163
+    * (quality-score deciles), and — through sourceLengthDrift — the
+    * DriftStream parity contract.
+    */
+  def chiSquareByBucket(b: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val b = docs
-      .select(col("source"), expr("n_chars div 200").as("bucket"))
     val cb = b.groupBy(col("bucket")).agg(count(lit(1)).cast("bigint").as("c"))
     val sb = b.groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).cast("bigint").as("o"))

@@ -27,7 +27,7 @@ object Dedup {
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
   def all: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89, q112, q135, q139)
+    Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89, q112, q135, q139, q162)
 
   /** Exact dedup on a normalized key: keep the lowest doc_id per group.
     * Scale: one hash exchange on the key; with pre-partitioned/bucketed
@@ -915,6 +915,32 @@ object Dedup {
     spk.createDataFrame(rows, schema)
   }
 
+  /** Verified token-set Jaccard pairs at `threshold` — THE single
+    * definition of the exact pair chain (distinct (doc, term), size
+    * table, term self-join, Jaccard filter) consumed by q85, q135,
+    * the q155 leakage-safe split, and the q162 impact report; a
+    * second copy could silently drift the cluster definition between
+    * the dedup run and the reports about it. At corpus scale the
+    * candidate step is [[minhashCandidates]]; this exact form is the
+    * verifier that runs on candidates (and on bounded slices here).
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .distinct()
+    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = t.toDF("d1", "term")
+      .join(t.toDF("d2", "term2"), col("term") === col("term2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common") / (col("n1") + col("n2") - col("n_common"))
+    inter
+      .join(sz.toDF("dk1", "n1"), col("dk1") === col("d1"))
+      .join(sz.toDF("dk2", "n2"), col("dk2") === col("d2"))
+      .filter(jac >= threshold)
+      .select(col("d1"), col("d2"))
+  }
+
   /** Near-dup clustering (q85): verified Jaccard pairs (the q26
     * semantics at a 0.7 threshold over doc_id < 100 — the synthetic
     * corpus shares one small vocabulary, so 0.5 would collapse
@@ -950,21 +976,7 @@ object Dedup {
        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) { (s, dir) =>
-    val t = Tables.documents(s, dir)
-      .filter(col("doc_id") < 100)
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .distinct()
-    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = t.toDF("d1", "term")
-      .join(t.toDF("d2", "term2"), col("term") === col("term2") && col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("n_common"))
-    val jac = col("n_common") / (col("n1") + col("n2") - col("n_common"))
-    val pairs = inter
-      .join(sz.toDF("dk1", "n1"), col("dk1") === col("d1"))
-      .join(sz.toDF("dk2", "n2"), col("dk2") === col("d2"))
-      .filter(jac >= 0.7)
-      .select(col("d1"), col("d2"))
+    val pairs = jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 100))
     connectedComponents(pairs)
       .groupBy(col("component").as("cluster_id"))
       .agg(
@@ -1042,20 +1054,7 @@ object Dedup {
        |FROM ranked GROUP BY cluster_id
        |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
     val scoped = Tables.documents(s, dir).filter(col("doc_id") < 100)
-    val t = scoped
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .distinct()
-    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = t.toDF("d1", "term")
-      .join(t.toDF("d2", "term2"), col("term") === col("term2") && col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("n_common"))
-    val jac = col("n_common") / (col("n1") + col("n2") - col("n_common"))
-    val pairs = inter
-      .join(sz.toDF("dk1", "n1"), col("dk1") === col("d1"))
-      .join(sz.toDF("dk2", "n2"), col("dk2") === col("d2"))
-      .filter(jac >= 0.7)
-      .select(col("d1"), col("d2"))
+    val pairs = jaccardPairs(scoped)
     val q = TextAnalytics.qualityBase(scoped)
       .select(col("doc_id").as("q_doc"), col("qscore"))
     connectedComponents(pairs)
@@ -1069,6 +1068,102 @@ object Dedup {
         count(lit(1)).cast("bigint").as("n_members"),
         (count(lit(1)) - 1).cast("bigint").as("n_displaced"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** Per-source dedup impact (q162): the readout a pipeline runs
+    * BEFORE committing to a near-dup dedup pass — per source, how
+    * many docs sit in multi-doc near-dup clusters, how many would be
+    * struck under keep-the-canonical-representative dedup, and what
+    * token volume that recovers. q85 answers "what are the clusters",
+    * q135 "who survives each"; this answers the budgeting question
+    * ("source X is 30% redundant — dedup pays there; source Y is
+    * clean — skip it"). The kept member is the cluster's min-id
+    * representative (q85's canonical label — integer-exact; the
+    * qscore-keep policy is q135's separate axis), and a struck doc's
+    * tokens are charged to ITS OWN source even when the kept
+    * representative lives in another — that is the per-source volume
+    * you actually delete.
+    *
+    * Scale: cluster discovery is [[jaccardPairs]] +
+    * [[connectedComponents]] (the q85 machinery — candidate-bounded
+    * at corpus scale via minhashCandidates); everything after is one
+    * left join of the doc-level (source, n_tokens) frame against the
+    * component labels and a partial+final rollup to source rows.
+    * Scope-bounded to q85's doc_id < 100 slice for the recursive-CTE
+    * oracle (the q153/q155 precedent).
+    */
+  def dedupImpact(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      size(toks(col("text"))).cast("bigint").as("nt"))
+    val comp = connectedComponents(jaccardPairs(docs))
+      .toDF("m_doc", "component")
+    val lab = base.join(comp, col("doc_id") === col("m_doc"), "left")
+    val redundant = col("component").isNotNull && col("component") =!= col("doc_id")
+    lab.groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("nt")).cast("bigint").as("n_tokens"),
+        sum(when(col("component").isNotNull, 1L).otherwise(0L))
+          .cast("bigint").as("n_clustered"),
+        sum(when(redundant, 1L).otherwise(0L)).cast("bigint").as("n_redundant"),
+        sum(when(redundant, col("nt")).otherwise(0L))
+          .cast("bigint").as("redundant_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_clustered"), col("n_redundant"), col("redundant_tokens"),
+        (col("redundant_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("redundancy_frac"))
+  }
+
+  /** q162: [[dedupImpact]] over q85's doc_id < 100 slice. */
+  val q162: QueryDef = QueryDef.sql(
+    "q162_dedup_impact",
+    s"""WITH RECURSIVE t AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest($duckToks) AS term
+       |    FROM documents WHERE doc_id < 100)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+       |  FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY d1, d2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sz s1 ON s1.doc_id = d1
+       |  JOIN sz s2 ON s2.doc_id = d2
+       |  WHERE n_common / (s1.n + s2.n - n_common) >= 0.7),
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM pairs
+       |  UNION SELECT d2 AS a, d1 AS b FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.v = e.b),
+       |comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+       |b AS (
+       |  SELECT doc_id, source, CAST(len($duckToks) AS BIGINT) AS nt
+       |  FROM documents WHERE doc_id < 100),
+       |l AS (
+       |  SELECT b.source, b.doc_id, b.nt, comp.cluster_id
+       |  FROM b LEFT JOIN comp ON comp.doc_id = b.doc_id),
+       |g AS (
+       |  SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_clustered,
+       |    CAST(sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+       |    CAST(sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id
+       |      THEN nt ELSE 0 END) AS BIGINT) AS redundant_tokens
+       |  FROM l GROUP BY source)
+       |SELECT source, n_docs, n_tokens, n_clustered, n_redundant,
+       |  redundant_tokens,
+       |  CAST(redundant_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    AS redundancy_frac
+       |FROM g
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    dedupImpact(Tables.documents(s, dir).filter(col("doc_id") < 100))
+      .orderBy(col("source"))
   }
 
   /** Shingle containment pairs (q139): asymmetric near-dup —

@@ -330,23 +330,9 @@ object TrainingData {
   /** The q155 kernel over any (doc_id, text) frame; unsorted output. */
   def leakageSafeSplit(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import graft.ops.{Dedup, TextAnalytics}
-    // q85's near-dup graph: distinct token sets, Jaccard >= 0.7
-    val t = docs
-      .select(col("doc_id"), explode(TextAnalytics.toks(col("text"))).as("term"))
-      .distinct()
-    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = t.toDF("d1", "term")
-      .join(t.toDF("d2", "term2"),
-        col("term") === col("term2") && col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("n_common"))
-    val jac = col("n_common") / (col("n1") + col("n2") - col("n_common"))
-    val pairs = inter
-      .join(sz.toDF("dk1", "n1"), col("dk1") === col("d1"))
-      .join(sz.toDF("dk2", "n2"), col("dk2") === col("d2"))
-      .filter(jac >= 0.7)
-      .select(col("d1"), col("d2"))
+    import graft.ops.Dedup
+    // q85's near-dup graph (single definition: Dedup.jaccardPairs)
+    val pairs = Dedup.jaccardPairs(docs)
     val comp = Dedup.connectedComponents(pairs)
       .toDF("m_doc_id", "component")
     val mem = docs.select(col("doc_id"))

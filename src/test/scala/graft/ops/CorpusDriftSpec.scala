@@ -284,4 +284,31 @@ class CorpusDriftSpec extends SparkSpec {
     // s3: null-text row present in BOTH snapshots -> changed, +3 tokens
     assert(got("s3") == (("s3", 0L, 0L, 1L, 0L, 3L)))
   }
+
+  test("q163 quality drift: a boilerplate-shipping source spikes; conforming sources don't") {
+    // srcA/srcB: normal prose (stopwords, long docs -> high qscore
+    // deciles); srcC: digit-soup shorts (digit_ratio ~1, no stopwords
+    // -> bottom deciles). srcC's decile histogram diverges from the
+    // corpus where srcA/srcB mirror each other.
+    val prose = "the quick brown fox jumps over the lazy dog and runs on " +
+      "to the river where it is seen in the morning light again and again"
+    val junk = "404 12 9999 31337 007 55 1234567"
+    val docs = (
+      (1 to 8).map(i => (i.toLong, "srcA", prose + s" v$i")) ++
+      (9 to 16).map(i => (i.toLong, "srcB", prose + s" w$i")) ++
+      (17 to 24).map(i => (i.toLong, "srcC", junk + s" $i"))
+    ).map { case (id, src, t) => (id, "en", src, t) }
+      .toDF("doc_id", "lang", "source", "text")
+    val got = CorpusDrift.qualityScoreDrift(docs)
+      .select("source", "n_docs", "dof", "chi2")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("srcA", "srcB", "srcC"))
+    assert(got.values.forall(_._2 == 8L))
+    assert(got("srcC")._4 > got("srcA")._4 * 3 &&
+      got("srcC")._4 > got("srcB")._4 * 3,
+      s"junk source must dominate the drift statistic: $got")
+    // identical-quality sources score identically (same decile rows)
+    assert(got("srcA")._4 == got("srcB")._4)
+  }
 }

@@ -292,4 +292,25 @@ class DedupSpec extends SparkSpec {
       assert(errJ == math.abs(estJ - exJ))
     }
   }
+
+  test("q162 dedup impact: redundant docs charged to their OWN source; singletons clean") {
+    // cluster {1,2,4}: rep = min id 1 (srcA); doc 2 redundant in srcA,
+    // doc 4 redundant in srcB even though its kept rep lives in srcA —
+    // that's the volume srcB actually deletes. Docs 3/5 are singletons.
+    val docs = Seq(
+      (1L, "srcA", "x y z w"),
+      (2L, "srcA", "x y z w"),
+      (3L, "srcA", "p q r s"),
+      (4L, "srcB", "x y z w"),
+      (5L, "srcB", "u v m n"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.dedupImpact(docs)
+      .select("source", "n_docs", "n_tokens", "n_clustered", "n_redundant",
+        "redundant_tokens", "redundancy_frac")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("srcA") == (("srcA", 3L, 12L, 2L, 1L, 4L, 4.0 / 12.0)))
+    assert(got("srcB") == (("srcB", 2L, 8L, 1L, 1L, 4L, 4.0 / 8.0)),
+      "cross-source member must count redundant in its own source")
+  }
 }

@@ -166,6 +166,7 @@ class PlanAuditSpec extends SparkSpec {
       "q145_collocations" -> "one-row broadcast holding the scalar corpus token count",
       "q151_source_length_drift" -> "S x B source/bucket spine (both pipeline constants) + scalar N + scalar bucket count, all broadcast; zero-observed buckets must contribute their e_b penalty",
       "q158_calibration_audit" -> "10 bucket rows x two scalar broadcasts (corpus doc count, ordered-fold ECE)",
+      "q163_quality_drift" -> "S x 10-decile spine (q151's shared chiSquareByBucket: source counts x bucket counts x scalar N, all broadcast)",
       "q161_epoch_allocation" -> "source rows x scalar broadcasts (max source size, ordered-fold weight sum)"
     )
     val bad = scala.collection.mutable.ListBuffer[String]()
