@@ -448,19 +448,18 @@ object CorpusDrift {
     qualityScoreDrift(Tables.documents(s, dir)).orderBy(col("source"))
   }
 
-  /** The q163 kernel over any (source, ...documents) frame; unsorted
-    * output. Score deciles from the single-definition classifier
-    * expressions, then the shared [[chiSquareByBucket]] spine.
+  /** The q163 kernel over any (source, text) frame; unsorted output.
+    * Score deciles from the single-definition
+    * [[TextAnalytics.qualityScoreDecile]] expression (also the
+    * streaming monitor's bucketing — parity depends on it), then the
+    * shared [[chiSquareByBucket]] spine.
     */
   def qualityScoreDrift(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    chiSquareByBucket(TextAnalytics.qualityBase(docs)
-      .filter(col("n_tokens") > 0)
+    chiSquareByBucket(docs
+      .filter(size(toks(col("text"))) > 0)
       .select(col("source"),
-        floor(TextAnalytics.rationalSigmoid(
-          TextAnalytics.classifierZ(col("stop_ratio"), col("n_tokens"),
-            col("punct_ratio"), col("digit_ratio"))) * 10.0)
-          .cast("bigint").as("bucket")))
+        TextAnalytics.qualityScoreDecile(col("text")).as("bucket")))
 
   val q151: QueryDef = QueryDef.sql(
     "q151_source_length_drift",

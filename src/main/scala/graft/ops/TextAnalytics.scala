@@ -56,6 +56,27 @@ object TextAnalytics {
     lit(10L) * na >= lit(8L) * nt,
     ns >= 2L)
 
+  /** The q163 quality-score DECILE of a raw text column — the same
+    * ratio formulas qualityBase computes, squashed through the
+    * single-definition [[classifierZ]]/[[rationalSigmoid]] pair and
+    * floored into 0..9. One definition for the batch drift kernel
+    * (q163) and the streaming quality monitor
+    * ([[graft.streaming.DriftStream.monitorQuality]]), whose parity
+    * is bit-exact only because they bucket with the same expression.
+    * NaN on zero-token docs (0/0 stop ratio) — callers filter those
+    * out first, as q158/q163 do.
+    */
+  private[graft] def qualityScoreDecile(text: Column): Column = {
+    val t = toks(text)
+    val stopsArr = array(probeStops.map(lit): _*)
+    val stop = size(filter(t, x => array_contains(stopsArr, x))) / size(t)
+    val punct = (length(text) - length(regexp_replace(text, "\\p{P}", ""))) / length(text)
+    val digit = (length(text) - length(regexp_replace(text, "[0-9]", ""))) / length(text)
+    floor(rationalSigmoid(
+      classifierZ(stop, size(t).cast("bigint"), punct, digit)) * 10.0)
+      .cast("bigint")
+  }
+
   def all: Seq[QueryDef] =
     Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121, q126, q127,
       q129, q142, q145, q147, q148, q158)

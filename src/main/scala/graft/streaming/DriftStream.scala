@@ -59,6 +59,27 @@ object DriftStream {
       .outputMode("update")
       .start()
 
+  /** QUALITY drift monitor over a streaming (doc_id, text) frame: the
+    * q163 axis instead of q151's — each batch's quality-score DECILE
+    * histogram is chi²-scored against the distribution accumulated so
+    * far, catching a feed that starts shipping boilerplate long
+    * before its length histogram moves. Same state machine, store,
+    * replay guard, and crash contract as [[monitor]]; only the
+    * bucketing differs, and it is the single-definition
+    * [[graft.ops.TextAnalytics.qualityScoreDecile]] expression the
+    * batch kernel uses — which is what makes stream==batch parity
+    * bit-exact (spec-pinned like the length monitor's).
+    */
+  def monitorQuality(docs: DataFrame, refDir: String, outDir: String,
+                     checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scoreQualityBatch(batch, batchId, refDir, outDir)
+      }
+      .outputMode("update")
+      .start()
+
   /** One micro-batch of [[monitor]], named so replay idempotence is
     * directly testable. ONE pass over the batch (its histogram
     * aggregation) and one bucket-sized store read — the reference and
@@ -67,10 +88,20 @@ object DriftStream {
     * score nothing and persist the unchanged reference.
     */
   private[streaming] def scoreBatch(batch: DataFrame, batchId: Long,
-                                    refDir: String, outDir: String): Unit = {
+                                    refDir: String, outDir: String): Unit =
+    scoreBatchWith(batch, batchId, refDir, outDir, histogram)
+
+  /** One micro-batch of [[monitorQuality]]. */
+  private[streaming] def scoreQualityBatch(batch: DataFrame, batchId: Long,
+                                           refDir: String, outDir: String): Unit =
+    scoreBatchWith(batch, batchId, refDir, outDir, qualityHistogram)
+
+  private def scoreBatchWith(batch: DataFrame, batchId: Long,
+                             refDir: String, outDir: String,
+                             bucketOf: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val hb: Map[Long, Long] = histogram(batch)
+    val hb: Map[Long, Long] = bucketOf(batch)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ref: Map[Long, Long] =
       readHistogram(spark, refDir, beforeBatch = Some(batchId))
@@ -132,6 +163,16 @@ object DriftStream {
   /** q151's 200-char bucketing of an (n_chars) frame to (bucket, c). */
   private[streaming] def histogram(docs: DataFrame): DataFrame =
     docs.select(expr("n_chars div 200").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).cast("bigint").as("c"))
+
+  /** q163's quality-score-decile bucketing of a (text) frame to
+    * (bucket, c) — the batch kernel's exact expression (zero-token
+    * docs dropped, as there).
+    */
+  private[streaming] def qualityHistogram(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(graft.ops.TextAnalytics.toks(col("text"))) > 0)
+      .select(graft.ops.TextAnalytics.qualityScoreDecile(col("text")).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).cast("bigint").as("c"))
 
   /** Current reference histogram: the LATEST cumulative snapshot among

@@ -180,6 +180,56 @@ class DriftStreamSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet == view)
   }
 
+  test("quality monitor: streamed chi2 == q163 kernel over the tagged prefix corpus; replay byte-identical") {
+    implicit val sq = spark.sqlContext
+    // three feeds: qb1/qb3 prose (stopwords, length -> high deciles),
+    // qb2 digit-soup shorts -> bottom deciles, must spike
+    val prose = "the quick brown fox jumps over the lazy dog and runs " +
+      "on to the river where it is seen in the morning light again"
+    val qb1 = (1 to 4).map(i => (i.toLong, s"$prose v$i"))
+    val qb2 = (5 to 8).map(i => (i.toLong, s"404 12 9999 31337 007 $i"))
+    val qb3 = (9 to 12).map(i => (i.toLong, s"$prose w$i"))
+    val batches = Seq(qb1, qb2, qb3)
+    val dir = java.nio.file.Files.createTempDirectory("drift-quality").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = DriftStream.monitorQuality(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$dir/ref", s"$dir/out", s"$dir/ckpt")
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    // parity reference: the q163 batch kernel over batches 0..k, each
+    // tagged as its own source, keeping batch k's row
+    def kernelRow(upTo: Int): (Long, Long, Double) = {
+      val tagged = batches.take(upTo + 1).zipWithIndex.flatMap {
+        case (b, i) => b.map { case (id, t) => (id, s"b$i", t) }
+      }.toDF("doc_id", "source", "text")
+      graft.ops.CorpusDrift.qualityScoreDrift(tagged)
+        .filter(col("source") === s"b$upTo")
+        .select(col("n_docs"), col("dof"), col("chi2"))
+        .as[(Long, Long, Double)].head()
+    }
+    (0 to 2).foreach { k =>
+      val (nd, nt, dof, chi2) = streamedRow(s"$dir/out", k)
+      val (knd, kdof, kchi2) = kernelRow(k)
+      assert(nd == knd && dof == kdof, s"quality batch $k shape mismatch")
+      assert(chi2 == kchi2,
+        s"quality batch $k: streamed $chi2 != kernel $kchi2")
+      assert(nt == batches.take(k + 1).map(_.size).sum.toLong)
+    }
+    // the junk feed must spike vs the conforming follow-up batch
+    assert(streamedRow(s"$dir/out", 1)._4 > streamedRow(s"$dir/out", 2)._4,
+      "digit-soup batch must score higher quality drift than prose")
+
+    // replay byte-identity through the shared guard/state machinery
+    val before = streamedRow(s"$dir/out", 2)
+    DriftStream.scoreQualityBatch(qb3.toDF("doc_id", "text"), 2L,
+      s"$dir/ref", s"$dir/out")
+    assert(streamedRow(s"$dir/out", 2) == before,
+      "quality replay diverged")
+  }
+
   test("empty batch: no score row, reference carried forward unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("drift-empty").toString
     DriftStream.scoreBatch(b1.toDF(), 0L, s"$dir/ref", s"$dir/out")
