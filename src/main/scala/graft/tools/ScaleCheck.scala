@@ -47,8 +47,14 @@ object ScaleCheck {
         // RANGES (A < 450, B >= 50), and id-shifted replicas all land
         // on B's side — the probe would scale "added" rows, not the
         // diff join both sides feed; the full-outer join's scale
-        // argument is the plan pin in PLANS.md instead
-        "q152_data_contract", "q154_boundary_stitch")
+        // argument is the plan pin in PLANS.md instead.
+        // q160/q162 are absent for q153's reason (bounded doc_id
+        // slices); q150's embeddings probe runs on request (its 1x
+        // number is sub-second and the replicated-embeddings build is
+        // the cost).
+        "q152_data_contract", "q154_boundary_stitch",
+        "q158_calibration_audit", "q159_memorization_risk",
+        "q161_epoch_allocation", "q163_quality_drift")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()
