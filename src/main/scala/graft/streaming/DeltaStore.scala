@@ -48,6 +48,47 @@ import org.apache.spark.sql.functions._
   *    argument the re-fold reproduces batch 0 exactly — then resumes
   *    the deletes.
   */
+/** The sibling-backup two-rename swap shared by every directory-
+  * valued piece of streaming state (DeltaStore's `batch_id=0` fold,
+  * the Reservoir root): ONE definition of the crash-window machinery
+  * — delete stale backup, checked rename target→backup, checked
+  * rename tmp→target, delete backup — plus the WRITER-ONLY recovery.
+  * Previously duplicated per store; a fix to one swap path could
+  * silently miss the other.
+  */
+private[streaming] object SwapDir {
+  import org.apache.hadoop.fs.FileSystem
+
+  /** Swap fully-written `tmp` content into `target`. Every rename is
+    * checked: a silently-failed rename would lose the new content (or
+    * strand it in tmp) undetected. A crash at any point leaves the
+    * old target, the backup, or the new target readable — readers
+    * fall back to the backup IN PLACE and only the single writer
+    * repairs by rename (see [[recover]]).
+    */
+  def swap(fs: FileSystem, target: Path, tmp: Path, backup: Path,
+           label: String): Unit = {
+    fs.delete(backup, true) // stale backup from a prior completed swap
+    if (fs.exists(target) && !fs.rename(target, backup))
+      sys.error(s"$label: rename $target -> $backup failed")
+    if (!fs.rename(tmp, target))
+      sys.error(s"$label: rename $tmp -> $target failed")
+    fs.delete(backup, true)
+  }
+
+  /** WRITER-ONLY crash repair: a swap that died between the backup
+    * rename and landing the new target leaves the backup as the only
+    * copy — rename it back. Never call from a read path: restoring
+    * between a LIVE swap's two renames would make its second rename
+    * land the new content INSIDE the restored dir, nesting and
+    * duplicating rows.
+    */
+  def recover(fs: FileSystem, target: Path, backup: Path,
+              label: String): Unit =
+    if (!fs.exists(target) && fs.exists(backup) && !fs.rename(backup, target))
+      sys.error(s"$label recovery: rename $backup -> $target failed")
+}
+
 private[streaming] object DeltaStore {
 
   /** Raw union of all delta partitions, `batch_id` taken from the
@@ -110,17 +151,30 @@ private[streaming] object DeltaStore {
   private def recoverCompaction(spark: SparkSession, indexDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val zero = new Path(s"$indexDir/batch_id=0")
-    val fs = zero.getFileSystem(conf)
-    val old = new Path(indexDir + "_old0")
-    if (!fs.exists(zero) && fs.exists(old) && !fs.rename(old, zero))
-      sys.error(s"delta-store recovery: rename $old -> $zero failed")
+    SwapDir.recover(zero.getFileSystem(conf), zero,
+      new Path(indexDir + "_old0"), "delta-store")
   }
 
   /** Fold the delta partitions present AT ENTRY into `batch_id=0`
     * with the index's own merge (`fold` receives the raw union with
     * its `batch_id` column and returns the folded rows), dropping
-    * superseded rows. Safe to run CONCURRENTLY with the maintainer —
-    * see the crash contract above.
+    * superseded rows.
+    *
+    * CONCURRENCY CONTRACT (precise — the crash contract above covers
+    * crashes, not live races): maintainer WRITES are safe at any time
+    * (a delta committed mid-compaction is outside the entry snapshot
+    * and never dropped), but maintainer/serving READS must be
+    * serialized with compaction — the batch_id=0 swap is two renames
+    * and the trailing deletes are not atomic, so a parquet listing
+    * landing inside those windows can transiently miss batch 0, see
+    * it twice (new fold + in-place backup both as batch 0), or hit
+    * deleted files. The intended deployment gives this for free:
+    * foreachBatch is serial, and the maintainers run compaction
+    * BETWEEN micro-batches in the same driver loop (the spec/usage
+    * pattern); a separately-scheduled compactor must take the same
+    * turn-taking (e.g. pause the stream or lock the index dir).
+    * Readers DO safely tolerate any crashed compaction's leftovers —
+    * that is the crash contract above.
     *
     * `keepLatest` excludes the HIGHEST batch_id partition from the
     * fold. Required for any index whose maintainer reads history
@@ -161,14 +215,8 @@ private[streaming] object DeltaStore {
     fold(spark.read.option("basePath", indexDir)
         .parquet(snapshot.map(_.toString): _*))
       .write.mode("overwrite").parquet(tmp.toString + "/batch_id=0")
-    fs.delete(old0, true) // stale backup from a prior completed run
-    // every swap rename is checked: a silently-failed rename here
-    // would drop the fold (or strand it in the tmp dir) undetected
-    if (fs.exists(zero) && !fs.rename(zero, old0))
-      sys.error(s"delta-store compaction: rename $zero -> $old0 failed")
-    if (!fs.rename(new Path(tmp, "batch_id=0"), zero))
-      sys.error(s"delta-store compaction: rename $tmp/batch_id=0 -> $zero failed")
-    fs.delete(old0, true)
+    SwapDir.swap(fs, zero, new Path(tmp, "batch_id=0"), old0,
+      "delta-store compaction")
     // OLDEST-FIRST (ascending numeric id): a crash anywhere in this
     // loop leaves a SUFFIX of the folded range behind — the only
     // leftover shape under which latest-wins-on-batch_id reads and

@@ -103,9 +103,23 @@ object DriftStream {
     import spark.implicits._
     val hb: Map[Long, Long] = bucketOf(batch)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side latest-wins: the store is bucket-count-sized by
+    // design, so collect the raw rows ONCE and pick the max-batch_id
+    // snapshot here — readHistogram's DataFrame form would cost a
+    // second Spark action (agg(max).head) plus a second store scan on
+    // every micro-batch of the hot ingest path
+    // batch_id cast: partition discovery infers INT for small ids
+    // (the empty-store fallback schema says LONG) — normalize
+    val raw = DeltaStore
+      .readScopedOr(spark, refDir, Some(batchId), refSchema)
+      .select(col("bucket"), col("c"), col("batch_id").cast("long")).collect()
     val ref: Map[Long, Long] =
-      readHistogram(spark, refDir, beforeBatch = Some(batchId))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      if (raw.isEmpty) Map.empty
+      else {
+        val mx = raw.map(_.getLong(2)).max
+        raw.filter(_.getLong(2) == mx)
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
     // combined = reference + this batch: q151's "corpus includes the
     // source", which also guarantees e_b > 0 for every batch bucket
     val combined: Seq[(Long, Long)] = (ref.keySet ++ hb.keySet).toSeq.sorted

@@ -40,6 +40,25 @@ object EventStreams {
     t
   }
 
+  /** Set an event-time timeout at `deadlineUs`, CEIL'd to millis (a
+    * timeout must never fire EARLY — firing a ms late is harmless
+    * because the same watermark that fires it also bounds admissible
+    * data) and clamped above the current watermark
+    * (setTimeoutTimestamp rejects past deadlines for very late data).
+    * In BATCH execution the watermark node is eliminated and
+    * getCurrentWatermarkMs throws — timeouts never fire there, so any
+    * deadline works. ONE definition: this exact clamp was previously
+    * copy-pasted per operator and the rounding had already drifted
+    * (sessionize ceiled, debounce/attribution floored).
+    */
+  private[streaming] def setEventTimeTimeout(state: GroupState[_],
+                                             deadlineUs: Long): Unit = {
+    val wm = scala.util.Try(state.getCurrentWatermarkMs())
+      .getOrElse(Long.MinValue)
+    state.setTimeoutTimestamp(
+      math.max(Math.floorDiv(deadlineUs + 999L, 1000L), wm + 1))
+  }
+
   /** File-source stream over an events parquet directory (the deploy
     * shape: new files land, Spark incrementally processes them).
     * Normalizes the timestamp encoding (nanos-as-long or NTZ) the same
@@ -122,33 +141,36 @@ object EventStreams {
             sorted.foreach { e =>
               val t = micros(e.ts)
               cur match {
-                case Some(st) if t - st.last <= gapUs =>
-                  // admissible late data (within the watermark) may be
-                  // out of order ACROSS micro-batches: never move the
-                  // session bounds backwards
+                // admissible late data (within the watermark) may be
+                // out of order ACROSS micro-batches. An event merges
+                // when it CHAINS to the session under the gap rule on
+                // either side: within gap of the last event (the
+                // in-order case) AND no farther than gap BEFORE the
+                // session start — an older event than that belongs to
+                // a separate earlier session (the batch kernel would
+                // split there), so merging it would glue sessions the
+                // gap rule separates.
+                case Some(st) if t >= st.start - gapUs && t - st.last <= gapUs =>
                   cur = Some(st.copy(start = math.min(st.start, t),
                     last = math.max(st.last, t), n = st.n + 1, sum = st.sum + e.value))
-                case Some(st) =>
+                case Some(st) if t - st.last > gapUs =>
                   closed += Session(userId, microsToTs(st.start),
                     microsToTs(st.last), st.n, st.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
+                case Some(_) =>
+                  // too old to chain (t < start - gap): emit as its own
+                  // completed session, state untouched. Best effort —
+                  // peers of this straggler that arrived in time are
+                  // already emitted and cannot be re-opened.
+                  closed += Session(userId, microsToTs(t), microsToTs(t),
+                    1, e.value)
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
             cur.foreach { st =>
               state.update(st)
-              // deadline = last event + gap (micros -> ms, CEIL so the
-              // timeout can never fire early), clamped above the
-              // current watermark (setTimeoutTimestamp rejects past
-              // deadlines for very late data). In BATCH execution the
-              // watermark node is eliminated and getCurrentWatermarkMs
-              // throws — timeouts never fire there, so any deadline
-              // works.
-              val wm = scala.util.Try(state.getCurrentWatermarkMs())
-                .getOrElse(Long.MinValue)
-              val deadlineMs = Math.floorDiv(st.last + gapUs + 999L, 1000L)
-              state.setTimeoutTimestamp(math.max(deadlineMs, wm + 1))
+              setEventTimeTimeout(state, st.last + gapUs)
             }
             closed.result().iterator
           }
@@ -207,15 +229,20 @@ object EventStreams {
               val t = micros(e.ts)
               if (last.forall(t - _ > gapUs))
                 out += DebouncedEvent(key._1, key._2, e.event_id, e.ts)
-              last = Some(t)
+              // NEVER regress state on an admissible late straggler
+              // (t < last): the straggler itself is judged against the
+              // newest time seen (conservative — a burst duplicate is
+              // never emitted), and keeping last at its max preserves
+              // batch-identical decisions for every in-order event
+              // after it. Unconditional assignment here would make a
+              // later in-order event compare against the STALE old
+              // time and re-emit inside a burst the batch lag rule
+              // drops.
+              last = Some(last.fold(t)(math.max(_, t)))
             }
             last.foreach { l =>
               state.update(DebState(l))
-              // see sessionize: deadline clamped above the watermark;
-              // in batch execution timeouts never fire
-              val wm = scala.util.Try(state.getCurrentWatermarkMs())
-                .getOrElse(Long.MinValue)
-              state.setTimeoutTimestamp(math.max(l / 1000 + gapUs / 1000, wm + 1))
+              setEventTimeTimeout(state, l + gapUs)
             }
             out.result().iterator
           }
@@ -226,10 +253,19 @@ object EventStreams {
   case class Attribution(event_id: Long, user_id: Long, ts_s: String,
                          click_id: Option[Long], gap_s: Option[Long])
 
-  // object-level so state-function closures reference it statically
-  // instead of capturing a (non-serializable) formatter instance
-  private val AttrTsFmt = java.time.format.DateTimeFormatter
-    .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+  // Per-zone formatter cache: the formatter itself is not
+  // serializable, so closures capture only the session's ZONE STRING
+  // and build/reuse the formatter executor-side. The zone must be the
+  // SESSION timezone, not hardcoded UTC — batch q133 renders ts_s via
+  // date_format (session zone), and a UTC-pinned stream formatter
+  // would silently break stream==batch parity the moment the session
+  // runs anywhere else (specs pass in UTC either way).
+  private val attrFmtCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.time.format.DateTimeFormatter]()
+  private def attrFmt(zone: String): java.time.format.DateTimeFormatter =
+    attrFmtCache.computeIfAbsent(zone, z =>
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneId.of(z)))
 
   /** Streaming twin of the batch q133 last-touch attribution: every
     * purchase is credited to the same user's most recent click at or
@@ -254,6 +290,8 @@ object EventStreams {
                   windowUs: Long = 3600000000L,
                   watermarkDelay: String = "10 minutes"): Dataset[Attribution] = {
     import spark.implicits._
+    // captured as a plain string (see attrFmt) at plan-build time
+    val zoneId = spark.sessionState.conf.sessionLocalTimeZone
 
     events
       .filter(e => e.event_type == "click" || e.event_type == "purchase")
@@ -277,19 +315,18 @@ object EventStreams {
               } else {
                 val m = last.filter(s =>
                   s.clickTsUs <= t && t - s.clickTsUs <= windowUs)
+                // floorDiv, not /: truncation-toward-zero renders a
+                // pre-1970 23:59:59.9995 as 1970-01-01 00:00:00 (the
+                // micros()/microsToTs() pair floors for this reason)
                 out += Attribution(e.event_id, user,
-                  AttrTsFmt.format(java.time.Instant.ofEpochMilli(t / 1000)),
+                  attrFmt(zoneId).format(
+                    java.time.Instant.ofEpochMilli(Math.floorDiv(t, 1000L))),
                   m.map(_.clickId), m.map(s => (t - s.clickTsUs) / 1000000L))
               }
             }
             last.foreach { s =>
               state.update(s)
-              // expire one window after the click, clamped above the
-              // watermark (see sessionize); batch execution never fires
-              val wm = scala.util.Try(state.getCurrentWatermarkMs())
-                .getOrElse(Long.MinValue)
-              state.setTimeoutTimestamp(
-                math.max((s.clickTsUs + windowUs) / 1000, wm + 1))
+              setEventTimeTimeout(state, s.clickTsUs + windowUs)
             }
             out.result().iterator
           }
@@ -355,11 +392,10 @@ object EventStreams {
                 st.sxx + cnt * cnt)
             }
           state.update(st)
-          // wake when the earliest still-open day completes (clamped
-          // above the watermark — see sessionize)
+          // wake when the earliest still-open day completes (day ends
+          // are exact ms multiples, so the shared CEIL is a no-op)
           st.open.keys.minOption.foreach { d =>
-            state.setTimeoutTimestamp(
-              math.max((baseUs + (d + 1) * dayUs) / 1000, wmMs + 1))
+            setEventTimeTimeout(state, baseUs + (d + 1) * dayUs)
           }
           out.result().iterator
       }

@@ -78,13 +78,10 @@ object NearDupStream {
               BucketState(sorted.head.doc_id, sorted.head.ts.getTime))
             val lastMs = math.max(st.lastMs, sorted.last.ts.getTime)
             state.update(BucketState(st.anchorId, lastMs))
-            // deadline clamped above the watermark (past deadlines are
-            // rejected); in batch execution the watermark node is
-            // eliminated and the call throws — timeouts never fire
-            // there, any deadline works
-            val wm = scala.util.Try(state.getCurrentWatermarkMs())
-              .getOrElse(Long.MinValue)
-            state.setTimeoutTimestamp(math.max(lastMs + bucketTtlMs, wm + 1))
+            // shared watermark-clamped timeout (ms deadline -> micros;
+            // exact multiple, so the helper's ceil is a no-op)
+            EventStreams.setEventTimeTimeout(state,
+              (lastMs + bucketTtlMs) * 1000L)
             sorted.iterator.map(r =>
               BucketHit(r.doc_id, r.band, r.band_sig, st.anchorId))
           }

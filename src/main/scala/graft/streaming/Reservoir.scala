@@ -84,15 +84,10 @@ object Reservoir {
     val fs = root.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(reservoirDir + "_swap")
     val old = new org.apache.hadoop.fs.Path(reservoirDir + "_old")
-    // materializes `merged` while the old root is still readable
+    // materializes `merged` while the old root is still readable,
+    // then the shared sibling-backup swap (one definition: SwapDir)
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(old, true) // stale backup from a prior completed fold
-    // checked renames: a silently-failed swap would lose the fold
-    if (fs.exists(root) && !fs.rename(root, old))
-      sys.error(s"reservoir swap: rename $root -> $old failed")
-    if (!fs.rename(tmp, root))
-      sys.error(s"reservoir swap: rename $tmp -> $root failed")
-    fs.delete(old, true)
+    SwapDir.swap(fs, root, tmp, old, "reservoir")
   }
 
   /** Writer-only crash repair: if a fold died between the backup
@@ -101,20 +96,30 @@ object Reservoir {
     * checkpoint, so restoring the pre-fold state is exactly right.
     * Called solely from [[reservoirBatch]] (the single writer); a
     * read-path rename would race a live swap and rename the backup
-    * INTO the just-landed root dir.
+    * INTO the just-landed root dir (see [[SwapDir.recover]]).
     */
   private def recoverReservoir(spark: SparkSession, reservoirDir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(reservoirDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(reservoirDir + "_old")
-    if (!fs.exists(root) && fs.exists(old) && !fs.rename(old, root))
-      sys.error(s"reservoir recovery: rename $old -> $root failed")
+    SwapDir.recover(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      root, new org.apache.hadoop.fs.Path(reservoirDir + "_old"), "reservoir")
   }
 
   /** The current reservoir, or None before the first fold. If a crash
     * landed between the backup-rename and the swap (root missing but
     * `_old` present), serve the backup IN PLACE — the read path never
     * renames (see [[recoverReservoir]]).
+    *
+    * CONCURRENCY (the DeltaStore.compact contract, same shape): this
+    * read tolerates any CRASHED swap's leftovers, but racing a LIVE
+    * swap is not atomic — the exists checks can land inside the
+    * writer's two-rename window and transiently see neither root nor
+    * backup (a populated reservoir reading as None) or read a backup
+    * the writer deletes moments later. A serving reader must be
+    * serialized with reservoirBatch (free under the serial
+    * foreachBatch loop; an external reader polls between triggers or
+    * retries on miss/failure — every miss window is bounded by one
+    * swap).
     */
   def readReservoir(spark: SparkSession, reservoirDir: String): Option[DataFrame] = {
     val root = new org.apache.hadoop.fs.Path(reservoirDir)

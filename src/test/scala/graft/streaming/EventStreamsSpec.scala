@@ -414,4 +414,82 @@ class EventStreamsSpec extends SparkSpec {
         s"expired-state purchase must be unattributed: ${got.toList}")
     } finally query.stop()
   }
+
+  test("debounce: an admissible late straggler never regresses state (in-order events after it stay batch-identical)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = debounce(spark, mem.toDS()) // gap 5 min, watermark 10 min
+      .writeStream.format("memory").queryName("debounce_late_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: t=100min (kept; watermark after batch -> 90min)
+      mem.addData(Event(1L, ts(100), 7L, "retry", 0.0))
+      query.processAllAvailable()
+      // batch 2: admissible late straggler t=95 (>= watermark 90) plus
+      // an in-order event t=101. If the straggler regressed state to
+      // 95, the 101 event would see a 6min > 5min gap and be WRONGLY
+      // kept — batch lag compares it to t=100 (1min) and drops it.
+      mem.addData(Event(2L, ts(95), 7L, "retry", 0.0),
+        Event(3L, ts(101), 7L, "retry", 0.0))
+      query.processAllAvailable()
+      val kept = spark.table("debounce_late_test")
+        .select("event_id").as[Long].collect().toSet
+      assert(kept == Set(1L),
+        s"late straggler corrupted debounce state: kept $kept")
+    } finally query.stop()
+  }
+
+  test("sessionize: an admissible event older than start-gap becomes its own session, never glue") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // huge watermark delay keeps a very old event admissible
+    val query = sessionize(spark, mem.toDS(), gapMinutes = 30,
+        watermarkDelay = "600 minutes")
+      .writeStream.format("memory").queryName("session_late_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1L, ts(300), 5L, "view", 1.0))
+      query.processAllAvailable()
+      // t=0 is 270min before the open session's start - far past the
+      // 30min gap: the batch kernel puts it in a SEPARATE session.
+      // Pre-fix it merged and dragged session_start back to t=0.
+      mem.addData(Event(2L, ts(0), 5L, "view", 2.0))
+      query.processAllAvailable()
+      val got = spark.table("session_late_test")
+        .as[Session].collect().toList
+      assert(got.map(s => (s.session_start, s.session_end, s.n_events)) ==
+        List((ts(0), ts(0), 1)),
+        s"too-old straggler must emit as a singleton session: $got")
+      // and the open session was untouched: an in-order event still
+      // chains to it under the gap rule
+      mem.addData(Event(3L, ts(310), 5L, "view", 3.0))
+      query.processAllAvailable()
+      assert(spark.table("session_late_test").as[Session].collect().length == 1,
+        "open session must remain open (t=310 chains to t=300)")
+    } finally query.stop()
+  }
+
+  test("attribution ts_s renders in the SESSION timezone and floors pre-1970 millis (q133 parity off-UTC)") {
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // pre-1970 pair: click 1969-12-31T23:59:00Z, purchase at
+      // 23:59:59.9995Z — truncation toward zero would render the
+      // purchase as 1970-01-01 00:00:00 UTC; floor + NY zone must
+      // match batch date_format exactly
+      val click = new Timestamp(-60000L)
+      val purchase = new Timestamp(-1L); purchase.setNanos(999500000)
+      val evs = Seq(
+        Event(1L, click, 3L, "click", 0.0),
+        Event(2L, purchase, 3L, "purchase", 5.0))
+      // batch execution of the streaming operator (timeouts never fire)
+      val streamed = attribution(spark, evs.toDS())
+        .select("event_id", "ts_s").as[(Long, String)].collect().toMap
+      val batch = graft.ops.Extended.clickAttribution(evs.toDF())
+        .select("event_id", "ts_s").as[(Long, String)].collect().toMap
+      assert(streamed(2L) == batch(2L),
+        s"stream ts_s '${streamed(2L)}' != batch '${batch(2L)}' off-UTC/pre-1970")
+      assert(streamed(2L) == "1969-12-31 18:59:59", streamed(2L))
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+  }
 }
