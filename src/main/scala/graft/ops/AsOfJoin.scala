@@ -29,8 +29,14 @@ object AsOfJoin {
     *                 (names must not collide with left's columns). The
     *                 payload travels as ONE struct so a match is always
     *                 a single consistent right row, even when individual
-    *                 payload values are null. Right rows with a null
-    *                 time are non-matches and are dropped up front.
+    *                 payload values are null. NULL SEMANTICS are SQL's
+    *                 (and DuckDB ASOF JOIN's, the q37 oracle): right
+    *                 rows with a null key or null time are non-matches
+    *                 and are dropped up front, and a left row with a
+    *                 null (or uncastable) time never matches — without
+    *                 the explicit mask, the forward walk's DESCENDING
+    *                 order would sort null times LAST and hand them the
+    *                 key's minimum-time right row as a spurious match.
     */
   def asofBackward(
       left: DataFrame, right: DataFrame,
@@ -69,26 +75,41 @@ object AsOfJoin {
     require(payload.forall(!left.columns.contains(_)),
       s"payload columns ${payload.mkString(",")} collide with left columns")
     val leftCols = left.columns.toSeq
+    // the spine's internal columns are reserved, like RangeJoin's
+    // _bin and Skew's _salt/_key — a left column named _t would make
+    // the window orderBy ambiguous deep in the job instead of here
+    require(Seq("_k", "_t", "_side", "_p").forall(n => !leftCols.contains(n)),
+      "left columns _k/_t/_side/_p are reserved by the as-of spine")
     val l = left.select(
       Seq(col(leftKey).as("_k"), col(leftTime).cast("timestamp").as("_t"),
         lit(1).as("_side")) ++
         leftCols.map(col) :+
         lit(null).as("_p"): _*)
-    val r = right.filter(col(rightTime).isNotNull).select(
-      Seq(col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
-        lit(0).as("_side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(payload.map(col): _*).as("_p"): _*)
+    // null-key right rows could only ever pair with null-key left
+    // rows (the window groups nulls into one partition, unlike a SQL
+    // join) — drop them with the null-time rows
+    val r = right.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        Seq(col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
+          lit(0).as("_side")) ++
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(payload.map(col): _*).as("_p"): _*)
     val timeOrder = if (forward) col("_t").desc else col("_t").asc
     val w = Window.partitionBy(col("_k"))
       .orderBy(timeOrder, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r, allowMissingColumns = false)
       .select(
-        (Seq(col("_side")) ++ leftCols.map(col) :+
+        (Seq(col("_side"), col("_t")) ++ leftCols.map(col) :+
           last(col("_p"), ignoreNulls = true).over(w).as("_p")): _*)
     carried.filter(col("_side") === 1)
       .select(leftCols.map(col) ++
-        payload.map(c => col(s"_p.$c").as(c)): _*)
+        // null-time mask: in the forward (descending) walk a null _t
+        // sorts LAST and the running carry holds the key's
+        // minimum-time right row — a spurious match under SQL
+        // semantics (rightTime >= null is null). Backward happens to
+        // be safe (nulls sort first), but both directions mask so the
+        // semantics are symmetric.
+        payload.map(c => when(col("_t").isNotNull, col(s"_p.$c")).as(c)): _*)
   }
 }

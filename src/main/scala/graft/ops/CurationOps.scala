@@ -274,7 +274,7 @@ object CurationOps {
     */
   val q94: QueryDef = QueryDef.sql(
     "q94_mixture_sampling",
-    """WITH c AS (
+    s"""WITH c AS (
       |  SELECT source, count(*) AS n_s,
       |    CASE WHEN length(source) = 4 THEN 7 ELSE 3 END AS wt
       |  FROM documents GROUP BY source),
@@ -285,7 +285,7 @@ object CurationOps {
       |r AS (
       |  SELECT source, doc_id,
       |    row_number() OVER (PARTITION BY source
-      |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+      |      ORDER BY ${Sampling.duckHkey("doc_id")}, doc_id) AS rn
       |  FROM documents)
       |SELECT r.source, r.doc_id, CAST(r.rn AS BIGINT) AS rn, k.keep_n
       |FROM r JOIN k ON k.source = r.source
@@ -1166,7 +1166,7 @@ object CurationOps {
        |  FROM documents),
        |k AS (
        |  SELECT doc_id, source, n_tokens,
-       |    round(ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
+       |    round(ln((CAST(${Sampling.duckHkey("doc_id")} AS DOUBLE) + 0.5)
        |      / 4294967296.0), 9) / CAST(n_tokens AS DOUBLE) AS skey
        |  FROM t WHERE n_tokens > 0)
        |SELECT doc_id, source, n_tokens, skey
@@ -1231,7 +1231,7 @@ object CurationOps {
        |bal AS (
        |  SELECT doc_id, lang, source,
        |    row_number() OVER (PARTITION BY source
-       |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+       |      ORDER BY ${Sampling.duckHkey("doc_id")}, doc_id) AS rn
        |  FROM nd)
        |SELECT doc_id, lang, source FROM bal WHERE rn <= 10
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>

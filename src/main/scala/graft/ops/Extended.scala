@@ -169,9 +169,9 @@ object Extended {
     */
   val q67: QueryDef = QueryDef.sql(
     "q67_stratified_sample",
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT source, doc_id,
-      |    (doc_id * 2654435761) % 4294967296 AS hkey
+      |    ${Sampling.duckHkey("doc_id")} AS hkey
       |  FROM documents),
       |r AS (
       |  SELECT source, doc_id, hkey,

@@ -73,8 +73,15 @@ object RangeJoin {
     val valid = ranges
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) < col(hiCol))
-    val nBins = floor(col(hiCol) / w) - floor(col(loCol) / w) + 1
-    val r = valid.filter(nBins <= maxBinsPerRange)
+    // bin count in DOUBLE, not long: floor() of an open-ended sentinel
+    // (hi = +Infinity, or any hi/w beyond 2^63) clamps to Long.MaxValue
+    // and the long subtraction then WRAPS negative — sailing under the
+    // threshold and into the very sequence explode this guard exists
+    // to prevent. Doubles saturate instead of wrapping, and a
+    // ~4096-scale threshold is exact in double arithmetic.
+    val nBins = floor(col(hiCol) / w).cast("double") -
+      floor(col(loCol) / w).cast("double") + 1.0
+    val r = valid.filter(nBins <= maxBinsPerRange.toDouble)
       .withColumn("_bin",
         explode(sequence(floor(col(loCol) / w), floor(col(hiCol) / w))))
     val binned = p.withColumn("_bin", floor(col(pointCol) / w))
@@ -82,7 +89,7 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("_bin")
     val leftover = p.join(
-      broadcast(valid.filter(nBins > maxBinsPerRange)),
+      broadcast(valid.filter(nBins > maxBinsPerRange.toDouble)),
       col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
     binned.unionByName(leftover.select(binned.columns.map(col): _*))
   }
@@ -97,7 +104,11 @@ object RangeJoin {
     val row = ranges
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) < col(hiCol))
-      .agg(percentile_approx(col(hiCol) - col(loCol), lit(0.5), lit(1000)))
+      // cast to double: percentile_approx returns the INPUT type, so
+      // integer-typed lo/hi (the GeoIP-as-BIGINT shape this class
+      // motivates) would hand getDouble a java.lang.Long
+      .agg(percentile_approx((col(hiCol) - col(loCol)).cast("double"),
+        lit(0.5), lit(1000)))
       .head()
     if (row.isNullAt(0)) None
     else Option(row.getDouble(0)).filter(v => v > 0 && java.lang.Double.isFinite(v))

@@ -4,11 +4,40 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling key shared by the q67 oracle query and the
-  * curation balancing stage: Knuth's multiplicative hash in plain
-  * BIGINT arithmetic, reproducible in any SQL engine (no engine RNG,
-  * no engine hash). Keep the constants in lockstep with the DuckDB SQL
-  * in Extended.q67.
+  * curation balancing/sampling stages: Knuth's multiplicative hash
+  * (id·2654435761 mod 2^32) in plain integer arithmetic, reproducible
+  * in any SQL engine (no engine RNG, no engine hash).
+  *
+  * OVERFLOW-FREE BY CONSTRUCTION: the naive `id * 2654435761 % 2^32`
+  * overflows 64-bit for id ≳ 3.47e9 — Spark (non-ANSI) silently wraps
+  * NEGATIVE (poisoning the downstream `ln(hkey + 0.5)` sampling
+  * weights) while DuckDB raises a BIGINT out-of-range error, so the
+  * documented cross-engine lockstep broke exactly at the corpus scale
+  * this engine targets. Both forms below compute the product in split
+  * 16-bit halves — every intermediate < 2^49 — and are value-identical
+  * to the naive form wherever it didn't overflow (ids < 2^32), so
+  * existing oracle hashes are unchanged. Ids are non-negative by
+  * contract (doc_id/event_id); [[hkey]] uses pmod/shift forms that
+  * agree with the twin's `//`/`%` on that domain.
   */
 object Sampling {
-  def hkey(id: Column): Column = (id * lit(2654435761L)) % lit(4294967296L)
+
+  /** (id · 2654435761) mod 2^32, exact for any non-negative BIGINT id. */
+  def hkey(id: Column): Column = {
+    val a = pmod(id, lit(4294967296L))
+    val ah = shiftright(a, 16) // a < 2^32 => high half < 2^16
+    val al = a.bitwiseAND(lit(65535L))
+    pmod(
+      pmod(ah * lit(2654435761L), lit(4294967296L)) * lit(65536L)
+        + al * lit(2654435761L),
+      lit(4294967296L))
+  }
+
+  /** The DuckDB-SQL twin of [[hkey]] over an expression string —
+    * single definition interpolated into every oracle that orders or
+    * weights by the sampling key.
+    */
+  def duckHkey(id: String): String =
+    s"((((($id) % 4294967296) // 65536) * 2654435761 % 4294967296) * 65536" +
+      s" + (($id) % 4294967296) % 65536 * 2654435761) % 4294967296"
 }

@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Two-phase salted aggregation for sum-decomposable aggregates.
+    * OUTPUT CONTRACT: the grouping key comes back as a column named
+    * "key" (the input key expression may be arbitrary, so its name
+    * cannot be preserved in general); agg output names must not use
+    * "key".
     * @param aggs (outName, aggExpr) pairs where aggExpr is the phase-1
     *             aggregate over (key, salt); phase 2 combines the
     *             partials with SUM — so aggExpr must be sum() or
@@ -57,6 +61,17 @@ object Skew {
       "saltedSumAgg: no hashable columns to derive a deterministic salt from")
     require(!df.columns.contains("_salt") && !df.columns.contains("_key"),
       "'_salt'/'_key' are reserved by saltedSumAgg; rename the input column")
+    // buckets <= 0 would not fail here: pmod(x, 0) is NULL under the
+    // default config, so every hot-key row lands in ONE (_key, null)
+    // group — the single-straggler plan this helper exists to fix,
+    // silently — and ANSI mode instead dies mid-stage
+    require(buckets > 0, s"saltedSumAgg: buckets must be > 0, got $buckets")
+    require(aggs.nonEmpty, "saltedSumAgg: at least one (name, agg) pair required")
+    // the grouping key comes back named "key" (documented output
+    // contract); an agg column of that name would make the rename
+    // produce two ambiguous 'key' columns downstream
+    require(!aggs.exists(_._1 == "key"),
+      "saltedSumAgg: agg output name 'key' collides with the grouping column")
     val salted = df
       .withColumn("_salt",
         pmod(xxhash64(saltCols: _*), lit(buckets.toLong)))

@@ -100,4 +100,46 @@ class AsOfJoinSpec extends SparkSpec {
       .select("v").as[Option[Long]].head()
     assert(fwd == Some(1L) && bwd == Some(1L))
   }
+
+  test("null left time never matches (SQL semantics), in BOTH directions") {
+    // forward's DESCENDING walk sorts null times LAST — pre-fix the
+    // running carry handed such a row the key's minimum-time right
+    // row as a spurious match (backward happened to be safe)
+    val r = Seq((1L, t(10), 1L), (1L, t(20), 2L)).toDF("k2", "ts2", "v")
+    val l = Seq((1L, Option(t(15)), "real"), (1L, Option.empty[Timestamp], "nullts"))
+      .toDF("k", "ts", "tag")
+    val fwd = AsOfJoin.asofForward(l, r, "k", "k2", "ts", "ts2", Seq("v"))
+      .select("tag", "v").as[(String, Option[Long])].collect().toMap
+    val bwd = AsOfJoin.asofBackward(l, r, "k", "k2", "ts", "ts2", Seq("v"))
+      .select("tag", "v").as[(String, Option[Long])].collect().toMap
+    assert(fwd == Map("real" -> Some(2L), "nullts" -> None), fwd)
+    assert(bwd == Map("real" -> Some(1L), "nullts" -> None), bwd)
+  }
+
+  test("null keys never match null keys (window nulls-group != join semantics)") {
+    val r = Seq((Option.empty[Long], t(5), 7L), (Option(1L), t(5), 8L))
+      .toDF("k2", "ts2", "v")
+    val l = Seq((Option.empty[Long], t(10), "nullkey"), (Option(1L), t(10), "real"))
+      .toDF("k", "ts", "tag")
+    for (dir <- Seq(true, false)) {
+      val got = (if (dir) AsOfJoin.asofForward(l, r, "k", "k2", "ts", "ts2", Seq("v"))
+                 else AsOfJoin.asofBackward(l, r, "k", "k2", "ts", "ts2", Seq("v")))
+        .select("tag", "v").as[(String, Option[Long])].collect().toMap
+      assert(got("nullkey").isEmpty,
+        s"null-key left row must not match a null-key right row (forward=$dir)")
+      // real key unaffected: backward matches the t(5) quote; forward
+      // has no right row at-or-after t(10)
+      assert(got("real") == (if (dir) None else Some(8L)),
+        s"real key semantics changed (forward=$dir): $got")
+    }
+  }
+
+  test("reserved internal column names are rejected up front") {
+    val r = Seq((1L, t(5), 7L)).toDF("k2", "ts2", "v")
+    val bad = Seq((1L, t(10), "x")).toDF("k", "ts", "_t")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofBackward(bad, r, "k", "k2", "ts", "ts2", Seq("v"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
 }

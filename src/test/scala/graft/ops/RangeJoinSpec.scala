@@ -64,6 +64,31 @@ class RangeJoinSpec extends SparkSpec {
     assert(allLeftover == naive(points, wideRanges))
   }
 
+  test("an open-ended (infinite) range cannot wrap the bin-count guard") {
+    // floor(+inf / w) clamps to Long.MaxValue; pre-fix the LONG bin
+    // count wrapped negative, sailed under the threshold, and the
+    // range hit the sequence explode the guard exists to prevent —
+    // the double-typed count saturates instead, so the range routes
+    // to the leftover join and still matches exactly
+    val p = points.toDF("p")
+    val r = (ranges :+ (9L, 0.0, Double.PositiveInfinity)).toDF("id", "lo", "hi")
+    val out = RangeJoin.pointInInterval(p, "p", r, "lo", "hi",
+        binWidth = 0.5, maxBinsPerRange = 64L)
+      .select($"p", $"id").as[(Double, Long)].collect().toSet
+    val inf = out.filter(_._2 == 9L)
+    assert(inf == points.filter(p => p != null && p >= 0.0)
+        .map(_.doubleValue -> 9L).toSet,
+      s"open-ended range must match every non-negative point: $inf")
+  }
+
+  test("suggestBinWidth handles integer-typed range bounds") {
+    import spark.implicits._
+    // percentile_approx returns the INPUT type — pre-fix, BIGINT
+    // lo/hi (the GeoIP-as-longs shape) threw ClassCastException
+    val r = Seq((0L, 10L), (0L, 20L), (0L, 30L)).toDF("lo", "hi")
+    assert(RangeJoin.suggestBinWidth(r, "lo", "hi") == Some(20.0))
+  }
+
   test("overlapping ranges yield one row per matching pair, no dupes") {
     val out = run(4.0).toSeq
     // p=5.0 and 6.99 fall in both range 1 and 2

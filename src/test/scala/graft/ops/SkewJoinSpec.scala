@@ -59,4 +59,39 @@ class SkewJoinSpec extends SparkSpec {
       .map { case (k, t, c) => k -> (t, c) }.toMap
     assert(salted == Map(1L -> (60.0, 3L), 2L -> (5.0, 1L)))
   }
+
+  test("saltedSumAgg rejects broken contracts at the call site, not mid-stage") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0)).toDF("k", "v")
+    // buckets = 0: pmod(x, 0) is NULL under default config — the salt
+    // silently degrades to a single group (the exact straggler plan
+    // this helper fixes) rather than failing
+    assert(intercept[IllegalArgumentException] {
+      Skew.saltedSumAgg(df, col("k"), buckets = 0, ("t", sum(col("v"))))
+    }.getMessage.contains("buckets"))
+    assert(intercept[IllegalArgumentException] {
+      Skew.saltedSumAgg(df, col("k"), buckets = 4)
+    }.getMessage.contains("at least one"))
+    assert(intercept[IllegalArgumentException] {
+      Skew.saltedSumAgg(df, col("k"), buckets = 4, ("key", sum(col("v"))))
+    }.getMessage.contains("collides"))
+  }
+
+  test("sampling hkey is exact and non-negative past the 64-bit overflow boundary") {
+    import spark.implicits._
+    // id * 2654435761 overflows Long for id >= ~3.47e9: the naive form
+    // wrapped NEGATIVE in Spark (poisoning ln-based sampling weights)
+    // while the DuckDB twin errored. The split form must equal exact
+    // BigInt arithmetic everywhere and the naive form where it was valid.
+    val ids = Seq(0L, 1L, 42L, 500000L, 3469999999L, 3470000000L,
+      4000000000L, 4294967295L, 7000000000L, Long.MaxValue / 2654435761L + 7L)
+    val got = ids.toDF("id")
+      .select(col("id"), graft.ops.Sampling.hkey(col("id")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    ids.foreach { id =>
+      val exact = ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong
+      assert(got(id) == exact, s"hkey($id) = ${got(id)} != exact $exact")
+      assert(got(id) >= 0L)
+    }
+  }
 }
