@@ -112,13 +112,31 @@ object KMeansAssign {
                     tol: Double = 1e-9): (Array[Array[Double]], Int) = {
     // multi-iteration loops re-scan the input once per update step:
     // pin it for the loop's lifetime (a single-iteration call reads the
-    // source twice either way — init + caller — and skips the cache)
-    val pts = if (maxIter > 1) points.cache() else points
+    // source twice either way — init + caller — and skips the cache).
+    // ONLY if the caller hasn't already persisted it — the finally
+    // unpersist below would otherwise silently destroy a
+    // caller-managed cache on the same frame.
+    val callerPersisted =
+      points.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pts = if (maxIter > 1 && !callerPersisted) points.cache() else points
     try {
-      var centers: Array[Array[Double]] = pts.orderBy(col(idCol)).limit(k)
+      val first: Array[Array[Double]] = pts.orderBy(col(idCol)).limit(k)
         .orderBy(col(idCol))
         .select(col(vecCol))
         .collect().map(_.getSeq[Double](0).toArray)
+      // conform every center to the FIRST point's dimension: the
+      // assignment kernel tolerates ragged POINT vectors (common-prefix
+      // scoring — "row-local junk must not kill the scan"), but
+      // NearestCenterExpr requires a rectangular center set, so one
+      // junk row among the first k (or a long junk member inflating a
+      // centroidMeans cell to max member length) would otherwise abort
+      // the whole job on the next assignMap. Zero-padding is neutral
+      // under cosine (zeros add nothing to dot or norms).
+      val dim = first.headOption.map(_.length).getOrElse(0)
+      def conform(v: Array[Double]): Array[Double] =
+        if (v.length == dim) v
+        else java.util.Arrays.copyOf(v, dim)
+      var centers: Array[Array[Double]] = first.map(conform)
       var it = 1
       var steps = 0
       var converged = false
@@ -127,7 +145,8 @@ object KMeansAssign {
           .collect()
           .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
           .toMap
-        val next = Array.tabulate(centers.length)(i => means.getOrElse(i, centers(i)))
+        val next = Array.tabulate(centers.length)(i =>
+          conform(means.getOrElse(i, centers(i))))
         var shift = 0.0
         var c = 0
         while (c < centers.length) {
@@ -144,7 +163,7 @@ object KMeansAssign {
         it += 1
       }
       (centers, steps)
-    } finally if (maxIter > 1) pts.unpersist(blocking = false)
+    } finally if (maxIter > 1 && !callerPersisted) pts.unpersist(blocking = false)
   }
 
   /** Full Lloyd iteration generalization (the reference only does the
@@ -156,7 +175,7 @@ object KMeansAssign {
     * centroids collected and re-shipped. The returned frame is a lazy
     * narrow plan over the input — nothing is cached or materialized.
     */
-  def lloyd(spark: SparkSession, points: DataFrame, k: Int, maxIter: Int,
+  def lloyd(points: DataFrame, k: Int, maxIter: Int,
             idCol: String = "id", vecCol: String = "vec"): DataFrame = {
     val centers = lloydCenters(points, k, maxIter, idCol, vecCol)
     assignMap(points, centers, vecCol)

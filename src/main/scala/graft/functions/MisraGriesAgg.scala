@@ -94,11 +94,19 @@ case class MisraGriesAgg(
     new GenericArrayData(sorted.map { case (s, _) => UTF8String.fromString(s) })
   }
 
+  // length-prefixed UTF-8, NOT writeUTF: writeUTF caps each string's
+  // modified-UTF-8 at 65535 bytes and a single >64KB junk "term" (an
+  // unsplit document body) would throw UTFDataFormatException at
+  // partial-buffer shuffle time, failing the whole aggregation on a
+  // row-local value. Internal wire format only — never persisted.
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    buf.foreach { case (s, c) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -108,7 +116,14 @@ case class MisraGriesAgg(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 

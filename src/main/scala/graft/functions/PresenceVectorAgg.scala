@@ -31,6 +31,10 @@ case class PresenceVectorAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[JBitSet] with UnaryLike[Expression] {
 
+  // fail at construction, not as an opaque NegativeArraySizeException
+  // inside executor tasks (new JBitSet(n) / new Array[Int](n))
+  require(n >= 1, s"presence_vector needs n >= 1, got $n")
+
   override def prettyName: String = "presence_vector"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = false

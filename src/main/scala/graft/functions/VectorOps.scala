@@ -61,13 +61,18 @@ object VectorOps {
 
   /** 64-bit SimHash over an array of term-id longs: bit b of the hash is
     * set when the sum over terms of +/-1 (bit b of mix(term)) is positive.
+    * Null elements mix a fixed sentinel (rollingWindowHashes' policy:
+    * SQL-registered, so null elements are legal) — ArrayData.getLong
+    * would otherwise silently unbox them to 0L and cast a real term-id
+    * 0's full vote, skewing the fingerprint invisibly.
     */
   def simhash64(termIds: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = termIds.numElements()
     var i = 0
     while (i < n) {
-      val h = mix64(termIds.getLong(i))
+      val h = if (termIds.isNullAt(i)) mix64(0x517cc1b727220a95L)
+        else mix64(termIds.getLong(i))
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -86,18 +91,33 @@ object VectorOps {
     * mix of (h ^ mix64(j+1)) — one byte pass per element + nHashes
     * cheap mixes, all inside one compiled kernel.
     */
+  /** The per-slot permutation constants mix64(j+1) — hoisted out of
+    * the per-element loop: recomputing them inside cost n·nHashes
+    * redundant mixes per row in the map-side dedup hot path.
+    */
+  private def permConsts(nHashes: Int): Array[Long] = {
+    val p = new Array[Long](nHashes)
+    var j = 0
+    while (j < nHashes) { p(j) = mix64(j + 1L); j += 1 }
+    p
+  }
+
   def minhashSig(arr: ArrayData, nHashes: Int): ArrayData = {
     val out = new Array[Long](nHashes)
     java.util.Arrays.fill(out, Long.MaxValue)
+    val perm = permConsts(nHashes)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      // null elements are legal (SQL-registered) — hash a fixed
+      // sentinel like rollingWindowHashes instead of NPE'ing
+      val h = if (s == null) mix64(FnvOffset ^ 0x517cc1b727220a95L)
+        else org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       var j = 0
       while (j < nHashes) {
-        val hj = mix64(h ^ mix64(j + 1L))
+        val hj = mix64(h ^ perm(j))
         if (hj < out(j)) out(j) = hj
         j += 1
       }
@@ -121,6 +141,7 @@ object VectorOps {
     while (t < toks.length) { if (toks(t).nonEmpty) { toks(nTok) = toks(t); nTok += 1 }; t += 1 }
     if (nTok > 0) {
       val m = math.max(nTok - k + 1, 1)
+      val perm = permConsts(nHashes)
       val sb = new java.lang.StringBuilder(64)
       var i = 0
       while (i < m) {
@@ -137,7 +158,7 @@ object VectorOps {
           bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
         var j = 0
         while (j < nHashes) {
-          val hj = mix64(h ^ mix64(j + 1L))
+          val hj = mix64(h ^ perm(j))
           if (hj < out(j)) out(j) = hj
           j += 1
         }
@@ -389,7 +410,11 @@ object VectorOps {
     var i = 0
     while (i < n) {
       val cur = s.getUTF8String(i)
-      if (i + 1 < n && cur.equals(a) && s.getUTF8String(i + 1).equals(b)) {
+      // null elements (legal in SQL arrays) match no pattern and copy
+      // through — cur.equals(a) would NPE; a/b are non-null by
+      // construction (they come from learned merges)
+      if (cur != null && i + 1 < n && cur.equals(a) &&
+          b.equals(s.getUTF8String(i + 1))) {
         out(w) = UTF8String.concat(a, b)
         i += 2
       } else {

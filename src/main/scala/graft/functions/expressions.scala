@@ -313,6 +313,12 @@ case class PqLutExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     extends UnaryExpression with ExpectsInputTypes {
   require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
     "pq_lut needs non-empty codebooks")
+  // same contract as PqEncodeExpr: the kernel fixes ksub/subDim from
+  // subspace 0, so a ragged codebook would index out of bounds (fewer
+  // codewords) or silently misalign the offsets (differing subDims)
+  require(codebooks.flatMap(_.map(_.length)).distinct.size == 1 &&
+    codebooks.map(_.length).distinct.size == 1,
+    "pq_lut: codebooks must be rectangular ([m][ksub][subDim])")
 
   @transient private lazy val cbArr: Array[Array[Array[Double]]] =
     codebooks.map(_.map(_.toArray).toArray).toArray
@@ -367,7 +373,10 @@ case class PqAdcDotExpr(left: Expression, right: Expression, ksub: Int)
 case class MergePairExpr(child: Expression, a: String, b: String)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // null elements (legal in SQL arrays) pass through the merge kernel
+  // untouched, so the output must admit them — containsNull = false
+  // here would let the unsafe writer corrupt rows on such input
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "bpe_merge_pair"
 
   @transient private lazy val aU = UTF8String.fromString(a)

@@ -104,7 +104,7 @@ class KMeansAssignSpec extends SparkSpec {
   test("lloyd converges on two obvious 2-D clusters") {
     val pts = (Seq.tabulate(20)(i => (i.toLong, Seq(10.0 + i % 3, 1.0))) ++
       Seq.tabulate(20)(i => (20L + i, Seq(-5.0, 8.0 + i % 3)))).toDF("id", "vec")
-    val out = KMeansAssign.lloyd(spark, pts, k = 2, maxIter = 3)
+    val out = KMeansAssign.lloyd(pts, k = 2, maxIter = 3)
     val groups = out.select("id", "center_id").as[(Long, Int)].collect()
       .groupBy(_._2).map(_._2.map(_._1).toSet).toSet
     assert(groups == Set((0L until 20L).toSet, (20L until 40L).toSet))

@@ -79,4 +79,37 @@ class SqlInterfaceSpec extends SparkSpec {
     assert(top.length == 5)
     assert(top.forall(_.getLong(1) > 0))
   }
+
+  test("null array elements are sentinel-hashed, never NPE, across the SQL kernels") {
+    gf.register(spark)
+    // minhash_sig: null element must not NPE and null == null collides
+    val mh = spark.sql(
+      """SELECT minhash_sig(array('a', CAST(NULL AS STRING)), 4) AS h1,
+        |       minhash_sig(array('a', CAST(NULL AS STRING)), 4) AS h2,
+        |       minhash_sig(array('a'), 4) AS h3""".stripMargin).head()
+    assert(mh.getSeq[Long](0) == mh.getSeq[Long](1))
+    assert(mh.getSeq[Long](0) != mh.getSeq[Long](2),
+      "null element must contribute a sentinel hash, not vanish")
+    // simhash64: null must mix a sentinel, NOT silently unbox to 0L
+    val sh = spark.sql(
+      """SELECT simhash64(array(CAST(NULL AS BIGINT))) AS a,
+        |       simhash64(array(0L)) AS b""".stripMargin).head()
+    assert(sh.getLong(0) != sh.getLong(1),
+      "null term-id must not be conflated with term-id 0")
+    // bpe_merge_pair (Column API): null element copies through, no
+    // NPE, and the output type admits it
+    val mp = Seq(Tuple1(Seq("a", null, "a", "b"))).toDF("s")
+      .select(gf.bpe_merge_pair(org.apache.spark.sql.functions.col("s"),
+        "a", "b").as("m"))
+      .head().getSeq[String](0)
+    assert(mp == Seq("a", null, "ab"))
+  }
+
+  test("presence_vector rejects a non-positive width at construction") {
+    val e = intercept[IllegalArgumentException] {
+      PresenceVectorAgg.presence_vector(
+        org.apache.spark.sql.functions.col("x"), 0, 0L)
+    }
+    assert(e.getMessage.contains("n >= 1"))
+  }
 }
