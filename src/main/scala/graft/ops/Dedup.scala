@@ -461,6 +461,11 @@ object Dedup {
                           bandSize: Int = 4,
                           keep: Seq[String] = Nil): DataFrame =
     sig
+      // null signature (null/absent text — ShingleMinHashExpr is
+      // null-safe) must emit NO band rows: xxhash64(slice(NULL)) would
+      // otherwise collapse every null-text doc onto the hash seed as
+      // band_sig, pairing all of them in one quadratically-hot bucket
+      .where(col("mh").isNotNull)
       .withColumn("band", explode(sequence(lit(0), lit(nHashes / bandSize - 1))))
       .select(
         col("doc_id") +: keep.map(col) :+ col("band") :+
@@ -631,13 +636,10 @@ object Dedup {
     */
   val q50: QueryDef = QueryDef.sql(
     "q50_embedding_neardup",
-    """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
       |s AS (
       |  SELECT a.vec_id AS d1, b.vec_id AS d2,
-      |    list_sum(list_transform(range(1, len(a.embedding) + 1),
-      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-      |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    ${TwinSql.cosZ("a.embedding", "b.embedding")}
       |    AS score
       |  FROM e a, e b WHERE a.vec_id < b.vec_id)
       |SELECT d1, d2, score FROM s
@@ -755,7 +757,13 @@ object Dedup {
                           localEdgeLimit: Long = 1000000L,
                           localDriverBytes: Long = 64L << 20): DataFrame = {
     val spk = pairs.sparkSession
+    // Null endpoints (junk upstream pair rows) are dropped up front —
+    // the contract for BOTH dispatch paths. Without this they diverge:
+    // the distributed pointer-jump join silently discards the vertex
+    // (NULL never equi-matches) while the local union-find NPEs in its
+    // min-member compareTo.
     val e = pairs.toDF("a", "b")
+      .where(col("a").isNotNull && col("b").isNotNull)
     val sym = e.union(e.select(col("b"), col("a")))
       .toDF("src", "dst").distinct().cache()
     // Size the loop to the graph, not the session. The edge list a
@@ -1093,8 +1101,12 @@ object Dedup {
     * oracle (the q153/q155 precedent).
     */
   def dedupImpact(docs: DataFrame): DataFrame = {
+    // size(null array) is -1 under this config but the twin's len() is
+    // NULL (skipped by sum): pin nt to NULL on null text so token sums
+    // agree — and never shrink by phantom -1s — on junk rows
     val base = docs.select(col("doc_id"), col("source"),
-      size(toks(col("text"))).cast("bigint").as("nt"))
+      when(col("text").isNotNull, size(toks(col("text"))))
+        .cast("bigint").as("nt"))
     val comp = connectedComponents(jaccardPairs(docs))
       .toDF("m_doc", "component")
     val lab = base.join(comp, col("doc_id") === col("m_doc"), "left")
@@ -1241,9 +1253,13 @@ object Dedup {
     // single-bucket probing: at a 0.95+ cosine threshold the duplicate
     // pair's signatures agree on every plane with high probability, and
     // multi-probe would multiply the SELF-join's corpus-sized query
-    // side by (1 + nPlanes) — the kNN recall knob is wrong for dedup
-    val pairs = Similarity.lshKnn(spark, e, e, k = Int.MaxValue,
-      nPlanes = nPlanes, probeFlips = 0)
+    // side by (1 + nPlanes) — the kNN recall knob is wrong for dedup.
+    // Candidates come UNRANKED (lshScoredCandidates, no top-k window):
+    // only score >= threshold matters here, and the kNN path's
+    // row_number would exchange every candidate pair on qid and sort
+    // each group to compute a rank nothing reads.
+    val pairs = Similarity.lshScoredCandidates(e, e,
+      nPlanes = nPlanes, dim = 64, probeFlips = 0)
       .filter(col("score") >= threshold && col("qid") < col("cid"))
       .select(col("cid").as("dup_id")).distinct()
     e.join(pairs, e("id") === pairs("dup_id"), "left_anti")

@@ -45,7 +45,10 @@ object Pq {
     require(ksub >= 1, s"ksub must be >= 1, got $ksub")
     val subDim = dim / m
     // deterministic pseudo-random subset: order by the id hash, keep N
+    // null vectors (the embeddings loader's junk-line convention) must
+    // not reach the driver math: filter scan-side, before the sample cut
     val sample: Array[Array[Double]] = corpus
+      .where(col(vecCol).isNotNull)
       .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
       .orderBy(col("h"))
       .limit(sampleN)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.functions.cosine_similarity
@@ -53,14 +53,11 @@ object Similarity {
     */
   val q31: QueryDef = QueryDef.sql(
     "q31_knn_bruteforce",
-    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
       |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
       |s AS (
       |  SELECT qid, cid,
-      |    list_sum(list_transform(range(1, len(qe) + 1),
-      |      i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
-      |    / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      |       * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    ${cosSqlZ("qe", "ce")}
       |    AS score
       |  FROM q, c WHERE qid <> cid)
       |SELECT qid, cid, score, rnk FROM (
@@ -145,9 +142,16 @@ object Similarity {
         graft.functions.functions.sign_bucket(col("v"), planes).as("bucket"))
   }
 
-  def lshKnn(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-             k: Int, nPlanes: Int = 12, dim: Int = 64,
-             probeFlips: Int = 1): DataFrame = {
+  /** The bucket-join + exact-scoring stage of sign-LSH, WITHOUT the
+    * per-query top-k window: (qid, cid, score) for every in-bucket
+    * candidate pair. Exposed for threshold-style consumers
+    * ([[Dedup.dedupByEmbedding]]) where a rank is never used — the
+    * row_number window would exchange every candidate pair on qid and
+    * sort each group just to compute a column the caller discards.
+    */
+  private[ops] def lshScoredCandidates(corpus: DataFrame, queries: DataFrame,
+                                       nPlanes: Int, dim: Int,
+                                       probeFlips: Int): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 31, s"nPlanes in 1..31, got $nPlanes")
     require(probeFlips >= 0 && probeFlips <= nPlanes,
       s"probeFlips in 0..nPlanes, got $probeFlips")
@@ -160,14 +164,20 @@ object Similarity {
       else bq0.select(col("qid"), col("qv"),
         explode(array(probeMasks(nPlanes, probeFlips)
           .map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     bq.join(bc, "bucket")
       .filter(col("qid") =!= col("cid"))
       // a candidate can surface from several probed buckets: dedupe
-      // before scoring so the window sees each pair once
+      // before scoring so each pair is scored (and ranked) once
       .select(col("qid"), col("qv"), col("cid"), col("cv")).dropDuplicates("qid", "cid")
       .select(col("qid"), col("cid"),
         cosine_similarity(col("qv"), col("cv")).as("score"))
+  }
+
+  def lshKnn(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+             k: Int, nPlanes: Int = 12, dim: Int = 64,
+             probeFlips: Int = 1): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    lshScoredCandidates(corpus, queries, nPlanes, dim, probeFlips)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
@@ -268,13 +278,28 @@ object Similarity {
       .select(col("label").as("clabel"), col("cv"))
   }
 
+  /** Squared L2 over the COMMON PREFIX of x and c, dim-order fold.
+    * Bare zip_with null-pads the shorter side and the fold then
+    * null-poisons the whole distance (a ragged vector would win every
+    * argmin via nulls-first ordering), while the DuckDB twins iterate
+    * the vector's own length and list_sum skips the out-of-range
+    * NULLs — i.e. compute the partial sum. Truncating to the common
+    * prefix matches the twins AND the hardened VectorOps kernels; on
+    * equal-length input the slices are identity, so results are
+    * unchanged bit-for-bit.
+    */
+  private def sqDistPrefix(x: Column, c: Column): Column = {
+    val n = least(size(x), size(c))
+    aggregate(
+      zip_with(slice(x, lit(1), n), slice(c, lit(1), n),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
   def nearestCentroidConfusion(emb: DataFrame, blockSize: Int = 1024): DataFrame = {
     val d2 = emb.crossJoin(broadcast(labelCentroids(emb, blockSize)))
       .withColumn("d2",
-        aggregate(
-          zip_with(col("embedding").cast("array<double>"), col("cv"),
-            (x, c) => (x - c) * (x - c)),
-          lit(0.0), (a, x) => a + x))
+        sqDistPrefix(col("embedding").cast("array<double>"), col("cv")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("clabel"))
     d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .groupBy(col("label").cast("bigint").as("label"),
@@ -316,9 +341,7 @@ object Similarity {
     val scored = emb.crossJoin(broadcast(packed))
       .withColumn("dists", transform(col("cents"), c =>
         struct(c.getField("clabel").as("cl"),
-          sqrt(aggregate(
-            zip_with(xv, c.getField("cv"), (x, cc) => (x - cc) * (x - cc)),
-            lit(0.0), (a, v) => a + v)).as("d"))))
+          sqrt(sqDistPrefix(xv, c.getField("cv"))).as("d"))))
       .withColumn("a",
         element_at(filter(col("dists"),
           c => c.getField("cl") === col("label")), 1).getField("d"))
