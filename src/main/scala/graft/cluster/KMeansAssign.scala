@@ -120,7 +120,12 @@ object KMeansAssign {
       points.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val pts = if (maxIter > 1 && !callerPersisted) points.cache() else points
     try {
-      val first: Array[Array[Double]] = pts.orderBy(col(idCol)).limit(k)
+      // null vectors (the loader's junk-line convention) must not reach
+      // the driver math — one junk row among the k lowest ids would NPE
+      // here and kill the job (the Pq.trainCodebooks precedent)
+      val first: Array[Array[Double]] = pts
+        .where(col(vecCol).isNotNull)
+        .orderBy(col(idCol)).limit(k)
         .orderBy(col(idCol))
         .select(col(vecCol))
         .collect().map(_.getSeq[Double](0).toArray)

@@ -254,7 +254,10 @@ object CurationOps {
        |SELECT doc_id, lang, qscore, pr
        |FROM r WHERE pr >= 0.25
        |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy(col("lang")).orderBy(col("qscore"), col("doc_id"))
+    // NULL qscores (junk null-text rows) must rank LAST to match
+    // DuckDB's default null ordering (Spark's asc default is first)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("qscore").asc_nulls_last, col("doc_id"))
     TextAnalytics.qualityBase(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"), col("qscore"))
       .withColumn("pr", percent_rank().over(w))
@@ -545,8 +548,13 @@ object CurationOps {
     // n_tokens > 0 guard (both engines, identically): an all-whitespace
     // source would make share 0/0 — NaN in Spark, engine-dependent in
     // DuckDB — so the oracle hash would diverge on such a corpus
+    // null text contributes NULL (sum-skipped, the twin's len(NULL)
+    // behavior), never size(null) = -1 silently shrinking a source's
+    // token total — and with it every weight and epoch allocation
     val c = docs
-      .select(col("source"), size(toks(col("text"))).cast("bigint").as("nt"))
+      .select(col("source"),
+        when(col("text").isNotNull, size(toks(col("text"))))
+          .cast("bigint").as("nt"))
       .groupBy(col("source")).agg(sum(col("nt")).cast("bigint").as("n_tokens"))
       .filter(col("n_tokens") > 0)
     val m = c.agg(max(col("n_tokens")).as("max_n"))
@@ -601,7 +609,11 @@ object CurationOps {
     require(n >= 1, s"window size must be >= 1, got $n")
     val d = docs
       .select(col("doc_id"), toks(col("text")).as("t"))
-      .withColumn("nt", size(col("t")).cast("bigint"))
+      // null text reports NULL n_tokens (the twin's len(NULL)), not
+      // size(null) = -1 — this frame left-joins back as the output, so
+      // unlike the nt >= n sites the junk row's nt IS emitted
+      .withColumn("nt",
+        when(col("t").isNotNull, size(col("t"))).cast("bigint"))
     // one row per window position; the key hashes the joined tokens
     // (\u0001-separated so token boundaries can't alias). The oracle
     // groups the RAW joined string where we equi-join its xxhash64 —

@@ -136,13 +136,17 @@ object TextAnalytics {
         toks(col("text")).as("t")) ++ extra.map(col): _*)
       .select(
         Seq(col("doc_id"), col("lang"), col("source")) ++ extra.map(col) ++ Seq(
-          size(col("t")).cast("bigint").as("n_tokens"),
+          // null text (loader junk row) must surface NULL counts, not
+          // size(null) = -1 / a fake stop_ratio of (-1)/(-1) = 1.0 —
+          // the twins' len(NULL) is NULL and NULL propagates to qscore
+          when(col("t").isNotNull, size(col("t"))).cast("bigint").as("n_tokens"),
           ((length(col("text")) - length(regexp_replace(col("text"), "\\p{P}", "")))
             / length(col("text"))).as("punct_ratio"),
           ((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
             / length(col("text"))).as("digit_ratio"),
-          (size(filter(col("t"), x => array_contains(stopsArr, x))) / size(col("t")))
-            .as("stop_ratio")): _*)
+          (when(col("t").isNotNull,
+            size(filter(col("t"), x => array_contains(stopsArr, x))))
+            / when(col("t").isNotNull, size(col("t")))).as("stop_ratio")): _*)
       .withColumn("qscore",
         (lit(1.0) - col("punct_ratio")) * (lit(1.0) - col("digit_ratio"))
           * least(lit(1.0), col("n_tokens") / 64.0)
@@ -266,10 +270,16 @@ object TextAnalytics {
       struct(sc.as("score"), lit(langProfiles.length - idx).as("prio"),
         lit(lang).as("lang"))
     }
+    // null text (loader junk row) must predict NULL, not 'en' at a
+    // phantom score of size(null) = -1.0 — mirrored in the twin's
+    // leading `WHEN s_zh IS NULL THEN NULL` arm (s_zh is NULL iff
+    // text is NULL)
     docs.select(
       col("doc_id"), col("lang").as("labeled_lang"),
-      greatest(scores: _*).getField("lang").as("predicted_lang"),
-      greatest(scores: _*).getField("score").as("lang_score"))
+      when(col("text").isNotNull, greatest(scores: _*).getField("lang"))
+        .as("predicted_lang"),
+      when(col("text").isNotNull, greatest(scores: _*).getField("score"))
+        .as("lang_score"))
   }
 
   /** q129: the language-ID pass as an oracle-checked query. The DuckDB
@@ -301,9 +311,11 @@ object TextAnalytics {
       "q129_lang_id",
       s"""SELECT doc_id, labeled_lang, predicted_lang, lang_score FROM (
          |  SELECT doc_id, lang AS labeled_lang,
-         |    CASE $caseArms
+         |    CASE WHEN s_zh IS NULL THEN NULL
+         |      $caseArms
          |      ELSE 'zh' END AS predicted_lang,
-         |    greatest(s_en, s_de, s_es, s_fr, s_zh) AS lang_score
+         |    CASE WHEN s_zh IS NULL THEN NULL
+         |      ELSE greatest(s_en, s_de, s_es, s_fr, s_zh) END AS lang_score
          |  FROM (
          |    SELECT doc_id, lang,
          |    $scoreSelects,
@@ -425,7 +437,10 @@ object TextAnalytics {
     docs
       .select(col("doc_id"), col(streamCol), toks(col("text")).as("t"))
       .select(col("doc_id"), col(streamCol),
-        size(col("t")).cast("bigint").as("n_tokens"))
+        // null text must not feed size(null) = -1 into the running sum
+        // (it would shift every later doc's offset/bin where the twin's
+        // SUM skips the NULL)
+        when(col("t").isNotNull, size(col("t"))).cast("bigint").as("n_tokens"))
       .withColumn("start_offset",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin_id", floor(col("start_offset") / targetTokens))
@@ -572,11 +587,17 @@ object TextAnalytics {
     * order, pure integer rank arithmetic).
     */
   def lengthQuantiles(docs: DataFrame): DataFrame = {
+    // null text ranks as NULL LAST (DuckDB's default), never as a
+    // phantom length of size(null) = -1 ranking FIRST and shifting
+    // every real doc's rank (and hence each reported quantile) by one
     val t = docs
-      .select(col("source"), size(toks(col("text"))).cast("bigint").as("nt"))
+      .select(col("source"),
+        when(col("text").isNotNull, size(toks(col("text"))))
+          .cast("bigint").as("nt"))
     val wp = Window.partitionBy(col("source"))
     val r = t
-      .withColumn("rn", row_number().over(wp.orderBy(col("nt"))).cast("bigint"))
+      .withColumn("rn",
+        row_number().over(wp.orderBy(col("nt").asc_nulls_last)).cast("bigint"))
       .withColumn("n", count(lit(1)).over(wp))
     r.groupBy(col("source"))
       .agg(max(col("n")).cast("bigint").as("n_docs"),
@@ -641,7 +662,12 @@ object TextAnalytics {
   def lengthHistogram(docs: DataFrame,
                       width: Long = quantileBucketWidth): DataFrame =
     docs
-      .select(col("source"), size(toks(col("text"))).cast("bigint").as("nt"))
+      // null text buckets as NULL (the twin's nt // 16 of NULL), never
+      // as (-1) div 16 = 0 — a junk row must not pollute the persisted
+      // bucket-0 count that perpetual pipelines fold by addition
+      .select(col("source"),
+        when(col("text").isNotNull, size(toks(col("text"))))
+          .cast("bigint").as("nt"))
       .select(col("source"), expr(s"nt div $width").as("bkt"))
       .groupBy(col("source"), col("bkt"))
       .agg(count(lit(1)).cast("bigint").as("c"))
@@ -656,7 +682,9 @@ object TextAnalytics {
     val ws = Window.partitionBy(col("source"))
     val r = hist
       .withColumn("cum",
-        sum(col("c")).over(ws.orderBy(col("bkt"))
+        // NULL bucket (junk rows) cumulates LAST, matching DuckDB's
+        // null order — first would shift every real bucket's cum by c
+        sum(col("c")).over(ws.orderBy(col("bkt").asc_nulls_last)
           .rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"))
       .withColumn("n", sum(col("c")).over(ws).cast("bigint"))
     def edge = col("bkt") * width + (width - 1L)
@@ -732,10 +760,15 @@ object TextAnalytics {
     val d = docs
       .select(col("source"), toks(col("text")).as("t"))
       .select(col("source"),
-        size(col("t")).cast("bigint").as("nt"),
+        // null text yields NULL counters (rule flags NULL, counted as
+        // neither pass nor fail — the twin's CASE semantics), never
+        // size(null) = -1 counters that definitively FAIL three rules
+        when(col("t").isNotNull, size(col("t"))).cast("bigint").as("nt"),
         aggregate(col("t"), lit(0L), (a, x) => a + length(x).cast("bigint")).as("sl"),
-        size(filter(col("t"), x => x.rlike("[A-Za-z]"))).cast("bigint").as("na"),
-        size(filter(col("t"), x => x.isin(probeStops: _*))).cast("bigint").as("ns"))
+        when(col("t").isNotNull, size(filter(col("t"), x => x.rlike("[A-Za-z]"))))
+          .cast("bigint").as("na"),
+        when(col("t").isNotNull, size(filter(col("t"), x => x.isin(probeStops: _*))))
+          .cast("bigint").as("ns"))
       .select(Seq(col("source")) ++
         gopherRuleFlags(col("nt"), col("sl"), col("na"), col("ns"))
           .zip(Seq("r_count", "r_wordlen", "r_alpha", "r_stop"))

@@ -95,6 +95,87 @@ class JunkRowOpsSpec extends SparkSpec {
     }
   }
 
+  test("qualityBase: null text yields NULL n_tokens and stop_ratio (not -1 and a fake 1.0)") {
+    val docs = Seq((1L, "en", "src", "the cat sat on the mat"), (2L, "en", "src", null))
+      .toDF("doc_id", "lang", "source", "text")
+    val rows = TextAnalytics.qualityBase(docs).orderBy(col("doc_id")).collect()
+    assert(rows(0).getAs[Long]("n_tokens") == 6L)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("n_tokens")),
+      "null text must not report size(null) = -1 tokens")
+    // the unguarded form computed stop_ratio = size(null)/size(null) = 1.0
+    assert(rows(1).isNullAt(rows(1).fieldIndex("stop_ratio")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("qscore")))
+  }
+
+  test("packSequences: junk row contributes nothing to later docs' offsets/bins") {
+    val fill = ("w " * 512).trim
+    val docs = Seq(
+      (1L, "s", fill),     // 512 tokens -> fills bin 0 exactly
+      (2L, "s", null),     // junk: -1 would pull doc 3 back into bin 0
+      (3L, "s", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val rows = TextAnalytics.packSequences(docs, targetTokens = 512)
+      .orderBy(col("doc_id")).collect()
+    assert(rows(0).getAs[Long]("start_offset") == 0L)
+    assert(rows(2).getAs[Long]("start_offset") == 512L,
+      "junk row must not shift the running sum")
+    assert(rows(2).getAs[Long]("bin_id") == 1L)
+  }
+
+  test("lengthQuantiles: junk null-text doc ranks LAST (DuckDB null order), quantiles over real docs hold") {
+    val real = (1 to 9).map(i => (i.toLong, "s", ("t " * i).trim))
+    val docs = (real :+ ((10L, "s", null.asInstanceOf[String])))
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalytics.lengthQuantiles(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 10L)
+    // ranks 1..9 are the real lengths 1..9; the junk row is rn=10.
+    // (n+1) div 2 = 5 -> p50 = 5; unguarded -1 ranked first gave 4
+    assert(r.getAs[Long]("p50") == 5L)
+    assert(r.getAs[Long]("p90") == 9L)
+  }
+
+  test("lengthHistogram: junk rows land in a NULL bucket, never inflating bucket 0") {
+    val docs = Seq((1L, "s", "a b c"), (2L, "s", null))
+      .toDF("doc_id", "source", "text")
+    val h = TextAnalytics.lengthHistogram(docs).collect()
+      .map(r => (if (r.isNullAt(1)) None else Some(r.getLong(1))) -> r.getLong(2)).toMap
+    assert(h == Map(Some(0L) -> 1L, None -> 1L),
+      "(-1) div 16 = 0 would have counted the junk row as a real short doc")
+    // and the rollup never reports a NULL-bucket edge as a quantile
+    val q = TextAnalytics.quantilesFromHistogram(
+      TextAnalytics.lengthHistogram(docs)).collect().head
+    assert(q.getAs[Long]("p50_hi") == 15L)
+  }
+
+  test("gopherRules: a junk null-text doc fails NO rule (twin CASE semantics)") {
+    val good = ("the and of to a in is that it on " * 6).trim // 60 stopword tokens
+    val docs = Seq((1L, "s", good), (2L, "s", null)).toDF("doc_id", "source", "text")
+    val r = TextAnalytics.gopherRules(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("fail_count") == 0L,
+      "NULL counters must not definitively fail the count rule")
+    assert(r.getAs[Long]("fail_alpha") == 0L)
+    assert(r.getAs[Long]("fail_stop") == 0L)
+  }
+
+  test("langId: null text predicts NULL, not 'en' at score -1") {
+    val docs = Seq((1L, "en", "the cat and the dog"), (2L, "en", null))
+      .toDF("doc_id", "lang", "text")
+    val rows = TextAnalytics.langId(docs).orderBy(col("doc_id")).collect()
+    assert(rows(0).getAs[String]("predicted_lang") == "en")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("predicted_lang")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("lang_score")))
+  }
+
+  test("lloydCenters skips null vectors in the first-k init instead of NPEing") {
+    val pts = Seq(
+      (0L, Some(Seq(0.0, 0.0))), (1L, None), (2L, Some(Seq(10.0, 10.0))),
+      (3L, Some(Seq(0.1, 0.0))))
+      .toDF("id", "vec")
+    val centers = graft.cluster.KMeansAssign.lloydCenters(pts, k = 2, iters = 2)
+    assert(centers.length == 2 && centers.forall(_.forall(d => !d.isNaN)))
+  }
+
   test("dedupByEmbedding plan has no top-k window (threshold path skips the rank sort)") {
     val e = Seq(
       (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
