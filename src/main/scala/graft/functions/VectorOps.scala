@@ -543,4 +543,42 @@ object VectorOps {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Longest run of consecutive stride-`len` block equalities in a
+    * token array: the max r such that positions i, i+len, ...,
+    * i+(r-1)*len all satisfy block(i) == block(i+len) element-wise —
+    * i.e. some len-token block appears r+1 times back-to-back. Runs
+    * are tracked per residue class mod len (stride-len chains cannot
+    * cross classes). Returns the run count r (0 when n < 2*len); the
+    * caller's repetition count is 1 + r. Null elements compare
+    * UNEQUAL (matching the interpreted `slice === slice` fold under
+    * `when`, where a null verdict falls to the reset branch) — the
+    * SQL-registered-function sentinel policy. O(len * n), one pass,
+    * no allocation beyond the len-int run table.
+    */
+  def maxRepeatRun(arr: ArrayData, len: Int): Int = {
+    val n = arr.numElements()
+    val m = n - 2 * len // last position with a stride-len successor
+    if (len <= 0 || m < 0) return 0
+    val runs = new Array[Int](len)
+    var best = 0
+    var i = 0
+    while (i <= m) {
+      var eq = true
+      var j = 0
+      while (eq && j < len) {
+        val a = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        val b = if (arr.isNullAt(i + len + j)) null
+          else arr.getUTF8String(i + len + j)
+        eq = a != null && b != null && a.equals(b)
+        j += 1
+      }
+      val cls = i % len
+      val r = if (eq) runs(cls) + 1 else 0
+      runs(cls) = r
+      if (r > best) best = r
+      i += 1
+    }
+    best
+  }
 }

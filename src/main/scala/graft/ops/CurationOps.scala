@@ -20,7 +20,7 @@ object CurationOps {
   private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
   def all: Seq[QueryDef] =
-    Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125,
+    Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125, q166,
       q132, q140, q143, q144, q152, q154, q157, q159, q161)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
@@ -604,6 +604,28 @@ object CurationOps {
     * array and tokens are filtered in place — no per-token explode,
     * no re-aggregation exchange on the corpus.
     */
+  /** Classic interval union over (doc_id, start, e) span rows — a row
+    * opens a new group iff it starts past the running max end of
+    * everything before it; groups collapse to maximal [s, e) intervals.
+    * THE single definition of span merging, shared by [[slidingSpanDedup]]
+    * (q113) and [[duplicateTextFraction]] (q166) — the twins replay the
+    * identical running-max window, and a second copy could drift.
+    * Per-document window: doc-sized groups, never a corpus-wide sort.
+    */
+  private def mergeSpanIntervals(marked: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    marked
+      .withColumn("mpe",
+        max(col("e")).over(wd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newGrp",
+        (col("mpe").isNull || col("start") > col("mpe")).cast("int"))
+      .withColumn("grp",
+        sum(col("newGrp")).over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("start")).as("s"), max(col("e")).as("e"))
+  }
+
   def slidingSpanDedup(docs: org.apache.spark.sql.DataFrame,
                        n: Int = 8): org.apache.spark.sql.DataFrame = {
     require(n >= 1, s"window size must be >= 1, got $n")
@@ -632,18 +654,7 @@ object CurationOps {
       .withColumn("cnt", count(lit(1)).over(wg))
       .filter(col("cnt") > 1 && col("rn") > 1)
       .select(col("doc_id"), col("start"), (col("start") + n).as("e"))
-    // classic interval union: a row opens a new group iff it starts
-    // past the running max end of everything before it
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-    val merged = marked
-      .withColumn("mpe",
-        max(col("e")).over(wd.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("newGrp",
-        (col("mpe").isNull || col("start") > col("mpe")).cast("int"))
-      .withColumn("grp",
-        sum(col("newGrp")).over(wd.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("start")).as("s"), max(col("e")).as("e"))
+    val merged = mergeSpanIntervals(marked)
     val ivs = merged.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"),
         sum(col("e") - col("s")).as("removed"))
@@ -717,6 +728,101 @@ object CurationOps {
        |FROM dd LEFT JOIN rem USING (doc_id) LEFT JOIN ct USING (doc_id)
        |ORDER BY dd.doc_id""".stripMargin) { (s, dir) =>
     slidingSpanDedup(Tables.documents(s, dir), n = 8).orderBy(col("doc_id"))
+  }
+
+  /** Per-document duplicate-text fraction (q166): the fraction of each
+    * document's token positions covered by n-token windows that occur
+    * more than once in the corpus — ALL occurrences marked, including
+    * the first (unlike q113's keep-first removal: this is the MEASURE,
+    * that is the CUT). The per-doc "how much of this is boilerplate /
+    * shared passage" number a curation pipeline thresholds on before
+    * paying for span surgery, and the doc-granular drilldown under
+    * q162's per-source redundancy rollup.
+    *
+    * Scale: identical exchange classes to q113 — one content-keyed
+    * gram exchange (count per gram, duplicate-count-sized groups), one
+    * per-document interval-union window ([[mergeSpanIntervals]], the
+    * shared single definition), then an array-free per-doc sum.
+    */
+  def duplicateTextFraction(docs: org.apache.spark.sql.DataFrame,
+                            n: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"window size must be >= 1, got $n")
+    val d = docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("nt",
+        when(col("t").isNotNull, size(col("t"))).cast("bigint"))
+    val occ = d.filter(col("nt") >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("nt") - n)).as("start"),
+        col("t"))
+      .select(col("doc_id"), col("start"),
+        xxhash64(concat_ws("\u0001",
+          slice(col("t"), (col("start") + 1).cast("int"), lit(n)))).as("g"))
+    val wg = Window.partitionBy(col("g"))
+    val marked = occ
+      .withColumn("cnt", count(lit(1)).over(wg))
+      .filter(col("cnt") > 1)
+      .select(col("doc_id"), col("start"), (col("start") + n).as("e"))
+    val cov = mergeSpanIntervals(marked)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s")).cast("bigint").as("dup"))
+    d.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("nt").as("n_tokens"),
+        coalesce(col("dup"), lit(0L)).cast("bigint").as("dup_tokens"),
+        when(col("nt") > 0,
+          coalesce(col("dup"), lit(0L)).cast("double") / col("nt").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** q166: [[duplicateTextFraction]] at n = 8. The twin replays the
+    * whole derivation — windows, the cnt > 1 mark (NO keep-first rn
+    * filter: both copies of a duplicated span count), the identical
+    * running-max interval union, and the literal division — grouping
+    * raw window strings where Spark equi-joins their xxhash64 (the
+    * q45/q113 collision argument).
+    */
+  val q166: QueryDef = QueryDef.sql(
+    "q166_dup_fraction",
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckToks AS t FROM documents),
+       |dd AS (SELECT doc_id, t, len(t) AS nt FROM d),
+       |occ AS (
+       |  SELECT doc_id, k AS start,
+       |    array_to_string(t[k + 1 : k + 8], chr(1)) AS g
+       |  FROM (SELECT doc_id, t, unnest(range(0, nt - 8 + 1)) AS k
+       |        FROM dd WHERE nt >= 8)),
+       |mk AS (
+       |  SELECT doc_id, start, start + 8 AS e
+       |  FROM (SELECT doc_id, start,
+       |          count(*) OVER (PARTITION BY g) AS cnt
+       |        FROM occ)
+       |  WHERE cnt > 1),
+       |mrg AS (
+       |  SELECT doc_id, grp, min(start) AS s, max(e) AS e
+       |  FROM (
+       |    SELECT doc_id, start, e,
+       |      sum(CASE WHEN mpe IS NULL OR start > mpe THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY doc_id ORDER BY start
+       |              ROWS UNBOUNDED PRECEDING) AS grp
+       |    FROM (
+       |      SELECT doc_id, start, e,
+       |        max(e) OVER (PARTITION BY doc_id ORDER BY start
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mpe
+       |      FROM mk))
+       |  GROUP BY doc_id, grp),
+       |cov AS (
+       |  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dup
+       |  FROM mrg GROUP BY doc_id)
+       |SELECT dd.doc_id,
+       |  CAST(dd.nt AS BIGINT) AS n_tokens,
+       |  COALESCE(cov.dup, 0) AS dup_tokens,
+       |  CASE WHEN dd.nt > 0
+       |    THEN CAST(COALESCE(cov.dup, 0) AS DOUBLE) / CAST(dd.nt AS DOUBLE)
+       |    ELSE 0.0 END AS dup_frac
+       |FROM dd LEFT JOIN cov USING (doc_id)
+       |ORDER BY dd.doc_id""".stripMargin) { (s, dir) =>
+    duplicateTextFraction(Tables.documents(s, dir), n = 8).orderBy(col("doc_id"))
   }
 
   /** Variable-length exact-substring matches (q143) — the attribution

@@ -22,7 +22,7 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
-  def all: Seq[QueryDef] = Seq(q30, q31, q117, q120, q149, q150)
+  def all: Seq[QueryDef] = Seq(q30, q31, q117, q120, q149, q150, q164, q165)
 
   // the shared twin cosine fragments (single definition: TwinSql)
   private def cosSql(a: String, b: String): String = TwinSql.cos(a, b)
@@ -740,5 +740,161 @@ object Similarity {
       .withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= 3)
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Label-noise audit by kNN disagreement ([[q164]]): for each labeled
+    * vector, its k nearest neighbors by cosine vote on the label; a
+    * vector whose own label is a strict minority among its neighbors
+    * (2*n_agree < k) is flagged as suspect. The instance-level
+    * complement of q117's centroid confusion: the confusion matrix says
+    * "labels 2 and 5 blur", this says "doc 1734 is probably mislabeled"
+    * — the audit a pipeline runs before trusting a labeled set for
+    * supervised quality-gate training (q109's features, q158's
+    * discipline).
+    *
+    * Takes the scored-neighbor frame (qid, cid, score, rnk) from ANY
+    * kNN provider so the aggregation is shared between the exact
+    * verifier and the scale path: [[bruteForceKnn]] on a bounded slice
+    * here (oracle-checkable, the q31/q50 precedent), [[lshKnn]] /
+    * [[ivfKnn]] at corpus scale — the label joins broadcast (labels
+    * ride with the k*|Q| neighbor rows, never a corpus shuffle).
+    */
+  def labelNoiseFromKnn(knn: DataFrame, labels: DataFrame, k: Int): DataFrame =
+    knn
+      .join(labels.toDF("qid", "qlabel"), "qid")
+      .join(labels.toDF("cid", "clabel"), "cid")
+      .groupBy(col("qid").as("vec_id"), col("qlabel"))
+      .agg(sum(when(col("clabel") === col("qlabel"), 1L).otherwise(0L))
+        .cast("bigint").as("n_agree"))
+      .select(col("vec_id"), col("qlabel").cast("bigint").as("label"),
+        col("n_agree"),
+        (col("n_agree").cast("double") / lit(k.toDouble)).as("agree_frac"),
+        (col("n_agree") * 2 < k).as("is_suspect"))
+
+  /** q164: [[labelNoiseFromKnn]] over the exact top-5 neighbors of the
+    * vec_id < 200 slice (bounded so the twin's all-pairs re-derivation
+    * stays quadratic-in-a-constant; at corpus scale the same
+    * aggregation runs on lshKnn/ivfKnn output).
+    */
+  val q164: QueryDef = QueryDef.sql(
+    "q164_label_noise",
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 200),
+       |s AS (
+       |  SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS cid, b.label AS clabel,
+       |    ${cosSqlZ("a.embedding", "b.embedding")} AS score
+       |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |nn AS (
+       |  SELECT qid, qlabel, clabel FROM (
+       |    SELECT qid, qlabel, clabel,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+       |    FROM s) WHERE rnk <= 5)
+       |SELECT qid AS vec_id, CAST(qlabel AS BIGINT) AS label,
+       |  CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE) / 5.0
+       |    AS agree_frac,
+       |  (CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) * 2 < 5)
+       |    AS is_suspect
+       |FROM nn GROUP BY qid, qlabel
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val knn = bruteForceKnn(
+      e.select(col("vec_id").as("qid"), col("v").as("qv")),
+      e.select(col("vec_id"), col("v")), k = 5)
+    labelNoiseFromKnn(knn, e.select(col("vec_id"), col("label")), k = 5)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Embedding outlier audit ([[q165]]): per-vector L2 distance to the
+    * OWN-label centroid, compared against the label's mean distance —
+    * ratio >= 2 flags the vector as an outlier (mis-embedded, corrupt,
+    * or out-of-distribution for its label). The drop-list complement of
+    * q120: silhouette scores the LABELS, this scores the VECTORS.
+    *
+    * Scale shape: centroids are [[labelCentroids]] (two-level ordered
+    * block fold, broadcast as K rows); the per-vector distance is a
+    * pure narrow map; the per-label mean distance reuses the SAME
+    * blocked fold (so it is bit-reproducible and no reducer sees more
+    * than a block), returns K rows, and broadcasts back onto the
+    * narrow scored stream. Two metadata-sized exchanges total; the
+    * corpus never shuffles.
+    */
+  def embeddingOutliers(emb: DataFrame, blockSize: Int = 1024,
+                        ratioThreshold: Double = 2.0): DataFrame = {
+    val cents = labelCentroids(emb, blockSize)
+    val xv = col("embedding").cast("array<double>")
+    val scored = emb.join(broadcast(cents), col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"),
+        sqrt(sqDistPrefix(xv, col("cv"))).as("dist"))
+    val blk = scored.withColumn("blk", expr(s"vec_id div $blockSize"))
+      .groupBy(col("label"), col("blk"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("dist")))),
+            t => t.getField("dist")),
+          lit(0.0), (a, v) => a + v).as("bs"),
+        count(lit(1)).as("bn"))
+    val means = blk.groupBy(col("label"))
+      .agg((aggregate(
+        transform(array_sort(collect_list(struct(col("blk"), col("bs")))),
+          t => t.getField("bs")),
+        lit(0.0), (a, v) => a + v) / sum(col("bn")).cast("double"))
+        .as("mean_dist"))
+    scored.join(broadcast(means), Seq("label"))
+      .select(col("vec_id"), col("label").cast("bigint").as("label"),
+        col("dist"), col("mean_dist"),
+        (col("dist") / col("mean_dist")).as("ratio"),
+        (col("dist") / col("mean_dist") >= ratioThreshold).as("is_outlier"))
+  }
+
+  /** q165: [[embeddingOutliers]] over the embeddings table. The twin
+    * re-derives centroids with the same two-level block fold (the
+    * q117/q120 CTEs), the same dim-order distance, the same blocked
+    * per-label mean, and the same literal ratio, so every double —
+    * and hence every flag — is bit-identical.
+    */
+  val q165: QueryDef = QueryDef.sql(
+    "q165_embedding_outliers",
+    """WITH d0 AS (
+      |  SELECT vec_id, label, embedding,
+      |    unnest(range(1, len(embedding) + 1)) AS i
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT vec_id, vec_id // 1024 AS blk, label, i - 1 AS dim,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM d0),
+      |ba AS (
+      |  SELECT label, dim, blk,
+      |    list_sum(list(x ORDER BY vec_id)) AS bs,
+      |    CAST(count(*) AS BIGINT) AS bn
+      |  FROM dims GROUP BY label, dim, blk),
+      |cent AS (
+      |  SELECT label, dim,
+      |    list_sum(list(bs ORDER BY blk)) / CAST(sum(bn) AS DOUBLE) AS c
+      |  FROM ba GROUP BY label, dim),
+      |cv AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv
+      |       FROM cent GROUP BY label),
+      |d AS (
+      |  SELECT e.vec_id, e.label,
+      |    sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> (CAST(e.embedding[i] AS DOUBLE) - cv.cv[i])
+      |         * (CAST(e.embedding[i] AS DOUBLE) - cv.cv[i])))) AS dist
+      |  FROM embeddings e JOIN cv ON e.label = cv.clabel),
+      |bb AS (
+      |  SELECT label, vec_id // 1024 AS blk,
+      |    list_sum(list(dist ORDER BY vec_id)) AS bs,
+      |    CAST(count(*) AS BIGINT) AS bn
+      |  FROM d GROUP BY label, blk),
+      |m AS (
+      |  SELECT label,
+      |    list_sum(list(bs ORDER BY blk)) / CAST(sum(bn) AS DOUBLE) AS mean_dist
+      |  FROM bb GROUP BY label)
+      |SELECT d.vec_id, CAST(d.label AS BIGINT) AS label, d.dist, m.mean_dist,
+      |  d.dist / m.mean_dist AS ratio,
+      |  (d.dist / m.mean_dist >= 2.0) AS is_outlier
+      |FROM d JOIN m USING (label)
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    embeddingOutliers(Tables.embeddings(s, dir)).orderBy(col("vec_id"))
   }
 }

@@ -79,7 +79,7 @@ object TextAnalytics {
 
   def all: Seq[QueryDef] =
     Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121, q126, q127,
-      q129, q142, q145, q147, q148, q158)
+      q129, q142, q145, q147, q148, q158, q167)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -1190,5 +1190,137 @@ object TextAnalytics {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("bigint"))
       .withColumn("cum_types", sum(col("new_types")).over(w).cast("bigint"))
       .orderBy(col("bucket"))
+  }
+
+  /** Max consecutive immediate repetitions of any L-token block within
+    * a token array: the largest r such that some block of L tokens
+    * appears r times back-to-back ("na na na na" -> rep_1 = 4;
+    * "ab ab ab" at L=2 -> 3). rep = 0 when the doc has < L tokens
+    * (or null text), 1 when it has >= L but never repeats.
+    *
+    * Row-local and zero-exchange: stride-L equality eq[i] = (block at
+    * i == block at i+L), with runs tracked per residue class mod L
+    * (classes cannot interact, so the max over classes is the doc max)
+    * -- executed by the codegen [[graft.functions.MaxRepeatRunExpr]]
+    * kernel in one O(L*nt) JIT'd pass (the q39 lesson applied up
+    * front; [[maxConsecRepInterpreted]] is the spec-pinned reference).
+    */
+  private def maxConsecRep(t: Column, nt: Column, L: Int): Column =
+    when(nt >= 2 * L,
+      lit(1) + graft.functions.functions.max_repeat_run(t, L))
+      .otherwise(when(nt >= L, lit(1)).otherwise(lit(0)))
+      .cast("bigint")
+
+  /** The interpreted reference for [[maxConsecRep]]'s codegen kernel
+    * (VectorOps.maxRepeatRun): ONE fold over positions 0..m carrying
+    * L per-residue run counters (stride-L chains cannot interact
+    * across residues mod L) plus the running best, slices compared
+    * directly. Kept test-visible so the spec can pin kernel ==
+    * reference on arbitrary token arrays. NOT used by q167: the
+    * lambda-eval constant costs ~4s over the sf0.1 corpus (and the
+    * nested-HOF variant that precomputes g/eq arrays is the q40
+    * recompute trap -- O(nt^3), measured-then-killed; see PLANS.md).
+    */
+  private[graft] def maxConsecRepInterpreted(t: Column, nt: Column, L: Int): Column = {
+    val m = nt - (2 * L)
+    val init = struct(
+      (0 until L).map(j => lit(0).as(s"run$j")) :+ lit(0).as("best"): _*)
+    val best =
+      aggregate(
+        sequence(lit(0), m),
+        init,
+        (acc, i) => {
+          val eqv = slice(t, i + 1, lit(L)) === slice(t, i + L + 1, lit(L))
+          val cls = pmod(i, lit(L))
+          def bumped(j: Int) =
+            when(eqv, acc.getField(s"run$j") + 1).otherwise(lit(0))
+          val newRuns = (0 until L).map { j =>
+            when(cls === j, bumped(j)).otherwise(acc.getField(s"run$j"))
+              .as(s"run$j")
+          }
+          val newBest = greatest(
+            acc.getField("best") +:
+              (0 until L).map(j => when(cls === j, bumped(j)).otherwise(lit(0))): _*)
+          struct(newRuns :+ newBest.as("best"): _*)
+        },
+        acc => acc.getField("best"))
+    when(nt >= 2 * L, lit(1) + best)
+      .otherwise(when(nt >= L, lit(1)).otherwise(lit(0)))
+      .cast("bigint")
+  }
+
+  /** Degenerate-repetition audit (q167): per document, the maximum
+    * immediate-repetition run of 1-, 2-, and 3-token blocks, plus a
+    * `looped` flag (rep_1 >= 5, or a phrase-level rep >= 3) — the
+    * standard loop detector for model-generated or scraper-mangled
+    * text ("the the the", "click here click here click here"), which
+    * per-window dedup (q113/q166) does NOT catch when the loop is
+    * shorter than the window and unique to one document. Pure narrow
+    * pass; junk null-text rows report NULL n_tokens and rep 0.
+    */
+  def repetitionLoops(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("nt", when(col("t").isNotNull, size(col("t"))))
+    d.select(col("doc_id"),
+      col("nt").cast("bigint").as("n_tokens"),
+      maxConsecRep(col("t"), col("nt"), 1).as("rep_l1"),
+      maxConsecRep(col("t"), col("nt"), 2).as("rep_l2"),
+      maxConsecRep(col("t"), col("nt"), 3).as("rep_l3"))
+      .withColumn("looped",
+        col("rep_l1") >= 5 || col("rep_l2") >= 3 || col("rep_l3") >= 3)
+  }
+
+  /** q167: [[repetitionLoops]] over the documents table. The twin
+    * re-derives each rep_L relationally: block strings per position,
+    * TRUE stride-L equality rows by self-join, then gaps-and-islands
+    * per (doc, i mod L) residue class — max island size == the fold's
+    * best run (both count maximal chains of consecutive stride-L
+    * equalities). Integer semantics throughout.
+    */
+  val q167: QueryDef = {
+    def repCtes(l: Int): String =
+      s"""gl$l AS (
+         |  SELECT doc_id, k AS i, array_to_string(t[k + 1 : k + $l], chr(1)) AS g
+         |  FROM (SELECT doc_id, t, unnest(range(0, nt - $l + 1)) AS k
+         |        FROM dd WHERE nt >= $l)),
+         |eq$l AS (
+         |  SELECT a.doc_id, a.i
+         |  FROM gl$l a JOIN gl$l b ON a.doc_id = b.doc_id AND b.i = a.i + $l
+         |  WHERE a.g = b.g),
+         |run$l AS (
+         |  SELECT doc_id, max(cnt) AS mx FROM (
+         |    SELECT doc_id, r, grp, count(*) AS cnt FROM (
+         |      SELECT doc_id, i % $l AS r,
+         |        (i // $l) - row_number()
+         |          OVER (PARTITION BY doc_id, i % $l ORDER BY i) AS grp
+         |      FROM eq$l)
+         |    GROUP BY doc_id, r, grp)
+         |  GROUP BY doc_id)""".stripMargin
+    def repSel(l: Int): String =
+      s"""CAST(CASE WHEN dd.nt >= ${2 * l} THEN 1 + COALESCE(run$l.mx, 0)
+         |    WHEN dd.nt >= $l THEN 1 ELSE 0 END AS BIGINT) AS rep_l$l""".stripMargin
+    QueryDef.sql(
+      "q167_repetition_loops",
+      s"""WITH d AS (
+         |  SELECT doc_id, $duckToks AS t FROM documents),
+         |dd AS (SELECT doc_id, t, len(t) AS nt FROM d),
+         |${repCtes(1)},
+         |${repCtes(2)},
+         |${repCtes(3)}
+         |SELECT doc_id, n_tokens, rep_l1, rep_l2, rep_l3,
+         |  (rep_l1 >= 5 OR rep_l2 >= 3 OR rep_l3 >= 3) AS looped
+         |FROM (
+         |  SELECT dd.doc_id,
+         |    CAST(dd.nt AS BIGINT) AS n_tokens,
+         |    ${repSel(1)},
+         |    ${repSel(2)},
+         |    ${repSel(3)}
+         |  FROM dd LEFT JOIN run1 USING (doc_id)
+         |          LEFT JOIN run2 USING (doc_id)
+         |          LEFT JOIN run3 USING (doc_id))
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      repetitionLoops(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    }
   }
 }

@@ -54,7 +54,13 @@ object ScaleCheck {
         // the cost).
         "q152_data_contract", "q154_boundary_stitch",
         "q158_calibration_audit", "q159_memorization_risk",
-        "q161_epoch_allocation", "q163_quality_drift")
+        "q161_epoch_allocation", "q163_quality_drift",
+        // q164 is deliberately absent (q153's reason: bounded
+        // vec_id < 200 slice — only replica 0 would serve it; the
+        // corpus-scale story is the lshKnn/ivfKnn swap, pinned in
+        // PLANS.md). q165-q167 scale on the full corpus:
+        "q165_embedding_outliers", "q166_dup_fraction",
+        "q167_repetition_loops")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()

@@ -587,4 +587,23 @@ class CurationOpsSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     assert(got == want)
   }
+
+  test("duplicateTextFraction: shared passage covers BOTH docs; unique doc at 0") {
+    import spark.implicits._
+    val passage = (1 to 8).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$passage u1 u2"),         // shared 8-gram at [0, 8) of 10
+      (2L, s"q1 q2 $passage"),         // same passage at [2, 10) of 10
+      (3L, "all fresh tokens here never repeated anywhere at all"),
+      (4L, null))                      // junk
+      .toDF("doc_id", "text")
+    val out = CurationOps.duplicateTextFraction(docs, n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((10L, 8L, 0.8)))
+    assert(out(2L) == ((10L, 8L, 0.8)),
+      "q166 marks ALL occurrences — the first copy too, unlike q113's keep-first")
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+    assert(out(4L) == ((-1L, 0L, 0.0)), "junk row: NULL n_tokens, zero coverage")
+  }
 }

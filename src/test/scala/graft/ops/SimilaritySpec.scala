@@ -165,4 +165,31 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(a == c)
   }
+
+  test("labelNoiseFromKnn flags a planted mislabel, clears clean members") {
+    // two tight clusters of 6; vector 11 sits in cluster A but wears
+    // label 1 — all 5 of its neighbors disagree
+    val a = (0L to 5L).map(i => (i, 0L, Seq(1.0 + 0.01 * i, 0.0)))
+    val b = (6L to 10L).map(i => (i, 1L, Seq(0.0, 1.0 + 0.01 * i)))
+    val e = (a ++ b :+ ((11L, 1L, Seq(1.0, 0.001))))
+      .toDF("vec_id", "label", "v")
+    val knn = Similarity.bruteForceKnn(
+      e.select(col("vec_id").as("qid"), col("v").as("qv")),
+      e.select(col("vec_id"), col("v")), k = 5)
+    val out = Similarity.labelNoiseFromKnn(knn, e.select(col("vec_id"), col("label")), k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(11L) == ((0L, true)), "planted mislabel must be suspect with 0 agreeing")
+    assert(out(0L)._2 == false)
+    assert(out(7L)._2 == false)
+  }
+
+  test("embeddingOutliers flags a planted far vector, clears the tight cluster") {
+    val tight = (0L to 7L).map(i => (i, 0L, Seq(1.0f + 0.01f * i, 0.0f)))
+    val e = (tight :+ ((8L, 0L, Seq(30.0f, 40.0f)))) // far outlier, same label
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.embeddingOutliers(e)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out(8L), "planted far vector must flag as outlier")
+    assert((0L to 7L).forall(!out(_)), "tight members must not flag")
+  }
 }

@@ -159,4 +159,49 @@ class TextAnalyticsSpec extends SparkSpec {
       .foldLeft(0.0) { case (a, r) => a + r._2.toDouble / n.toDouble * r._6 }
     assert(rows.forall(_._7 == ece), s"ECE fold mismatch: ${rows.head._7} vs $ece")
   }
+
+  test("repetitionLoops: token, bigram, trigram runs; junk rows rep 0") {
+    val docs = Seq(
+      (1L, "na na na na stop"),              // rep_1 = 4
+      (2L, "ab cd ab cd ab cd"),             // rep_2 = 3, rep_1 = 1
+      (3L, "x y z x y z x y z tail"),        // rep_3 = 3
+      (4L, "one two three four five six"),   // no loops
+      (5L, null),                            // junk
+      (6L, "w w w w w"))                     // rep_1 = 5 -> looped
+      .toDF("doc_id", "text")
+    val out = TextAnalytics.repetitionLoops(docs).orderBy(col("doc_id"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((4L, 2L, 1L, false)))
+    assert(out(2L) == ((1L, 3L, 1L, true)), "phrase loop at L=2 must flag")
+    assert(out(3L)._3 == 3L)
+    assert(out(3L)._4 == true)
+    assert(out(4L) == ((1L, 1L, 1L, false)))
+    assert(out(5L) == ((0L, 0L, 0L, false)), "junk row must report 0 reps")
+    assert(out(6L)._1 == 5L && out(6L)._4 == true)
+  }
+
+  test("max_repeat_run codegen kernel == interpreted fold reference on random arrays") {
+    import graft.functions.functions.max_repeat_run
+    val rnd = new scala.util.Random(42)
+    // small alphabet forces frequent accidental repeats at every L
+    val docs = (0 until 60).map { i =>
+      val n = rnd.nextInt(30)
+      (i.toLong, (0 until n).map(_ => "abc" (rnd.nextInt(3)).toString).mkString(" "))
+    }.toDF("doc_id", "text")
+    val t = TextAnalytics.toks(col("text"))
+    val withNt = docs.select(col("doc_id"), t.as("t"))
+      .withColumn("nt", when(col("t").isNotNull, size(col("t"))))
+    for (l <- 1 to 3) {
+      val kern = when(col("nt") >= 2 * l, lit(1) + max_repeat_run(col("t"), l))
+        .otherwise(when(col("nt") >= l, lit(1)).otherwise(lit(0))).cast("bigint")
+      val rows = withNt
+        .select(col("doc_id"), kern.as("k"),
+          TextAnalytics.maxConsecRepInterpreted(col("t"), col("nt"), l).as("r"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)} L=$l: kernel ${r.getLong(1)} != reference ${r.getLong(2)}"))
+    }
+  }
 }
