@@ -36,13 +36,18 @@ object InvertedIndex {
     * The reference requires doc ids in 1..N (AIOOBE otherwise,
     * :463-465); here the id domain is [firstId, firstId + n).
     */
-  def termDocMatrix(tokens: DataFrame, n: Int, firstId: Long = 0L): DataFrame =
+  def termDocMatrix(tokens: DataFrame, n: Int, firstId: Long = 0L): DataFrame = {
+    // same contract as termDocMatrixFast's require: n = 0 would make
+    // the two-arg sequence(firstId, firstId - 1) silently DESCEND,
+    // emitting width-2 garbage vectors instead of an error
+    require(n >= 1, s"termDocMatrix needs n >= 1, got $n")
     postings(tokens).select(
       col("term"),
       transform(
         sequence(lit(firstId), lit(firstId + n - 1)),
         d => when(array_contains(col("doc_ids"), d), 1).otherwise(0)
       ).as("vec"))
+  }
 
   /** Perf path for the dense matrix: one TypedImperativeAggregate with
     * a BitSet buffer ([[graft.functions.PresenceVectorAgg]]) — no
@@ -110,10 +115,16 @@ object InvertedIndex {
     */
   def mergePostings(existing: DataFrame, deltaTokens: DataFrame): DataFrame = {
     val delta = postings(deltaTokens)
-    existing.toDF("term", "old_ids")
-      .join(delta.toDF("term", "new_ids"), Seq("term"), "full_outer")
+    val ex = existing.toDF("term", "old_ids")
+    val dl = delta.toDF("dterm", "new_ids")
+    // NULL-SAFE join on term: a junk-token posting group (term NULL)
+    // exists on both sides under groupBy's null-group semantics, and a
+    // null-unsafe equi-join would never match them — the merge would
+    // emit TWO term=NULL rows where the spec'd-equivalent rebuild
+    // emits one (silent duplicate-key index corruption)
+    ex.join(dl, ex("term") <=> dl("dterm"), "full_outer")
       .select(
-        col("term"),
+        coalesce(ex("term"), dl("dterm")).as("term"),
         // type-agnostic null handling (doc ids may be int or bigint):
         // a term missing from one side keeps the other side's postings
         when(col("old_ids").isNull, col("new_ids"))

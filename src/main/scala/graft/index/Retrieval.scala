@@ -94,18 +94,20 @@ object Retrieval {
                          k: Int, k1: Double = 1.2,
                          b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // doc length as a window over the tf table: dl = sum of the doc's
-    // term frequencies — no second pass over the token stream, and the
-    // window rides a doc_id exchange the size of the POSTING table
-    val wd = Window.partitionBy(col("doc_id"))
-    val tfdl = tf.withColumn("dl", sum(col("tf")).over(wd))
+    // doc lengths computed ONCE: dl = per-doc sum of term frequencies
+    // (a posting-table-sized aggregate), reused for BOTH the per-doc
+    // normalization (joined back on doc_id) and avgdl (a scalar
+    // second-stage agg over the doc-count-sized frame). The previous
+    // shape paid a corpus-wide window SORT for dl plus a separate
+    // duplicate aggregation pass for avgdl on every search.
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val tfdl = tf.join(dl, "doc_id")
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("idf",
         round(log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
           (col("df") + lit(0.5)) + lit(1.0)), 9))
-    val avgdl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl0"))
-      .agg((sum(col("dl0")).cast("double") /
-        count(lit(1)).cast("double")).as("avgdl"))
+    val avgdl = dl.agg((sum(col("dl")).cast("double") /
+      count(lit(1)).cast("double")).as("avgdl"))
     // scalar constants folded driver-side: ONE double each, so the
     // twin can embed the same literal value (k1+1 and 1-b are single
     // correctly-rounded ops — reproducible from the same inputs)

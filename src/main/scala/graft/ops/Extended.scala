@@ -19,6 +19,26 @@ object Extended {
   // exact money arithmetic — single shared definition point, see Exact
   import Exact.{dec, money}
 
+  /** The single definition of time bucketing shared by the cohort /
+    * anomaly kernels (q119-adjacent q122/q123, retention) AND their
+    * DuckDB twins: epoch anchor (2024-01-01 UTC, microseconds) and the
+    * day/week widths. A re-anchor or re-bucket edit to one kernel
+    * without its siblings would silently break the documented
+    * batch-vs-prequential relationship — both the Spark expression and
+    * the twin SQL fragment interpolate these constants.
+    */
+  private val EpochAnchorMicros = 1704067200000000L
+  private val DayMicros = 86400000000L
+  private val WeekMicros = 604800000000L
+  private def dayBucket: Column =
+    expr(s"(unix_micros(ts) - ${EpochAnchorMicros}L) div ${DayMicros}L")
+  private def weekBucket: Column =
+    expr(s"(unix_micros(ts) - ${EpochAnchorMicros}L) div ${WeekMicros}L")
+  private def duckDayBucket: String =
+    s"(epoch_us(ts) - $EpochAnchorMicros) // $DayMicros"
+  private def duckWeekBucket: String =
+    s"(epoch_us(ts) - $EpochAnchorMicros) // $WeekMicros"
+
   def all: Seq[QueryDef] = Seq(
     q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q101, q111, q118, q119, q122,
@@ -89,8 +109,9 @@ object Extended {
   val q65: QueryDef = QueryDef.sql(
     "q65_url_parse",
     """WITH logs AS (
-      |  SELECT concat('https://www.site', user_id % 8, '.example.com/',
-      |                event_type, '/p', event_id % 50, '.html?uid=', user_id) AS url,
+      |  SELECT 'https://www.site' || ((user_id % 8) + 8) % 8 || '.example.com/'
+      |           || event_type || '/p' || ((event_id % 50) + 50) % 50
+      |           || '.html?uid=' || user_id AS url,
       |         user_id
       |  FROM events)
       |SELECT
@@ -101,6 +122,10 @@ object Extended {
       |FROM logs
       |GROUP BY host, path
       |ORDER BY host, path""".stripMargin) { (s, dir) =>
+    // twin parity on junk rows: the twin uses || (NULL-propagating,
+    // like Spark's concat — DuckDB's concat() SKIPS nulls and would
+    // build a phantom URL from a null-id row) and the ((x%n)+n)%n
+    // form of pmod (DuckDB % takes the dividend's sign)
     Tables.events(s, dir)
       .select(
         concat(lit("https://www.site"), pmod(col("user_id"), lit(8)),
@@ -180,7 +205,11 @@ object Extended {
       |SELECT source, doc_id, hkey, rn
       |FROM r WHERE rn <= 20
       |ORDER BY source, rn""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
+    // NULL keys (junk rows) order LAST, matching DuckDB's default —
+    // Spark's ASC-nulls-first would hand a junk doc rank 1, displacing
+    // a real doc from every stratum's sample
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("hkey").asc_nulls_last, col("doc_id").asc_nulls_last)
     Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
         Sampling.hkey(col("doc_id")).as("hkey"))
@@ -447,7 +476,8 @@ object Extended {
       |FROM events
       |WHERE user_id < 40
       |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
       .filter(col("user_id") < 40)
@@ -709,7 +739,11 @@ object Extended {
       |GROUP BY k_mod
       |ORDER BY k_mod""".stripMargin) { (s, dir) =>
     Tables.events(s, dir)
-      .select(try_variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+      // try_parse_json, not parse_json: strict parsing crashes the
+      // whole job on ONE malformed props row, where the twin's
+      // regex+TRY_CAST and q124's codified PERMISSIVE contract for
+      // this very column both degrade row-local (k = NULL)
+      .select(try_variant_get(try_parse_json(col("props")), "$.k", "bigint").as("k"))
       .groupBy((col("k") % 7).as("k_mod"))
       .agg(count(lit(1)).as("n"),
         min(col("k")).as("k_min"), max(col("k")).as("k_max"))
@@ -781,8 +815,10 @@ object Extended {
       |FROM marked
       |WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 5 MINUTE
       |ORDER BY user_id, event_type, event_id""".stripMargin) { (s, dir) =>
+    // nulls-last on ts: Spark's default (nulls FIRST) would disagree
+    // with the twin on which event is "previous" around a junk row
     val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
     Tables.events(s, dir)
       .repartitionByRange(col("user_id"), col("event_type"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
@@ -893,9 +929,9 @@ object Extended {
     */
   val q119: QueryDef = QueryDef.sql(
     "q119_retention_cohorts",
-    """WITH wkt AS (
+    s"""WITH wkt AS (
       |  SELECT user_id,
-      |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk
+      |    ${duckWeekBucket} AS wk
       |  FROM events),
       |ch AS (
       |  SELECT user_id, wk,
@@ -913,7 +949,7 @@ object Extended {
     val w = Window.partitionBy(col("user_id"))
     events
       .select(col("user_id"),
-        expr("(unix_micros(ts) - 1704067200000000L) div 604800000000L").as("wk"))
+        weekBucket.as("wk"))
       .withColumn("cohort_week", min(col("wk")).over(w))
       .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
       .agg(countDistinct(col("user_id")).as("active_users"))
@@ -939,9 +975,9 @@ object Extended {
     */
   val q122: QueryDef = QueryDef.sql(
     "q122_event_rate_anomalies",
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT user_id,
-      |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
+      |    ${duckDayBucket} AS day,
       |    CAST(count(*) AS BIGINT) AS cnt
       |  FROM events GROUP BY user_id, day),
       |s AS (
@@ -970,7 +1006,7 @@ object Extended {
                     sigma: Double): org.apache.spark.sql.DataFrame = {
     val d = events
       .groupBy(col("user_id"),
-        expr("(unix_micros(ts) - 1704067200000000L) div 86400000000L").as("day"))
+        dayBucket.as("day"))
       .agg(count(lit(1)).as("cnt"))
     val st = d.groupBy(col("user_id"))
       .agg(count(lit(1)).as("nd"), sum(col("cnt")).as("sx"),
@@ -997,9 +1033,9 @@ object Extended {
     */
   val q123: QueryDef = QueryDef.sql(
     "q123_prequential_anomalies",
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT user_id,
-      |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
+      |    ${duckDayBucket} AS day,
       |    CAST(count(*) AS BIGINT) AS cnt
       |  FROM events GROUP BY user_id, day),
       |c AS (
@@ -1032,7 +1068,7 @@ object Extended {
                            sigma: Double): org.apache.spark.sql.DataFrame = {
     val d = events
       .groupBy(col("user_id"),
-        expr("(unix_micros(ts) - 1704067200000000L) div 86400000000L").as("day"))
+        dayBucket.as("day"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1227,7 +1263,7 @@ object Extended {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, sid""".stripMargin) { (s, dir) =>
     val byTime = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
     val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))

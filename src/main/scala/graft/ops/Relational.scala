@@ -474,7 +474,9 @@ object Relational {
       |FROM events
       |WHERE user_id <= 10
       |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // nulls-last: match DuckDB's default null placement on junk rows
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
     Tables.events(s, dir)
       .filter(col("user_id") <= 10)
       .select(col("user_id"), col("event_id"), col("value"),
@@ -515,7 +517,8 @@ object Relational {
       |WHERE o_custkey <= 100
       |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
     val part = Window.partitionBy(col("o_custkey"))
-    val seq = part.orderBy(col("o_orderdate"), col("o_orderkey"))
+    val seq = part.orderBy(col("o_orderdate").asc_nulls_last,
+      col("o_orderkey").asc_nulls_last)
     Tables.orders(s, dir)
       .filter(col("o_custkey") <= 100)
       .select(col("o_custkey"), col("o_orderkey"),

@@ -176,6 +176,67 @@ class JunkRowOpsSpec extends SparkSpec {
     assert(centers.length == 2 && centers.forall(_.forall(d => !d.isNaN)))
   }
 
+  test("variant extraction is permissive: one malformed JSON row degrades to NULL, not a job crash") {
+    // the q84 body's expression shape — strict parse_json here throws
+    // MALFORMED_RECORD mid-stage on the truncated row
+    val rows = Seq("""{"k": 5}""", """{"k": 5""", null)
+      .toDF("props")
+      .select(try_variant_get(try_parse_json(col("props")), "$.k", "bigint").as("k"))
+      .collect()
+    assert(rows(0).getLong(0) == 5L)
+    assert(rows(1).isNullAt(0), "truncated JSON must yield NULL, not crash")
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("mergePostings merges null-term groups (null-safe join), matching a rebuild") {
+    val existingTokens = Seq((1L, Some("alpha")), (1L, None)).toDF("doc_id", "term")
+      .select(col("term"), col("doc_id"))
+      .select(col("doc_id"), col("term"))
+    val deltaTokens = Seq((2L, Some("beta")), (2L, None)).toDF("doc_id", "term")
+    val existing = graft.index.InvertedIndex.postings(existingTokens)
+    val merged = graft.index.InvertedIndex.mergePostings(existing, deltaTokens)
+      .collect()
+      .map(r => Option(r.getString(0)) -> r.getSeq[Long](1).toList).toMap
+    val rebuilt = graft.index.InvertedIndex.postings(
+      existingTokens.unionByName(deltaTokens))
+      .collect()
+      .map(r => Option(r.getString(0)) -> r.getSeq[Long](1).toList).toMap
+    assert(merged == rebuilt, s"merge != rebuild: $merged vs $rebuilt")
+    assert(merged(None) == List(1L, 2L),
+      "null-term groups must merge to ONE row (null-unsafe join emitted two)")
+  }
+
+  test("termDocMatrix rejects n = 0 instead of emitting descending-sequence garbage") {
+    val tokens = Seq((0L, "a")).toDF("doc_id", "term")
+    val e = intercept[IllegalArgumentException] {
+      graft.index.InvertedIndex.termDocMatrix(tokens, n = 0)
+    }
+    assert(e.getMessage.contains("n >= 1"))
+  }
+
+  test("searchBm25 pays exactly one window (the top-k rank) — doc lengths come from an aggregate") {
+    val tokens = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "a"), (3L, "c"))
+      .toDF("doc_id", "term")
+    val queries = Seq((10L, "a"), (10L, "b")).toDF("qid", "term")
+    val out = graft.index.Retrieval.searchBm25(tokens, queries, nDocs = 3L, k = 2)
+    assert(out.collect().length == 2)
+    // walk through AQE wrappers so the finalized plan is inspected
+    val nodes = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.execution.SparkPlan]()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      nodes += p
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case _ => p.children.foreach(walk)
+      }
+    }
+    walk(out.queryExecution.executedPlan)
+    val nWindows = nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(nWindows == 1,
+      "dl must come from the shared aggregate, not a second corpus-wide window sort")
+  }
+
   test("dedupByEmbedding plan has no top-k window (threshold path skips the rank sort)") {
     val e = Seq(
       (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
