@@ -44,7 +44,12 @@ object Cdc {
     // delta data — pick the first _graft_rn[_i] the delta doesn't have
     val rn = (Iterator("_graft_rn") ++ Iterator.from(1).map(i => s"_graft_rn_$i"))
       .find(n => !delta.columns.contains(n)).get
+    // junk change rows degrade row-local, never mutate state: a NULL
+    // op would otherwise fail BOTH op tests — dropped from upserts yet
+    // still anti-joined out of the snapshot, silently DELETING its key
+    // — and a NULL key row would flow through as a phantom snapshot row
     val resolved = delta
+      .filter(col(opCol).isNotNull && col(key).isNotNull)
       .withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1)
     val upserts = resolved.filter(col(opCol) =!= "D").select(cols.map(col): _*)

@@ -296,6 +296,9 @@ object CorpusDrift {
       try index.stat.bloomFilter("sh", math.max(expectedItems, 1L), fpp)
       catch { case _: NullPointerException => null }
     if (bloom == null) return noveltyAgainstIndex(index, batchDocs, n)
+    // checkpoint: BOTH branches below consume this frame, and uncached
+    // each would re-run the scan + regex shingle + hash kernel — the
+    // operator's dominant CPU cost, paid twice (the q153/q160 lesson)
     val rows = batchDocs
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("text"), n))).as("s"))
@@ -303,6 +306,7 @@ object CorpusDrift {
       .withColumn("__hit",
         coalesce(graft.functions.functions.bloom_might_contain(col("sh"), bloom),
           lit(false)))
+      .localCheckpoint(false)
     val miss = rows.filter(!col("__hit"))
       .withColumn("batch_first", min(col("doc_id")).over(w))
       .select(col("doc_id"),
@@ -464,7 +468,8 @@ object CorpusDrift {
   val q151: QueryDef = QueryDef.sql(
     "q151_source_length_drift",
     s"""WITH b AS (
-       |  SELECT source, n_chars // 200 AS bucket FROM documents),
+       |  SELECT source, n_chars // 200 AS bucket FROM documents
+       |  WHERE n_chars >= 0),
        |cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bucket),
        |sb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS o
        |       FROM b GROUP BY source, bucket),
@@ -498,8 +503,22 @@ object CorpusDrift {
     */
   def sourceLengthDrift(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    chiSquareByBucket(docs
-      .select(col("source"), expr("n_chars div 200").as("bucket")))
+    chiSquareByBucket(lengthBucketed(docs).select(col("source"), col("bucket")))
+
+  /** q151's 200-char length bucket + its junk guard — THE single
+    * definition shared by the batch kernel and DriftStream.histogram
+    * (the twin repeats the same WHERE + `//`). The guard excludes junk
+    * rows (NULL or negative n_chars): Spark `div` truncates negatives
+    * toward zero where DuckDB `//` floors (-1 div 200 = 0 vs -1), and
+    * a NULL bucket would fold nulls-FIRST in sort_array but nulls-LAST
+    * in the twin's ORDER BY — either way the chi² doubles diverge, so
+    * junk must never reach the spine (on either engine: identical
+    * exclusion both sides).
+    */
+  private[graft] def lengthBucketed(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.where(col("n_chars") >= 0)
+      .withColumn("bucket", expr("n_chars div 200"))
 
   /** The q151 chi² spine over ANY (source, bucket) frame — THE single
     * definition of the term formula, the broadcast S×B spine (zero-

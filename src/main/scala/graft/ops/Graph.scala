@@ -28,18 +28,28 @@ object Graph {
   val RankScale = 1000000000000L
   val Teleport = 150000000000L
 
+  /** Supplier node-id offset into the shared id space. 10^9, not the
+    * former 10^7: TPC-H custkey runs to 150,000·SF, so a 10^7 offset
+    * collides customer and supplier NODES at SF >= 67 — silently
+    * merging two real nodes' degree and rank mass, and the twin
+    * (hardcoding the same literal) would reproduce rather than detect
+    * it. 10^9 holds to SF ~6,666 (≈ petabyte-scale TPC-H), past the
+    * design envelope. Single definition, interpolated into the twin.
+    */
+  val SupplierOffset = 1000000000L
+
   /** Undirected customer-supplier trade graph: an edge per distinct
     * (customer, supplier) pair that traded (orders x lineitem),
     * materialized in both directions so every node has out-degree >= 1
-    * (no dangling-mass bookkeeping). Suppliers live at id+10^7 to keep
-    * one id space.
+    * (no dangling-mass bookkeeping). Suppliers live at
+    * id+[[SupplierOffset]] to keep one id space.
     */
   def tradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"),
-        (col("l_suppkey") + lit(10000000L)).as("supp"))
+        (col("l_suppkey") + lit(SupplierOffset)).as("supp"))
       .distinct()
     pairs.select(col("cust").as("src"), col("supp").as("dst"))
       .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
@@ -159,7 +169,7 @@ object Graph {
     QueryDef.sql(
       "q131_pagerank",
       s"""WITH pairs AS (
-         |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 10000000 AS supp
+         |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + $SupplierOffset AS supp
          |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
          |edges AS (
          |  SELECT cust AS src, supp AS dst FROM pairs

@@ -163,9 +163,16 @@ object Multimodal {
     * exchange added. The gate reads driver-side plan metadata only
     * (see [[estimatedScanTasks]]).
     */
-  private def spread(spark: SparkSession, media: DataFrame): DataFrame =
-    if (estimatedScanTasks(spark, media) >= spark.sparkContext.defaultParallelism) media
-    else media.repartition(spark.sparkContext.defaultParallelism)
+  private def spread(spark: SparkSession, media: DataFrame): DataFrame = {
+    // junk media rows degrade row-local at the shared entry: a NULL
+    // payload would NPE the typed kernels (media.length, decode) and a
+    // NULL doc_id fails the non-nullable MediaRow encoder — either
+    // would kill the whole scan on one bad row (a failed download is
+    // routine at pipeline scale)
+    val clean = media.filter(col("doc_id").isNotNull && col("media").isNotNull)
+    if (estimatedScanTasks(spark, clean) >= spark.sparkContext.defaultParallelism) clean
+    else clean.repartition(spark.sparkContext.defaultParallelism)
+  }
 
   /** Batched feature extraction: one decoder per partition, iterator in
     * / iterator out (never materializes the partition), preserving

@@ -28,7 +28,9 @@ object NonOracle {
     q160)
 
   // the shared twin cosine fragments (single definition: TwinSql)
-  private def cosSql(a: String, b: String): String = TwinSql.cos(a, b)
+  // every twin in this file SCORES vectors, so only the zero-norm
+  // guarded form is aliased (an unguarded alias here once invited a
+  // divide-by-zero pick-up by mistake)
   private def cosSqlZ(a: String, b: String): String = TwinSql.cosZ(a, b)
 
   /** Production MinHash-LSH near-dup candidates (xxhash64 path).

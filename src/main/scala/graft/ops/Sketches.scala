@@ -36,9 +36,13 @@ object Sketches {
   def mergeSketchStates(state: DataFrame, delta: DataFrame,
                         keyCol: String): DataFrame = {
     val a = state.toDF(keyCol, "sk_a")
-    val b = delta.toDF(keyCol, "sk_b")
-    a.join(b, Seq(keyCol), "full_outer")
-      .select(col(keyCol),
+    val b = delta.toDF("_mk_b", "sk_b")
+    // NULL-SAFE key join: a junk-row sketch group (key NULL) exists on
+    // both sides under groupBy's null-group semantics, and a
+    // null-unsafe join would emit TWO null-key rows each covering half
+    // the data — the mergePostings defect, same fix
+    a.join(b, col(keyCol) <=> col("_mk_b"), "full_outer")
+      .select(coalesce(col(keyCol), col("_mk_b")).as(keyCol),
         when(col("sk_a").isNull, col("sk_b"))
           .when(col("sk_b").isNull, col("sk_a"))
           .otherwise(hll_union(col("sk_a"), col("sk_b"))).as("sketch"))

@@ -69,9 +69,29 @@ object Corpus {
 
   /** Corpus file count (reference S3: ContentSummary.getFileCount at
     * :627-631, drives presence-vector width). Driver-side scalar.
+    *
+    * Counts FILES via a filesystem listing (the reference's own
+    * metadata-op shape), not distinct doc_ids from data rows: a
+    * zero-byte doc yields no rows under EITHER datasource (text emits
+    * no lines; binaryFile's file index skips empty files), and an
+    * id-derived count would undershoot the presence-vector width —
+    * ids at/after the gap would then be silently ignored by
+    * PresenceVectorAgg, corrupting the index. (Deliberate divergence
+    * from raw getFileCount: only files matching the anchored doc-id
+    * pattern count, consistent with what the ingest actually reads.)
     */
-  def fileCount(spark: SparkSession, dir: String): Int =
-    readLines(spark, dir).select(col("doc_id")).distinct().count().toInt
+  def fileCount(spark: SparkSession, dir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val namePat = java.util.regex.Pattern.compile("^\\d{1,9}\\.[^/.]*$")
+    val it = fs.listFiles(path, true)
+    var n = 0
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && namePat.matcher(st.getPath.getName).matches()) n += 1
+    }
+    n
+  }
 
   /** Stopword side-input (reference S5: DistributedCache file,
     * whitespace-tokenized, :372-385,423-435). Small by contract ->

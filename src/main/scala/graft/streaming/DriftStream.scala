@@ -174,9 +174,14 @@ object DriftStream {
     org.apache.spark.sql.types.StructField("batch_id",
       org.apache.spark.sql.types.LongType)))
 
-  /** q151's 200-char bucketing of an (n_chars) frame to (bucket, c). */
+  /** q151's 200-char bucketing of an (n_chars) frame to (bucket, c) —
+    * the batch kernel's single-definition bucket + junk guard
+    * ([[graft.ops.CorpusDrift.lengthBucketed]]), so stream == batch
+    * parity survives junk rows too.
+    */
   private[streaming] def histogram(docs: DataFrame): DataFrame =
-    docs.select(expr("n_chars div 200").as("bucket"))
+    graft.ops.CorpusDrift.lengthBucketed(docs)
+      .select(col("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).cast("bigint").as("c"))
 
   /** q163's quality-score-decile bucketing of a (text) frame to

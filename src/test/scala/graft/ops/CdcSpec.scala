@@ -23,6 +23,21 @@ class CdcSpec extends SparkSpec {
     assert(out == Seq((1L, "one", 10L), (2L, "TWO", 21L), (4L, "four", 40L)))
   }
 
+  test("junk change rows (NULL op / NULL key) are dropped, never mutate state") {
+    val delta = Seq[(java.lang.Long, String, java.lang.Long, String, Long)](
+      (5L, "junk-op", 50L, null, 1L),   // NULL op: used to DELETE key 5
+      (null, "junk-key", 60L, "I", 1L)) // NULL key: used to insert a phantom row
+      .toDF("id", "text", "n", "op", "seq")
+      .select(col("id").cast("long").as("id"), col("text"),
+        col("n").cast("long").as("n"), col("op"), col("seq"))
+    val snap5 = snap.unionByName(Seq((5L, "five", 50L)).toDF("id", "text", "n"))
+    val out = Cdc.applyCdc(snap5, delta, "id", "op", Some("seq"))
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    // snapshot unchanged: key 5 retained, no null-key phantom
+    assert(out == Seq((1L, "one", 10L), (2L, "two", 20L),
+      (3L, "three", 30L), (5L, "five", 50L)))
+  }
+
   test("latest sequence wins per key; delete beats upsert on a tie") {
     val delta = Seq[(Long, String, java.lang.Long, String, Long)](
       (1L, "old", 11L, "U", 1L),

@@ -311,4 +311,21 @@ class CorpusDriftSpec extends SparkSpec {
     // identical-quality sources score identically (same decile rows)
     assert(got("srcA")._4 == got("srcB")._4)
   }
+
+  test("q151 length buckets exclude junk n_chars (negative/NULL) on both engines' semantics") {
+    import spark.implicits._
+    val docs = Seq[(String, java.lang.Long)](
+      ("a", 100L), ("a", 300L), ("b", 100L), ("b", 300L),
+      ("a", -1L),   // Spark div -> bucket 0, DuckDB // -> bucket -1: must be excluded
+      ("b", null))  // NULL bucket folds nulls-first vs nulls-last: must be excluded
+      .toDF("source", "n_chars")
+      .select(col("source"), col("n_chars").cast("long").as("n_chars"))
+    val clean = docs.filter(col("n_chars").isNotNull && col("n_chars") >= 0)
+    val a = CorpusDrift.sourceLengthDrift(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val b = CorpusDrift.sourceLengthDrift(clean)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(a == b, "junk rows must not reach the chi-square spine")
+    assert(a("a")._1 == 2L && a("b")._1 == 2L)
+  }
 }

@@ -56,8 +56,8 @@ class GraphSpec extends SparkSpec {
     val o = Tables.orders(spark, sfDir)
     val l = Tables.lineitem(spark, sfDir)
     val e = Graph.tradeEdges(o, l).cache()
-    val fwd = e.filter(col("src") < 10000000L)
-    val bwd = e.filter(col("src") >= 10000000L)
+    val fwd = e.filter(col("src") < Graph.SupplierOffset)
+    val bwd = e.filter(col("src") >= Graph.SupplierOffset)
     assert(fwd.count() == bwd.count())
     assert(e.count() == e.distinct().count())
     // every forward edge has its mirror

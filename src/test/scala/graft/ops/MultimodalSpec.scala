@@ -63,6 +63,17 @@ class MultimodalSpec extends SparkSpec {
     assert(f.forall(x => x.n_bytes == 32))
   }
 
+  test("junk media rows (NULL payload / NULL doc_id) drop row-local, never NPE the scan") {
+    val junk = Seq[(java.lang.Long, String, Array[Byte])](
+      (1L, "image/stub", Array[Byte](1, 2, 3, 4)),
+      (2L, "image/stub", null),
+      (null, "image/stub", Array[Byte](9, 9)))
+      .toDF("doc_id", "mime", "media")
+    assert(Multimodal.embedStub(spark, junk).collect().map(_.doc_id).toSeq == Seq(1L))
+    assert(Multimodal.extractFeatures(spark, junk).collect().map(_.doc_id).toSeq == Seq(1L))
+    assert(Multimodal.resize(spark, junk).collect().map(_.doc_id).toSeq == Seq(1L))
+  }
+
   test("sampleFrames: stride sampling with per-frame byte-slice payload") {
     val frames = Multimodal.sampleFrames(Multimodal.attachMedia(docs), nFrames = 8, stride = 2)
       .filter($"doc_id" === 0L).select("frame_idx", "frame")

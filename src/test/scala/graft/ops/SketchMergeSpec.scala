@@ -28,6 +28,24 @@ class SketchMergeSpec extends SparkSpec {
     assert(merged.nonEmpty)
   }
 
+  test("null-key sketch groups merge to ONE row (null-safe join), matching a rebuild") {
+    val base = Seq((Some("a"), "t1"), (None, "t1"), (None, "t2"))
+      .toDF("k", "term")
+    val delta = Seq((Some("a"), "t3"), (None, "t3"), (None, "t4"))
+      .toDF("k", "term")
+    val merged = Sketches.estimates(
+      Sketches.mergeSketchStates(
+        Sketches.distinctSketch(base, "k", "term"),
+        Sketches.distinctSketch(delta, "k", "term"), "k"), "k")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1))
+    assert(merged.count(_._1.isEmpty) == 1,
+      "null-key groups must merge to one row, not two half-covering rows")
+    val full = Sketches.estimates(
+      Sketches.distinctSketch(base.unionByName(delta), "k", "term"), "k")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(merged.toMap == full)
+  }
+
   test("keys present in only one state pass through the merge") {
     val hist = Sketches.distinctSketch(
       Seq(("a", "x"), ("a", "y")).toDF("k", "v"), "k", "v")

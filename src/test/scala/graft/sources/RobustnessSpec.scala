@@ -51,6 +51,18 @@ class RobustnessSpec extends SparkSpec {
     assert(c == Map(0 -> Seq(1.0, 0.0), 2 -> Seq(0.0, 1.0))) // id 1 gap, no shift
   }
 
+  test("fileCount counts zero-byte doc files (presence-vector width must cover every id)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-count")
+    java.nio.file.Files.write(dir.resolve("1.txt"), "alpha".getBytes)
+    java.nio.file.Files.write(dir.resolve("2.txt"), Array.emptyByteArray) // empty doc
+    java.nio.file.Files.write(dir.resolve("3.txt"), "beta".getBytes)
+    java.nio.file.Files.write(dir.resolve("README"), "not a doc".getBytes)
+    // line-derived distinct-id counting returned 2 here: the empty doc
+    // yields no line rows, and the undershot width made every id at or
+    // after the gap silently vanish from the presence vectors
+    assert(Corpus.fileCount(spark, dir.toString) == 3)
+  }
+
   test("corpus scan skips non-numeric filenames instead of failing the job") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mixed")
     java.nio.file.Files.write(dir.resolve("1.txt"), "alpha beta".getBytes)
