@@ -49,13 +49,19 @@ object Bench {
     // iterating on one query (the driver never sets this); one parse
     // shared by warmup and the timed pass so they can't diverge
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // key-collision check BEFORE any work: this is knowable from the
+    // registry alone, and failing it after the multi-minute warmup +
+    // timed run would discard the whole bench (no metric line printed,
+    // driver records parsed=null)
+    require(selected.map(p => p._1.takeWhile(_ != '_')).toSet.size == selected.size,
+      "qNN bench-key prefixes collide; JSON would drop a timing")
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { wdir =>
-      SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-        .foreach { case (_, fn) =>
-          try fn(spark, wdir).queryExecution.toRdd.count()
-          catch { case _: Throwable => () }
-        }
+      selected.foreach { case (_, fn) =>
+        try fn(spark, wdir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
     }
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     // Per-query isolation: a ~100-query single-JVM run accumulates
@@ -79,8 +85,7 @@ object Bench {
     // tail regression stays visible instead of being median'd away.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results: Seq[(String, Seq[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      selected
         .map { case (name, fn) =>
         val ts = (1 to reps).map { _ =>
           isolate()
@@ -99,7 +104,12 @@ object Bench {
         name -> ts
       }
     def median(ts: Seq[Double]): Double = ts.sorted.apply((ts.size - 1) / 2)
-    val medians = results.map { case (n, ts) => n -> median(ts) }.toMap
+    // a FAILED query's reps measure time-to-error (often ~50ms) — summing
+    // them would silently DEFLATE the headline total while the run looks
+    // faster; failed queries are excluded from the totals and the
+    // per-query dict, and reported only through "errors"
+    val ok = results.filterNot { case (n, _) => failed.contains(n) }
+    val medians = ok.map { case (n, ts) => n -> median(ts) }.toMap
     results.foreach { case (n, ts) =>
       System.err.println(s"[bench] $n reps=" +
         ts.map(t => f"$t%.2f").mkString(","))
@@ -121,8 +131,6 @@ object Bench {
       else s
     }
     def short(name: String): String = name.takeWhile(_ != '_')
-    require(medians.keys.map(short).toSet.size == medians.size,
-      "qNN bench-key prefixes collide; JSON would drop a timing")
     val qs = medians.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + short(k) + "\":" + fmtq(v) }
       .mkString("{", ",", "}")
@@ -130,7 +138,7 @@ object Bench {
     // sum of per-query WORST reps: total stays the robust number, but
     // a tail regression (one query 5x slower on every rep) still moves
     // max; per-query rep detail is on stderr above.
-    val maxTotal = results.map { case (_, ts) => ts.max }.sum
+    val maxTotal = ok.map { case (_, ts) => ts.max }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")

@@ -37,8 +37,16 @@ object Verify {
     }
     // two-stage-oracle artifacts: Spark-computed frames whose
     // downstream logic IS SQL-expressible (oracle SQL reads them via
-    // the __GRAFT_OUT__ substitution below) — see ops.AuxArtifacts
-    graft.ops.AuxArtifacts.all.foreach { case (name, fn) =>
+    // the __GRAFT_OUT__ substitution below) — see ops.AuxArtifacts.
+    // Under a dev `only` filter, dump just the artifacts some WANTED
+    // query's oracle actually reads (or that were named directly) —
+    // iterating on one relational query must not pay the PQ/Lloyd/
+    // sketch builds every cycle. Driver runs (no filter) dump all.
+    val wantedSqls = SparkEntry.oracleSql.filter(kv => wanted(kv._1)).values.toSeq
+    def auxNeeded(name: String): Boolean =
+      only.isEmpty || wanted(name) ||
+        wantedSqls.exists(_.contains("__GRAFT_OUT__/" + name))
+    graft.ops.AuxArtifacts.all.filter(kv => auxNeeded(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

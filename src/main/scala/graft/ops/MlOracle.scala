@@ -41,7 +41,7 @@ object MlOracle {
       |  FROM e, c),
       |d AS (
       |  SELECT id, center_id,
-      |    CASE WHEN na = 0 OR nb = 0 THEN 1.0
+      |    CASE WHEN COALESCE(na, 0) = 0 OR COALESCE(nb, 0) = 0 THEN 1.0
       |         ELSE 1.0 - dot / (sqrt(na) * sqrt(nb)) END AS dist
       |  FROM s),
       |r AS (

@@ -326,7 +326,7 @@ object NonOracle {
        |  SELECT vec_id, center_id FROM (
        |    SELECT vec_id, center_id,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY
-       |        CASE WHEN na = 0 OR nb = 0 THEN 1.0
+       |        CASE WHEN COALESCE(na, 0) = 0 OR COALESCE(nb, 0) = 0 THEN 1.0
        |             ELSE 1.0 - dot / (sqrt(na) * sqrt(nb)) END, center_id) AS rn
        |    FROM ad) WHERE rn = 1),
        |cen AS (
@@ -344,7 +344,7 @@ object NonOracle {
        |  SELECT qid, center_id FROM (
        |    SELECT qid, center_id,
        |      row_number() OVER (PARTITION BY qid ORDER BY
-       |        CASE WHEN na = 0 OR nb = 0 THEN 1.0
+       |        CASE WHEN COALESCE(na, 0) = 0 OR COALESCE(nb, 0) = 0 THEN 1.0
        |             ELSE 1.0 - dot / (sqrt(na) * sqrt(nb)) END, center_id) AS rn
        |    FROM pq) WHERE rn <= 3),
        |cand AS (
@@ -413,7 +413,7 @@ object NonOracle {
        |  SELECT vec_id, center_id FROM (
        |    SELECT vec_id, center_id,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY
-       |        CASE WHEN na = 0 OR nb = 0 THEN 1.0
+       |        CASE WHEN COALESCE(na, 0) = 0 OR COALESCE(nb, 0) = 0 THEN 1.0
        |             ELSE 1.0 - dot / (sqrt(na) * sqrt(nb)) END, center_id) AS rn
        |    FROM ad) WHERE rn = 1),
        |enc AS (
@@ -443,7 +443,7 @@ object NonOracle {
        |  SELECT qid, center_id FROM (
        |    SELECT qid, center_id,
        |      row_number() OVER (PARTITION BY qid ORDER BY
-       |        CASE WHEN na = 0 OR nb = 0 THEN 1.0
+       |        CASE WHEN COALESCE(na, 0) = 0 OR COALESCE(nb, 0) = 0 THEN 1.0
        |             ELSE 1.0 - dot / (sqrt(na) * sqrt(nb)) END, center_id) AS rn
        |    FROM pq) WHERE rn <= 3),
        |cand AS (

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * documented cross-engine lockstep broke exactly at the corpus scale
   * this engine targets. Both forms below compute the product in split
   * 16-bit halves — every intermediate < 2^49 — and are value-identical
-  * to the naive form wherever it didn't overflow (ids < 2^32), so
-  * existing oracle hashes are unchanged. Ids are non-negative by
+  * to the naive form wherever it didn't overflow (ids < 2^63/2654435761
+  * ≈ 3.47e9 — the stated wrap boundary), so existing oracle hashes are
+  * unchanged. Ids are non-negative by
   * contract (doc_id/event_id); [[hkey]] uses pmod/shift forms that
   * agree with the twin's `//`/`%` on that domain.
   */

@@ -25,8 +25,8 @@ object Similarity {
   def all: Seq[QueryDef] = Seq(q30, q31, q117, q120, q149, q150, q164, q165)
 
   // the shared twin cosine fragments (single definition: TwinSql)
-  private def cosSql(a: String, b: String): String = TwinSql.cos(a, b)
   private def cosSqlZ(a: String, b: String): String = TwinSql.cosZ(a, b)
+  private def distSqlZ(a: String, b: String): String = TwinSql.distZ(a, b)
 
   /** Per-vector L2 norm (pinned fold order; identical formula in the
     * DuckDB twin so doubles are bit-identical).
@@ -630,10 +630,7 @@ object Similarity {
        |  FROM e WHERE vec_id < 8),
        |ad AS (
        |  SELECT e.vec_id, ctr.center_id,
-       |    CASE WHEN list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
-       |           OR list_sum(list_transform(ctr.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
-       |         THEN 1.0
-       |         ELSE 1.0 - ${cosSql("e.embedding", "ctr.cv")} END AS dist
+       |    ${distSqlZ("e.embedding", "ctr.cv")} AS dist
        |  FROM e CROSS JOIN ctr),
        |asg AS (
        |  SELECT vec_id, center_id FROM (
@@ -655,10 +652,7 @@ object Similarity {
        |xrv AS (SELECT vec_id, list(xr ORDER BY dim) AS xr FROM dec GROUP BY vec_id),
        |pq2 AS (
        |  SELECT q.vec_id AS qid, ctr.center_id,
-       |    CASE WHEN list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
-       |           OR list_sum(list_transform(ctr.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
-       |         THEN 1.0
-       |         ELSE 1.0 - ${cosSql("q.embedding", "ctr.cv")} END AS dist
+       |    ${distSqlZ("q.embedding", "ctr.cv")} AS dist
        |  FROM e q CROSS JOIN ctr WHERE q.vec_id < 10),
        |pr AS (
        |  SELECT qid, center_id FROM (

@@ -39,9 +39,16 @@ object Tables {
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // FLOOR division, not `div` (truncation): a pre-epoch instant
+        // encoded as nanos must land on the same microsecond a MICROS
+        // fixture generation would write (floor), or the two
+        // generations this normalization exists to unify differ by
+        // 1us below 1970. pmod is non-negative, so (ts - pmod)/1000
+        // floors for every sign.
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+            org.apache.spark.sql.functions.expr(
+              "(ts - pmod(ts, 1000)) div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.col("ts")

@@ -76,10 +76,7 @@ object TrainingData {
        |av AS (SELECT a.id, a.center_id, e.v FROM asg a JOIN e USING (id)),
        |p AS (
        |  SELECT x.id AS d1, y.id AS d2,
-       |    list_sum(list_transform(range(1, len(x.v) + 1),
-       |      i -> CAST(x.v[i] AS DOUBLE) * CAST(y.v[i] AS DOUBLE)))
-       |    / (sqrt(list_sum(list_transform(x.v, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))))
-       |       * sqrt(list_sum(list_transform(y.v, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)))))
+       |    ${TwinSql.cosZ("x.v", "y.v")}
        |      AS score
        |  FROM av x JOIN av y ON x.center_id = y.center_id AND x.id < y.id),
        |drp AS (SELECT DISTINCT d2 AS id FROM p WHERE score >= 0.35),

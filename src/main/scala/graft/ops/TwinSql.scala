@@ -3,32 +3,53 @@ package graft.ops
 /** Shared DuckDB-twin SQL fragments. These strings are load-bearing
   * for the bit-exact oracle contract: the cosine fold must be the
   * LITERAL-identical formula to the codegen CosineSimilarityExpr
-  * (dot and norms accumulated in index order), and the zero-norm
-  * guard must mirror VectorOps.cosine's zero-norm => 0.0 convention.
-  * One definition, consumed by every twin that scores vectors — a
-  * future change (e.g. also guarding NULL norms) lands everywhere or
-  * nowhere.
+  * (dot AND norms accumulated in index order over the COMMON PREFIX —
+  * VectorOps.cosine runs i < min(len a, len b) for all three sums, so
+  * full-list norms here would silently diverge on ragged pairs), and
+  * the zero-norm guard must mirror VectorOps.cosine's zero-norm =>
+  * 0.0 convention INCLUDING the empty-vector case (list_sum over an
+  * empty list is NULL in DuckDB, so the guard coalesces to 0). One
+  * definition, consumed by every twin that scores vectors — a future
+  * change lands everywhere or nowhere.
   */
 private[ops] object TwinSql {
 
-  /** The q31 cosine formula over two DuckDB list columns. */
+  private def prefixSum(a: String, b: String, x: String, y: String): String =
+    s"""list_sum(list_transform(range(1, least(len($a), len($b)) + 1),
+       |      i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))""".stripMargin
+
+  /** The q31 cosine formula over two DuckDB list columns: dot and both
+    * norms folded in index order over the common prefix, the exact
+    * loop VectorOps.cosine runs.
+    */
   def cos(a: String, b: String): String =
-    s"""list_sum(list_transform(range(1, len($a) + 1),
-       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-       |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""${prefixSum(a, b, a, b)}
+       |    / (sqrt(${prefixSum(a, b, a, a)})
+       |       * sqrt(${prefixSum(a, b, b, b)}))""".stripMargin
 
   /** [[cos]] with Spark's zero-norm convention (VectorOps.cosine
-    * returns 0.0 when either norm is zero): unguarded, DuckDB divides
-    * by zero (NULL/inf) where Spark scores 0.0, silently diverging a
-    * shortlist ranking on a degenerate vector — e.g. an all-zero
-    * SQ8-reconstructed candidate when a dimension's corpus range
-    * collapses. Use this form wherever a twin SCORES vectors (the
-    * distance stages express the same guard as `THEN 1.0`).
+    * returns 0.0 when either prefix norm is zero — including empty
+    * vectors, whose list_sum is NULL here, hence the COALESCE):
+    * unguarded, DuckDB divides by zero (NULL/inf) where Spark scores
+    * 0.0, silently diverging a shortlist ranking on a degenerate
+    * vector — e.g. an all-zero SQ8-reconstructed candidate when a
+    * dimension's corpus range collapses. Use this form wherever a
+    * twin SCORES vectors; [[distZ]] is the distance-stage form.
     */
   def cosZ(a: String, b: String): String =
-    s"""CASE WHEN list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
-       |       OR list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+    s"""CASE WHEN COALESCE(${prefixSum(a, b, a, a)}, 0) = 0
+       |       OR COALESCE(${prefixSum(a, b, b, b)}, 0) = 0
        |     THEN 0.0
        |     ELSE ${cos(a, b)} END""".stripMargin
+
+  /** Cosine DISTANCE with the same guard: degenerate vectors are at
+    * distance 1.0 (Spark: 1 - cosine = 1 - 0.0), the form the IVF /
+    * SQ8 probe stages need — single definition instead of per-stage
+    * hand-inlined copies of the two-line guard.
+    */
+  def distZ(a: String, b: String): String =
+    s"""CASE WHEN COALESCE(${prefixSum(a, b, a, a)}, 0) = 0
+       |       OR COALESCE(${prefixSum(a, b, b, b)}, 0) = 0
+       |     THEN 1.0
+       |     ELSE 1.0 - ${cos(a, b)} END""".stripMargin
 }

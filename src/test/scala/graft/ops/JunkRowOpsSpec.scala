@@ -176,6 +176,16 @@ class JunkRowOpsSpec extends SparkSpec {
     assert(centers.length == 2 && centers.forall(_.forall(d => !d.isNaN)))
   }
 
+  test("normalizeEventTs floors pre-epoch nanos (both fixture generations land on one microsecond)") {
+    val df = Seq(1500L, -1500L, -1000L, 999L).toDF("ts")
+    val out = Tables.normalizeEventTs(df)
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq
+    // a MICROS-generation fixture of the same instants writes floor():
+    // -1500ns -> -2us; `div` truncation gave -1us and broke the
+    // cross-generation hash identity below 1970
+    assert(out == Seq(1L, -2L, -1L, 0L))
+  }
+
   test("variant extraction is permissive: one malformed JSON row degrades to NULL, not a job crash") {
     // the q84 body's expression shape — strict parse_json here throws
     // MALFORMED_RECORD mid-stage on the truncated row
