@@ -123,10 +123,15 @@ object Bench {
     // the window and the driver would record parsed=null.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    // trailing zeros add ~20 wasted chars across 160 queries, and the
-    // metric line must stay inside the driver's ~2000-char tail window
+    // line-budget precision: 2 decimals under 1s (where they carry
+    // signal), 1 decimal at >= 1s, trailing zeros stripped — at 167
+    // queries the full-2-decimal form sat 1978/2000 chars of the
+    // driver's tail window, leaving no room for the next round's
+    // queries. Exact rep vectors live in BENCH_DETAIL.json.
     def fmtq(v: Double): String = {
-      val s = fmt(v)
+      val s =
+        if (v >= 1.0) String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+        else fmt(v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
