@@ -125,6 +125,36 @@ class DriftStreamSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet == view)
   }
 
+  test("junk n_chars rows excluded identically by stream and batch (shared bucket guard)") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("drift-junk").toString
+    // each batch carries one junk row (negative n_chars — the value
+    // class where Spark div-truncation and DuckDB //-floor disagree);
+    // the single-definition lengthBucketed guard must exclude it on
+    // BOTH sides or the bit-exact parity contract breaks
+    val j1 = Seq(LenDoc(1, 100), LenDoc(2, -7), LenDoc(3, 420))
+    val j2 = Seq(LenDoc(4, 1100), LenDoc(5, -1), LenDoc(6, 1250))
+    val mem = MemoryStream[LenDoc]
+    val q = DriftStream.monitor(mem.toDF(),
+      s"$dir/ref", s"$dir/out", s"$dir/ckpt")
+    try {
+      Seq(j1, j2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    (0 to 1).foreach { k =>
+      val (nd, _, dof, chi2) = streamedRow(s"$dir/out", k)
+      val tagged = Seq(j1, j2).take(k + 1).zipWithIndex.flatMap { case (b, i) =>
+        b.map(d => (d.doc_id, s"b$i", d.n_chars))
+      }.toDF("doc_id", "source", "n_chars")
+      val (knd, kdof, kchi2) = graft.ops.CorpusDrift.sourceLengthDrift(tagged)
+        .filter(col("source") === s"b$k")
+        .select(col("n_docs"), col("dof"), col("chi2"))
+        .as[(Long, Long, Double)].head()
+      assert(nd == knd && dof == kdof && chi2 == kchi2,
+        s"junk-batch $k parity: ($nd,$dof,$chi2) vs ($knd,$kdof,$kchi2)")
+      assert(nd == 2L, "a junk row must not count as a document")
+    }
+  }
+
   test("mid-delete compaction crash at double-digit ids: leftovers are a " +
       "suffix, latest-wins view and replay unchanged") {
     // Twelve committed batches so ids reach double digits — listStatus
