@@ -21,7 +21,7 @@ object CurationOps {
 
   def all: Seq[QueryDef] =
     Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125, q166,
-      q132, q140, q143, q144, q152, q154, q157, q159, q161)
+      q132, q140, q143, q144, q152, q154, q157, q159, q161, q168)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -1643,5 +1643,67 @@ object CurationOps {
       .withColumn("stitch_pairs",
         col("n_tail") * col("n_head") - col("n_self"))
       .filter(col("stitch_pairs") > 0)
+  }
+
+  /** Cross-table referential-integrity audit (q168): the q152 ingest
+    * contract applied ACROSS tables — per source, how many documents
+    * have an embedding, how many are missing one, and how many
+    * embeddings reference no document at all (orphans, reported as
+    * their own '(orphan_embedding)' row). The audit a pipeline runs
+    * after an embedding backfill before trusting ANN/dedup results:
+    * missing embeddings silently shrink the dedup candidate space
+    * (q50/q97 never see those docs) and orphans inflate index sizes,
+    * and neither shows up in any single-table check.
+    *
+    * Scale: ONE full-outer equi-join on the id (both sides hash to
+    * the same partitioning — the q156 shape), carrying only (id,
+    * source) projections; the rollup partial-aggregates to S+1 rows.
+    * Pure integer counts plus one guarded division.
+    */
+  def embeddingCoverage(docs: org.apache.spark.sql.DataFrame,
+                        emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"))
+    val e = emb.select(col("vec_id"))
+    d.join(e, col("doc_id") === col("vec_id"), "full_outer")
+      .groupBy(coalesce(col("source"), lit("(orphan_embedding)")).as("source"))
+      .agg(
+        count(col("doc_id")).cast("bigint").as("n_docs"),
+        sum(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L)
+          .otherwise(0L)).cast("bigint").as("n_embedded"),
+        sum(when(col("doc_id").isNotNull && col("vec_id").isNull, 1L)
+          .otherwise(0L)).cast("bigint").as("n_missing"),
+        sum(when(col("doc_id").isNull, 1L).otherwise(0L))
+          .cast("bigint").as("n_orphan"))
+      .withColumn("coverage_frac",
+        when(col("n_docs") > 0,
+          col("n_embedded").cast("double") / col("n_docs").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  val q168: QueryDef = QueryDef.sql(
+    "q168_embedding_coverage",
+    """WITH d AS (SELECT doc_id, source FROM documents),
+      |e AS (SELECT vec_id FROM embeddings),
+      |j AS (SELECT d.doc_id, d.source, e.vec_id
+      |      FROM d FULL OUTER JOIN e ON d.doc_id = e.vec_id),
+      |g AS (
+      |  SELECT COALESCE(source, '(orphan_embedding)') AS source,
+      |    CAST(count(doc_id) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_embedded,
+      |    CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+      |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_orphan
+      |  FROM j GROUP BY 1)
+      |SELECT source, n_docs, n_embedded, n_missing, n_orphan,
+      |  CASE WHEN n_docs > 0
+      |    THEN CAST(n_embedded AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |    ELSE 0.0 END AS coverage_frac
+      |FROM g
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    embeddingCoverage(Tables.documents(s, dir), Tables.embeddings(s, dir))
+      .orderBy(col("source"))
   }
 }

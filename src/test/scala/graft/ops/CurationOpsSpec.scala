@@ -606,4 +606,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
     assert(out(4L) == ((-1L, 0L, 0.0)), "junk row: NULL n_tokens, zero coverage")
   }
+
+  test("embeddingCoverage: missing embeddings and orphan embeddings both surface, per source") {
+    import spark.implicits._
+    val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB")).toDF("doc_id", "source")
+    val emb = Seq(1L, 3L, 99L).toDF("vec_id") // doc 2 unembedded; 99 orphan
+    val out = CurationOps.embeddingCoverage(docs, emb)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("sA") == ((2L, 1L, 1L, 0L, 0.5)))
+    assert(out("sB") == ((1L, 1L, 0L, 0L, 1.0)))
+    assert(out("(orphan_embedding)") == ((0L, 0L, 0L, 1L, 0.0)),
+      "an embedding referencing no document must be reported, not vanish")
+  }
 }
