@@ -420,11 +420,10 @@ object CorpusDrift {
        |  FROM (SELECT source, text, $duckToks AS t FROM documents)),
        |b AS (
        |  SELECT source,
-       |    CAST(floor((0.5 + 0.5 * (z / (1.0 + abs(z)))) * 10.0) AS BIGINT) AS bucket
+       |    CAST(floor((${TwinSql.rationalSigmoid("z")}) * 10.0) AS BIGINT) AS bucket
        |  FROM (
        |    SELECT source,
-       |      -2.0 + stop_ratio * 6.0 + least(1.0, nt / 64.0) * 2.0
-       |        - punct_ratio * 8.0 - digit_ratio * 4.0 AS z
+       |      ${TwinSql.classifierZ("stop_ratio", "nt", "punct_ratio", "digit_ratio")} AS z
        |    FROM f WHERE nt > 0)),
        |cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bucket),
        |sb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS o

@@ -21,7 +21,7 @@ object CurationOps {
 
   def all: Seq[QueryDef] =
     Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125, q166,
-      q132, q140, q143, q144, q152, q154, q157, q159, q161, q168)
+      q132, q140, q143, q144, q152, q154, q157, q159, q161, q168, q169)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -782,9 +782,15 @@ object CurationOps {
     * raw window strings where Spark equi-joins their xxhash64 (the
     * q45/q113 collision argument).
     */
-  val q166: QueryDef = QueryDef.sql(
-    "q166_dup_fraction",
-    s"""WITH d AS (
+  /** The q166 dup-fraction derivation as a reusable twin CTE chain,
+    * ending in `dfrac(doc_id, n_tokens, dup_tokens, dup_frac)` — ONE
+    * definition consumed by the q166 report and the q169 entanglement
+    * audit, which RANKS the same per-doc fraction: a drifted copy of
+    * the window/merge/division chain in either twin would silently
+    * grade a different dedup measure than the engine ships.
+    */
+  private def dupFracChainSql: String =
+    s"""d AS (
        |  SELECT doc_id, $duckToks AS t FROM documents),
        |dd AS (SELECT doc_id, t, len(t) AS nt FROM d),
        |occ AS (
@@ -813,15 +819,22 @@ object CurationOps {
        |  GROUP BY doc_id, grp),
        |cov AS (
        |  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dup
-       |  FROM mrg GROUP BY doc_id)
-       |SELECT dd.doc_id,
-       |  CAST(dd.nt AS BIGINT) AS n_tokens,
-       |  COALESCE(cov.dup, 0) AS dup_tokens,
-       |  CASE WHEN dd.nt > 0
-       |    THEN CAST(COALESCE(cov.dup, 0) AS DOUBLE) / CAST(dd.nt AS DOUBLE)
-       |    ELSE 0.0 END AS dup_frac
-       |FROM dd LEFT JOIN cov USING (doc_id)
-       |ORDER BY dd.doc_id""".stripMargin) { (s, dir) =>
+       |  FROM mrg GROUP BY doc_id),
+       |dfrac AS (
+       |  SELECT dd.doc_id,
+       |    CAST(dd.nt AS BIGINT) AS n_tokens,
+       |    COALESCE(cov.dup, 0) AS dup_tokens,
+       |    CASE WHEN dd.nt > 0
+       |      THEN CAST(COALESCE(cov.dup, 0) AS DOUBLE) / CAST(dd.nt AS DOUBLE)
+       |      ELSE 0.0 END AS dup_frac
+       |  FROM dd LEFT JOIN cov USING (doc_id))""".stripMargin
+
+  val q166: QueryDef = QueryDef.sql(
+    "q166_dup_fraction",
+    s"""WITH $dupFracChainSql
+       |SELECT doc_id, n_tokens, dup_tokens, dup_frac
+       |FROM dfrac
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     duplicateTextFraction(Tables.documents(s, dir), n = 8).orderBy(col("doc_id"))
   }
 
@@ -1679,6 +1692,116 @@ object CurationOps {
         when(col("n_docs") > 0,
           col("n_embedded").cast("double") / col("n_docs").cast("double"))
           .otherwise(lit(0.0)))
+  }
+
+  /** Quality–duplication entanglement audit (q169): per source, the
+    * Spearman rank correlation between the q109 quality score and the
+    * q166 per-doc duplicate-text fraction. The two gates of a curation
+    * pipeline are tuned independently (quality keeps "good" docs, dedup
+    * strikes repeated text) on the assumption that they are roughly
+    * orthogonal; if |rho| runs high, quality-filtering silently shifts
+    * the corpus's duplication statistics (and dedup shifts its quality
+    * mix), so the q98 quota / q110 mixture math calibrated on the full
+    * corpus no longer describes what survives both gates. The q158
+    * "audit the pipeline's own gates" discipline applied to the gates'
+    * INDEPENDENCE rather than either gate alone.
+    *
+    * Spearman, not Pearson, and deterministically so: ranks are
+    * row_number over (value, doc_id) — distinct integers, no tie
+    * averaging — so Σd² is exact integer arithmetic and rho is ONE
+    * literal division; Pearson would sum corpus-many doubles in
+    * nondeterministic order (the q80 lesson: only DECIMAL sums and
+    * final-formula doubles cross engines bit-exactly). Both ranked
+    * values are themselves bit-exact across engines (q109's score and
+    * q166's dup_frac hash-match), so the orderings agree. d² is
+    * squared in DECIMAL(19,0)·(19,0) → (38,0): at 10¹² docs per source
+    * Σd² reaches n³ ~ 10³⁶, past BIGINT but inside DECIMAL(38,0).
+    * Zero-token docs (score would be 0/0) are excluded; junk rows drop
+    * with them. Sources with n < 2 report rho 0.0 (no evidence).
+    *
+    * Scale: the dup side is q166's kernel (one content-keyed gram
+    * exchange); the rank stage is ONE exchange on source carrying
+    * (doc_id, source, score, dup_frac) ~32 B rows, then two in-place
+    * sorts of the same partitioning — ranks fundamentally need a
+    * per-source total order. Everything after is S-row arithmetic.
+    */
+  def qualityDupEntanglement(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // zero-token docs (incl. junk rows) drop BEFORE the ratio columns:
+    // under ANSI the 0/0 stop ratio is an error, not a filterable NaN
+    val eligible = docs.filter(
+      col("text").isNotNull && size(toks(col("text"))) >= 1)
+    val scored = TextAnalytics.qualityBase(eligible)
+      .select(col("doc_id"), col("source"),
+        TextAnalytics.rationalSigmoid(TextAnalytics.classifierZ(
+          col("stop_ratio"), col("n_tokens"),
+          col("punct_ratio"), col("digit_ratio"))).as("score"))
+    val dup = duplicateTextFraction(docs, n = 8)
+      .select(col("doc_id"), col("dup_frac"))
+    val ws = Window.partitionBy(col("source"))
+      .orderBy(col("score"), col("doc_id"))
+    val wd = Window.partitionBy(col("source"))
+      .orderBy(col("dup_frac"), col("doc_id"))
+    val ranked = scored.join(dup, Seq("doc_id"))
+      .select(col("source"),
+        row_number().over(ws).cast("long").as("rs"),
+        row_number().over(wd).cast("long").as("rd"))
+    val dDec = (col("rs") - col("rd")).cast("decimal(19,0)")
+    val nD = col("n_docs").cast("double")
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(dDec * dDec).cast("double").as("sum_d2"))
+      .withColumn("rho",
+        when(col("n_docs") >= 2,
+          round(lit(1.0) - lit(6.0) * col("sum_d2") / (nD * (nD * nD - 1.0)), 9))
+          .otherwise(lit(0.0)))
+      .withColumn("entangled",
+        when(abs(col("rho")) >= 0.5, 1L).otherwise(0L))
+  }
+
+  val q169: QueryDef = QueryDef.sql(
+    "q169_quality_dup_entanglement",
+    s"""WITH $dupFracChainSql,
+       |f AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(t) AS BIGINT) AS nt,
+       |    (length(text) - length(regexp_replace(text, '\\p{P}', '', 'g'))) / length(text) AS punct_ratio,
+       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio,
+       |    len(list_filter(t, x -> x IN ('the','a','an','and','of','to','is','in','it','on'))) / len(t) AS stop_ratio
+       |  FROM (SELECT doc_id, source, text, $duckToks AS t FROM documents)),
+       |sc AS (
+       |  SELECT doc_id, source,
+       |    ${TwinSql.rationalSigmoid("z")} AS score
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      ${TwinSql.classifierZ("stop_ratio", "nt", "punct_ratio", "digit_ratio")} AS z
+       |    FROM f WHERE nt >= 1)),
+       |r AS (
+       |  SELECT sc.source,
+       |    row_number() OVER (PARTITION BY sc.source
+       |                       ORDER BY sc.score, sc.doc_id) AS rs,
+       |    row_number() OVER (PARTITION BY sc.source
+       |                       ORDER BY df.dup_frac, sc.doc_id) AS rd
+       |  FROM sc JOIN dfrac df USING (doc_id)),
+       |g AS (
+       |  SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CAST(rs - rd AS DECIMAL(19,0))
+       |             * CAST(rs - rd AS DECIMAL(19,0))) AS DOUBLE) AS sum_d2
+       |  FROM r GROUP BY source),
+       |o AS (
+       |  SELECT source, n_docs, sum_d2,
+       |    CASE WHEN n_docs >= 2
+       |      THEN round(1.0 - 6.0 * sum_d2
+       |        / (CAST(n_docs AS DOUBLE)
+       |           * (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - 1.0)), 9)
+       |      ELSE 0.0 END AS rho
+       |  FROM g)
+       |SELECT source, n_docs, sum_d2, rho,
+       |  CAST(CASE WHEN abs(rho) >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS entangled
+       |FROM o
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    qualityDupEntanglement(Tables.documents(s, dir)).orderBy(col("source"))
   }
 
   val q168: QueryDef = QueryDef.sql(

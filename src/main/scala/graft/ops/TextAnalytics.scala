@@ -201,12 +201,11 @@ object TextAnalytics {
        |  FROM (SELECT doc_id, text, $duckToks AS t FROM documents)),
        |z AS (
        |  SELECT doc_id,
-       |    -2.0 + stop_ratio * 6.0 + least(1.0, n_tokens / 64.0) * 2.0
-       |      - punct_ratio * 8.0 - digit_ratio * 4.0 AS z
+       |    ${TwinSql.classifierZ("stop_ratio", "n_tokens", "punct_ratio", "digit_ratio")} AS z
        |  FROM f)
        |SELECT doc_id, z,
-       |  0.5 + 0.5 * (z / (1.0 + abs(z))) AS score,
-       |  CAST(CASE WHEN 0.5 + 0.5 * (z / (1.0 + abs(z))) >= 0.5
+       |  ${TwinSql.rationalSigmoid("z")} AS score,
+       |  CAST(CASE WHEN ${TwinSql.rationalSigmoid("z")} >= 0.5
        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM z
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -847,15 +846,14 @@ object TextAnalytics {
        |  FROM (SELECT doc_id, text, $duckToks AS t FROM documents)),
        |z AS (
        |  SELECT doc_id,
-       |    -2.0 + (ns / nt) * 6.0 + least(1.0, nt / 64.0) * 2.0
-       |      - punct_ratio * 8.0 - digit_ratio * 4.0 AS z,
+       |    ${TwinSql.classifierZ("(ns / nt)", "nt", "punct_ratio", "digit_ratio")} AS z,
        |    CAST(CASE WHEN nt >= 50 AND nt <= 100000
        |               AND 3 * nt <= sl AND sl <= 10 * nt
        |               AND 10 * na >= 8 * nt AND ns >= 2
        |      THEN 1 ELSE 0 END AS BIGINT) AS pos
        |  FROM f WHERE nt > 0),
        |b AS (
-       |  SELECT CAST(floor((0.5 + 0.5 * (z / (1.0 + abs(z)))) * 10.0) AS BIGINT)
+       |  SELECT CAST(floor((${TwinSql.rationalSigmoid("z")}) * 10.0) AS BIGINT)
        |           AS bucket,
        |         pos
        |  FROM z),

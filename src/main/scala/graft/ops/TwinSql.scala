@@ -52,4 +52,24 @@ private[ops] object TwinSql {
        |       OR COALESCE(${prefixSum(a, b, b, b)}, 0) = 0
        |     THEN 1.0
        |     ELSE 1.0 - ${cos(a, b)} END""".stripMargin
+
+  /** The q109 linear-classifier logit in twin SQL — the SQL face of
+    * TextAnalytics.classifierZ, with the weights spelled once. Callers
+    * pass their own column/expression names for the four features
+    * (q158 passes "(ns / nt)" for the stop ratio, q163 "nt" for the
+    * token count). Consumed by the q109 / q158 / q163 / q169 twins:
+    * a drifted copy of the weights in any one of them would silently
+    * grade a different classifier than the engine ships.
+    */
+  def classifierZ(stopRatio: String, nTokens: String,
+                  punctRatio: String, digitRatio: String): String =
+    s"-2.0 + $stopRatio * 6.0 + least(1.0, $nTokens / 64.0) * 2.0" +
+      s" - $punctRatio * 8.0 - $digitRatio * 4.0"
+
+  /** The RATIONAL sigmoid 0.5 + 0.5·z/(1+|z|) in twin SQL — the SQL
+    * face of TextAnalytics.rationalSigmoid (IEEE-exact on both
+    * engines, unlike libm exp).
+    */
+  def rationalSigmoid(z: String): String =
+    s"0.5 + 0.5 * ($z / (1.0 + abs($z)))"
 }

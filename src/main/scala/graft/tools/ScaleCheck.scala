@@ -60,7 +60,8 @@ object ScaleCheck {
         // corpus-scale story is the lshKnn/ivfKnn swap, pinned in
         // PLANS.md). q165-q167 scale on the full corpus:
         "q165_embedding_outliers", "q166_dup_fraction",
-        "q167_repetition_loops", "q168_embedding_coverage")
+        "q167_repetition_loops", "q168_embedding_coverage",
+        "q169_quality_dup_entanglement")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()

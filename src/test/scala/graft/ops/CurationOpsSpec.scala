@@ -607,6 +607,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(4L) == ((-1L, 0L, 0.0)), "junk row: NULL n_tokens, zero coverage")
   }
 
+  test("qualityDupEntanglement: co-ranked source rho=1, anti-ranked rho=-1, singleton 0; junk excluded") {
+    import spark.implicits._
+    val p = "pa pb pc pd pe pf pg ph"                // 8 non-stop tokens
+    val q = "the of to is in it on and"              // 8 stop tokens
+    val docs = Seq(
+      // sA: score rank == dup rank for all three docs => rho = 1
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13 a14 a15 a16", "sA"),
+      (2L, s"$p $p u1 u2 u3 u4 the of to is", "sA"), // dup 16/24, 4 stops
+      (3L, s"$q $q", "sA"),                          // dup 1.0, stop-heavy
+      // sB: reversed ranks => rho = -1
+      (4L, "the b1 of b2 to b3 is b4 in b5 it b6 on b7 and b8", "sB"),
+      (5L, "w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4 w5 w6 w7 w8", "sB"),
+      // sC: single doc => rho 0.0 by convention
+      (6L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10", "sC"),
+      // junk + empty rows: excluded (zero tokens / null text)
+      (7L, null, "sA"), (8L, "   ", "sA"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+    val out = CurationOps.qualityDupEntanglement(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out("sA") == ((3L, 1.0, 1L)), "perfectly co-ranked gates flag entangled")
+    assert(out("sB") == ((2L, -1.0, 1L)), "perfectly anti-ranked gates flag entangled")
+    assert(out("sC") == ((1L, 0.0, 0L)), "n < 2 reports no evidence")
+  }
+
   test("embeddingCoverage: missing embeddings and orphan embeddings both surface, per source") {
     import spark.implicits._
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB")).toDF("doc_id", "source")
