@@ -25,7 +25,7 @@ object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
     q45, q46, q47, q51, q52, q53, q57, q102, q105, q106, q128, q130, q153,
-    q160)
+    q160, q170)
 
   // the shared twin cosine fragments (single definition: TwinSql)
   // every twin in this file SCORES vectors, so only the zero-norm
@@ -707,6 +707,88 @@ object NonOracle {
           .as("chars_per_token"),
         (col("n_bytes").cast("double") / col("n_tokens").cast("double"))
           .as("bytes_per_token"))
+      .orderBy(col("source"))
+  }
+
+  /** BPE vocabulary-coverage audit (q170): the complement of q160's
+    * fertility — not "how many units does a word cost" but "does the
+    * learned vocabulary compress it AT ALL". Per source (frequency-
+    * weighted over the q160 word rollup): the fraction of emitted
+    * units that are LEARNED MERGES (multi-symbol units — anything
+    * other than a single code point or the bare '</w>' marker; a
+    * char+'</w>' merge IS learned and counts), and the rate of
+    * FRAGMENTED words — words the 20-merge vocabulary segments into
+    * nothing but atomic symbols, the BPE analogue of OOV. A source
+    * whose frag rate runs high (script/jargon the vocabulary never
+    * learned) is exactly where q160's bytes-per-token blows up; this
+    * query names the words responsible rather than the aggregate
+    * symptom. Pure integer counts + literal divisions.
+    *
+    * Scale: identical shape to q160 — ONE corpus (source, word)
+    * rollup (checkpointed, shared by trainer and audit), segmentation
+    * on word-TYPE rows via the codegen BpeSegmentExpr, then an S-row
+    * aggregate. FULL-REPLAY ORACLE: DuckDB re-learns the merges and
+    * re-segments from raw documents (the q105/q160 chain: training's
+    * merge application == greedy inference for in-vocabulary words,
+    * and the doc_id < 500 slice IS the training set).
+    */
+  val q170 = QueryDef.sql(
+    "q170_vocab_coverage",
+    bpeChainSql(20) +
+      s""",
+         |sw AS (
+         |  SELECT source, word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+         |    FROM documents WHERE doc_id < 500) GROUP BY source, word),
+         |u AS (
+         |  SELECT word,
+         |    CAST(len(s) AS BIGINT) AS units,
+         |    CAST(len(list_filter(s,
+         |      x -> NOT (length(x) = 1 OR x = '</w>'))) AS BIGINT) AS merged
+         |  FROM seg20),
+         |r AS (
+         |  SELECT sw.source,
+         |    CAST(sum(sw.freq) AS BIGINT) AS n_words,
+         |    CAST(sum(sw.freq * u.units) AS BIGINT) AS n_units,
+         |    CAST(sum(sw.freq * u.merged) AS BIGINT) AS n_merged_units,
+         |    CAST(sum(CASE WHEN u.merged = 0 THEN sw.freq ELSE 0 END) AS BIGINT)
+         |      AS n_frag_words
+         |  FROM sw JOIN u USING (word) GROUP BY sw.source)
+         |SELECT source, n_words, n_units, n_merged_units, n_frag_words,
+         |  CAST(n_merged_units AS DOUBLE) / CAST(n_units AS DOUBLE)
+         |    AS merged_unit_frac,
+         |  CAST(n_frag_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    AS frag_word_rate
+         |FROM r ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+    val sw = docs
+      .select(col("source"),
+        explode(TextAnalytics.toks(col("text"))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).cast("bigint").as("freq"))
+      .localCheckpoint(true)
+    val words = sw.groupBy(col("word"))
+      .agg(sum(col("freq")).cast("bigint").as("freq"))
+    val merges = Bpe.train(words, nMerges = 20)
+    val seg = graft.functions.functions.bpe_segment(col("word"), merges)
+    val u = sw
+      .withColumn("units", size(seg).cast("bigint"))
+      .withColumn("merged",
+        size(filter(seg, x => !(length(x) === 1 || x === "</w>")))
+          .cast("bigint"))
+    u.groupBy(col("source"))
+      .agg(
+        sum(col("freq")).cast("bigint").as("n_words"),
+        sum(col("freq") * col("units")).cast("bigint").as("n_units"),
+        sum(col("freq") * col("merged")).cast("bigint").as("n_merged_units"),
+        sum(when(col("merged") === 0, col("freq")).otherwise(0L))
+          .cast("bigint").as("n_frag_words"))
+      .select(col("source"), col("n_words"), col("n_units"),
+        col("n_merged_units"), col("n_frag_words"),
+        (col("n_merged_units").cast("double") / col("n_units").cast("double"))
+          .as("merged_unit_frac"),
+        (col("n_frag_words").cast("double") / col("n_words").cast("double"))
+          .as("frag_word_rate"))
       .orderBy(col("source"))
   }
 

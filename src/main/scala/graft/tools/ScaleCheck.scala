@@ -48,7 +48,7 @@ object ScaleCheck {
         // on B's side — the probe would scale "added" rows, not the
         // diff join both sides feed; the full-outer join's scale
         // argument is the plan pin in PLANS.md instead.
-        // q160/q162 are absent for q153's reason (bounded doc_id
+        // q160/q162/q170 are absent for q153's reason (bounded doc_id
         // slices); q150's embeddings probe runs on request (its 1x
         // number is sub-second and the replicated-embeddings build is
         // the cost).

@@ -273,4 +273,38 @@ class BpeSpec extends SparkSpec {
       assert(bpt == nby.toDouble / ntok.toDouble)
     }
   }
+
+  test("q170 merged-unit classification: learned merges count, atomics and bare </w> don't") {
+    // merges: ab, then ab</w> — so "ab" compresses to ONE learned unit
+    val merges = Seq(("a", "b"), ("ab", "</w>"))
+    val seg = bpe_segment(col("w"), merges)
+    val out = Seq("ab", "xy", "a").toDF("w")
+      .select(col("w"),
+        size(seg).cast("long").as("units"),
+        // the exact classification expression q170 ships
+        size(filter(seg, x => !(length(x) === 1 || x === "</w>")))
+          .cast("long").as("merged"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("ab") == ((1L, 1L)), "full-word merge incl. </w> is ONE learned unit")
+    assert(out("xy") == ((3L, 0L)), "unmergeable word: all atomic => fragmented")
+    assert(out("a") == ((2L, 0L)), "single char + bare </w>: both atomic")
+  }
+
+  test("q170 coverage totals are consistent with q160 fertility on the same slice") {
+    val cov = NonOracle.q170.build(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val fert = NonOracle.q160.build(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(cov.keySet == fert.keySet)
+    cov.foreach { case (src, (_, nw, nu, nm, nf, mf, fr)) =>
+      val (_, fw, ft, _, _, _, _, _) = fert(src)
+      assert(nw == fw, s"$src: q170/q160 word counts diverge")
+      assert(nu == ft, s"$src: q170 units != q160 token units")
+      assert(nm <= nu && nf <= nw, s"$src: count bounds")
+      assert(mf == nm.toDouble / nu.toDouble)
+      assert(fr == nf.toDouble / nw.toDouble)
+    }
+  }
 }
