@@ -22,7 +22,8 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
-  def all: Seq[QueryDef] = Seq(q30, q31, q117, q120, q149, q150, q164, q165)
+  def all: Seq[QueryDef] = Seq(q30, q31, q117, q120, q149, q150, q164, q165,
+    q171)
 
   // the shared twin cosine fragments (single definition: TwinSql)
   private def cosSqlZ(a: String, b: String): String = TwinSql.cosZ(a, b)
@@ -890,5 +891,80 @@ object Similarity {
       |FROM d JOIN m USING (label)
       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
     embeddingOutliers(Tables.embeddings(s, dir)).orderBy(col("vec_id"))
+  }
+
+  /** IVF cell-balance audit (q171): the index-maintenance readout for
+    * the q53/q150 serving path — per coarse cell, its posting-list
+    * size, relative load factor (n_vecs · K / total: 1.0 = perfectly
+    * balanced), the cumulative vector share of the cells ranked
+    * largest-first, and a `hot` flag at load ≥ 2. IVF serving latency
+    * is governed by the LARGEST probed cells, not the mean — a skewed
+    * quantizer (one hot cell holding half the corpus) silently turns
+    * "probe 3 of 8 cells" into "rescan half the index", and nothing in
+    * the recall gate surfaces it. The audit a pipeline runs after
+    * every index build/merge, before trusting its latency envelope.
+    *
+    * Scale: assignment is the same zero-shuffle broadcast map the
+    * serving path uses (centers are K driver rows; the corpus never
+    * shuffles); the groupBy partial-aggregates to ≤K rows map-side, so
+    * the ONE exchange ships K counts. Everything after — the scalar
+    * total broadcast, the K-row ranking window — is metadata-sized.
+    * Oracle: centers are fixture-pinned (vec_id < 8, the q53
+    * contract), so DuckDB re-derives the full assignment from raw
+    * parquet via the shared distance argmin; counts are integers,
+    * ratios literal divisions.
+    */
+  def ivfCellBalance(corpus: DataFrame, nCells: Int = 8): DataFrame = {
+    import graft.cluster.KMeansAssign
+    val c = corpus.toDF("cid", "cv")
+    val centers = KMeansAssign.lloydCenters(c, nCells, iters = 1, "cid", "cv")
+    val g = KMeansAssign.assignMap(c, centers, "cv")
+      .groupBy(col("center_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_vecs"))
+    val tot = g.agg(sum(col("n_vecs")).cast("bigint").as("n"))
+    val w = Window.orderBy(col("n_vecs").desc, col("center_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.crossJoin(broadcast(tot))
+      .withColumn("load_factor",
+        col("n_vecs").cast("double") * nCells.toDouble / col("n").cast("double"))
+      .withColumn("cum_share",
+        sum(col("n_vecs")).over(w).cast("double") / col("n").cast("double"))
+      .withColumn("hot", when(col("load_factor") >= 2.0, 1L).otherwise(0L))
+      .select(col("center_id").cast("bigint").as("center_id"), col("n_vecs"),
+        col("load_factor"), col("cum_share"), col("hot"))
+  }
+
+  val q171: QueryDef = QueryDef.sql(
+    "q171_ivf_cell_balance",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |ctr AS (
+       |  SELECT CAST(vec_id AS INT) AS center_id, embedding AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |asg AS (
+       |  SELECT vec_id, center_id FROM (
+       |    SELECT e.vec_id, ctr.center_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${TwinSql.distZ("e.embedding", "ctr.cv")}, ctr.center_id) AS rn
+       |    FROM e CROSS JOIN ctr) WHERE rn = 1),
+       |g AS (
+       |  SELECT center_id, CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM asg GROUP BY center_id),
+       |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n FROM g),
+       |o AS (
+       |  SELECT center_id, n_vecs,
+       |    CAST(n_vecs AS DOUBLE) * 8.0 / CAST(tot.n AS DOUBLE) AS load_factor,
+       |    CAST(sum(n_vecs) OVER (ORDER BY n_vecs DESC, center_id
+       |           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+       |      / CAST(tot.n AS DOUBLE) AS cum_share
+       |  FROM g, tot)
+       |SELECT CAST(center_id AS BIGINT) AS center_id, n_vecs, load_factor,
+       |  cum_share,
+       |  CAST(CASE WHEN load_factor >= 2.0 THEN 1 ELSE 0 END AS BIGINT) AS hot
+       |FROM o
+       |ORDER BY n_vecs DESC, center_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    ivfCellBalance(emb, nCells = 8)
+      .orderBy(col("n_vecs").desc, col("center_id"))
   }
 }

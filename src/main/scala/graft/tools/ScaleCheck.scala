@@ -61,7 +61,11 @@ object ScaleCheck {
         // PLANS.md). q165-q167 scale on the full corpus:
         "q165_embedding_outliers", "q166_dup_fraction",
         "q167_repetition_loops", "q168_embedding_coverage",
-        "q169_quality_dup_entanglement")
+        "q169_quality_dup_entanglement",
+        // q171's centers are fixture-pinned (vec_id < 8, replica 0)
+        // but the assignment side scans the FULL replicated embeddings
+        // corpus — exactly the index-build scale question:
+        "q171_ivf_cell_balance")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()

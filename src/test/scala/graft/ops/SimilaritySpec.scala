@@ -192,4 +192,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out(8L), "planted far vector must flag as outlier")
     assert((0L to 7L).forall(!out(_)), "tight members must not flag")
   }
+
+  test("ivfCellBalance: planted hot cell flags at load >= 2; cum_share ranks largest-first") {
+    import spark.implicits._
+    // first-4-by-id init => centers are the 4 axis directions; ids 4-7
+    // all point near +x, so cell 0 holds 5 of 8 vectors (load 2.5)
+    val e = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(-1.0, 0.0)), (3L, Seq(0.0, -1.0)),
+      (4L, Seq(2.0, 0.1)), (5L, Seq(3.0, -0.1)),
+      (6L, Seq(5.0, 0.2)), (7L, Seq(4.0, 0.05)))
+      .toDF("vec_id", "v")
+    val rows = Similarity.ivfCellBalance(e, nCells = 4)
+      .orderBy(col("n_vecs").desc, col("center_id"))
+      .as[(Long, Long, Double, Double, Long)].collect()
+    assert(rows.map(r => r._1 -> r._2).toSeq ==
+      Seq(0L -> 5L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(rows.head._3 == 2.5 && rows.head._5 == 1L, "hot cell at load 2.5")
+    assert(rows.tail.forall(_._5 == 0L), "balanced cells don't flag")
+    assert(rows.map(_._4).toSeq == Seq(5.0 / 8, 6.0 / 8, 7.0 / 8, 1.0),
+      "cumulative share ranks largest cells first")
+  }
 }
