@@ -1676,17 +1676,25 @@ object CurationOps {
   def embeddingCoverage(docs: org.apache.spark.sql.DataFrame,
                         emb: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val d = docs.select(col("doc_id"), col("source"))
-    val e = emb.select(col("vec_id"))
+    // side-presence MARKERS, not key nullness: a junk document row
+    // (NULL doc_id — the loader convention) never joins, and testing
+    // `doc_id IS NULL` would misfile it as an orphan EMBEDDING under
+    // its own source; with markers it counts as a document of its
+    // source that (factually) has no embedding. A junk embedding row
+    // (NULL vec_id) is a real orphan: it references no document.
+    val d = docs.select(col("doc_id"), col("source"), lit(1L).as("dp"))
+    val e = emb.select(col("vec_id"), lit(1L).as("ep"))
     d.join(e, col("doc_id") === col("vec_id"), "full_outer")
-      .groupBy(coalesce(col("source"), lit("(orphan_embedding)")).as("source"))
+      .groupBy(when(col("dp").isNull, lit("(orphan_embedding)"))
+        .otherwise(coalesce(col("source"), lit("(null)"))).as("source"))
       .agg(
-        count(col("doc_id")).cast("bigint").as("n_docs"),
-        sum(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L)
+        sum(when(col("dp") === 1L, 1L).otherwise(0L))
+          .cast("bigint").as("n_docs"),
+        sum(when(col("dp") === 1L && col("ep") === 1L, 1L)
           .otherwise(0L)).cast("bigint").as("n_embedded"),
-        sum(when(col("doc_id").isNotNull && col("vec_id").isNull, 1L)
+        sum(when(col("dp") === 1L && col("ep").isNull, 1L)
           .otherwise(0L)).cast("bigint").as("n_missing"),
-        sum(when(col("doc_id").isNull, 1L).otherwise(0L))
+        sum(when(col("dp").isNull, 1L).otherwise(0L))
           .cast("bigint").as("n_orphan"))
       .withColumn("coverage_frac",
         when(col("n_docs") > 0,
@@ -1717,7 +1725,10 @@ object CurationOps {
     * squared in DECIMAL(19,0)·(19,0) → (38,0): at 10¹² docs per source
     * Σd² reaches n³ ~ 10³⁶, past BIGINT but inside DECIMAL(38,0).
     * Zero-token docs (score would be 0/0) are excluded; junk rows drop
-    * with them. Sources with n < 2 report rho 0.0 (no evidence).
+    * with them. Sources with n < 2, or where EITHER side is constant
+    * (min == max — e.g. every dup_frac 0.0 in a post-dedup source),
+    * report rho 0.0: Spearman is undefined at zero variance, and the
+    * doc_id tie-break must not fabricate an ordering there.
     *
     * Scale: the dup side is q166's kernel (one content-keyed gram
     * exchange); the rank stage is ONE exchange on source carrying
@@ -1743,20 +1754,30 @@ object CurationOps {
     val wd = Window.partitionBy(col("source"))
       .orderBy(col("dup_frac"), col("doc_id"))
     val ranked = scored.join(dup, Seq("doc_id"))
-      .select(col("source"),
+      .select(col("source"), col("score"), col("dup_frac"),
         row_number().over(ws).cast("long").as("rs"),
         row_number().over(wd).cast("long").as("rd"))
     val dDec = (col("rs") - col("rd")).cast("decimal(19,0)")
     val nD = col("n_docs").cast("double")
+    // Spearman is undefined when either side has zero variance — the
+    // doc_id tie-break would otherwise fabricate an ordering and a
+    // fully-clean source (every dup_frac 0.0, the normal post-dedup
+    // state) could report |rho| = 1 off ingest-order score drift. A
+    // constant side reports 0.0: no evidence, same as n < 2.
     ranked.groupBy(col("source"))
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
-        sum(dDec * dDec).cast("double").as("sum_d2"))
+        sum(dDec * dDec).cast("double").as("sum_d2"),
+        min(col("score")).as("mn_s"), max(col("score")).as("mx_s"),
+        min(col("dup_frac")).as("mn_d"), max(col("dup_frac")).as("mx_d"))
       .withColumn("rho",
-        when(col("n_docs") >= 2,
+        when(col("n_docs") >= 2
+            && col("mn_s") =!= col("mx_s") && col("mn_d") =!= col("mx_d"),
           round(lit(1.0) - lit(6.0) * col("sum_d2") / (nD * (nD * nD - 1.0)), 9))
           .otherwise(lit(0.0)))
       .withColumn("entangled",
         when(abs(col("rho")) >= 0.5, 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("sum_d2"),
+        col("rho"), col("entangled"))
   }
 
   val q169: QueryDef = QueryDef.sql(
@@ -1777,7 +1798,7 @@ object CurationOps {
        |      ${TwinSql.classifierZ("stop_ratio", "nt", "punct_ratio", "digit_ratio")} AS z
        |    FROM f WHERE nt >= 1)),
        |r AS (
-       |  SELECT sc.source,
+       |  SELECT sc.source, sc.score, df.dup_frac,
        |    row_number() OVER (PARTITION BY sc.source
        |                       ORDER BY sc.score, sc.doc_id) AS rs,
        |    row_number() OVER (PARTITION BY sc.source
@@ -1787,11 +1808,13 @@ object CurationOps {
        |  SELECT source,
        |    CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(CAST(rs - rd AS DECIMAL(19,0))
-       |             * CAST(rs - rd AS DECIMAL(19,0))) AS DOUBLE) AS sum_d2
+       |             * CAST(rs - rd AS DECIMAL(19,0))) AS DOUBLE) AS sum_d2,
+       |    min(score) AS mn_s, max(score) AS mx_s,
+       |    min(dup_frac) AS mn_d, max(dup_frac) AS mx_d
        |  FROM r GROUP BY source),
        |o AS (
        |  SELECT source, n_docs, sum_d2,
-       |    CASE WHEN n_docs >= 2
+       |    CASE WHEN n_docs >= 2 AND mn_s <> mx_s AND mn_d <> mx_d
        |      THEN round(1.0 - 6.0 * sum_d2
        |        / (CAST(n_docs AS DOUBLE)
        |           * (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - 1.0)), 9)
@@ -1806,18 +1829,19 @@ object CurationOps {
 
   val q168: QueryDef = QueryDef.sql(
     "q168_embedding_coverage",
-    """WITH d AS (SELECT doc_id, source FROM documents),
-      |e AS (SELECT vec_id FROM embeddings),
-      |j AS (SELECT d.doc_id, d.source, e.vec_id
+    """WITH d AS (SELECT doc_id, source, 1 AS dp FROM documents),
+      |e AS (SELECT vec_id, 1 AS ep FROM embeddings),
+      |j AS (SELECT d.doc_id, d.source, d.dp, e.vec_id, e.ep
       |      FROM d FULL OUTER JOIN e ON d.doc_id = e.vec_id),
       |g AS (
-      |  SELECT COALESCE(source, '(orphan_embedding)') AS source,
-      |    CAST(count(doc_id) AS BIGINT) AS n_docs,
-      |    CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+      |  SELECT CASE WHEN dp IS NULL THEN '(orphan_embedding)'
+      |              ELSE COALESCE(source, '(null)') END AS source,
+      |    CAST(sum(CASE WHEN dp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN dp = 1 AND ep = 1
       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_embedded,
-      |    CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NULL
+      |    CAST(sum(CASE WHEN dp = 1 AND ep IS NULL
       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
-      |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    CAST(sum(CASE WHEN dp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
       |      AS n_orphan
       |  FROM j GROUP BY 1)
       |SELECT source, n_docs, n_embedded, n_missing, n_orphan,

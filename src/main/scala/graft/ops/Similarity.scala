@@ -916,7 +916,11 @@ object Similarity {
     */
   def ivfCellBalance(corpus: DataFrame, nCells: Int = 8): DataFrame = {
     import graft.cluster.KMeansAssign
-    val c = corpus.toDF("cid", "cv")
+    // junk rows (NULL vectors, the loader convention) are not index
+    // members: unguarded, Spark's null-safe argmin would emit a NULL-
+    // center row while the twin's distance CASE ties them into cell 0
+    // — diverging engines AND corrupting the hot-cell report
+    val c = corpus.toDF("cid", "cv").filter(col("cv").isNotNull)
     val centers = KMeansAssign.lloydCenters(c, nCells, iters = 1, "cid", "cv")
     val g = KMeansAssign.assignMap(c, centers, "cv")
       .groupBy(col("center_id"))
@@ -936,10 +940,12 @@ object Similarity {
 
   val q171: QueryDef = QueryDef.sql(
     "q171_ivf_cell_balance",
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL),
        |ctr AS (
        |  SELECT CAST(vec_id AS INT) AS center_id, embedding AS cv
-       |  FROM embeddings WHERE vec_id < 8),
+       |  FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL),
        |asg AS (
        |  SELECT vec_id, center_id FROM (
        |    SELECT e.vec_id, ctr.center_id,

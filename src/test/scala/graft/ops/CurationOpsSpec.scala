@@ -621,6 +621,11 @@ class CurationOpsSpec extends SparkSpec {
       (5L, "w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4 w5 w6 w7 w8", "sB"),
       // sC: single doc => rho 0.0 by convention
       (6L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10", "sC"),
+      // sD: dup_frac CONSTANT (0.0 for both) while scores differ —
+      // Spearman undefined at zero variance; the doc_id tie-break must
+      // not fabricate |rho| = 1
+      (9L, "d1 d2 d3 d4 d5 d6 d7 d8", "sD"),
+      (10L, "the of to is dx1 dx2 dx3 dx4", "sD"),
       // junk + empty rows: excluded (zero tokens / null text)
       (7L, null, "sA"), (8L, "   ", "sA"))
       .toDF("doc_id", "text", "source")
@@ -631,18 +636,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(out("sA") == ((3L, 1.0, 1L)), "perfectly co-ranked gates flag entangled")
     assert(out("sB") == ((2L, -1.0, 1L)), "perfectly anti-ranked gates flag entangled")
     assert(out("sC") == ((1L, 0.0, 0L)), "n < 2 reports no evidence")
+    assert(out("sD") == ((2L, 0.0, 0L)),
+      "constant dup side (clean source) must report 0.0, not a tie-break artifact")
   }
 
   test("embeddingCoverage: missing embeddings and orphan embeddings both surface, per source") {
     import spark.implicits._
-    val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB")).toDF("doc_id", "source")
-    val emb = Seq(1L, 3L, 99L).toDF("vec_id") // doc 2 unembedded; 99 orphan
+    val docs = Seq(
+      (Some(1L), "sA"), (Some(2L), "sA"), (Some(3L), "sB"),
+      // junk doc row (NULL doc_id): a DOCUMENT of sA with no embedding,
+      // NOT an orphan embedding (the side-marker discipline)
+      (None, "sA"))
+      .toDF("doc_id", "source")
+    val emb = Seq(Some(1L), Some(3L), Some(99L), None) // 99 + junk NULL: orphans
+      .toDF("vec_id")
     val out = CurationOps.embeddingCoverage(docs, emb)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
-    assert(out("sA") == ((2L, 1L, 1L, 0L, 0.5)))
+    assert(out("sA") == ((3L, 1L, 2L, 0L, 1.0 / 3.0)),
+      "the junk doc counts as an unembedded sA document")
     assert(out("sB") == ((1L, 1L, 0L, 0L, 1.0)))
-    assert(out("(orphan_embedding)") == ((0L, 0L, 0L, 1L, 0.0)),
-      "an embedding referencing no document must be reported, not vanish")
+    assert(out("(orphan_embedding)") == ((0L, 0L, 0L, 2L, 0.0)),
+      "embeddings referencing no document (incl. a NULL-id junk row) must be reported")
   }
 }

@@ -257,4 +257,16 @@ class JunkRowOpsSpec extends SparkSpec {
     assert(!plan.contains("row_number"),
       "unbounded-threshold dedup must not pay a per-qid rank window:\n" + plan)
   }
+
+  test("ivfCellBalance skips null vectors (no NULL-center row, counts over real members only)") {
+    val e = Seq(
+      (0L, Some(Seq(1.0, 0.0))), (1L, Some(Seq(0.0, 1.0))),
+      (2L, None), // junk: must be neither a cell member nor its own row
+      (3L, Some(Seq(2.0, 0.1))))
+      .toDF("vec_id", "v")
+    val rows = Similarity.ivfCellBalance(e, nCells = 2)
+      .as[(Long, Long, Double, Double, Long)].collect()
+    assert(rows.map(_._2).sum == 3L, "three real vectors, junk excluded")
+    assert(rows.forall(_._1 >= 0L), "no NULL-center row survives")
+  }
 }
