@@ -129,15 +129,23 @@ object KMeansAssign {
         .orderBy(col(idCol))
         .select(col(vecCol))
         .collect().map(_.getSeq[Double](0).toArray)
-      // conform every center to the FIRST point's dimension: the
+      require(first.length == k,
+        s"k-means asked for $k centers but only ${first.length} non-null " +
+          s"vectors exist — downstream cell-count assumptions (IVF probes, " +
+          s"cluster ids) would silently break; reduce k or fix the input")
+      // conform every center to the LARGEST seed's dimension: the
       // assignment kernel tolerates ragged POINT vectors (common-prefix
       // scoring — "row-local junk must not kill the scan"), but
       // NearestCenterExpr requires a rectangular center set, so one
       // junk row among the first k (or a long junk member inflating a
       // centroidMeans cell to max member length) would otherwise abort
       // the whole job on the next assignMap. Zero-padding is neutral
-      // under cosine (zeros add nothing to dot or norms).
-      val dim = first.headOption.map(_.length).getOrElse(0)
+      // under cosine (zeros add nothing to dot or norms). Max, not the
+      // first seed's length: a zero-length/short junk vector holding
+      // the lowest id would otherwise TRUNCATE every center to its
+      // prefix and silently degenerate the whole clustering (dist 1.0
+      // everywhere, everything in cell 0, instant fake convergence).
+      val dim = if (first.isEmpty) 0 else first.map(_.length).max
       def conform(v: Array[Double]): Array[Double] =
         if (v.length == dim) v
         else java.util.Arrays.copyOf(v, dim)

@@ -477,13 +477,20 @@ object Dedup {
     * (band, band_sig) — the only shuffle in the whole operator.
     */
   def minhashCandidates(docs: DataFrame, nHashes: Int = 32, bandSize: Int = 4,
-                        shingleSize: Int = 3): DataFrame = {
-    val bands = bandSignatures(docs, nHashes, bandSize, shingleSize)
+                        shingleSize: Int = 3): DataFrame =
+    candidatesFromBands(bandSignatures(docs, nHashes, bandSize, shingleSize))
+
+  /** Candidate pairs from an EXISTING (doc_id, band, band_sig) band
+    * frame — the one definition of the band equi-join, shared by
+    * [[minhashCandidates]] and callers that already hold band keys
+    * (the curation pipeline derives them from a cached signature frame
+    * so the shingle kernel runs once, not once per join side).
+    */
+  def candidatesFromBands(bands: DataFrame): DataFrame =
     bands.toDF("d1", "band", "sig")
       .join(bands.toDF("d2", "band2", "sig2"),
         col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
-  }
 
   /** Incremental LSH band-index maintenance: merge a delta corpus into
     * an existing (doc_id, band, band_sig) index — the persisted form

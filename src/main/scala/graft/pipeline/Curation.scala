@@ -68,21 +68,53 @@ object Curation {
       .drop("_n_tokens", "_punct_ratio")
   }
 
-  /** Stages 1-3 (quality -> language -> exact dedup), the deterministic
-    * prefix whose MinHash signatures the q132 oracle consumes.
+  /** Stage-3 exact dedup (keep lowest doc_id per exact text, one
+    * exchange) — the ONE definition of the keeper policy; a second
+    * copy in either curate variant could silently fork from the q132
+    * oracle prefix that [[exactStage]] exists to pin.
     */
-  def exactStage(docs: DataFrame, minTokens: Int, maxPunctRatio: Double,
-                 keepLangs: Seq[String]): DataFrame = {
-    val quality = qualityStage(docs, minTokens, maxPunctRatio)
-    val langed =
-      if (keepLangs.isEmpty) quality
-      else quality.filter(col("lang").isin(keepLangs: _*))
+  private def exactDedup(langed: DataFrame): DataFrame = {
     val exactKeep = langed
       .groupBy(col("text").as("_t"))
       .agg(min(col("doc_id")).as("_keep"))
       .select(col("_keep").as("doc_id"))
     langed.join(exactKeep, "doc_id")
   }
+
+  /** Stage-2 language allowlist (narrow; empty = keep all). */
+  private def langStage(quality: DataFrame, keepLangs: Seq[String]): DataFrame =
+    if (keepLangs.isEmpty) quality
+    else quality.filter(col("lang").isin(keepLangs: _*))
+
+  /** Stage-4 verified near-dup strike set over the exact-deduped
+    * frame's SIGNATURES: bands derived from the signature frame the
+    * caller passes (cache it — the shingle+MinHash kernel is the
+    * pipeline's priciest narrow op and THREE consumers read the frame:
+    * both band-join sides and the verification join; deriving bands
+    * from the docs instead re-runs the kernel per consumer), LSH
+    * candidates verified by MinHash slot agreement, higher doc_id of
+    * each verified pair returned distinct.
+    */
+  private def nearDupIds(sigs: DataFrame, nHashes: Int,
+                         minSigAgreement: Double, bandSize: Int): DataFrame = {
+    val bands = Dedup.bandsFromSignatures(sigs, nHashes, bandSize)
+    val agree = zip_with(col("mh1"), col("mh2"),
+      (a, b) => when(a === b, 1).otherwise(0))
+    Dedup.candidatesFromBands(bands)
+      .join(sigs.toDF("d1j", "mh1"), col("d1j") === col("d1"))
+      .join(sigs.toDF("d2j", "mh2"), col("d2j") === col("d2"))
+      .withColumn("_est_jaccard",
+        aggregate(agree, lit(0), (acc, x) => acc + x) / lit(nHashes))
+      .filter(col("_est_jaccard") >= minSigAgreement)
+      .select(col("d2").as("doc_id")).distinct()
+  }
+
+  /** Stages 1-3 (quality -> language -> exact dedup), the deterministic
+    * prefix whose MinHash signatures the q132 oracle consumes.
+    */
+  def exactStage(docs: DataFrame, minTokens: Int, maxPunctRatio: Double,
+                 keepLangs: Seq[String]): DataFrame =
+    exactDedup(langStage(qualityStage(docs, minTokens, maxPunctRatio), keepLangs))
 
   def curate(spark: SparkSession, docs: DataFrame,
              minTokens: Int = 8, maxPunctRatio: Double = 0.2,
@@ -98,37 +130,25 @@ object Curation {
     val afterQuality = quality.count()
 
     // 2. language allowlist (narrow)
-    val langed =
-      if (keepLangs.isEmpty) quality
-      else quality.filter(col("lang").isin(keepLangs: _*))
+    val langed = langStage(quality, keepLangs)
     val afterLang = langed.count()
 
-    // 3. exact dedup: keep lowest doc_id per exact text (one exchange).
-    // Cache: stages 4's candidate join and the final anti-join both
-    // reread this frame.
-    val exactKeep = langed
-      .groupBy(col("text").as("_t"))
-      .agg(min(col("doc_id")).as("_keep"))
-      .select(col("_keep").as("doc_id"))
-    val exact = langed.join(exactKeep, "doc_id").cache()
+    // 3. exact dedup (one exchange). Cache: stage 4's signature pass
+    // and the final anti-join both reread this frame.
+    val exact = exactDedup(langed).cache()
     val afterExact = exact.count()
 
     // 4. near-dup: LSH candidates VERIFIED by signature agreement
-    // (estimated Jaccard), then drop the higher doc_id of each pair
-    val sigs = Dedup.minhashSignatures(exact, nHashes)
-    val candidates = Dedup.minhashCandidates(exact, nHashes, bandSize)
-    val agree = zip_with(col("mh1"), col("mh2"),
-      (a, b) => when(a === b, 1).otherwise(0))
-    val dupIds = candidates
-      .join(sigs.toDF("d1j", "mh1"), col("d1j") === col("d1"))
-      .join(sigs.toDF("d2j", "mh2"), col("d2j") === col("d2"))
-      .withColumn("_est_jaccard",
-        aggregate(agree, lit(0), (acc, x) => acc + x) / lit(nHashes))
-      .filter(col("_est_jaccard") >= minSigAgreement)
-      .select(col("d2").as("doc_id")).distinct()
-    val deduped = exact.join(dupIds, Seq("doc_id"), "left_anti").cache()
+    // (estimated Jaccard), then drop the higher doc_id of each pair.
+    // Signatures cached: the kernel runs once, not once per consumer.
+    val sigs = Dedup.minhashSignatures(exact, nHashes).cache()
+    val deduped = exact
+      .join(nearDupIds(sigs, nHashes, minSigAgreement, bandSize),
+        Seq("doc_id"), "left_anti")
+      .cache()
     val afterNearDup = deduped.count() // pins the LSH stage: the balance
     // stage and the caller's materialization must not recompute it
+    sigs.unpersist(blocking = false)
 
     // 5. optional source balancing: deterministic per-source cap
     // (partitioned window over the arithmetic sample hash — no RNG, so
@@ -216,40 +236,23 @@ object Curation {
     val oBalance = Observation("curate_balance")
     val n = count(lit(1)).as("n")
 
-    val toks = TextAnalytics.toks(col("text"))
-    val quality = docs.observe(oIn, n)
-      .withColumn("_n_tokens", size(toks))
-      .withColumn("_punct_ratio",
-        (length(col("text")) - length(regexp_replace(col("text"), "\\p{P}", "")))
-          / greatest(length(col("text")), lit(1)))
-      .filter(col("_n_tokens") >= minTokens
-        && col("_punct_ratio") <= maxPunctRatio)
-      .drop("_n_tokens", "_punct_ratio")
+    // the SAME stage definitions curate/exactStage run — observe nodes
+    // wrap them rather than re-spelling their bodies (a drifted inline
+    // copy here once tripled the places a stage fix had to land)
+    val quality = qualityStage(docs.observe(oIn, n), minTokens, maxPunctRatio)
       .observe(oQuality, n)
-    val langed =
-      (if (keepLangs.isEmpty) quality
-       else quality.filter(col("lang").isin(keepLangs: _*)))
-        .observe(oLang, n)
-    val exactKeep = langed
-      .groupBy(col("text").as("_t"))
-      .agg(min(col("doc_id")).as("_keep"))
-      .select(col("_keep").as("doc_id"))
-    // cache ABOVE the observe: the three consumers (signatures,
-    // candidates, anti-join) share one computation, so each stage
-    // metric fires exactly once — on the cache build
-    val exact = langed.join(exactKeep, "doc_id").observe(oExact, n).cache()
-    val sigs = Dedup.minhashSignatures(exact, nHashes)
-    val candidates = Dedup.minhashCandidates(exact, nHashes, bandSize)
-    val agree = zip_with(col("mh1"), col("mh2"),
-      (a, b) => when(a === b, 1).otherwise(0))
-    val dupIds = candidates
-      .join(sigs.toDF("d1j", "mh1"), col("d1j") === col("d1"))
-      .join(sigs.toDF("d2j", "mh2"), col("d2j") === col("d2"))
-      .withColumn("_est_jaccard",
-        aggregate(agree, lit(0), (acc, x) => acc + x) / lit(nHashes))
-      .filter(col("_est_jaccard") >= minSigAgreement)
-      .select(col("d2").as("doc_id")).distinct()
-    val deduped = exact.join(dupIds, Seq("doc_id"), "left_anti")
+    val langed = langStage(quality, keepLangs).observe(oLang, n)
+    // cache ABOVE the observe: the consumers (signature pass, final
+    // anti-join) share one computation, so each stage metric fires
+    // exactly once — on the cache build
+    val exact = exactDedup(langed).observe(oExact, n).cache()
+    // signatures cached lazily (curateObserved runs ZERO bookkeeping
+    // actions — an eager checkpoint here would break that contract);
+    // lifecycle rides the returned frame's, like `exact`
+    val sigs = Dedup.minhashSignatures(exact, nHashes).cache()
+    val deduped = exact
+      .join(nearDupIds(sigs, nHashes, minSigAgreement, bandSize),
+        Seq("doc_id"), "left_anti")
       .observe(oNearDup, n)
     if (maxPerSource > 0) require(deduped.columns.contains("source"),
       "maxPerSource balancing needs a 'source' column")

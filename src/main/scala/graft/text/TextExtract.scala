@@ -27,7 +27,10 @@ object TextExtract {
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
     ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    // explicit class, not \s: Java's \s includes vertical tab \x0B,
+    // RE2's does not — a U+000B in the markup would collapse on Spark
+    // but survive in the twin, breaking the dialect-identity contract
+    trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 
   /** The same chain as DuckDB SQL over an expression string — kept
@@ -47,6 +50,6 @@ object TextExtract {
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&"
     ).foldLeft(noTags) { case (c, (ent, ch)) => s"replace($c, '$ent', '$ch')" }
-    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+    s"trim(regexp_replace($decoded, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
   }
 }

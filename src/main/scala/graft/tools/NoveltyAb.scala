@@ -54,6 +54,9 @@ object NoveltyAb {
 
     def run(label: String, f: () => org.apache.spark.sql.DataFrame): Unit = {
       f().queryExecution.toRdd.count() // warmup
+      Thread.sleep(500) // drain warmup task-end events BEFORE the reset:
+      // the listener bus is async, so a late warmup event after set(0)
+      // would leak into the measured run's byte count
       val t0 = System.nanoTime(); shufW.set(0)
       f().queryExecution.toRdd.count()
       Thread.sleep(500) // let straggler task-end events drain

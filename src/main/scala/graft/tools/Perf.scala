@@ -33,7 +33,11 @@ object Perf {
                         n: String, reps: Int): Unit = {
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      qs(n)(spark, sfDir).count()
+      // toRdd.count, NOT Dataset.count: count() re-optimizes the plan
+      // and column pruning can delete the very operators under test
+      // (the incident ScaleCheck documents — "the probe timed a plan
+      // the query never runs"); toRdd executes the plan as built
+      qs(n)(spark, sfDir).queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
     println(f"[perf] $n%-28s ${times.map(t => f"$t%7.3f").mkString(" ")}")

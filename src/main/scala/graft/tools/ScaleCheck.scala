@@ -83,12 +83,18 @@ object ScaleCheck {
     // otherwise be silently served from a stale /tmp corpus — the
     // marker stores a fingerprint (name/size/mtime, recursive) of the
     // base tables and the build recipe; any mismatch rebuilds
+    // listFiles returns null (not empty) for a missing/unreadable path
+    def ls(f: java.io.File): Array[java.io.File] = {
+      val c = f.listFiles()
+      require(c != null, s"cannot list fixture path: ${f.getAbsolutePath}")
+      c
+    }
     def fpOf(f: java.io.File): String =
       if (f.isDirectory)
-        f.listFiles().sortBy(_.getName)
+        ls(f).sortBy(_.getName)
           .map(c => s"${c.getName}(${fpOf(c)})").mkString(",")
       else s"${f.length}:${f.lastModified}"
-    val fingerprint = (new java.io.File(base).listFiles()
+    val fingerprint = (ls(new java.io.File(base))
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       .map(f => s"${f.getName}=${fpOf(f)}") :+ s"factor=$factor" :+ "recipe=v3")
       .mkString("\n")

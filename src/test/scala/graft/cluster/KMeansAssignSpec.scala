@@ -109,4 +109,34 @@ class KMeansAssignSpec extends SparkSpec {
       .groupBy(_._2).map(_._2.map(_._1).toSet).toSet
     assert(groups == Set((0L until 20L).toSet, (20L until 40L).toSet))
   }
+
+  test("a short/empty junk seed must not truncate the center set to its prefix") {
+    // id 0 (lowest — the seed whose length used to define the conform
+    // dim) is a zero-length junk vector; unguarded, every center would
+    // truncate to length 0, every distance would read 1.0, and the
+    // whole clustering would degenerate into cell 0 with instant fake
+    // convergence
+    val pts = (Seq((0L, Seq.empty[Double])) ++
+      Seq.tabulate(10)(i => (1L + i, Seq(10.0 + i % 3, 1.0))) ++
+      Seq.tabulate(10)(i => (11L + i, Seq(-5.0, 8.0 + i % 3)))).toDF("id", "vec")
+    val (centers, _) = KMeansAssign.lloydConverge(pts, k = 3, maxIter = 4,
+      tol = 0.0)
+    assert(centers.forall(_.length == 2),
+      "conform dim must be the LARGEST seed's length, zero-padding the junk seed up")
+    val out = KMeansAssign.assignMap(pts.where(col("id") > 0L), centers)
+    val groups = out.select("id", "center_id").as[(Long, Int)].collect()
+      .groupBy(_._2).map(_._2.map(_._1).toSet).filter(_.nonEmpty).toSet
+    assert(groups.exists(_ == (11L until 21L).toSet),
+      "the real clusters must survive a junk lowest-id seed")
+  }
+
+  test("lloydConverge fails fast when fewer non-null vectors than k exist") {
+    val pts = Seq((0L, Some(Seq(1.0, 0.0))), (1L, None), (2L, Some(Seq(0.0, 1.0))))
+      .toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      KMeansAssign.lloydConverge(pts, k = 3, maxIter = 2)
+    }
+    assert(e.getMessage.contains("only 2 non-null"),
+      "silent under-k center sets corrupt downstream cell-count assumptions")
+  }
 }
