@@ -14,7 +14,7 @@ object CorpusDrift {
   import TextAnalytics.toks
   import Dedup.shingles
 
-  private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private val duckToks = TwinSql.toksSql
 
   def all: Seq[QueryDef] = Seq(q134, q136, q146, q151, q156, q163)
 
@@ -582,9 +582,9 @@ object CorpusDrift {
        |         WHEN vb.doc_id IS NULL THEN 'removed'
        |         WHEN va.text IS DISTINCT FROM vb.text THEN 'changed'
        |         ELSE 'unchanged' END AS status,
-       |    COALESCE(len(list_filter(string_split_regex(va.text, '\\s+'),
+       |    COALESCE(len(list_filter(string_split_regex(va.text, '[ \\t\\n\\x0B\\f\\r]+'),
        |      x -> x <> '')), 0) AS tok_a,
-       |    COALESCE(len(list_filter(string_split_regex(vb.text, '\\s+'),
+       |    COALESCE(len(list_filter(string_split_regex(vb.text, '[ \\t\\n\\x0B\\f\\r]+'),
        |      x -> x <> '')), 0) AS tok_b
        |  FROM va FULL OUTER JOIN vb ON va.doc_id = vb.doc_id)
        |SELECT source,

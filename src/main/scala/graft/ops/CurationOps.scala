@@ -17,7 +17,7 @@ object CurationOps {
 
   import TextAnalytics.toks
 
-  private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private val duckToks = TwinSql.toksSql
 
   def all: Seq[QueryDef] =
     Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125, q166,

@@ -24,7 +24,7 @@ object Dedup {
 
   import TextAnalytics.toks
 
-  private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private val duckToks = TwinSql.toksSql
 
   def all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89, q112, q135, q139, q162)

@@ -699,7 +699,7 @@ object Extended {
     "q83_array_setops",
     """WITH t AS (
       |  SELECT doc_id,
-      |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+      |    list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
       |      x -> x <> '')) AS toks
       |  FROM documents WHERE doc_id < 50)
       |SELECT doc_id,

@@ -29,7 +29,7 @@ object IndexOracle {
     "q114_tfidf_retrieval",
     """WITH tk AS (
       |  SELECT doc_id,
-      |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+      |    unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS term
       |  FROM documents),
       |n AS (SELECT count(*) AS n FROM documents),
       |top8 AS (
@@ -91,7 +91,7 @@ object IndexOracle {
     "q115_bm25_retrieval",
     """WITH tk AS (
       |  SELECT doc_id,
-      |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+      |    unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS term
       |  FROM documents),
       |n AS (SELECT count(*) AS n FROM documents),
       |top8 AS (
@@ -242,7 +242,7 @@ object IndexOracle {
     "q100_index_merge",
     """WITH t AS (
       |  SELECT DISTINCT doc_id, unnest(list_filter(
-      |    string_split_regex(text, '\s+'), x -> x <> '')) AS term
+      |    string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS term
       |  FROM documents)
       |SELECT term,
       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids

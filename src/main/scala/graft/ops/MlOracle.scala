@@ -147,7 +147,7 @@ object MlOracle {
     "q54_langid",
     """WITH t AS (
       |  SELECT doc_id, lang AS labeled_lang, text,
-      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |    list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
       |  FROM documents),
       |sc AS (
       |  SELECT doc_id, labeled_lang,

@@ -101,7 +101,7 @@ object NonOracle {
        |d AS (
        |  SELECT doc_id, t, len(t) AS n
        |  FROM (SELECT doc_id,
-       |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+       |          list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
        |        FROM documents WHERE doc_id < 500)
        |  WHERE len(t) > 0),
        |sh AS (
@@ -583,7 +583,7 @@ object NonOracle {
     val head =
       """WITH w AS (
         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-        |    SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word
+        |    SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS word
         |    FROM documents WHERE doc_id < 500) GROUP BY word),
         |seg0 AS MATERIALIZED (
         |  SELECT word, freq, list_append(regexp_extract_all(word, '(?s).'), '</w>') AS s
@@ -661,7 +661,7 @@ object NonOracle {
       s""",
          |sw AS (
          |  SELECT source, word, CAST(count(*) AS BIGINT) AS freq FROM (
-         |    SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+         |    SELECT source, unnest(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS word
          |    FROM documents WHERE doc_id < 500) GROUP BY source, word),
          |u AS (SELECT word, CAST(len(s) AS BIGINT) AS units FROM seg20),
          |r AS (
@@ -738,7 +738,7 @@ object NonOracle {
       s""",
          |sw AS (
          |  SELECT source, word, CAST(count(*) AS BIGINT) AS freq FROM (
-         |    SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+         |    SELECT source, unnest(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS word
          |    FROM documents WHERE doc_id < 500) GROUP BY source, word),
          |u AS (
          |  SELECT word,
@@ -875,7 +875,7 @@ object NonOracle {
        |  FROM est),
        |ex AS (
        |  SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_exact
-       |  FROM (SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term
+       |  FROM (SELECT source, unnest(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS term
        |        FROM documents)
        |  GROUP BY source)
        |SELECT ex.source, ex.n_exact, e2.hll_est
@@ -908,7 +908,7 @@ object NonOracle {
     "q130_cms_heavy_hitters",
     s"""WITH tc AS (
        |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
-       |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |  FROM (SELECT unnest(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
        |                x -> x <> '')) AS term
        |        FROM documents)
        |  GROUP BY term),

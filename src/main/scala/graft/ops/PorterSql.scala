@@ -171,7 +171,7 @@ p_out AS MATERIALIZED (
     s"""toks AS MATERIALIZED (
   SELECT doc_id, tok FROM (
     SELECT doc_id, lower(regexp_replace(t, '\\p{P}', '', 'g')) AS tok
-    FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents))
+    FROM (SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+')) AS t FROM documents))
   WHERE tok <> '' AND tok NOT IN ($stops)),
 vocab AS MATERIALIZED (SELECT DISTINCT tok FROM toks),
 ${chain("vocab", "tok")},

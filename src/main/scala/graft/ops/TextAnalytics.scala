@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
 object TextAnalytics {
 
   /** Whitespace tokens with empties dropped — the engine-neutral
-    * tokenizer used by every oracle-checked text query (DuckDB twin:
-    * `list_filter(string_split_regex(text,'\s+'), x -> x <> '')`).
+    * tokenizer used by every oracle-checked text query. Java's \s is
+    * exactly [ \t\n\x0B\f\r] (matching the reference's split); the
+    * DuckDB twin ([[TwinSql.toksSql]]) spells that class explicitly
+    * because RE2's \s omits vertical tab.
     */
   def toks(c: Column): Column =
     filter(split(c, "\\s+"), t => length(t) > 0)
 
-  private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private val duckToks = TwinSql.toksSql
 
   /** Fixed stopword probe list for quality scoring (tiny; inlined as a
     * literal array on both engines).
@@ -320,7 +322,7 @@ object TextAnalytics {
          |    $scoreSelects,
          |    CAST(length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE) AS s_zh
          |    FROM (SELECT doc_id, lang, text,
-         |      list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+         |      list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
          |      FROM documents)))
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       langId(Tables.documents(s, dir)).orderBy(col("doc_id"))
@@ -399,7 +401,7 @@ object TextAnalytics {
   val q38: QueryDef = QueryDef.sql(
     "q38_bpe_token_count",
     """SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_bpe_tokens,
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens,
       |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens
       |FROM documents
@@ -408,7 +410,7 @@ object TextAnalytics {
       .select(
         col("doc_id"),
         size(regexp_extract_all(col("text"),
-          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0)))
           .cast("bigint").as("n_bpe_tokens"),
         size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
           .cast("bigint").as("n_word_tokens"),

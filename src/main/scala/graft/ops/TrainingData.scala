@@ -14,7 +14,7 @@ import graft.cluster.KMeansAssign
   */
 object TrainingData {
 
-  private val duckToks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private val duckToks = TwinSql.toksSql
 
   def all: Seq[QueryDef] = Seq(q97, q98, q99, q103, q155)
 
@@ -134,7 +134,7 @@ object TrainingData {
       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio,
       |    len(list_filter(t, x -> x IN ('the','a','an','and','of','to','is','in','it','on'))) / len(t) AS stop_ratio
       |  FROM (SELECT doc_id, source, text,
-      |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |          list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
       |        FROM documents)),
       |q AS (
       |  SELECT doc_id, source,

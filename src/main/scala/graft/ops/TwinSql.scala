@@ -72,4 +72,15 @@ private[ops] object TwinSql {
     */
   def rationalSigmoid(z: String): String =
     s"0.5 + 0.5 * ($z / (1.0 + abs($z)))"
+
+  /** The engine-neutral whitespace tokenizer in twin SQL — ONE
+    * definition of the split the oracle-checked text queries replay
+    * (the Spark side is TextAnalytics.toks). The class is spelled
+    * explicitly, not as \s: the engine's split runs Java regex, whose
+    * \s is exactly [ \t\n\x0B\f\r], while DuckDB's RE2 \s omits
+    * vertical tab \x0B — a U+000B in a document would silently
+    * tokenize differently across engines under the shorthand.
+    */
+  val toksSql: String =
+    """list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
 }
