@@ -136,9 +136,21 @@ object Bench {
       else s
     }
     def short(name: String): String = name.takeWhile(_ != '_')
-    val qs = medians.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + short(k) + "\":" + fmtq(v) }
+    def qsAt(f: Double => String): String = medians.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + short(k) + "\":" + f(v) }
       .mkString("{", ",", "}")
+    // self-limiting: if the mixed-precision form would push the line
+    // past the driver's tail window, degrade sub-second entries to 1
+    // decimal too — the query count grows every round, and a clipped
+    // line records parsed=null, which is worse than a coarser decimal
+    // (exact rep vectors are in BENCH_DETAIL.json either way)
+    def fmtq1(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
+    val qsFull = qsAt(fmtq)
+    val qs = if (qsFull.length <= 1800) qsFull else qsAt(fmtq1)
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
     // sum of per-query WORST reps: total stays the robust number, but
     // a tail regression (one query 5x slower on every rep) still moves

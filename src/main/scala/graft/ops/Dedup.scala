@@ -27,7 +27,8 @@ object Dedup {
   private val duckToks = TwinSql.toksSql
 
   def all: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89, q112, q135, q139, q162)
+    Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89, q112, q135, q139, q162,
+      q172)
 
   /** Exact dedup on a normalized key: keep the lowest doc_id per group.
     * Scale: one hash exchange on the key; with pre-partitioned/bucketed
@@ -1271,5 +1272,71 @@ object Dedup {
       .select(col("cid").as("dup_id")).distinct()
     e.join(pairs, e("id") === pairs("dup_id"), "left_anti")
       .select(col("id").as(idName), col("v").as(vecName))
+  }
+
+  /** The (bands, rows-per-band) factorizations of the 32-hash budget —
+    * the LSH operating points q172 curves. ONE list drives BOTH engine
+    * sides so a config can't silently appear in one and not the other.
+    */
+  private val lshConfigs = Seq((32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+
+  /** Analytic LSH S-curve (q172): for every (b bands, r rows) split of
+    * the 32-hash budget and Jaccard s on a 1/20 grid, the candidate-
+    * capture probability 1 - (1 - s^r)^b — the tuning table that
+    * documents WHY the shipped (8, 4) operating point sits where it
+    * does (threshold ~ (1/b)^(1/r) ≈ 0.59) and what moving along the
+    * budget's factorizations trades (more bands -> catches lower-s
+    * pairs AND more false candidates). The analytic complement of
+    * q153: q153 audits the estimator empirically against exact Jaccard
+    * on the actual corpus; this is the curve governing which pairs
+    * become candidates at all.
+    *
+    * Determinism: every exponent in the budget's factorizations is a
+    * power of two, so s^r and (1-s^r)^b are REPEATED-SQUARING
+    * multiplication chains — IEEE-exact and identical on both engines,
+    * where libm pow would differ in the last ulp. Both engine sides
+    * are generated from the same [[lshConfigs]] list and the same
+    * chain builder shape. Constant-size output (6 configs x 19 grid
+    * points); no corpus scan — ScaleCheck-excluded as size-invariant.
+    */
+  def lshTuningCurve(spark: SparkSession): DataFrame = {
+    def chain(base: Column, e: Int): Column = {
+      var c = base
+      var k = 1
+      while (k < e) { c = c * c; k *= 2 }
+      c
+    }
+    lshConfigs.map { case (b, r) =>
+      spark.range(1, 20).toDF("k")
+        .select(
+          lit(b.toLong).as("bands"),
+          lit(r.toLong).as("rows_per_band"),
+          col("k").cast("bigint").as("k"),
+          (col("k").cast("double") / 20.0).as("s"))
+        .withColumn("p_capture",
+          lit(1.0) - chain(lit(1.0) - chain(col("s"), r), b))
+    }.reduce(_ union _)
+  }
+
+  private def lshTuningCurveSql: String = {
+    def chain(base: String, e: Int): String = {
+      var c = base
+      var k = 1
+      while (k < e) { c = s"($c * $c)"; k *= 2 }
+      c
+    }
+    val s = "(CAST(k AS DOUBLE) / 20.0)"
+    val parts = lshConfigs.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |  CAST(k AS BIGINT) AS k, CAST(k AS DOUBLE) / 20.0 AS s,
+         |  1.0 - ${chain(s"(1.0 - ${chain(s, r)})", b)} AS p_capture
+         |FROM (SELECT unnest(range(1, 20)) AS k)""".stripMargin
+    }
+    parts.mkString("\nUNION ALL\n") + "\nORDER BY bands DESC, k"
+  }
+
+  val q172: QueryDef = QueryDef.sql(
+    "q172_lsh_tuning_curve", lshTuningCurveSql) { (s, dir) =>
+    lshTuningCurve(s).orderBy(col("bands").desc, col("k"))
   }
 }

@@ -49,7 +49,8 @@ object ScaleCheck {
         // diff join both sides feed; the full-outer join's scale
         // argument is the plan pin in PLANS.md instead.
         // q160/q162/q170 are absent for q153's reason (bounded doc_id
-        // slices); q150's embeddings probe runs on request (its 1x
+        // slices); q172 is size-invariant (constant 114-row analytic
+        // table, no corpus scan); q150's embeddings probe runs on request (its 1x
         // number is sub-second and the replicated-embeddings build is
         // the cost).
         "q152_data_contract", "q154_boundary_stitch",

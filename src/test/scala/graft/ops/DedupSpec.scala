@@ -313,4 +313,29 @@ class DedupSpec extends SparkSpec {
     assert(got("srcB") == (("srcB", 2L, 8L, 1L, 1L, 4L, 4.0 / 8.0)),
       "cross-source member must count redundant in its own source")
   }
+
+  test("q172 S-curve: values match the repeated-squaring math; monotone in s; all 6 budget splits") {
+    val rows = Dedup.lshTuningCurve(spark)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.length == 6 * 19)
+    // same IEEE squaring chain in plain Scala
+    def chain(x: Double, e: Int): Double = {
+      var c = x; var k = 1; while (k < e) { c = c * c; k *= 2 }; c
+    }
+    rows.foreach { case (b, r, k, s, p) =>
+      assert(s == k.toDouble / 20.0)
+      assert(p == 1.0 - chain(1.0 - chain(s, r.toInt), b.toInt),
+        s"($b,$r,$k): p_capture must be the exact squaring-chain value")
+    }
+    // per config, capture is monotone nondecreasing in s
+    rows.groupBy(x => (x._1, x._2)).foreach { case (cfg, rs) =>
+      val ps = rs.sortBy(_._3).map(_._5).toSeq
+      assert(ps == ps.sorted, s"$cfg: capture must be monotone in s")
+    }
+    // the shipped (8,4) operating point: steep around s ~ 0.6
+    val shipped = rows.filter(x => x._1 == 8L && x._2 == 4L)
+      .map(x => x._3 -> x._5).toMap
+    assert(shipped(8L) < 0.3 && shipped(16L) > 0.9,
+      "the (8,4) S-curve must separate s=0.4 from s=0.8")
+  }
 }
