@@ -25,7 +25,7 @@ object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
     q45, q46, q47, q51, q52, q53, q57, q102, q105, q106, q128, q130, q153,
-    q160, q170)
+    q160, q170, q173)
 
   // the shared twin cosine fragments (single definition: TwinSql)
   // every twin in this file SCORES vectors, so only the zero-norm
@@ -790,6 +790,95 @@ object NonOracle {
         (col("n_frag_words").cast("double") / col("n_words").cast("double"))
           .as("frag_word_rate"))
       .orderBy(col("source"))
+  }
+
+  /** Cross-source syndication matrix (q173): for every source pair
+    * (unordered; the diagonal is within-source), the count of VERIFIED
+    * near-dup pairs spanning them and the distinct documents involved
+    * — "which sources copy from which". The q162 dedup-impact report
+    * says how much each source shrinks under dedup; this says WHERE
+    * the duplication flows: a hot off-diagonal cell is syndication
+    * (mirrors, wire copy, scraped re-posts) that silently multiplies a
+    * document's effective epochs across the q110 mixture's buckets,
+    * and a hot diagonal is within-source templating. Verification is
+    * the q132 criterion — MinHash slot agreement >= 0.7, never raw
+    * band collisions.
+    *
+    * Scale: the q45 shape — banded equi-join, never all-pairs; the
+    * signature frame is checkpointed once (three consumers); source
+    * attachment is two id-keyed joins shipping (doc_id, source); the
+    * matrix is at most S² rows. TWO-STAGE ORACLE: DuckDB re-derives
+    * bands, candidates, slot agreement, the source pairing, and both
+    * aggregates from the dumped signature matrix + raw documents.
+    */
+  def syndicationMatrix(docs: org.apache.spark.sql.DataFrame,
+                        nHashes: Int = 32, minAgree: Double = 0.7)
+      : org.apache.spark.sql.DataFrame = {
+    val sigs = Dedup.minhashSignatures(docs, nHashes).localCheckpoint(false)
+    val bands = Dedup.bandsFromSignatures(sigs, nHashes)
+    val agree = zip_with(col("mh1"), col("mh2"),
+      (a, b) => when(a === b, 1).otherwise(0))
+    val pairs = Dedup.candidatesFromBands(bands)
+      .join(sigs.toDF("d1j", "mh1"), col("d1j") === col("d1"))
+      .join(sigs.toDF("d2j", "mh2"), col("d2j") === col("d2"))
+      .withColumn("_est",
+        aggregate(agree, lit(0), (acc, x) => acc + x) / lit(nHashes))
+      .filter(col("_est") >= minAgree)
+      .select(col("d1"), col("d2"))
+    val src = docs.select(col("doc_id"), col("source"))
+    val ps = pairs
+      .join(src.toDF("d1s", "src1"), col("d1s") === col("d1"))
+      .join(src.toDF("d2s", "src2"), col("d2s") === col("d2"))
+      .select(least(col("src1"), col("src2")).as("s1"),
+        greatest(col("src1"), col("src2")).as("s2"),
+        col("d1"), col("d2"))
+    val cells = ps.groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+    val docsIn = ps
+      .select(col("s1"), col("s2"),
+        explode(array(col("d1"), col("d2"))).as("d"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(countDistinct(col("d")).cast("bigint").as("n_docs"))
+    cells.join(docsIn, Seq("s1", "s2"))
+  }
+
+  val q173 = QueryDef.sql(
+    "q173_syndication_matrix",
+    """WITH s AS (
+      |  SELECT doc_id, list(h ORDER BY pos) AS mh
+      |  FROM read_parquet('__GRAFT_OUT__/aux_minhash_sig32/*.parquet')
+      |  GROUP BY doc_id),
+      |b AS (
+      |  SELECT doc_id, g.b AS band, list_slice(mh, g.b*4 + 1, g.b*4 + 4) AS key
+      |  FROM s CROSS JOIN (SELECT unnest(range(8)) AS b) g),
+      |cand AS (
+      |  SELECT a.doc_id AS d1, c.doc_id AS d2
+      |  FROM b a JOIN b c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+      |  GROUP BY d1, d2),
+      |m AS (
+      |  SELECT cand.d1, cand.d2,
+      |    CAST(len(list_filter(range(1, 33), i -> s1.mh[i] = s2.mh[i])) AS BIGINT)
+      |      AS n_match
+      |  FROM cand JOIN s s1 ON s1.doc_id = cand.d1
+      |            JOIN s s2 ON s2.doc_id = cand.d2),
+      |p AS (SELECT d1, d2 FROM m WHERE CAST(n_match AS DOUBLE) / 32.0 >= 0.7),
+      |ps AS (
+      |  SELECT least(da.source, dc.source) AS s1,
+      |    greatest(da.source, dc.source) AS s2, p.d1, p.d2
+      |  FROM p JOIN documents da ON da.doc_id = p.d1
+      |         JOIN documents dc ON dc.doc_id = p.d2),
+      |cells AS (
+      |  SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_pairs
+      |  FROM ps GROUP BY s1, s2),
+      |di AS (
+      |  SELECT s1, s2, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+      |  FROM (SELECT s1, s2, unnest([d1, d2]) AS d FROM ps)
+      |  GROUP BY s1, s2)
+      |SELECT cells.s1, cells.s2, cells.n_pairs, di.n_docs
+      |FROM cells JOIN di USING (s1, s2)
+      |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+    syndicationMatrix(Tables.documents(s, dir).filter(col("doc_id") < 500))
+      .orderBy(col("s1"), col("s2"))
   }
 
   /** Full multimodal pipeline: attach media -> (stub) embed -> exact

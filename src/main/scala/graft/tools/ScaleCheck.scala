@@ -50,7 +50,8 @@ object ScaleCheck {
         // argument is the plan pin in PLANS.md instead.
         // q160/q162/q170 are absent for q153's reason (bounded doc_id
         // slices); q172 is size-invariant (constant 114-row analytic
-        // table, no corpus scan); q150's embeddings probe runs on request (its 1x
+        // table, no corpus scan); q173 is bounded-slice (doc_id < 500,
+        // the q45 signature scope); q150's embeddings probe runs on request (its 1x
         // number is sub-second and the replicated-embeddings build is
         // the cost).
         "q152_data_contract", "q154_boundary_stitch",

@@ -314,6 +314,23 @@ class DedupSpec extends SparkSpec {
       "cross-source member must count redundant in its own source")
   }
 
+  test("syndicationMatrix: cross-source copy lands off-diagonal, template pair on it, unique doc nowhere") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, t1, "sA"), (2L, t1, "sB"),   // cross-source exact copy
+      (3L, t2, "sA"), (4L, t2, "sA"),   // within-source template
+      (5L, "unique text nothing shares this", "sC"))
+      .toDF("doc_id", "text", "source")
+    val out = NonOracle.syndicationMatrix(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("sA", "sB")) == ((1L, 2L)), "cross-source copy must land off-diagonal")
+    assert(out(("sA", "sA")) == ((1L, 2L)), "within-source template must land on the diagonal")
+    assert(out.size == 2, "the unique doc must produce no cell")
+  }
+
   test("q172 S-curve: values match the repeated-squaring math; monotone in s; all 6 budget splits") {
     val rows = Dedup.lshTuningCurve(spark)
       .as[(Long, Long, Long, Double, Double)].collect()
