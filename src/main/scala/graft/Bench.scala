@@ -150,13 +150,11 @@ object Bench {
       else s
     }
     val qsFull = qsAt(fmtq)
-    val qs = if (qsFull.length <= 1800) qsFull else qsAt(fmtq1)
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
     // sum of per-query WORST reps: total stays the robust number, but
     // a tail regression (one query 5x slower on every rep) still moves
     // max; per-query rep detail is on stderr above.
     val maxTotal = ok.map { case (_, ts) => ts.max }.sum
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
     val loadEnd = loadavg()
@@ -188,9 +186,21 @@ object Bench {
     // live in BENCH_DETAIL.json; "errors" appears only when non-empty —
     // every char here competes with per-query entries for the driver's
     // ~2000-char tail window (161 queries hit 1950 with all fields in)
-    val errsField = if (failed.isEmpty) "" else s""","errors":$errs"""
+    // error names shortened like the query keys: a failure-heavy run
+    // must not blow the window with full names on exactly the line
+    // that most needs to parse
+    val errsField =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + short(_) + "\"")
+        .mkString(""","errors":[""", ",", "]")
+    // the budget check covers the WHOLE line (fixed fields + errors),
+    // not just the per-query map: degrade precision only when the
+    // assembled line would actually approach the window
+    def assemble(qsMap: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsMap,"reps":$reps,"load":$loadJ$errsField,"sf":$sfNum}"""
+    val lineFull = assemble(qsFull)
     val metricLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"load":$loadJ$errsField,"sf":$sfNum}"""
+      if (lineFull.length <= 1900) lineFull else assemble(qsAt(fmtq1))
     if (metricLine.length > 1950)
       System.err.println(s"[bench] WARNING metric line ${metricLine.length} chars " +
         "— approaching the driver's ~2000-char tail window")

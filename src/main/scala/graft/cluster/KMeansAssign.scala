@@ -129,10 +129,19 @@ object KMeansAssign {
         .orderBy(col(idCol))
         .select(col(vecCol))
         .collect().map(_.getSeq[Double](0).toArray)
-      require(first.length == k,
-        s"k-means asked for $k centers but only ${first.length} non-null " +
-          s"vectors exist — downstream cell-count assumptions (IVF probes, " +
-          s"cluster ids) would silently break; reduce k or fix the input")
+      // degraded-but-working beats a pipeline abort: small corpora /
+      // per-source slices legitimately hold fewer vectors than a
+      // library-default k (IVF nCells=16, semantic-dedup k), and the
+      // old behavior — fewer centers, higher ids simply absent — is a
+      // valid index. The failure mode worth killing was the SILENCE,
+      // so under-k now reports itself. Truly empty input still fails:
+      // zero centers can't assign anything.
+      require(first.nonEmpty,
+        s"k-means got zero non-null vectors (k=$k) — nothing to seed from")
+      if (first.length < k)
+        System.err.println(s"[kmeans] only ${first.length} non-null vectors " +
+          s"for k=$k — building ${first.length} centers (ids " +
+          s"${first.length}..${k - 1} will not appear downstream)")
       // conform every center to the LARGEST seed's dimension: the
       // assignment kernel tolerates ragged POINT vectors (common-prefix
       // scoring — "row-local junk must not kill the scan"), but

@@ -493,6 +493,30 @@ object Dedup {
         col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
 
+  /** VERIFIED near-dup pairs from an EXISTING (doc_id, mh) signature
+    * frame: bands via [[bandsFromSignatures]], the banded candidate
+    * join, then MinHash slot agreement >= `minAgree` (slot agreement is
+    * an unbiased Jaccard estimate; raw band collisions alone would
+    * strike non-duplicates on false positives). ONE definition of the
+    * verification criterion, shared by the curation pipeline's
+    * near-dup stage and the q173 syndication matrix — a threshold or
+    * formula fix must not leave the two reporting different notions of
+    * "verified". Cache/checkpoint `sigs` before calling: three
+    * consumers read it (both band sides + this verification join).
+    */
+  def verifiedPairs(sigs: DataFrame, nHashes: Int = 32, bandSize: Int = 4,
+                    minAgree: Double = 0.7): DataFrame = {
+    val agree = zip_with(col("mh1"), col("mh2"),
+      (a, b) => when(a === b, 1).otherwise(0))
+    candidatesFromBands(bandsFromSignatures(sigs, nHashes, bandSize))
+      .join(sigs.toDF("d1j", "mh1"), col("d1j") === col("d1"))
+      .join(sigs.toDF("d2j", "mh2"), col("d2j") === col("d2"))
+      .withColumn("_est",
+        aggregate(agree, lit(0), (acc, x) => acc + x) / lit(nHashes))
+      .filter(col("_est") >= minAgree)
+      .select(col("d1"), col("d2"))
+  }
+
   /** Incremental LSH band-index maintenance: merge a delta corpus into
     * an existing (doc_id, band, band_sig) index — the persisted form
     * of [[bandSignatures]] — without recomputing history. Re-ingested

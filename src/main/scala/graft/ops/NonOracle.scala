@@ -815,16 +815,10 @@ object NonOracle {
                         nHashes: Int = 32, minAgree: Double = 0.7)
       : org.apache.spark.sql.DataFrame = {
     val sigs = Dedup.minhashSignatures(docs, nHashes).localCheckpoint(false)
-    val bands = Dedup.bandsFromSignatures(sigs, nHashes)
-    val agree = zip_with(col("mh1"), col("mh2"),
-      (a, b) => when(a === b, 1).otherwise(0))
-    val pairs = Dedup.candidatesFromBands(bands)
-      .join(sigs.toDF("d1j", "mh1"), col("d1j") === col("d1"))
-      .join(sigs.toDF("d2j", "mh2"), col("d2j") === col("d2"))
-      .withColumn("_est",
-        aggregate(agree, lit(0), (acc, x) => acc + x) / lit(nHashes))
-      .filter(col("_est") >= minAgree)
-      .select(col("d1"), col("d2"))
+    // the SAME verification criterion the curation pipeline strikes on
+    // (Dedup.verifiedPairs): this report must count exactly the pairs
+    // the pipeline would remove
+    val pairs = Dedup.verifiedPairs(sigs, nHashes, minAgree = minAgree)
     val src = docs.select(col("doc_id"), col("source"))
     val ps = pairs
       .join(src.toDF("d1s", "src1"), col("d1s") === col("d1"))

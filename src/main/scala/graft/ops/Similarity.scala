@@ -944,8 +944,15 @@ object Similarity {
        |  SELECT vec_id, embedding FROM embeddings
        |  WHERE embedding IS NOT NULL),
        |ctr AS (
-       |  SELECT CAST(vec_id AS INT) AS center_id, embedding AS cv
-       |  FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL),
+       |  -- mirror lloydCenters' seed rule exactly: the k LOWEST
+       |  -- non-null ids, labeled POSITIONALLY (0-based) — on a clean
+       |  -- fixture identical to "vec_id < 8 AS center_id", but a junk
+       |  -- NULL vector among the first 8 substitutes the next id on
+       |  -- the Spark side, so a vec_id-keyed twin would diverge
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS center_id, embedding AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)),
        |asg AS (
        |  SELECT vec_id, center_id FROM (
        |    SELECT e.vec_id, ctr.center_id,

@@ -81,6 +81,14 @@ private[ops] object TwinSql {
     * vertical tab \x0B — a U+000B in a document would silently
     * tokenize differently across engines under the shorthand.
     */
-  val toksSql: String =
-    """list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"""
+  val toksSql: String = toksOf("text")
+
+  /** [[toksSql]] over any column expression (`lower(text)`,
+    * `va.text`, ...) — new twins should build their tokenizer through
+    * this instead of hand-spelling the class; PlanAuditSpec
+    * additionally forbids the \s shorthand in ANY registered oracle
+    * SQL, so a regression to the RE2-divergent form fails CI.
+    */
+  def toksOf(expr: String): String =
+    s"""list_filter(string_split_regex($expr, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"""
 }

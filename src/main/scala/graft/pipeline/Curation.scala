@@ -87,27 +87,15 @@ object Curation {
     else quality.filter(col("lang").isin(keepLangs: _*))
 
   /** Stage-4 verified near-dup strike set over the exact-deduped
-    * frame's SIGNATURES: bands derived from the signature frame the
-    * caller passes (cache it — the shingle+MinHash kernel is the
-    * pipeline's priciest narrow op and THREE consumers read the frame:
-    * both band-join sides and the verification join; deriving bands
-    * from the docs instead re-runs the kernel per consumer), LSH
-    * candidates verified by MinHash slot agreement, higher doc_id of
-    * each verified pair returned distinct.
+    * frame's SIGNATURES (cache them — the shingle+MinHash kernel is
+    * the pipeline's priciest narrow op and three consumers read the
+    * frame): the shared [[Dedup.verifiedPairs]] criterion, higher
+    * doc_id of each verified pair returned distinct.
     */
   private def nearDupIds(sigs: DataFrame, nHashes: Int,
-                         minSigAgreement: Double, bandSize: Int): DataFrame = {
-    val bands = Dedup.bandsFromSignatures(sigs, nHashes, bandSize)
-    val agree = zip_with(col("mh1"), col("mh2"),
-      (a, b) => when(a === b, 1).otherwise(0))
-    Dedup.candidatesFromBands(bands)
-      .join(sigs.toDF("d1j", "mh1"), col("d1j") === col("d1"))
-      .join(sigs.toDF("d2j", "mh2"), col("d2j") === col("d2"))
-      .withColumn("_est_jaccard",
-        aggregate(agree, lit(0), (acc, x) => acc + x) / lit(nHashes))
-      .filter(col("_est_jaccard") >= minSigAgreement)
+                         minSigAgreement: Double, bandSize: Int): DataFrame =
+    Dedup.verifiedPairs(sigs, nHashes, bandSize, minSigAgreement)
       .select(col("d2").as("doc_id")).distinct()
-  }
 
   /** Stages 1-3 (quality -> language -> exact dedup), the deterministic
     * prefix whose MinHash signatures the q132 oracle consumes.

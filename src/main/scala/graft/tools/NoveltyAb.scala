@@ -59,8 +59,9 @@ object NoveltyAb {
       // would leak into the measured run's byte count
       val t0 = System.nanoTime(); shufW.set(0)
       f().queryExecution.toRdd.count()
+      val wall = (System.nanoTime() - t0) / 1e9 // BEFORE the drain sleep
       Thread.sleep(500) // let straggler task-end events drain
-      println(f"[ab] $label%-12s wall=${(System.nanoTime() - t0) / 1e9}%6.2fs " +
+      println(f"[ab] $label%-12s wall=$wall%6.2fs " +
         f"shufW=${shufW.get() / 1048576.0}%8.1f MiB")
     }
     run("string-key", () => stringKeyed())

@@ -144,6 +144,18 @@ class PlanAuditSpec extends SparkSpec {
     * centroids, one scalar row), where a nested-loop broadcast is the
     * correct plan, with the reason recorded here.
     */
+  /** Java's \s (the engine's split) is [ \t\n\x0B\f\r]; RE2/DuckDB's
+    * \s omits vertical tab — so any twin regex using the shorthand
+    * silently diverges from the engine on a U+000B. Every twin spells
+    * the class explicitly (TwinSql.toksOf is the tokenizer builder);
+    * this gate keeps the shorthand from ever re-entering the registry.
+    */
+  test("no registered oracle SQL uses the \\s regex shorthand (RE2 dialect divergence)") {
+    val bad = graft.SparkEntry.oracleSql.filter(_._2.contains("\\s")).keys.toSeq.sorted
+    assert(bad.isEmpty,
+      s"twins using \\s (Java/RE2 dialects disagree on vertical tab): $bad")
+  }
+
   test("no query plan contains a cartesian product or an unlisted nested-loop join") {
     val bnljWhitelist: Map[String, String] = Map(
       "q31_knn_bruteforce" -> "queries x corpus: bounded query batch broadcasts, corpus streams",
