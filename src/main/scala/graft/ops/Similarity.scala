@@ -23,7 +23,7 @@ import graft.functions.VectorOps
 object Similarity {
 
   def all: Seq[QueryDef] = Seq(q30, q31, q117, q120, q149, q150, q164, q165,
-    q171)
+    q171, q174)
 
   // the shared twin cosine fragments (single definition: TwinSql)
   private def cosSqlZ(a: String, b: String): String = TwinSql.cosZ(a, b)
@@ -936,6 +936,86 @@ object Similarity {
       .withColumn("hot", when(col("load_factor") >= 2.0, 1L).otherwise(0L))
       .select(col("center_id").cast("bigint").as("center_id"), col("n_vecs"),
         col("load_factor"), col("cum_share"), col("hot"))
+  }
+
+  /** Incremental IVF cell maintenance (q174): merge a delta of vectors
+    * into an existing (vec_id, v, center_id) cell assignment WITHOUT
+    * rescanning history — the IVF lifecycle twin of
+    * [[Dedup.upsertBandIndex]] (LSH) and the novelty index's
+    * upsertFirstSeen. The coarse quantizer is FROZEN (the realistic
+    * serving contract: re-quantizing on every ingest would invalidate
+    * every persisted cell), so assignment is a deterministic pure
+    * function of (vector, centers) and merge == full rebuild — the
+    * spec proves it. Re-ingested vec_ids are REPLACED (delta wins,
+    * MERGE semantics); an at-least-once batch delivering one id twice
+    * resolves to the deterministic row-min vector (the upsertBandIndex
+    * winner rule); null-vector junk rows are not index members.
+    *
+    * Scale: the delta alone pays the narrow broadcast assignment map;
+    * stale rows are struck by ONE anti equi-join on vec_id (AQE
+    * broadcasts the delta's key set in the common small-delta case);
+    * history is never re-read for content, never reshuffled.
+    */
+  def upsertIvfCells(index: DataFrame, delta: DataFrame,
+                     centers: Array[Array[Double]]): DataFrame = {
+    import graft.cluster.KMeansAssign
+    val winner = delta.toDF("vec_id", "v")
+      .filter(col("v").isNotNull)
+      .groupBy(col("vec_id")).agg(min(col("v")).as("v"))
+    val assigned = KMeansAssign.assignMap(winner, centers, "v").drop("dist")
+    index.join(assigned.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(assigned)
+  }
+
+  val q174: QueryDef = QueryDef.sql(
+    "q174_ivf_upsert",
+    s"""WITH ctr AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS center_id, embedding AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)),
+       |base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |delta AS (
+       |  SELECT vec_id,
+       |    list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.5
+       |                                     ELSE x END) AS v
+       |  FROM base WHERE vec_id < 10
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, v
+       |  FROM base WHERE vec_id < 5),
+       |merged AS (
+       |  SELECT vec_id, v FROM base
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM delta)
+       |  UNION ALL
+       |  SELECT vec_id, v FROM delta),
+       |asg AS (
+       |  SELECT vec_id, center_id FROM (
+       |    SELECT m.vec_id, ctr.center_id,
+       |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
+       |        ${TwinSql.distZ("m.v", "ctr.cv")}, ctr.center_id) AS rn
+       |    FROM merged m CROSS JOIN ctr) WHERE rn = 1)
+       |SELECT vec_id, CAST(center_id AS BIGINT) AS center_id
+       |FROM asg ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    import graft.cluster.KMeansAssign
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    val centers = KMeansAssign.lloydCenters(emb, 8, iters = 1, "vec_id", "v")
+    val base = KMeansAssign.assignMap(emb, centers, "v").drop("dist")
+    // the delta: ids < 10 re-ingested with dim 0 nudged (the oracle
+    // replays the same literal), plus 5 brand-new ids
+    val delta = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.5).otherwise(x))
+          .as("v"))
+      .unionByName(emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("v")))
+    upsertIvfCells(base, delta, centers)
+      .select(col("vec_id"), col("center_id").cast("bigint").as("center_id"))
+      .orderBy(col("vec_id"))
   }
 
   val q171: QueryDef = QueryDef.sql(

@@ -66,8 +66,10 @@ object ScaleCheck {
         "q169_quality_dup_entanglement",
         // q171's centers are fixture-pinned (vec_id < 8, replica 0)
         // but the assignment side scans the FULL replicated embeddings
-        // corpus — exactly the index-build scale question:
-        "q171_ivf_cell_balance")
+        // corpus — exactly the index-build scale question; q174's
+        // delta stays replica-0-sized while the history side scales —
+        // exactly the incremental-maintenance question:
+        "q171_ivf_cell_balance", "q174_ivf_upsert")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()
