@@ -81,7 +81,7 @@ object TextAnalytics {
 
   def all: Seq[QueryDef] =
     Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121, q126, q127,
-      q129, q142, q145, q147, q148, q158, q167)
+      q129, q142, q145, q147, q148, q158, q167, q175)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -926,6 +926,132 @@ object TextAnalytics {
       .select(col("bucket"), col("n_docs"), col("n_pos"), col("conf_mid"),
         col("pos_rate"), col("abs_gap"), col("ece"))
       .orderBy(col("bucket"))
+  }
+
+  /** Tie-corrected AUC per source over a (source, score, pos) frame —
+    * the Mann-Whitney rank statistic computed EXACTLY: group by
+    * (source, score), cumulative count of strictly-lower scores via
+    * one window, then the doubled tie-averaged positive rank-sum
+    * 2R₁ = Σ p_s·(2·cum_below + c_s + 1) in DECIMAL(38,0) (at 10¹²
+    * docs/source the sum reaches ~n², past BIGINT), U₁ = R₁ −
+    * n₁(n₁+1)/2, AUC = U₁/(n₁n₀) as ONE literal division. Average
+    * ranks, not row_number: the q169 lesson — a positional tie-break
+    * would fabricate discrimination inside tied scores. Sources with
+    * no positives or no negatives report 0.0 (AUC undefined).
+    */
+  private[ops] def aucBySource(scored: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = scored.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).cast("bigint").as("c"),
+        sum(col("pos")).cast("bigint").as("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = g.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+    val nPosD = col("n_pos").cast(d38)
+    val u2 = col("r2") - nPosD * (nPosD + lit(1).cast(d38))
+    cum.groupBy(col("source"))
+      .agg(sum(col("p")).cast("bigint").as("n_pos"),
+        (sum(col("c")) - sum(col("p"))).cast("bigint").as("n_neg"),
+        sum(col("p").cast(d38)
+          * (lit(2).cast(d38) * col("cb") + col("c") + lit(1).cast(d38)))
+          .as("r2"))
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(u2.cast("double")
+            / (lit(2.0) * col("n_pos").cast("double")
+               * col("n_neg").cast("double")), 9))
+          .otherwise(lit(0.0)).as("auc"))
+  }
+
+  /** Classifier DISCRIMINATION audit (q175): per source, the
+    * tie-corrected AUC of the q109 quality score against the q126
+    * Gopher-rule label proxy — does the gate RANK good docs above bad
+    * ones, and does it do so equally across sources? The complement of
+    * q158: calibration says the probabilities are honest, AUC says the
+    * ordering is useful, and a source where AUC sags is one the q93
+    * quantile filter silently treats worse (per-source thresholds cut
+    * at the wrong docs even if globally calibrated). Same
+    * single-definition score/label builders as q158 — the audit cannot
+    * drift from what it audits.
+    *
+    * Scale: one narrow corpus pass to (source, score, pos), one
+    * exchange to the (source, score) group counts, one per-source
+    * window over DISTINCT scores, then S-row arithmetic — the rank
+    * sort touches group rows, not documents.
+    */
+  def classifierDiscrimination(docs: DataFrame): DataFrame = {
+    val stopsArr = array(probeStops.map(lit): _*)
+    val base = docs
+      .select(col("source"), col("text"), toks(col("text")).as("t"))
+      .select(col("source"),
+        size(col("t")).cast("bigint").as("nt"),
+        aggregate(col("t"), lit(0L), (a, x) => a + length(x).cast("bigint")).as("sl"),
+        size(filter(col("t"), x => x.rlike("[A-Za-z]"))).cast("bigint").as("na"),
+        size(filter(col("t"), x => array_contains(stopsArr, x))).cast("bigint").as("ns"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "\\p{P}", "")))
+          / length(col("text"))).as("punct_ratio"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          / length(col("text"))).as("digit_ratio"))
+      .filter(col("nt") > 0)
+    aucBySource(base.select(col("source"),
+      rationalSigmoid(classifierZ(col("ns") / col("nt"), col("nt"),
+        col("punct_ratio"), col("digit_ratio"))).as("score"),
+      when(gopherRuleFlags(col("nt"), col("sl"), col("na"), col("ns"))
+        .reduce(_ && _), 1L).otherwise(0L).as("pos")))
+  }
+
+  val q175: QueryDef = QueryDef.sql(
+    "q175_discrimination_audit",
+    s"""WITH f AS (
+       |  SELECT source,
+       |    CAST(len(t) AS BIGINT) AS nt,
+       |    CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS sl,
+       |    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS na,
+       |    CAST(len(list_filter(t, x -> x IN ('the','a','an','and','of','to','is','in','it','on'))) AS BIGINT) AS ns,
+       |    (length(text) - length(regexp_replace(text, '\\p{P}', '', 'g'))) / length(text) AS punct_ratio,
+       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio
+       |  FROM (SELECT source, text, ${TwinSql.toksSql} AS t FROM documents)),
+       |sc AS (
+       |  SELECT source,
+       |    ${TwinSql.rationalSigmoid("z")} AS score,
+       |    pos
+       |  FROM (
+       |    SELECT source,
+       |      ${TwinSql.classifierZ("(ns / nt)", "nt", "punct_ratio", "digit_ratio")} AS z,
+       |      CAST(CASE WHEN nt >= 50 AND nt <= 100000
+       |                 AND 3 * nt <= sl AND sl <= 10 * nt
+       |                 AND 10 * na >= 8 * nt AND ns >= 2
+       |        THEN 1 ELSE 0 END AS BIGINT) AS pos
+       |    FROM f WHERE nt > 0)),
+       |g AS (
+       |  SELECT source, score, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(pos) AS BIGINT) AS p
+       |  FROM sc GROUP BY source, score),
+       |cum AS (
+       |  SELECT source, score, c, p,
+       |    CAST(COALESCE(sum(c) OVER (PARTITION BY source ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cb
+       |  FROM g),
+       |a AS (
+       |  SELECT source,
+       |    CAST(sum(p) AS BIGINT) AS n_pos,
+       |    CAST(sum(c) - sum(p) AS BIGINT) AS n_neg,
+       |    sum(CAST(p AS DECIMAL(38,0))
+       |        * (CAST(2 AS DECIMAL(38,0)) * cb + c + CAST(1 AS DECIMAL(38,0))))
+       |      AS r2
+       |  FROM cum GROUP BY source)
+       |SELECT source, n_pos, n_neg,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0
+       |    THEN round(CAST(r2 - CAST(n_pos AS DECIMAL(38,0))
+       |                         * (CAST(n_pos AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0)))
+       |               AS DOUBLE)
+       |      / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 9)
+       |    ELSE 0.0 END AS auc
+       |FROM a
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    classifierDiscrimination(Tables.documents(s, dir)).orderBy(col("source"))
   }
 
   /** Per-source lexical statistics (q127): the data-card vocabulary

@@ -69,7 +69,8 @@ object ScaleCheck {
         // corpus — exactly the index-build scale question; q174's
         // delta stays replica-0-sized while the history side scales —
         // exactly the incremental-maintenance question:
-        "q171_ivf_cell_balance", "q174_ivf_upsert")
+        "q171_ivf_cell_balance", "q174_ivf_upsert",
+        "q175_discrimination_audit")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()

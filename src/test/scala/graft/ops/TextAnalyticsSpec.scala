@@ -204,4 +204,41 @@ class TextAnalyticsSpec extends SparkSpec {
         s"doc ${r.getLong(0)} L=$l: kernel ${r.getLong(1)} != reference ${r.getLong(2)}"))
     }
   }
+
+  test("aucBySource: perfect separation 1.0; ties average (not tie-break); one-class sources 0.0") {
+    import spark.implicits._
+    val scored = Seq(
+      // sA: every positive above every negative => AUC 1.0
+      ("sA", 0.9, 1L), ("sA", 0.8, 1L), ("sA", 0.7, 0L), ("sA", 0.6, 0L),
+      // sB: pos {0.8, 0.6}, neg {0.8, 0.4} — the 0.8 TIE is worth 0.5,
+      // so AUC = (0.5 + 1 + 0 + 1) / 4 = 0.625; a row_number tie-break
+      // would fabricate 0.75 or 0.5 depending on order
+      ("sB", 0.8, 1L), ("sB", 0.6, 1L), ("sB", 0.8, 0L), ("sB", 0.4, 0L),
+      // sC: all positive — AUC undefined, reported 0.0
+      ("sC", 0.5, 1L), ("sC", 0.9, 1L))
+      .toDF("source", "score", "pos")
+    val out = TextAnalytics.aucBySource(scored)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("sA") == ((2L, 2L, 1.0)))
+    assert(out("sB") == ((2L, 2L, 0.625)), "tied scores must contribute 1/2, not a fabricated order")
+    assert(out("sC") == ((2L, 0L, 0.0)))
+  }
+
+  test("classifierDiscrimination: gopher-passing docs outrank junk in a separable fixture") {
+    import spark.implicits._
+    // a "good" doc: 60 tokens, sane word lengths, alphabetic, stops
+    val good = (("the quick brown fox jumps over the lazy dog and " * 6).trim)
+    val bad = "x! y? z." // fails nt >= 50; scores low (punct-heavy)
+    val docs = Seq(
+      (1L, good, "s1"), (2L, good + " extra words here", "s1"),
+      (3L, bad, "s1"), (4L, "1 2 3 4 5 6 7", "s1"))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val out = TextAnalytics.classifierDiscrimination(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val (np, nn, auc) = out("s1")
+    assert(np == 2L && nn == 2L)
+    assert(auc == 1.0, s"separable fixture must score AUC 1.0, got $auc")
+  }
 }
