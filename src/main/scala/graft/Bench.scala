@@ -173,6 +173,13 @@ object Bench {
     detail ++= s""""total_median":${fmt(total)},"total_max":${fmt(maxTotal)},"""
     detail ++= s""""load_start":${loadStart.map(fmt).mkString("[", ",", "]")},"""
     detail ++= s""""load_end":${loadEnd.map(fmt).mkString("[", ",", "]")},"""
+    // full (unshortened) names, ALWAYS present (even when empty): the
+    // detail artifact must be adjudicable alone, and a failed query's
+    // rep vector measures time-to-error — a reader summing rep_times
+    // without this marker would reproduce the deflated-total bug the
+    // metric line already guards against
+    detail ++= failed.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("\"errors\":[", ",", "],")
     detail ++= results.map { case (n, ts) =>
       "\"" + n + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("\"rep_times\":{", ",", "}}")

@@ -188,9 +188,12 @@ object VectorOps {
     * (KarpRabinSpec).
     *
     * Malformed UTF-8 (Spark never validates; latin-1 ingest can
-    * produce it) is folded garbage-in-garbage-out but SAFELY: an
-    * invalid lead byte decodes as its own 1-byte code point rather
-    * than swallowing following characters.
+    * produce it) is folded garbage-in-garbage-out but SAFELY: a byte
+    * that is not the start of a complete, well-formed sequence — an
+    * invalid lead byte, a stray continuation byte, OR a valid lead
+    * whose following bytes are not 10xxxxxx continuations (latin-1
+    * 0xE9 "é" followed by ASCII) — decodes as its own 1-byte code
+    * point and never swallows the following real characters.
     *
     * Overflow-free: h < 1e9+7 and code points < 0x110000, so
     * h*31 + cp < 2^35.
@@ -210,10 +213,14 @@ object VectorOps {
       else cp = b0 // invalid lead/continuation byte: 1-byte garbage,
                    // never swallows the following characters
       var j = 1
-      while (j < len && i + j < n) {
+      while (j < len && i + j < n &&
+             (text.getByte(i + j) & 0xC0) == 0x80) {
         cp = (cp << 6) | (text.getByte(i + j) & 0x3F)
         j += 1
       }
+      if (j < len) { cp = b0; len = 1 } // truncated / non-continuation
+                   // follower: the lead is 1-byte garbage on its own
+                   // and every following byte re-enters the decoder
       if (cp != '\n') h = (h * 31L + cp) % 1000000007L
       i += len
     }
@@ -550,11 +557,13 @@ object VectorOps {
     * i.e. some len-token block appears r+1 times back-to-back. Runs
     * are tracked per residue class mod len (stride-len chains cannot
     * cross classes). Returns the run count r (0 when n < 2*len); the
-    * caller's repetition count is 1 + r. Null elements compare
-    * UNEQUAL (matching the interpreted `slice === slice` fold under
-    * `when`, where a null verdict falls to the reset branch) — the
-    * SQL-registered-function sentinel policy. O(len * n), one pass,
-    * no allocation beyond the len-int run table.
+    * caller's repetition count is 1 + r. Null elements compare EQUAL
+    * to null and UNEQUAL to any value — Spark's structural array
+    * equality (`array(null) === array(null)` is TRUE), so the kernel
+    * matches the interpreted `slice === slice` fold on EVERY array,
+    * null elements included (unreachable via toks, but the
+    * kernel==reference spec pin holds unconditionally). O(len * n),
+    * one pass, no allocation beyond the len-int run table.
     */
   def maxRepeatRun(arr: ArrayData, len: Int): Int = {
     val n = arr.numElements()
@@ -567,10 +576,10 @@ object VectorOps {
       var eq = true
       var j = 0
       while (eq && j < len) {
-        val a = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
-        val b = if (arr.isNullAt(i + len + j)) null
-          else arr.getUTF8String(i + len + j)
-        eq = a != null && b != null && a.equals(b)
+        val aNull = arr.isNullAt(i + j)
+        val bNull = arr.isNullAt(i + len + j)
+        eq = if (aNull || bNull) aNull && bNull
+          else arr.getUTF8String(i + j).equals(arr.getUTF8String(i + len + j))
         j += 1
       }
       val cls = i % len

@@ -1302,7 +1302,21 @@ object Dedup {
     * the LSH operating points q172 curves. ONE list drives BOTH engine
     * sides so a config can't silently appear in one and not the other.
     */
-  private val lshConfigs = Seq((32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+  private val lshConfigs: Seq[(Int, Int)] = {
+    val cfgs = Seq((32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+    // The repeated-squaring chain below computes base^(2^ceil(log2 e))
+    // — correct ONLY for power-of-two exponents. A non-power-of-two
+    // config (e.g. a 48-hash (3, 16) split) would produce an
+    // identically wrong curve on BOTH engines (the twin is generated
+    // from the same chain builder), so the oracle would reproduce the
+    // error instead of catching it: fail loudly here instead.
+    cfgs.foreach { case (b, r) =>
+      require(Integer.bitCount(b) == 1 && Integer.bitCount(r) == 1,
+        s"lshConfigs ($b, $r): bands and rows must be powers of two " +
+          "for the squaring chains to be exact (see chain())")
+    }
+    cfgs
+  }
 
   /** Analytic LSH S-curve (q172): for every (b bands, r rows) split of
     * the 32-hash budget and Jaccard s on a 1/20 grid, the candidate-

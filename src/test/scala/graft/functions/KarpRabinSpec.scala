@@ -93,6 +93,29 @@ class KarpRabinSpec extends SparkSpec {
       "newline must be skipped exactly as RE2's '.' skips it")
   }
 
+  test("malformed UTF-8 with a VALID lead byte never swallows following real characters") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val p = 1000000007L
+    def h(cps: Long*): Long = cps.foldLeft(0L)((a, c) => (a * 31 + c) % p)
+    // latin-1 "é" = 0xE9 is a well-formed 3-byte LEAD, but 'a','b' are
+    // not 10xxxxxx continuations: the lead must fold as its own 1-byte
+    // garbage code point and 'a','b' must survive as themselves
+    val latin1 = UTF8String.fromBytes(Array(0xE9, 'a', 'b').map(_.toByte))
+    assert(VectorOps.karpRabin(latin1) == h(0xE9, 'a', 'b'))
+    // 2-byte lead 0xC3 + ASCII follower
+    assert(VectorOps.karpRabin(UTF8String.fromBytes(Array(0xC3, 'x').map(_.toByte)))
+      == h(0xC3, 'x'))
+    // truncated sequence at end-of-string: lead alone is 1-byte garbage
+    assert(VectorOps.karpRabin(UTF8String.fromBytes(Array[Byte](0xE9.toByte)))
+      == h(0xE9))
+    // valid lead + one valid continuation + truncation: lead garbage,
+    // the continuation re-enters as its own stray-continuation garbage
+    assert(VectorOps.karpRabin(UTF8String.fromBytes(Array(0xE9, 0xA0).map(_.toByte)))
+      == h(0xE9, 0xA0))
+    // well-formed text is untouched: "é" proper (0xC3 0xA9) decodes as U+00E9
+    assert(VectorOps.karpRabin(UTF8String.fromString("éab")) == h(0xE9, 'a', 'b'))
+  }
+
   test("callable from SQL") {
     gf.register(spark)
     val r = spark.sql("SELECT karp_rabin_fingerprint('ab') AS f").head()

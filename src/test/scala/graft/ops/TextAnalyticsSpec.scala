@@ -205,6 +205,35 @@ class TextAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("max_repeat_run == interpreted fold on arrays WITH null elements (structural null==null)") {
+    import graft.functions.functions.max_repeat_run
+    // Spark's array equality treats null elements as EQUAL
+    // (array(null) === array(null) is true); the kernel must agree or
+    // the kernel==reference pin silently excludes null-element arrays
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 40).map { i =>
+      val n = rnd.nextInt(20)
+      (i.toLong, (0 until n).map(_ =>
+        if (rnd.nextInt(4) == 0) null else "ab"(rnd.nextInt(2)).toString))
+    }.toDF("doc_id", "t")
+      .withColumn("nt", when(col("t").isNotNull, size(col("t"))))
+    for (l <- 1 to 3) {
+      val kern = when(col("nt") >= 2 * l, lit(1) + max_repeat_run(col("t"), l))
+        .otherwise(when(col("nt") >= l, lit(1)).otherwise(lit(0))).cast("bigint")
+      val rows = docs
+        .select(col("doc_id"), kern.as("k"),
+          TextAnalytics.maxConsecRepInterpreted(col("t"), col("nt"), l).as("r"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)} L=$l: kernel ${r.getLong(1)} != reference ${r.getLong(2)}"))
+    }
+    // the canonical case spelled out: [null, null] at L=1 is one
+    // repeat run (null == null), so reps = 2, matching the fold
+    val two = Seq((0L, Seq[String](null, null))).toDF("doc_id", "t")
+      .select(lit(1) + max_repeat_run(col("t"), 1)).head().getInt(0)
+    assert(two == 2, "null==null must count as a stride-1 repeat")
+  }
+
   test("aucBySource: perfect separation 1.0; ties average (not tie-break); one-class sources 0.0") {
     import spark.implicits._
     val scored = Seq(
