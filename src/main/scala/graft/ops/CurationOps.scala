@@ -21,7 +21,7 @@ object CurationOps {
 
   def all: Seq[QueryDef] =
     Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125, q166,
-      q132, q140, q143, q144, q152, q154, q157, q159, q161, q168, q169)
+      q132, q140, q143, q144, q152, q154, q157, q159, q161, q168, q169, q176)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -1305,6 +1305,158 @@ object CurationOps {
        |ORDER BY skey DESC, doc_id
        |LIMIT 200""".stripMargin) { (s, dir) =>
     weightedSample(Tables.documents(s, dir), k = 200)
+  }
+
+  /** q176's knobs — interpolated into BOTH engine sides so the bucket
+    * space and selection size cannot drift between them.
+    */
+  private val dsirBuckets = 256
+  private val dsirK = 100
+
+  /** DSIR-style importance resampling (q176): data SELECTION driven by
+    * a TARGET distribution (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023 — hashed n-gram
+    * importance weights + resampling). q94 samples by fixed mixture
+    * weights and q125 by a quality weight; this is the op that
+    * computes weights FROM data: every document's word bigrams hash
+    * into `nBuckets` buckets, bucket probabilities are estimated with
+    * add-one smoothing for the TARGET corpus (here: the q126
+    * Gopher-pass docs — the fixture's stand-in for "looks like
+    * Wikipedia"; any target doc set plugs into the same shape) and for
+    * the RAW corpus, and a doc's importance weight is the sum of its
+    * buckets' log likelihood ratios. Selection is sampling
+    * ∝ exp(weight) WITHOUT replacement via the Gumbel-top-k identity
+    * (Vieira 2014; Kool et al. 2019): top-k of weight + Gumbel(u) with
+    * u from the engine's deterministic [[Sampling.hkey]] — exactly
+    * q125's replayable A-ES machinery moved into log space, where the
+    * DSIR weight already lives (no exp / no overflow, ever).
+    *
+    * Float discipline: ln appears ONLY via [[Sampling.lnMicro]] —
+    * once per distinct bucket (4 integer-argument terms: the
+    * likelihood ratio fully factored, so no BIGINT product can
+    * overflow at any corpus size) and once per doc for the Gumbel key;
+    * every sum, comparison, and the top-k ordering is exact 64-bit
+    * integer arithmetic. Docs with < 2 tokens carry no features and
+    * are not candidates (documented DSIR behavior: no evidence, no
+    * weight).
+    *
+    * Scale: the bigram stream never shuffles — bucket counting
+    * partial-aggregates map-side to `nBuckets` rows (ONE tiny
+    * exchange), the lp table re-joins the stream as a broadcast, and
+    * the per-doc rollup partial-aggregates to one row per doc before
+    * its exchange. The totals are a one-row broadcast (whitelisted
+    * BNLJ) against the bucket-sized frame only. Top-k is
+    * TakeOrderedAndProject — per-partition heaps, k rows to the
+    * driver, no global sort exchange.
+    */
+  def dsirSelect(docs: org.apache.spark.sql.DataFrame,
+                 nBuckets: Int = dsirBuckets,
+                 k: Int = dsirK): org.apache.spark.sql.DataFrame = {
+    import graft.functions.functions.karp_rabin_fingerprint
+    val stopsArr = array(TextAnalytics.probeStops.map(lit): _*)
+    val base = docs
+      .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("source"), col("t"),
+        size(col("t")).cast("bigint").as("nt"),
+        aggregate(col("t"), lit(0L), (a, x) => a + length(x).cast("bigint")).as("sl"),
+        size(filter(col("t"), x => x.rlike("[A-Za-z]"))).cast("bigint").as("na"),
+        size(filter(col("t"), x => array_contains(stopsArr, x))).cast("bigint").as("ns"))
+      .filter(col("nt") >= 2)
+      .withColumn("is_target",
+        when(TextAnalytics.gopherRuleFlags(col("nt"), col("sl"), col("na"), col("ns"))
+          .reduce(_ && _), 1L).otherwise(0L))
+    // one bucket id per bigram OCCURRENCE: Karp-Rabin of "w1 w2" mod
+    // nBuckets — the engine-neutral string hash (q39's kernel), so the
+    // twin re-derives buckets from raw text instead of consuming a
+    // dumped artifact
+    val bg = base.select(col("doc_id"), col("is_target"),
+      explode(transform(sequence(lit(0), (col("nt") - 2).cast("int")), i =>
+        pmod(karp_rabin_fingerprint(
+          concat(element_at(col("t"), i + 1), lit(" "),
+            element_at(col("t"), i + 2))), lit(nBuckets.toLong))))
+        .as("bucket"))
+    val g = bg.groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("cnt_r"),
+        sum(col("is_target")).cast("bigint").as("cnt_t"))
+    val tot = g.agg(sum(col("cnt_r")).cast("bigint").as("tot_r"),
+      sum(col("cnt_t")).cast("bigint").as("tot_t"))
+    // lp = ln p_target(b) − ln p_raw(b), add-one smoothed, factored to
+    // four integer-argument lnMicro terms (never a cross-engine
+    // product): ln((c_t+1)/(T+B)) − ln((c_r+1)/(R+B))
+    val lp = g.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (Sampling.lnMicro(col("cnt_t") + lit(1L))
+          - Sampling.lnMicro(col("tot_t") + lit(nBuckets.toLong))
+          - Sampling.lnMicro(col("cnt_r") + lit(1L))
+          + Sampling.lnMicro(col("tot_r") + lit(nBuckets.toLong))).as("lp_micro"))
+    val scored = bg.join(broadcast(lp), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_grams"),
+        sum(col("lp_micro")).cast("bigint").as("lw_micro"))
+    val u = (Sampling.hkey(col("doc_id")).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    base.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("key_micro",
+        col("lw_micro") + round(-log(-log(u)) * lit(1000000.0)).cast("bigint"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val q176: QueryDef = QueryDef.sql(
+    "q176_dsir_selection",
+    s"""WITH f AS (
+       |  SELECT doc_id, source, t,
+       |    CAST(len(t) AS BIGINT) AS nt,
+       |    CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS sl,
+       |    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS na,
+       |    CAST(len(list_filter(t, x -> x IN ('the','a','an','and','of','to','is','in','it','on'))) AS BIGINT) AS ns
+       |  FROM (SELECT doc_id, source, $duckToks AS t FROM documents)
+       |  WHERE len(t) >= 2),
+       |b AS (
+       |  SELECT doc_id, source, t, nt,
+       |    CAST(CASE WHEN nt >= 50 AND nt <= 100000
+       |               AND 3 * nt <= sl AND sl <= 10 * nt
+       |               AND 10 * na >= 8 * nt AND ns >= 2
+       |      THEN 1 ELSE 0 END AS BIGINT) AS is_target
+       |  FROM f),
+       |bg AS (
+       |  SELECT doc_id, is_target,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(regexp_extract_all(t[i + 1] || ' ' || t[i + 2], '.'),
+       |                       c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, x) -> (a * 31 + x) % 1000000007) % $dsirBuckets AS bucket
+       |  FROM (SELECT doc_id, is_target, t, unnest(range(0, nt - 1)) AS i FROM b)),
+       |g AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_r,
+       |         CAST(sum(is_target) AS BIGINT) AS cnt_t
+       |  FROM bg GROUP BY bucket),
+       |tot AS (
+       |  SELECT CAST(sum(cnt_r) AS BIGINT) AS tot_r,
+       |         CAST(sum(cnt_t) AS BIGINT) AS tot_t FROM g),
+       |lp AS (
+       |  SELECT bucket,
+       |    ${Sampling.duckLnMicro("cnt_t + 1")}
+       |      - ${Sampling.duckLnMicro(s"tot_t + $dsirBuckets")}
+       |      - ${Sampling.duckLnMicro("cnt_r + 1")}
+       |      + ${Sampling.duckLnMicro(s"tot_r + $dsirBuckets")} AS lp_micro
+       |  FROM g, tot),
+       |sc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |         CAST(sum(lp_micro) AS BIGINT) AS lw_micro
+       |  FROM bg JOIN lp USING (bucket) GROUP BY doc_id),
+       |keys AS (
+       |  SELECT b.doc_id, b.source, sc.n_grams, sc.lw_micro,
+       |    sc.lw_micro + CAST(round(-ln(-ln(
+       |        (CAST(${Sampling.duckHkey("b.doc_id")} AS DOUBLE) + 0.5)
+       |          / 4294967296.0)) * 1000000.0) AS BIGINT) AS key_micro
+       |  FROM b JOIN sc USING (doc_id))
+       |SELECT doc_id, source, n_grams, lw_micro, key_micro
+       |FROM keys
+       |ORDER BY key_micro DESC, doc_id
+       |LIMIT $dsirK""".stripMargin) { (s, dir) =>
+    dsirSelect(Tables.documents(s, dir))
   }
 
   /** End-to-end curation pipeline (q132): the flagship

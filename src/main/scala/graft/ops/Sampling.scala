@@ -41,4 +41,25 @@ object Sampling {
   def duckHkey(id: String): String =
     s"((((($id) % 4294967296) // 65536) * 2654435761 % 4294967296) * 65536" +
       s" + (($id) % 4294967296) % 65536 * 2654435761) % 4294967296"
+
+  /** ln(x) in MICRO-NAT INTEGER units: round(ln(x)·10⁶) as BIGINT —
+    * the cross-engine log discipline behind the DSIR weights (q176)
+    * and the Naive Bayes log-likelihood ratios (q178). One libm ln per
+    * DISTINCT bucket/token (the q116 rule), ONE rounding, and
+    * everything downstream — per-doc sums over arbitrarily many
+    * occurrences, rank comparisons, top-k keys — is exact 64-bit
+    * integer arithmetic, order-free and partitioning-free where a
+    * double sum would diverge between engines on summation order.
+    * Micro (not nano) units keep the rounding boundary ~10⁹ ulps away
+    * from either engine's last-bit ln disagreement while a corpus-
+    * scale sum of |lp| ≤ ~30·10⁶ stays far inside BIGINT.
+    * Both [[lnMicro]] and [[duckLnMicro]] round HALF-AWAY-FROM-ZERO
+    * (Spark's HALF_UP on doubles == DuckDB's round()).
+    */
+  def lnMicro(x: Column): Column =
+    round(log(x.cast("double")) * lit(1000000.0)).cast("bigint")
+
+  /** The DuckDB twin of [[lnMicro]] over an expression string. */
+  def duckLnMicro(x: String): String =
+    s"CAST(round(ln(CAST(($x) AS DOUBLE)) * 1000000.0) AS BIGINT)"
 }

@@ -27,7 +27,7 @@ object TextAnalytics {
   /** Fixed stopword probe list for quality scoring (tiny; inlined as a
     * literal array on both engines).
     */
-  private val probeStops = Seq("the", "a", "an", "and", "of", "to", "is", "in", "it", "on")
+  private[ops] val probeStops = Seq("the", "a", "an", "and", "of", "to", "is", "in", "it", "on")
 
   /** The q109 linear-classifier logit — THE single definition of the
     * demo weights, consumed by q109 and the q158 calibration audit

@@ -640,6 +640,49 @@ class CurationOpsSpec extends SparkSpec {
       "constant dup side (clean source) must report 0.0, not a tie-break artifact")
   }
 
+  test("q176 DSIR: target-vocabulary docs outweigh off-target docs; featureless docs excluded") {
+    import spark.implicits._
+    // target = gopher-pass docs. Build a corpus where target docs share
+    // a distinctive vocabulary and off-target docs share a different
+    // one: DSIR log-ratio weights must rank a target-vocab candidate
+    // above an off-target-vocab candidate.
+    val targetText = ("the data of science is in the model and " +
+      "the method of training is in the corpus and ") * 4 // gopher-pass: 64 toks, stops, alpha
+    val junkVocab = "zzq xxv wwk qqj" // never in target docs
+    val rows =
+      (1L to 6L).map(i => (i, targetText, "en", "sT", targetText.length.toLong)) ++
+      Seq(
+        // candidate A: pure target vocabulary, but NOT gopher-pass (short)
+        (10L, "the data of science is in the model", "en", "sA", 35L),
+        // candidate B: pure off-target vocabulary, same length class
+        (11L, junkVocab + " " + junkVocab, "en", "sB", 20L),
+        // featureless: one token / null text -> not candidates
+        (12L, "single", "en", "sC", 6L),
+        (13L, null, "en", "sC", 0L))
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CurationOps.dsirSelect(d, nBuckets = 256, k = 100).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(!byId.contains(12L) && !byId.contains(13L),
+      "docs with < 2 tokens carry no features and must not be candidates")
+    val lwA = byId(10L).getLong(3)
+    val lwB = byId(11L).getLong(3)
+    assert(lwA > lwB,
+      s"target-vocab candidate must outweigh off-target ($lwA vs $lwB)")
+    // target-vocab buckets have c_t ≈ c_r, so A's weight sits near zero
+    // (its own raw occurrences pull it a hair negative — when raw looks
+    // like target, DSIR selection is ~uniform, which is correct); the
+    // off-target doc's buckets are raw-only (c_t = 0) and each bigram
+    // pays ~ln of the smoothed zero ratio — strongly negative
+    assert(math.abs(lwA) < 1000000L,
+      s"target-vocab weight should be ~0 (|lw| < 1 nat), got $lwA")
+    assert(lwB < -1000000L,
+      s"pure-off-target weight should be << -1 nat, got $lwB")
+    // replayability: the selection is a pure function of the input
+    val out2 = CurationOps.dsirSelect(d, nBuckets = 256, k = 100).collect()
+    assert(out.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq,
+      "selection must be byte-replayable")
+  }
+
   test("embeddingCoverage: missing embeddings and orphan embeddings both surface, per source") {
     import spark.implicits._
     val docs = Seq(
