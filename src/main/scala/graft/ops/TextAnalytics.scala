@@ -81,7 +81,7 @@ object TextAnalytics {
 
   def all: Seq[QueryDef] =
     Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121, q126, q127,
-      q129, q142, q145, q147, q148, q158, q167, q175)
+      q129, q142, q145, q147, q148, q158, q167, q175, q178)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -1024,34 +1024,163 @@ object TextAnalytics {
        |                 AND 10 * na >= 8 * nt AND ns >= 2
        |        THEN 1 ELSE 0 END AS BIGINT) AS pos
        |    FROM f WHERE nt > 0)),
-       |g AS (
-       |  SELECT source, score, CAST(count(*) AS BIGINT) AS c,
-       |    CAST(sum(pos) AS BIGINT) AS p
-       |  FROM sc GROUP BY source, score),
-       |cum AS (
-       |  SELECT source, score, c, p,
-       |    CAST(COALESCE(sum(c) OVER (PARTITION BY source ORDER BY score
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |      AS cb
-       |  FROM g),
-       |a AS (
-       |  SELECT source,
-       |    CAST(sum(p) AS BIGINT) AS n_pos,
-       |    CAST(sum(c) - sum(p) AS BIGINT) AS n_neg,
-       |    sum(CAST(p AS DECIMAL(38,0))
-       |        * (CAST(2 AS DECIMAL(38,0)) * cb + c + CAST(1 AS DECIMAL(38,0))))
-       |      AS r2
-       |  FROM cum GROUP BY source)
+       |${TwinSql.aucChain("sc", "")}
        |SELECT source, n_pos, n_neg,
-       |  CASE WHEN n_pos > 0 AND n_neg > 0
-       |    THEN round(CAST(r2 - CAST(n_pos AS DECIMAL(38,0))
-       |                         * (CAST(n_pos AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0)))
-       |               AS DOUBLE)
-       |      / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 9)
-       |    ELSE 0.0 END AS auc
+       |  ${TwinSql.aucSelect("n_pos", "n_neg", "r2")} AS auc
        |FROM a
        |ORDER BY source""".stripMargin) { (s, dir) =>
     classifierDiscrimination(Tables.documents(s, dir)).orderBy(col("source"))
+  }
+
+  /** Exact-arithmetic trainable quality classifier (q178): a
+    * multinomial Naive Bayes gate TRAINED on the q126 Gopher label
+    * proxy — the missing closure of the quality loop (q109's weights
+    * are literals; q158/q175 audit the fixed gate but nothing LEARNS
+    * weights from labels; a human-labeled column plugs into the same
+    * shape). Training is token counting: per distinct token,
+    * occurrences in Gopher-pass vs Gopher-fail documents; per-token
+    * log-likelihood ratio with add-one smoothing
+    * llr(w) = ln((c⁺+1)/(N⁺+V)) − ln((c⁻+1)/(N⁻+V)) factored into four
+    * integer-argument [[graft.ops.Sampling.lnMicro]] terms (ln ONCE
+    * per distinct token — the q116 discipline — and no cross-engine
+    * product that could overflow); a document scores the class prior
+    * plus the sum of its tokens' llr in exact micro-nat integers. The
+    * report is the DISCRIMINATION comparison: per source, the q175
+    * tie-corrected AUC of the learned score next to the fixed q109
+    * gate's, against the same label — does learning beat the
+    * hand-tuned weights, and where. In-sample by design (train and
+    * audit on the same corpus — the fixture has no held-out label
+    * set); the q155-style split supplies train/test frames when one
+    * exists.
+    *
+    * Scale: ONE corpus pass to the (doc, pos) token stream; the token
+    * count table is a partial+final aggregate to vocabulary size; the
+    * scalar totals (V, N⁺, N⁻, doc counts) are one-row broadcasts
+    * (whitelisted BNLJ); scoring joins the stream to the vocab-sized
+    * llr table (heavy-hitter skew at corpus scale — AQE skew-join,
+    * q116's argument) and partial-aggregates per doc. The AUC stage is
+    * q175's: group rows, not documents, feed the rank windows.
+    */
+  def nbClassifierAudit(docs: DataFrame): DataFrame = {
+    import graft.ops.Sampling.lnMicro
+    val stopsArr = array(probeStops.map(lit): _*)
+    val base = docs
+      .select(col("doc_id"), col("source"), col("text"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("source"), col("t"),
+        size(col("t")).cast("bigint").as("nt"),
+        aggregate(col("t"), lit(0L), (a, x) => a + length(x).cast("bigint")).as("sl"),
+        size(filter(col("t"), x => x.rlike("[A-Za-z]"))).cast("bigint").as("na"),
+        size(filter(col("t"), x => array_contains(stopsArr, x))).cast("bigint").as("ns"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "\\p{P}", "")))
+          / length(col("text"))).as("punct_ratio"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          / length(col("text"))).as("digit_ratio"))
+      .filter(col("nt") > 0)
+      .withColumn("pos",
+        when(gopherRuleFlags(col("nt"), col("sl"), col("na"), col("ns"))
+          .reduce(_ && _), 1L).otherwise(0L))
+    val occ = base.select(col("doc_id"), col("pos"), explode(col("t")).as("w"))
+    val tc = occ.groupBy(col("w"))
+      .agg(sum(col("pos")).cast("bigint").as("c_pos"),
+        (count(lit(1)) - sum(col("pos"))).cast("bigint").as("c_neg"))
+    val scal = tc.agg(count(lit(1)).cast("bigint").as("v"),
+      sum(col("c_pos")).cast("bigint").as("np"),
+      sum(col("c_neg")).cast("bigint").as("nn"))
+    val llr = tc.crossJoin(broadcast(scal))
+      .select(col("w"),
+        (lnMicro(col("c_pos") + lit(1L)) - lnMicro(col("np") + col("v"))
+          - lnMicro(col("c_neg") + lit(1L)) + lnMicro(col("nn") + col("v")))
+          .as("llr"))
+    // class prior in the same micro-nat units; a one-class corpus gets
+    // prior 0 (its AUC is 0.0/undefined downstream anyway — never an
+    // infinite ln crossing the BIGINT cast differently per engine)
+    val prior = base
+      .agg(sum(col("pos")).cast("bigint").as("npd"),
+        (count(lit(1)) - sum(col("pos"))).cast("bigint").as("nnd"))
+      .select(when(col("npd") > 0 && col("nnd") > 0,
+        lnMicro(col("npd")) - lnMicro(col("nnd"))).otherwise(lit(0L)).as("pr"))
+    val ds = occ.join(llr, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("llr")).cast("bigint").as("s"))
+    val nbScored = base.select(col("doc_id"), col("source"), col("pos"))
+      .join(ds, Seq("doc_id"))
+      .crossJoin(broadcast(prior))
+      .select(col("source"), (col("s") + col("pr")).as("score"), col("pos"))
+    val fixedScored = base.select(col("source"),
+      rationalSigmoid(classifierZ(col("ns") / col("nt"), col("nt"),
+        col("punct_ratio"), col("digit_ratio"))).as("score"),
+      col("pos"))
+    aucBySource(nbScored)
+      .select(col("source"), col("n_pos"), col("n_neg"), col("auc").as("auc_nb"))
+      .join(aucBySource(fixedScored).select(col("source"), col("auc").as("auc_fixed")),
+        Seq("source"))
+  }
+
+  val q178: QueryDef = QueryDef.sql(
+    "q178_nb_classifier_audit",
+    s"""WITH f AS (
+       |  SELECT doc_id, source, t,
+       |    CAST(len(t) AS BIGINT) AS nt,
+       |    CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS sl,
+       |    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS na,
+       |    CAST(len(list_filter(t, x -> x IN ('the','a','an','and','of','to','is','in','it','on'))) AS BIGINT) AS ns,
+       |    (length(text) - length(regexp_replace(text, '\\p{P}', '', 'g'))) / length(text) AS punct_ratio,
+       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio
+       |  FROM (SELECT doc_id, source, text, $duckToks AS t FROM documents)
+       |  WHERE len(t) > 0),
+       |lab AS (
+       |  SELECT doc_id, source, t, nt, ns, punct_ratio, digit_ratio,
+       |    CAST(CASE WHEN nt >= 50 AND nt <= 100000
+       |               AND 3 * nt <= sl AND sl <= 10 * nt
+       |               AND 10 * na >= 8 * nt AND ns >= 2
+       |      THEN 1 ELSE 0 END AS BIGINT) AS pos
+       |  FROM f),
+       |occ AS (SELECT doc_id, pos, unnest(t) AS w FROM lab),
+       |tc AS (
+       |  SELECT w, CAST(sum(pos) AS BIGINT) AS c_pos,
+       |    CAST(count(*) - sum(pos) AS BIGINT) AS c_neg
+       |  FROM occ GROUP BY w),
+       |scal AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS v,
+       |    CAST(sum(c_pos) AS BIGINT) AS np,
+       |    CAST(sum(c_neg) AS BIGINT) AS nn
+       |  FROM tc),
+       |llr AS (
+       |  SELECT w,
+       |    ${Sampling.duckLnMicro("c_pos + 1")} - ${Sampling.duckLnMicro("np + v")}
+       |      - ${Sampling.duckLnMicro("c_neg + 1")} + ${Sampling.duckLnMicro("nn + v")}
+       |      AS llr
+       |  FROM tc, scal),
+       |dscal AS (
+       |  SELECT CAST(sum(pos) AS BIGINT) AS npd,
+       |    CAST(count(*) - sum(pos) AS BIGINT) AS nnd
+       |  FROM lab),
+       |prior AS (
+       |  SELECT CASE WHEN npd > 0 AND nnd > 0
+       |    THEN ${Sampling.duckLnMicro("npd")} - ${Sampling.duckLnMicro("nnd")}
+       |    ELSE CAST(0 AS BIGINT) END AS pr
+       |  FROM dscal),
+       |ds AS (
+       |  SELECT doc_id, CAST(sum(llr) AS BIGINT) AS s
+       |  FROM occ JOIN llr USING (w) GROUP BY doc_id),
+       |nb AS (
+       |  SELECT lab.source, ds.s + prior.pr AS score, lab.pos
+       |  FROM lab JOIN ds USING (doc_id), prior),
+       |fx AS (
+       |  SELECT source,
+       |    ${TwinSql.rationalSigmoid(
+              TwinSql.classifierZ("(ns / nt)", "nt", "punct_ratio", "digit_ratio"))}
+       |      AS score,
+       |    pos
+       |  FROM lab),
+       |${TwinSql.aucChain("nb", "1")},
+       |${TwinSql.aucChain("fx", "2")}
+       |SELECT a1.source, a1.n_pos, a1.n_neg,
+       |  ${TwinSql.aucSelect("a1.n_pos", "a1.n_neg", "a1.r2")} AS auc_nb,
+       |  ${TwinSql.aucSelect("a2.n_pos", "a2.n_neg", "a2.r2")} AS auc_fixed
+       |FROM a1 JOIN a2 ON a1.source = a2.source
+       |ORDER BY a1.source""".stripMargin) { (s, dir) =>
+    nbClassifierAudit(Tables.documents(s, dir)).orderBy(col("source"))
   }
 
   /** Per-source lexical statistics (q127): the data-card vocabulary

@@ -91,4 +91,47 @@ private[ops] object TwinSql {
     */
   def toksOf(expr: String): String =
     s"""list_filter(string_split_regex($expr, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"""
+
+  /** The tie-corrected per-source Mann-Whitney AUC in twin SQL — the
+    * SQL face of TextAnalytics.aucBySource (average ranks over
+    * (source, score) group counts, doubled rank-sum in DECIMAL(38,0),
+    * one literal division; see q175's scaladoc for the math). Emits
+    * three CTE definitions `g$sfx`, `cum$sfx`, `a$sfx` over a relation
+    * `src`(source, score, pos); `a$sfx` carries (source, n_pos, n_neg,
+    * r2) and [[aucSelect]] is the final AUC expression over its
+    * columns. ONE definition consumed by the q175 twin and both AUC
+    * arms of the q178 twin — a drifted copy of the rank math in any of
+    * them would grade a different discrimination statistic than the
+    * engine computes.
+    */
+  def aucChain(src: String, sfx: String): String =
+    s"""g$sfx AS (
+       |  SELECT source, score, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(pos) AS BIGINT) AS p
+       |  FROM $src GROUP BY source, score),
+       |cum$sfx AS (
+       |  SELECT source, score, c, p,
+       |    CAST(COALESCE(sum(c) OVER (PARTITION BY source ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cb
+       |  FROM g$sfx),
+       |a$sfx AS (
+       |  SELECT source,
+       |    CAST(sum(p) AS BIGINT) AS n_pos,
+       |    CAST(sum(c) - sum(p) AS BIGINT) AS n_neg,
+       |    sum(CAST(p AS DECIMAL(38,0))
+       |        * (CAST(2 AS DECIMAL(38,0)) * cb + c + CAST(1 AS DECIMAL(38,0))))
+       |      AS r2
+       |  FROM cum$sfx GROUP BY source)""".stripMargin
+
+  /** The final AUC expression over an [[aucChain]] `a$sfx` row's
+    * columns (qualify with the CTE alias when joining two chains).
+    */
+  def aucSelect(nPos: String, nNeg: String, r2: String): String =
+    s"""CASE WHEN $nPos > 0 AND $nNeg > 0
+       |    THEN round(CAST($r2 - CAST($nPos AS DECIMAL(38,0))
+       |                         * (CAST($nPos AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0)))
+       |               AS DOUBLE)
+       |      / (2.0 * CAST($nPos AS DOUBLE) * CAST($nNeg AS DOUBLE)), 9)
+       |    ELSE 0.0 END""".stripMargin
 }

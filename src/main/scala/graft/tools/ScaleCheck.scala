@@ -70,7 +70,8 @@ object ScaleCheck {
         // delta stays replica-0-sized while the history side scales —
         // exactly the incremental-maintenance question:
         "q171_ivf_cell_balance", "q174_ivf_upsert",
-        "q175_discrimination_audit", "q176_dsir_selection")
+        "q175_discrimination_audit", "q176_dsir_selection",
+        "q178_nb_classifier_audit")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()

@@ -234,6 +234,39 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(two == 2, "null==null must count as a stride-1 repeat")
   }
 
+  test("q178 NB classifier: learns a lexical signal the fixed gate cannot see") {
+    import spark.implicits._
+    // pos docs pass every Gopher rule; neg docs fail ONLY the
+    // word-length rule (avg > 10 chars) — a feature the fixed q109
+    // classifier does not read. Both classes share nt, stop ratio,
+    // and zero punct/digits, so every fixed score is IDENTICAL
+    // (auc_fixed = 0.5, all ties), while the vocabularies are
+    // disjoint outside the stopwords, so the learned NB separates
+    // perfectly (auc_nb = 1.0).
+    val posBase = "the cats and dogs race into barns on warm days "
+    val negBase = "the catastrophically and dinosaurically proceeding " +
+      "magnificently extraordinarily on unquestionably wonderfulness "
+    // unique per-doc tails are LETTERS-ONLY and length-matched within
+    // each class: a digit (or varying text length) would shift
+    // digit_ratio/punct_ratio and break the all-fixed-scores-tie
+    val tag = "abcd"
+    val rows =
+      (1L to 4L).map(i => (i, (posBase * 5) + s"tail${tag(i.toInt - 1)}", "en", "s1")) ++
+      (5L to 8L).map(i =>
+        (i, (negBase * 5) + s"extraordinarines${tag(i.toInt - 5)}", "en", "s1"))
+    val d = rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val out = TextAnalytics.nbClassifierAudit(d).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2)) == ((4L, 4L)),
+      s"4 gopher-pass vs 4 wordlen-fail expected, got ${r.getLong(1)}/${r.getLong(2)}")
+    assert(r.getDouble(3) == 1.0,
+      s"NB must separate the disjoint vocabularies, auc_nb = ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 0.5,
+      s"fixed gate sees identical features: all-tied AUC must be 0.5, got ${r.getDouble(4)}")
+  }
+
   test("aucBySource: perfect separation 1.0; ties average (not tie-break); one-class sources 0.0") {
     import spark.implicits._
     val scored = Seq(
