@@ -41,6 +41,12 @@ object AuxArtifacts {
     // q51: same corpus under the 8-plane set (dedupByEmbedding's knob)
     "aux_sign_bucket8" -> ((s, dir) =>
       Similarity.signBuckets(embDouble(s, dir), nPlanes = 8)),
+    // q177: dHash-64 perceptual image signatures over the attached
+    // media frame (decoded pixels where a JDK reader applies, the
+    // deterministic stub grid otherwise — stable per byte content)
+    "aux_phash64" -> ((s, dir) =>
+      Multimodal.phashSig64(s,
+        Multimodal.attachSyntheticImages(s, Tables.documents(s, dir)))),
     // q57: the deterministic multimodal stub embeddings, exploded to
     // (vec_id, pos, x)
     "aux_mm_embed" -> ((s, dir) =>

@@ -121,6 +121,174 @@ object Multimodal {
     }
   }
 
+  /** Perceptual image hashing (dHash, 64-bit): the luma-gradient
+    * fingerprint behind image NEAR-dup detection (q177) — robust to
+    * re-encoding, rescaling, and small pixel edits, which byte-level
+    * dedup (exact hashes) can never catch. The grid is 8 rows x 9
+    * columns of Rec.601 luma point-samples; bit (row, col) is set iff
+    * the right neighbor is strictly brighter — 64 horizontal-gradient
+    * signs, the standard dHash construction (Krawetz, "Kind of Like
+    * That", 2013 — published algorithm). Decodable payloads
+    * (PNG/JPEG/GIF/BMP via [[Codec]]) hash their real pixels; payloads
+    * with no JDK decoder fall back to a [[StubCodec]]-style
+    * deterministic pseudo-luma grid derived from the bytes, so the
+    * pipeline stays total and the banding/verify stages are exercised
+    * end-to-end on the synthetic fixture (identical payloads collide
+    * at hamming 0 — the exact-dup floor).
+    */
+  object PHash {
+    /** 8x9 Rec.601 luma point-grid of a decoded image; row-major,
+      * 72 entries. Point sampling at x = gx·(w−1)/8, y = gy·(h−1)/7 is
+      * scale-covariant: a resized copy samples (approximately) the
+      * same image locations, which is what makes dHash survive
+      * thumbnailing.
+      */
+    private[ops] def lumaGrid(img: java.awt.image.BufferedImage): Array[Double] = {
+      val out = new Array[Double](72)
+      val w = img.getWidth
+      val h = img.getHeight
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 9) {
+          val x = if (w <= 1) 0 else gx * (w - 1) / 8
+          val y = if (h <= 1) 0 else gy * (h - 1) / 7
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          out(gy * 9 + gx) = 0.299 * r + 0.587 * g + 0.114 * b
+          gx += 1
+        }
+        gy += 1
+      }
+      out
+    }
+
+    /** ======================= STUB ==============================
+      * Deterministic pseudo-luma grid for payloads with no JDK
+      * decoder (the fixtures' synthetic blobs): stable per byte
+      * content, so equal payloads hash equal (hamming 0) and the
+      * downstream banding/verify plumbing is real even when pixels
+      * are not.
+      */
+    private[ops] def stubGrid(bytes: Array[Byte]): Array[Double] = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      val out = new Array[Double](72)
+      i = 0
+      while (i < 72) {
+        h = graft.functions.VectorOps.mix64(h + i)
+        out(i) = (h >>> 11).toDouble / (1L << 53).toDouble * 255.0
+        i += 1
+      }
+      out
+    }
+
+    /** bytes -> 64-bit dHash (decoded pixels when a JDK reader
+      * applies, stub grid otherwise). Bit gy*8+gx = 1 iff
+      * grid(gy, gx+1) > grid(gy, gx).
+      */
+    def dhash64(bytes: Array[Byte]): Long = {
+      val img = Codec.decodeImage(bytes)
+      val g = if (img != null) lumaGrid(img) else stubGrid(bytes)
+      var sig = 0L
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (g(gy * 9 + gx + 1) > g(gy * 9 + gx))
+            sig |= 1L << (gy * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      sig
+    }
+  }
+
+  case class MediaSig(doc_id: Long, sig: Long)
+
+  /** (doc_id, sig BIGINT) dHash signatures over a media frame — the
+    * image half of q177's near-dup pipeline; the banding + hamming
+    * verify over this frame is [[Dedup.simhashBandPairs]], the SAME
+    * single definition the SimHash text pairs run (one banded
+    * candidate join + bit_count verify serves both modalities).
+    * Batched per partition like [[extractFeatures]] (one decoder per
+    * task); [[spread]] applies the same junk-row and small-scan
+    * handling. Dumped by graft.Verify as `aux_phash64` for q177's
+    * two-stage oracle.
+    */
+  def phashSig64(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    spread(spark, media).as[MediaRow].mapPartitions { rows =>
+      rows.map(r => MediaSig(r.doc_id, PHash.dhash64(r.media)))
+    }.toDF("doc_id", "sig")
+  }
+
+  /** ==================== STUB (pixels only) =====================
+    * Deterministic 64x48 grayscale PNG: a sinusoidal luma pattern
+    * keyed by the pattern id `g` (frequency pair + phase — 50
+    * distinct patterns) plus 8 `seed`-derived single-pixel edits (the
+    * "small retouch" a real near-duplicate image carries). Same-`g`
+    * images are true pixel-level NEAR-duplicates; different `g` are
+    * far apart. StrictMath.sin so the bytes are identical wherever
+    * the frame is recomputed. The pixels are synthetic (the fixture
+    * ships no real images) but the output is a REAL PNG and
+    * everything downstream — ImageIO decode, luma sampling, dHash —
+    * runs the real image path.
+    */
+  private[ops] def renderPng(g: Int, seed: Long): Array[Byte] = {
+    val w = 64
+    val h = 48
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val fx = 1 + g % 5
+    val fy = 1 + (g / 5) % 5
+    val ph = (g / 25) * 1.1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = 128.0 + 110.0 * StrictMath.sin(
+          2.0 * math.Pi * (fx * x.toDouble / w + fy * y.toDouble / h) + ph)
+        val c = math.max(0, math.min(255, v.toInt))
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+        x += 1
+      }
+      y += 1
+    }
+    var hs = seed
+    var k = 0
+    while (k < 8) {
+      hs = graft.functions.VectorOps.mix64(hs + k)
+      val px = math.floorMod(hs, w).toInt
+      val py = math.floorMod(hs >> 16, h).toInt
+      val c = math.floorMod(hs >> 32, 256).toInt
+      img.setRGB(px, py, (c << 16) | (c << 8) | c)
+      k += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a REAL-image media column to a documents frame: one
+    * [[renderPng]] PNG per doc, pattern id doc_id % 50 — so the
+    * corpus carries genuine pixel-level near-dup GROUPS (re-encoded
+    * retouched copies of ~10 base images per 500 docs) for q177 to
+    * find through the real decode path. Junk rows (null doc_id) are
+    * not images and are dropped, the [[spread]] convention.
+    */
+  def attachSyntheticImages(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id").isNotNull)
+      .as[Long]
+      .map(id => MediaRow(id, "image/png", renderPng((id % 50).toInt, id)))
+      .toDF("doc_id", "mime", "media")
+  }
+
   /** Attach a synthetic binary media column to the documents table
     * (deterministic bytes derived from the text — the fixtures carry no
     * real blobs). Schema shape is the contract: (id, mime, media BINARY).

@@ -25,7 +25,7 @@ object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
     q45, q46, q47, q51, q52, q53, q57, q102, q105, q106, q128, q130, q153,
-    q160, q170, q173)
+    q160, q170, q173, q177)
 
   // the shared twin cosine fragments (single definition: TwinSql)
   // every twin in this file SCORES vectors, so only the zero-norm
@@ -213,6 +213,55 @@ object NonOracle {
       |FROM p WHERE bit_count(xor(s1, s2)) <= 8
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir).filter(col("doc_id") < 500))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Perceptual-hash IMAGE near-dup pairs (q177): dHash-64 over the
+    * decoded luma grid ([[Multimodal.PHash]] — real pixels when a JDK
+    * decoder applies, the deterministic stub grid otherwise), then
+    * EXACTLY the q46 machinery: [[Dedup.simhashBandPairs]] is the one
+    * definition of the 4x16-bit banded candidate join and the
+    * bit_count hamming verify for BOTH modalities — a text SimHash
+    * and an image dHash are the same 64-bit object downstream. The
+    * multimodal column's first real DEDUP use (q48 measures features,
+    * q57 embeds; this strikes near-identical images that survive
+    * re-encoding and rescaling, where exact byte dedup is blind).
+    * Threshold 10 of 64 bits — the pigeonhole recall floor of the 4-
+    * band scheme is exact through hamming 3 and decays gracefully
+    * after (q46's trade); the planted-image recall spec pins a
+    * re-encoded + rescaled + pixel-edited copy under it and a
+    * different image far above it.
+    *
+    * TWO-STAGE ORACLE: pixel decoding has no SQL twin, so graft.Verify
+    * dumps the (doc_id, sig) frame (`aux_phash64`) and DuckDB
+    * re-derives bands, candidates, the distinct, and the hamming
+    * verify — the q46 oracle shape at the image threshold.
+    *
+    * Scale: signature extraction is one batched narrow pass over the
+    * media scan ([[Multimodal.phashSig64]]'s spread + mapPartitions);
+    * banding is 4 rows per image into one shuffled equi-join — never
+    * all-pairs.
+    */
+  val q177 = QueryDef.sql(
+    "q177_phash_image_neardup",
+    """WITH s AS (
+      |  SELECT doc_id, sig
+      |  FROM read_parquet('__GRAFT_OUT__/aux_phash64/*.parquet')),
+      |b AS (
+      |  SELECT doc_id, sig, g.b AS b, ((sig >> (g.b * 16)) & 65535) AS band
+      |  FROM s CROSS JOIN (SELECT unnest(range(4)) AS b) g),
+      |p AS (
+      |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2,
+      |    a.sig AS s1, c.sig AS s2
+      |  FROM b a JOIN b c
+      |    ON a.b = c.b AND a.band = c.band AND a.doc_id < c.doc_id)
+      |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+      |FROM p WHERE bit_count(xor(s1, s2)) <= 10
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    Dedup.simhashBandPairs(
+      Multimodal.phashSig64(s,
+        Multimodal.attachSyntheticImages(s, Tables.documents(s, dir))),
+      maxHamming = 10)
       .orderBy(col("d1"), col("d2"))
   }
 

@@ -70,6 +70,12 @@ object ScaleCheck {
         // delta stays replica-0-sized while the history side scales —
         // exactly the incremental-maintenance question:
         "q171_ivf_cell_balance", "q174_ivf_upsert",
+        // q177 is deliberately absent: id-shifted replicas land in the
+        // SAME doc_id % 50 pattern group (10^7 is a multiple of 50),
+        // so the fixture's verified-pair output grows quadratically in
+        // the replica count by construction — the probe would measure
+        // the synthetic image generator's group layout, not the op
+        // (whose join is banded, never all-pairs; q45's argument).
         "q175_discrimination_audit", "q176_dsir_selection",
         "q178_nb_classifier_audit")
     val out = s"/tmp/graft_scale_${factor}x_" +

@@ -136,4 +136,45 @@ class MultimodalSpec extends SparkSpec {
       assert(r.height == math.max(1, math.round(h * scale).toInt))
     }
   }
+
+  test("q177 dHash: re-encoded/rescaled/retouched copies land under the threshold, different images far above") {
+    import graft.ops.Multimodal.PHash
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = Multimodal.renderPng(7, seed = 1L)
+    val retouched = Multimodal.renderPng(7, seed = 999L) // same pattern, different pixel edits
+    val different = Multimodal.renderPng(23, seed = 1L)  // different frequency pair
+    val hBase = PHash.dhash64(base)
+    assert(hamming(hBase, PHash.dhash64(retouched)) <= 10,
+      "a retouched copy of the same image must stay under the near-dup threshold")
+    assert(hamming(hBase, PHash.dhash64(different)) > 10,
+      "a different pattern must not read as a near-dup")
+    // rescale robustness — the POINT of a perceptual hash: a half-size
+    // re-encoded thumbnail of the same image keeps (nearly) the same
+    // gradient signs, where any exact byte/content hash is blind
+    val img = Multimodal.Codec.decodeImage(base)
+    val thumb = Multimodal.Codec.reencodeScaled(img, 32, 24)
+    assert(!thumb.sameElements(base), "the thumbnail is a genuinely different byte payload")
+    assert(hamming(hBase, PHash.dhash64(thumb)) <= 10,
+      "a re-encoded half-size thumbnail must stay under the threshold")
+    // stub path: equal non-image payloads hash equal (the exact-dup floor)
+    val blobA = Array.tabulate[Byte](40)(i => (i * 7).toByte)
+    val blobB = blobA.clone()
+    assert(PHash.dhash64(blobA) == PHash.dhash64(blobB))
+  }
+
+  test("q177 pipeline: planted near-dup image pairs found, cross-pattern pairs absent") {
+    // same-pattern docs (doc_id % 50) must pair up through the banded
+    // join + hamming verify; different patterns must not
+    val docs = Seq((1L, "a"), (51L, "b"), (101L, "c"), (2L, "d"), (13L, "e"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+    val sig = Multimodal.phashSig64(spark, Multimodal.attachSyntheticImages(spark, docs))
+    val pairs = Dedup.simhashBandPairs(sig, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 51L)) && pairs.contains((1L, 101L))
+      && pairs.contains((51L, 101L)),
+      s"pattern-1 trio must pair, got $pairs")
+    assert(!pairs.exists { case (a, b) => a % 50 != b % 50 },
+      s"cross-pattern pair leaked: $pairs")
+  }
 }
