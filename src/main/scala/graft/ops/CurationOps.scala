@@ -21,7 +21,8 @@ object CurationOps {
 
   def all: Seq[QueryDef] =
     Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125, q166,
-      q132, q140, q143, q144, q152, q154, q157, q159, q161, q168, q169, q176)
+      q132, q140, q143, q144, q152, q154, q157, q159, q161, q168, q169, q176,
+      q179)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -1305,6 +1306,129 @@ object CurationOps {
        |ORDER BY skey DESC, doc_id
        |LIMIT 200""".stripMargin) { (s, dir) =>
     weightedSample(Tables.documents(s, dir), k = 200)
+  }
+
+  /** Per-domain curation rollup (q179): the "which domains to block"
+    * readout — every curation signal this engine computes per
+    * document, rolled up to the HOST of the document's URL: doc and
+    * token counts, duplicated-text volume (the q166 chain), Gopher
+    * failure share (q126's rules), and low-quality count (q109 score
+    * decile ≤ 4). A crawl pipeline acts on domains, not documents —
+    * one template-farm host shows up here as high dup_frac + high
+    * gopher_fail_share and gets blocked at the frontier, which no
+    * per-doc gate expresses. The fixture's documents carry no URL, so
+    * one is synthesized deterministically from (source, doc_id) — the
+    * q65 discipline — and split with the built-in `parse_url`
+    * (codegen string op, no UDF); a real corpus's url column drops in
+    * at the same spot.
+    *
+    * Composition of single definitions: the dup volume is q166's
+    * [[duplicateTextFraction]] (Spark) / `dupFracChainSql` (twin);
+    * the rules are [[TextAnalytics.gopherRuleFlags]]; the decile is
+    * the q163/q158 classifierZ/rationalSigmoid pair. All counts are
+    * integers; the two shares are literal divisions of exact BIGINTs.
+    * Null text counts as a Gopher FAIL here (CASE falls to ELSE on
+    * both engines — a junk doc is certainly not a pass), as neither
+    * low-quality (no score exists) nor token volume (NULL skips sums).
+    *
+    * Scale: the dup chain is q166's (one content-keyed gram exchange
+    * + the per-doc interval window); everything else is narrow per-doc
+    * arithmetic joined doc-to-doc, and the rollup partial-aggregates
+    * to host granularity — hosts are frontier-bounded (pipeline
+    * constant scale), so the final exchange is metadata-sized.
+    */
+  def hostCurationRollup(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val stopsArr = array(TextAnalytics.probeStops.map(lit): _*)
+    val url = concat(lit("https://www."), col("source"), pmod(col("doc_id"), lit(3)),
+      lit(".example.com/docs/d"), col("doc_id"), lit(".html"))
+    val base = docs
+      .select(col("doc_id"), col("source"), col("text"), toks(col("text")).as("t"))
+      .select(col("doc_id"),
+        parse_url(url, lit("HOST")).as("host"),
+        when(col("t").isNotNull, size(col("t"))).cast("bigint").as("nt"),
+        aggregate(col("t"), lit(0L), (a, x) => a + length(x).cast("bigint")).as("sl"),
+        when(col("t").isNotNull, size(filter(col("t"), x => x.rlike("[A-Za-z]"))))
+          .cast("bigint").as("na"),
+        when(col("t").isNotNull, size(filter(col("t"), x => array_contains(stopsArr, x))))
+          .cast("bigint").as("ns"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "\\p{P}", "")))
+          / length(col("text"))).as("punct_ratio"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          / length(col("text"))).as("digit_ratio"))
+    val flagged = base.select(col("doc_id"), col("host"),
+      when(TextAnalytics.gopherRuleFlags(col("nt"), col("sl"), col("na"), col("ns"))
+        .reduce(_ && _), 0L).otherwise(1L).as("gfail"),
+      when(col("nt") > 0 &&
+        floor(TextAnalytics.rationalSigmoid(
+          TextAnalytics.classifierZ(col("ns") / col("nt"), col("nt"),
+            col("punct_ratio"), col("digit_ratio"))) * 10.0).cast("bigint") <= 4L,
+        1L).otherwise(0L).as("lowq"))
+    val dup = duplicateTextFraction(docs, n = 8)
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"))
+    flagged.join(dup, Seq("doc_id"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).cast("bigint").as("n_tokens"),
+        coalesce(sum(col("dup_tokens")), lit(0L)).cast("bigint").as("dup_tokens"),
+        sum(col("gfail")).cast("bigint").as("n_gopher_fail"),
+        sum(col("lowq")).cast("bigint").as("n_low_quality"))
+      .select(col("host"), col("n_docs"), col("n_tokens"), col("dup_tokens"),
+        when(col("n_tokens") > 0,
+          col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"),
+        col("n_gopher_fail"),
+        (col("n_gopher_fail").cast("double") / col("n_docs").cast("double"))
+          .as("gopher_fail_share"),
+        col("n_low_quality"))
+  }
+
+  val q179: QueryDef = QueryDef.sql(
+    "q179_host_curation_rollup",
+    s"""WITH $dupFracChainSql,
+       |h AS (
+       |  SELECT doc_id,
+       |    regexp_extract('https://www.' || source || ((doc_id % 3) + 3) % 3
+       |        || '.example.com/docs/d' || doc_id || '.html',
+       |      '^https://([^/]+)/', 1) AS host,
+       |    CAST(len(t) AS BIGINT) AS nt,
+       |    CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS sl,
+       |    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS na,
+       |    CAST(len(list_filter(t, x -> x IN ('the','a','an','and','of','to','is','in','it','on'))) AS BIGINT) AS ns,
+       |    (length(text) - length(regexp_replace(text, '\\p{P}', '', 'g'))) / length(text) AS punct_ratio,
+       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio
+       |  FROM (SELECT doc_id, source, text, $duckToks AS t FROM documents)),
+       |m AS (
+       |  SELECT h.host,
+       |    CASE WHEN h.nt >= 50 AND h.nt <= 100000
+       |           AND 3 * h.nt <= h.sl AND h.sl <= 10 * h.nt
+       |           AND 10 * h.na >= 8 * h.nt AND h.ns >= 2
+       |      THEN 0 ELSE 1 END AS gfail,
+       |    CASE WHEN h.nt > 0 AND
+       |        CAST(floor((${TwinSql.rationalSigmoid(
+                  TwinSql.classifierZ("((h.ns) / (h.nt))", "h.nt",
+                    "h.punct_ratio", "h.digit_ratio"))}) * 10.0) AS BIGINT) <= 4
+       |      THEN 1 ELSE 0 END AS lowq,
+       |    dfrac.n_tokens, dfrac.dup_tokens
+       |  FROM h JOIN dfrac ON dfrac.doc_id = h.doc_id),
+       |g AS (
+       |  SELECT host,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(sum(dup_tokens), 0) AS BIGINT) AS dup_tokens,
+       |    CAST(sum(gfail) AS BIGINT) AS n_gopher_fail,
+       |    CAST(sum(lowq) AS BIGINT) AS n_low_quality
+       |  FROM m GROUP BY host)
+       |SELECT host, n_docs, n_tokens, dup_tokens,
+       |  CASE WHEN n_tokens > 0
+       |    THEN CAST(dup_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    ELSE 0.0 END AS dup_frac,
+       |  n_gopher_fail,
+       |  CAST(n_gopher_fail AS DOUBLE) / CAST(n_docs AS DOUBLE) AS gopher_fail_share,
+       |  n_low_quality
+       |FROM g
+       |ORDER BY host""".stripMargin) { (s, dir) =>
+    hostCurationRollup(Tables.documents(s, dir)).orderBy(asc_nulls_last("host"))
   }
 
   /** q176's knobs — interpolated into BOTH engine sides so the bucket

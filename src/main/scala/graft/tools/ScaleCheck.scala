@@ -77,7 +77,7 @@ object ScaleCheck {
         // the synthetic image generator's group layout, not the op
         // (whose join is banded, never all-pairs; q45's argument).
         "q175_discrimination_audit", "q176_dsir_selection",
-        "q178_nb_classifier_audit")
+        "q178_nb_classifier_audit", "q179_host_curation_rollup")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()

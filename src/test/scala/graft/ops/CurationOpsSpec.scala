@@ -683,6 +683,40 @@ class CurationOpsSpec extends SparkSpec {
       "selection must be byte-replayable")
   }
 
+  test("q179 host rollup: template-farm host flagged by dup volume + gopher share; junk text is a fail, not volume") {
+    import spark.implicits._
+    val tmpl = ("lorem ipsum dolor sit amet " * 4).trim // 20 tokens, repeated across docs
+    // gopher-pass docs with NO internal repetition (any repeated
+    // 8-gram would register as duplicated text): 2 stops + 58 distinct
+    // words each, disjoint between the two docs
+    def clean(tag: Char): String = "the and " + (0 until 58)
+      .map(i => s"word$tag${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+      .mkString(" ")
+    val rows = Seq(
+      // host www.farm0.example.com (doc_id % 3 == 0, source "farm"):
+      // every doc is the same template -> all 8-gram windows duplicated
+      (3L, tmpl, "farm"), (6L, tmpl, "farm"), (9L, tmpl, "farm"),
+      // host www.good1.example.com: distinct clean docs
+      (1L, clean('p'), "good"), (4L, clean('q'), "good"),
+      // junk row on the good host shard: counts as a gopher FAIL but
+      // contributes no token volume
+      (7L, null, "good"))
+    val d = rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", coalesce(length(col("text")), lit(0L)))
+    val out = CurationOps.hostCurationRollup(d)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val farm = out("www.farm0.example.com")
+    assert(farm.getLong(1) == 3L)
+    assert(farm.getDouble(4) == 1.0, s"all template text is duplicated, dup_frac = ${farm.getDouble(4)}")
+    assert(farm.getDouble(6) == 1.0, "20-token template docs fail the Gopher count rule")
+    val good = out("www.good1.example.com")
+    assert(good.getLong(1) == 3L, "junk row still counts as a document of its host")
+    assert(good.getLong(5) == 1L, "exactly the junk doc is a gopher fail")
+    assert(good.getLong(2) == 2L * 60L, s"junk text adds no token volume, got ${good.getLong(2)}")
+    assert(good.getDouble(4) == 0.0, "distinct clean docs share no 8-gram windows")
+  }
+
   test("embeddingCoverage: missing embeddings and orphan embeddings both surface, per source") {
     import spark.implicits._
     val docs = Seq(
