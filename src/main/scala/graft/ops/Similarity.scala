@@ -23,7 +23,7 @@ import graft.functions.VectorOps
 object Similarity {
 
   def all: Seq[QueryDef] = Seq(q30, q31, q117, q120, q149, q150, q164, q165,
-    q171, q174)
+    q171, q174, q180)
 
   // the shared twin cosine fragments (single definition: TwinSql)
   private def cosSqlZ(a: String, b: String): String = TwinSql.cosZ(a, b)
@@ -1016,6 +1016,152 @@ object Similarity {
     upsertIvfCells(base, delta, centers)
       .select(col("vec_id"), col("center_id").cast("bigint").as("center_id"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Empirical recall-vs-nprobe curve (q180): recall@k of [[ivfKnn]]
+    * against [[bruteForceKnn]] at EVERY probe depth 1..nCells — the
+    * measured counterpart of q172's analytic LSH S-curve (q172 says
+    * what the banding math promises; this says what the shipped IVF
+    * index actually delivers on this corpus, which is what you tune
+    * nProbe with: "nprobe=3 buys 0.9 recall at 3/8 of the scan" is a
+    * statement about THIS quantizer on THIS data, not about formulas).
+    * The assignment, probe ranking, and candidate scoring are computed
+    * ONCE with the probe rank kept as a column; each curve point is a
+    * rank-window over the `prnk <= nprobe` slice — not nCells separate
+    * index builds (nProbe only gates which cells a query reads, so the
+    * candidate frame is shared and monotone in nprobe, and so is the
+    * curve: recall at nprobe = nCells is exact 1.0 by construction).
+    *
+    * TWO-STAGE ORACLE: the q53 shape — at lloydIters=1 the coarse
+    * centers are embeddings vec_id < 8, so DuckDB re-derives the cell
+    * assignment from raw parquet; only the probe targets (Spark's
+    * float centroid means, aux_ivf_centroids) are consumed; probing at
+    * every depth, the per-(query, nprobe) top-k, the brute-force
+    * reference top-k, and the hit counts are all re-derived. Counts
+    * are integers; recall is one literal division.
+    *
+    * Scale: bounded audit batch (vec_id < 10, the q53/q164 exclusion
+    * reasoning) — the corpus side streams through the broadcast probe
+    * join exactly as serving does; the nprobe spine multiplies only
+    * the bounded candidate frame.
+    */
+  def ivfRecallCurve(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                     k: Int, nCells: Int = 8,
+                     lloydIters: Int = 1): DataFrame = {
+    import graft.cluster.KMeansAssign
+    import graft.functions.functions.{cosine_distance, cosine_similarity}
+    val c = corpus.toDF("cid", "cv")
+    val centers = KMeansAssign.lloydCenters(c, nCells, lloydIters, "cid", "cv")
+    val cells = KMeansAssign.assignMap(c, centers, "cv").drop("dist")
+    val centroids = KMeansAssign.centroidMeans(cells, "cv")
+      .withColumnRenamed("cvec", "repr")
+    val wp = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("center_id"))
+    val probes = queries.toDF("qid", "qv")
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qv"), col("center_id"),
+        cosine_distance(col("qv"), col("repr")).as("cdist"))
+      .withColumn("prnk", row_number().over(wp))
+      .select(col("qid"), col("qv"), col("center_id"), col("prnk"))
+    val cand = cells.join(broadcast(probes), "center_id")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("prnk"),
+        cosine_similarity(col("qv"), col("cv")).as("score"))
+    val spine = spark.range(1, nCells + 1).toDF("nprobe")
+    val wr = Window.partitionBy(col("qid"), col("nprobe"))
+      .orderBy(col("score").desc, col("cid"))
+    val ivfTop = cand.crossJoin(broadcast(spine))
+      .filter(col("prnk") <= col("nprobe"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+      .select(col("nprobe"), col("qid"), col("cid"))
+    val brute = bruteForceKnn(queries.toDF("qid", "qv"), corpus, k)
+      .select(col("qid"), col("cid"))
+    val tot = brute.agg(count(lit(1)).cast("bigint").as("n_brute"),
+      countDistinct(col("qid")).cast("bigint").as("n_queries"))
+    val hits = ivfTop.join(brute, Seq("qid", "cid"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).cast("bigint").as("n_hits"))
+    spine.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("nprobe").cast("bigint").as("nprobe"),
+        lit(k.toLong).as("k"),
+        col("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).cast("bigint").as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_brute").cast("double")).as("recall"))
+  }
+
+  val q180: QueryDef = QueryDef.sql(
+    "q180_ivf_recall_curve",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |ctr AS (
+       |  SELECT CAST(vec_id AS INT) AS center_id, embedding AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |ad AS (
+       |  SELECT e.vec_id, ctr.center_id,
+       |    ${TwinSql.distZ("e.embedding", "ctr.cv")} AS cdist
+       |  FROM e CROSS JOIN ctr),
+       |asg AS (
+       |  SELECT vec_id, center_id FROM (
+       |    SELECT vec_id, center_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cdist, center_id) AS rn
+       |    FROM ad) WHERE rn = 1),
+       |cen AS (
+       |  SELECT center_id, list(x ORDER BY pos) AS cvec
+       |  FROM read_parquet('__GRAFT_OUT__/aux_ivf_centroids/*.parquet')
+       |  GROUP BY center_id),
+       |pq AS (
+       |  SELECT q.vec_id AS qid, cen.center_id,
+       |    ${TwinSql.distZ("q.embedding", "cen.cvec")} AS cdist
+       |  FROM e q CROSS JOIN cen WHERE q.vec_id < 10),
+       |pr AS (
+       |  SELECT qid, center_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cdist, center_id) AS prnk
+       |  FROM pq),
+       |cand AS (
+       |  SELECT pr.qid, asg.vec_id AS cid, pr.prnk
+       |  FROM pr JOIN asg USING (center_id) WHERE pr.qid <> asg.vec_id),
+       |sc AS (
+       |  SELECT cand.qid, cand.cid, cand.prnk,
+       |    ${TwinSql.cosZ("qe.embedding", "ce.embedding")} AS score
+       |  FROM cand JOIN e qe ON cand.qid = qe.vec_id
+       |            JOIN e ce ON cand.cid = ce.vec_id),
+       |np AS (SELECT unnest(range(1, 9)) AS nprobe),
+       |ivf AS (
+       |  SELECT nprobe, qid, cid FROM (
+       |    SELECT np.nprobe, sc.qid, sc.cid,
+       |      row_number() OVER (PARTITION BY sc.qid, np.nprobe
+       |        ORDER BY sc.score DESC, sc.cid) AS rnk
+       |    FROM sc JOIN np ON sc.prnk <= np.nprobe)
+       |  WHERE rnk <= 10),
+       |bsc AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    ${TwinSql.cosZ("q.embedding", "c.embedding")} AS score
+       |  FROM e q CROSS JOIN e c
+       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |bs AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+       |    FROM bsc) WHERE rnk <= 10),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_brute,
+       |    CAST(count(DISTINCT qid) AS BIGINT) AS n_queries FROM bs),
+       |h AS (
+       |  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM ivf JOIN bs USING (qid, cid) GROUP BY nprobe)
+       |SELECT CAST(np.nprobe AS BIGINT) AS nprobe,
+       |  CAST(10 AS BIGINT) AS k,
+       |  tot.n_queries,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(tot.n_brute AS DOUBLE)
+       |    AS recall
+       |FROM np LEFT JOIN h ON h.nprobe = np.nprobe, tot
+       |ORDER BY nprobe""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    ivfRecallCurve(s, emb, emb.filter(col("vec_id") < 10), k = 10,
+      nCells = 8, lloydIters = 1)
+      .orderBy(col("nprobe"))
   }
 
   val q171: QueryDef = QueryDef.sql(

@@ -70,6 +70,10 @@ object ScaleCheck {
         // delta stays replica-0-sized while the history side scales —
         // exactly the incremental-maintenance question:
         "q171_ivf_cell_balance", "q174_ivf_upsert",
+        // q180 is deliberately absent (q164's reason: bounded
+        // vec_id < 10 audit batch against the vec_id < 8 fixture
+        // quantizer — the corpus-scale serving story is q53's probe
+        // join shape, pinned in PLANS.md).
         // q177 is deliberately absent: id-shifted replicas land in the
         // SAME doc_id % 50 pattern group (10^7 is a multiple of 50),
         // so the fixture's verified-pair output grows quadratically in

@@ -183,7 +183,8 @@ class PlanAuditSpec extends SparkSpec {
       "q164_label_noise" -> "bounded slice (vec_id<200) through bruteForceKnn: query batch broadcasts, slice streams; corpus path swaps in lshKnn/ivfKnn",
       "q171_ivf_cell_balance" -> "K cell-count rows x one-row broadcast holding the scalar corpus total",
       "q176_dsir_selection" -> "nBuckets bucket rows x one-row broadcast holding the scalar occurrence totals",
-      "q178_nb_classifier_audit" -> "vocab rows x one-row broadcast of (V, N+, N-); doc rows x one-row broadcast of the class prior"
+      "q178_nb_classifier_audit" -> "vocab rows x one-row broadcast of (V, N+, N-); doc rows x one-row broadcast of the class prior",
+      "q180_ivf_recall_curve" -> "bounded audit: query batch x K centroids, candidates x 8-row nprobe spine, brute reference x corpus, one-row totals"
     )
     val bad = scala.collection.mutable.ListBuffer[String]()
     val observedBnlj = scala.collection.mutable.TreeSet[String]()

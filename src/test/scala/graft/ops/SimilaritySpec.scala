@@ -213,4 +213,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_._4).toSeq == Seq(5.0 / 8, 6.0 / 8, 7.0 / 8, 1.0),
       "cumulative share ranks largest cells first")
   }
+
+  test("q180 recall curve: monotone non-decreasing in nprobe, exactly 1.0 at nprobe = nCells") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val rows = Similarity.ivfRecallCurve(spark, emb,
+      emb.filter(col("vec_id") < 10), k = 10, nCells = 8, lloydIters = 1)
+      .orderBy(col("nprobe")).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (1L to 8L),
+      "one curve point per probe depth, zero-hit depths included")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3,
+        s"recall must be monotone in nprobe: ${a._1}->${a._3} vs ${b._1}->${b._3}")
+    }
+    assert(rows.last._3 == 1.0,
+      "probing every cell IS the exact search: recall must be exactly 1.0")
+    assert(rows.head._3 > 0.0, "probing the nearest cell must find something")
+  }
 }
