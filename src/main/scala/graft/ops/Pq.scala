@@ -168,16 +168,6 @@ object Pq {
     */
   def loadIndex(spark: SparkSession, path: String): PqIndex = {
     import scala.collection.{Seq => CSeq}
-    // read-only crash fallback: if a compaction died mid-swap, serve
-    // the sibling backup IN PLACE (same PARTITIONED BY center_id
-    // layout, so probe pruning is unaffected) — never rename from a
-    // read path (see recoverCells)
-    val cellsP = new org.apache.hadoop.fs.Path(path + "/cells")
-    val cfs = cellsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cellsOld = new org.apache.hadoop.fs.Path(path + "/cells_old")
-    val cellsPath =
-      if (!cfs.exists(cellsP) && cfs.exists(cellsOld)) cellsOld.toString
-      else cellsP.toString
     val meta = spark.read.parquet(path + "/meta").collect()(0)
     // row cells hold mutable.ArraySeq — declare collection.Seq, not
     // immutable.Seq (getSeq's cast is unchecked erasure)
@@ -185,24 +175,11 @@ object Pq {
       .map(_.toArray).toArray
     val codebooks = meta.getSeq[CSeq[CSeq[Double]]](meta.fieldIndex("codebooks"))
       .map(_.map(_.toArray).toArray).toArray
-    val cells0 = spark.read.parquet(cellsPath)
-    val tomb = new org.apache.hadoop.fs.Path(path + "/tombstones")
-    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // list FILES, not just the dir: compaction deletes folded tombstone
-    // files individually, which can leave the directory empty (reading
-    // an empty dir fails schema inference)
-    val tombFiles =
-      if (fs.exists(tomb))
-        fs.listStatus(tomb).map(_.getPath)
-          .filter(p => !p.getName.startsWith("_")).toSeq
-      else Seq.empty
-    val cells =
-      if (tombFiles.nonEmpty)
-        cells0.join(
-          spark.read.parquet(tombFiles.map(_.toString): _*)
-            .select(col("cid")).distinct(),
-          Seq("cid"), "left_anti")
-      else cells0
+    // crash fallback + tombstone application: the shared CellStore
+    // read path (one definition of the layout contract for both ANN
+    // lifecycles)
+    val cells = CellStore.applyTombstones(spark, path,
+      spark.read.parquet(CellStore.resolveCellsPath(spark, path)))
     PqIndex(centers, codebooks, cells)
   }
 
@@ -226,8 +203,7 @@ object Pq {
     * tombstone row that the load-time distinct collapses.
     */
   def deleteFromSavedIndex(spark: SparkSession, path: String, ids: DataFrame): Unit =
-    ids.toDF("cid").select(col("cid")).distinct()
-      .write.mode("append").parquet(path + "/tombstones")
+    CellStore.appendTombstones(spark, path, ids)
 
   /** If a compaction crashed between renaming the old cells aside and
     * landing the rewrite, restore the backup (the rewrite is redone by
@@ -238,13 +214,8 @@ object Pq {
     * between the compactor's two renames would nest the new cells
     * inside the restored dir — Hadoop renames into an existing dir).
     */
-  private def recoverCells(spark: SparkSession, path: String): Unit = {
-    val cellsP = new org.apache.hadoop.fs.Path(path + "/cells")
-    val fs = cellsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(path + "/cells_old")
-    if (!fs.exists(cellsP) && fs.exists(old) && !fs.rename(old, cellsP))
-      sys.error(s"pq cells recovery: rename $old -> $cellsP failed")
-  }
+  private def recoverCells(spark: SparkSession, path: String): Unit =
+    CellStore.recoverCells(spark, path)
 
   /** Fold pending tombstones into the cell files: rewrite the
     * surviving rows (same PARTITIONED BY center_id layout — probe
@@ -263,46 +234,7 @@ object Pq {
     * as no-ops (the ids are already gone from the cells).
     */
   def compactIndex(spark: SparkSession, path: String): PqIndex = {
-    recoverCells(spark, path)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val cellsP = new org.apache.hadoop.fs.Path(path + "/cells")
-    val fs = cellsP.getFileSystem(conf)
-    val tombDir = new org.apache.hadoop.fs.Path(path + "/tombstones")
-    val tombFiles =
-      if (fs.exists(tombDir))
-        fs.listStatus(tombDir).map(_.getPath)
-          .filter(p => !p.getName.startsWith("_")).toSeq
-      else Seq.empty
-    val cells0 = spark.read.parquet(cellsP.toString)
-    val cells =
-      if (tombFiles.nonEmpty)
-        cells0.join(
-          spark.read.parquet(tombFiles.map(_.toString): _*)
-            .select(col("cid")).distinct(),
-          Seq("cid"), "left_anti")
-      else cells0
-    val tmp = new org.apache.hadoop.fs.Path(path + "/cells_compacting")
-    val old = new org.apache.hadoop.fs.Path(path + "/cells_old")
-    cells.write.mode("overwrite").partitionBy("center_id").parquet(tmp.toString)
-    fs.delete(old, true) // stale backup from a prior completed run
-    // checked renames: a silently-failed swap would serve stale or
-    // missing cells undetected
-    if (!fs.rename(cellsP, old))
-      sys.error(s"pq compaction: rename $cellsP -> $old failed")
-    if (!fs.rename(tmp, cellsP))
-      sys.error(s"pq compaction: rename $tmp -> $cellsP failed")
-    fs.delete(old, true)
-    tombFiles.foreach(f => fs.delete(f, false))
-    // drop the dir only when no DATA file landed since the snapshot:
-    // strip leftover _SUCCESS markers, then a non-recursive delete
-    // refuses a non-empty dir, so a concurrent append is never lost
-    if (tombFiles.nonEmpty && fs.exists(tombDir)) {
-      val remaining = fs.listStatus(tombDir).map(_.getPath)
-      if (remaining.forall(_.getName.startsWith("_"))) {
-        remaining.foreach(f => fs.delete(f, false))
-        scala.util.Try(fs.delete(tombDir, false))
-      }
-    }
+    CellStore.compactCells(spark, path)
     loadIndex(spark, path)
   }
 

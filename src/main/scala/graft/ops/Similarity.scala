@@ -23,7 +23,7 @@ import graft.functions.VectorOps
 object Similarity {
 
   def all: Seq[QueryDef] = Seq(q30, q31, q117, q120, q149, q150, q164, q165,
-    q171, q174, q180)
+    q171, q174, q180, q181)
 
   // the shared twin cosine fragments (single definition: TwinSql)
   private def cosSqlZ(a: String, b: String): String = TwinSql.cosZ(a, b)
@@ -209,7 +209,23 @@ object Similarity {
     // mean-per-dimension aggregation)
     val centroids = KMeansAssign.centroidMeans(cells, "cv")
       .withColumnRenamed("cvec", "repr")
-    // probe: nProbe nearest centroids per query by cosine distance
+    probeSearch(cells, centroids, queries, k, nProbe)
+  }
+
+  /** The IVF serve join — probe `nProbe` nearest representatives per
+    * query, exact-rescore inside probed cells only, top-k per query.
+    * ONE definition shared by [[ivfKnn]] (probing true cell centroids)
+    * and [[searchIvfIndex]] (probing the persisted quantizer itself,
+    * the [[Pq.searchIndex]] convention): a drifted copy of the serve
+    * join would let the maintained index silently search differently
+    * than the one-shot path. `centroids` is (center_id, repr); `cells`
+    * is (cid, cv, center_id).
+    *
+    * Scale: the probe set is |Q|·nProbe rows — broadcast, so the cells
+    * side streams map-side instead of shuffling on center_id.
+    */
+  private def probeSearch(cells: DataFrame, centroids: DataFrame,
+                          queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("center_id"))
     val probes = queries.toDF("qid", "qv")
       .crossJoin(broadcast(centroids))
@@ -218,9 +234,6 @@ object Similarity {
       .withColumn("prnk", row_number().over(w))
       .filter(col("prnk") <= nProbe)
       .select(col("qid"), col("qv"), col("center_id"))
-    // search: exact rescoring inside probed cells only. The probe set
-    // is |Q| * nProbe rows — broadcast it so the cells side streams
-    // map-side instead of shuffling on center_id.
     val ws = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     cells.join(broadcast(probes), "center_id")
       .filter(col("qid") =!= col("cid"))
@@ -228,6 +241,95 @@ object Similarity {
         cosine_similarity(col("qv"), col("cv")).as("score"))
       .withColumn("rnk", row_number().over(ws))
       .filter(col("rnk") <= k)
+  }
+
+  /** Persisted plain-IVF index: the coarse quantizer (K driver rows)
+    * plus the (cid, cv, center_id) cell assignment — the maintained
+    * form of what [[ivfKnn]] builds per call, with the full
+    * build/save/load/upsert/delete/compact lifecycle the IVF-PQ index
+    * has ([[Pq.PqIndex]]); both persist through the shared
+    * [[CellStore]] layout and inherit its tombstone/compaction crash
+    * contract.
+    */
+  case class IvfIndex(centers: Array[Array[Double]], cells: DataFrame)
+
+  /** Build: Lloyd-refined quantizer, then the zero-shuffle broadcast
+    * assignment (the corpus never shuffles). Junk null vectors are not
+    * index members (the q171 convention).
+    */
+  def buildIvfIndex(spark: SparkSession, corpus: DataFrame,
+                    nCells: Int = 8, lloydIters: Int = 1): IvfIndex = {
+    import graft.cluster.KMeansAssign
+    val c = corpus.toDF("cid", "cv").filter(col("cv").isNotNull)
+    val centers = KMeansAssign.lloydCenters(c, nCells, lloydIters, "cid", "cv")
+    IvfIndex(centers, KMeansAssign.assignMap(c, centers, "cv").drop("dist"))
+  }
+
+  /** Persist: cells PARTITIONED BY center_id (probe pruning at the
+    * storage layer), quantizer as one small meta row — the
+    * [[Pq.saveIndex]] layout without codebooks.
+    */
+  def saveIvfIndex(idx: IvfIndex, path: String): Unit = {
+    idx.cells.write.mode("overwrite")
+      .partitionBy("center_id").parquet(path + "/cells")
+    val spark = idx.cells.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(idx.centers.map(_.toSeq).toSeq)).toDF("centers")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+  }
+
+  /** Load: lazy cells with pending tombstones applied and the
+    * mid-compaction-crash read fallback (the shared [[CellStore]]
+    * read path).
+    */
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    import scala.collection.{Seq => CSeq}
+    val meta = spark.read.parquet(path + "/meta").collect()(0)
+    val centers = meta.getSeq[CSeq[Double]](meta.fieldIndex("centers"))
+      .map(_.toArray).toArray
+    IvfIndex(centers, CellStore.applyTombstones(spark, path,
+      spark.read.parquet(CellStore.resolveCellsPath(spark, path))))
+  }
+
+  /** Hard-delete ids from a live index: one anti equi-join; the
+    * quantizer is untouched (deletes never retrain). Assignment is a
+    * pure function of (vector, frozen centers), so the surviving
+    * cells equal a fresh assignment of the remaining corpus —
+    * spec-proven against the rebuild.
+    */
+  def deleteFromIvfIndex(idx: IvfIndex, ids: DataFrame): IvfIndex =
+    IvfIndex(idx.centers,
+      idx.cells.join(ids.toDF("cid").select(col("cid")).distinct(),
+        Seq("cid"), "left_anti"))
+
+  /** Tombstone-delete from the PERSISTED index — O(delta), applied on
+    * every load until [[compactIvfIndex]] folds it in.
+    */
+  def deleteFromSavedIvfIndex(spark: SparkSession, path: String,
+                              ids: DataFrame): Unit =
+    CellStore.appendTombstones(spark, path, ids)
+
+  /** Fold tombstones into the cell files (layout preserved) and
+    * reload; [[CellStore.compactCells]] carries the crash contract.
+    */
+  def compactIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    CellStore.compactCells(spark, path)
+    loadIvfIndex(spark, path)
+  }
+
+  /** Serve from a built/loaded/maintained index: probe targets are
+    * the QUANTIZER itself, straight from driver state ([[Pq]]'s
+    * convention — recomputing cell means per search would scan the
+    * persisted cells and drift from the quantizer the assignments
+    * used); the join is the shared [[probeSearch]].
+    */
+  def searchIvfIndex(spark: SparkSession, idx: IvfIndex, queries: DataFrame,
+                     k: Int, nProbe: Int = 3): DataFrame = {
+    import spark.implicits._
+    val centroids = idx.centers.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("center_id", "repr")
+    probeSearch(idx.cells, centroids, queries, k, nProbe)
   }
 
   /** Nearest-centroid classification + confusion matrix ([[q117]]):
@@ -1016,6 +1118,77 @@ object Similarity {
     upsertIvfCells(base, delta, centers)
       .select(col("vec_id"), col("center_id").cast("bigint").as("center_id"))
       .orderBy(col("vec_id"))
+  }
+
+  /** IVF delete maintenance (q181): serve a query batch from the
+    * plain-IVF index AFTER a takedown batch — the lifecycle complement
+    * of q174's upsert, and the q174-style registered face of the
+    * [[deleteFromIvfIndex]]/tombstone machinery (persisted-tombstone
+    * == live-delete == rebuild-without-deleted is spec-proven; this
+    * query oracle-checks the delete+serve MATH end to end). Every
+    * deleted vector must vanish from every result list and the
+    * remaining ranking must close up exactly as a fresh index over the
+    * surviving corpus would — a tombstone leak at serve time is a
+    * compliance bug, not a recall bug.
+    *
+    * FULLY RAW-DERIVABLE ORACLE (no aux): at lloydIters=1 the
+    * quantizer is embeddings vec_id < 8, and [[searchIvfIndex]] probes
+    * that quantizer directly (the persisted-index convention), so
+    * DuckDB re-derives assignment, the strike, probing, in-cell
+    * rescoring, and the top-k ranking all from raw parquet.
+    *
+    * Scale: delete is one anti equi-join (AQE broadcasts the takedown
+    * set); serving is the shared [[probeSearch]] broadcast join.
+    */
+  val q181: QueryDef = QueryDef.sql(
+    "q181_ivf_delete_serve",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |ctr AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS center_id, embedding AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)),
+       |ad AS (
+       |  SELECT e.vec_id, ctr.center_id,
+       |    ${TwinSql.distZ("e.embedding", "ctr.cv")} AS cdist
+       |  FROM e CROSS JOIN ctr),
+       |asg AS (
+       |  SELECT vec_id, center_id FROM (
+       |    SELECT vec_id, center_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cdist, center_id) AS rn
+       |    FROM ad) WHERE rn = 1),
+       |surv AS (SELECT * FROM asg WHERE vec_id % 7 <> 0),
+       |pq AS (
+       |  SELECT q.vec_id AS qid, ctr.center_id,
+       |    ${TwinSql.distZ("q.embedding", "ctr.cv")} AS cdist
+       |  FROM e q CROSS JOIN ctr WHERE q.vec_id < 10),
+       |pr AS (
+       |  SELECT qid, center_id FROM (
+       |    SELECT qid, center_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cdist, center_id) AS rn
+       |    FROM pq) WHERE rn <= 3),
+       |cand AS (
+       |  SELECT pr.qid, surv.vec_id AS cid
+       |  FROM pr JOIN surv USING (center_id) WHERE pr.qid <> surv.vec_id),
+       |sc AS (
+       |  SELECT cand.qid, cand.cid,
+       |    ${TwinSql.cosZ("qe.embedding", "ce.embedding")} AS score
+       |  FROM cand JOIN e qe ON cand.qid = qe.vec_id
+       |            JOIN e ce ON cand.cid = ce.vec_id)
+       |SELECT qid, cid, score, rnk FROM (
+       |  SELECT qid, cid, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    val idx = buildIvfIndex(s, emb, nCells = 8, lloydIters = 1)
+    val struck = deleteFromIvfIndex(idx,
+      emb.filter(pmod(col("vec_id"), lit(7)) === 0).select(col("vec_id")))
+    searchIvfIndex(s, struck, emb.filter(col("vec_id") < 10), k = 5, nProbe = 3)
+      .orderBy(col("qid"), col("rnk"))
   }
 
   /** Empirical recall-vs-nprobe curve (q180): recall@k of [[ivfKnn]]

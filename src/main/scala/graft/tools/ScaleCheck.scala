@@ -81,7 +81,11 @@ object ScaleCheck {
         // the synthetic image generator's group layout, not the op
         // (whose join is banded, never all-pairs; q45's argument).
         "q175_discrimination_audit", "q176_dsir_selection",
-        "q178_nb_classifier_audit", "q179_host_curation_rollup")
+        "q178_nb_classifier_audit", "q179_host_curation_rollup",
+        // q181: the takedown strike + serve — the index/strike sides
+        // scale with the replicated embeddings corpus while the query
+        // batch stays replica-0-sized (q174's maintenance question)
+        "q181_ivf_delete_serve")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()

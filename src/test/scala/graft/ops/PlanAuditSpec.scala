@@ -184,7 +184,8 @@ class PlanAuditSpec extends SparkSpec {
       "q171_ivf_cell_balance" -> "K cell-count rows x one-row broadcast holding the scalar corpus total",
       "q176_dsir_selection" -> "nBuckets bucket rows x one-row broadcast holding the scalar occurrence totals",
       "q178_nb_classifier_audit" -> "vocab rows x one-row broadcast of (V, N+, N-); doc rows x one-row broadcast of the class prior",
-      "q180_ivf_recall_curve" -> "bounded audit: query batch x K centroids, candidates x 8-row nprobe spine, brute reference x corpus, one-row totals"
+      "q180_ivf_recall_curve" -> "bounded audit: query batch x K centroids, candidates x 8-row nprobe spine, brute reference x corpus, one-row totals",
+      "q181_ivf_delete_serve" -> "bounded query batch x K-row broadcast of the persisted quantizer (the probeSearch serve join)"
     )
     val bad = scala.collection.mutable.ListBuffer[String]()
     val observedBnlj = scala.collection.mutable.TreeSet[String]()

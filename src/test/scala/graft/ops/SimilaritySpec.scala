@@ -214,6 +214,49 @@ class SimilaritySpec extends SparkSpec {
       "cumulative share ranks largest cells first")
   }
 
+  test("IVF index lifecycle: tombstoned serve == live delete == rebuild-without-deleted; compact keeps layout") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    val idx = Similarity.buildIvfIndex(spark, emb, nCells = 4, lloydIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfdel").toString
+    Similarity.saveIvfIndex(idx, dir)
+    val dels = emb.filter(pmod(col("vec_id"), lit(7)) === 0).select(col("vec_id"))
+    val delIds = dels.as[Long].collect().toSet
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.deleteFromSavedIvfIndex(spark, dir, dels)
+    def hits(i: Similarity.IvfIndex): Seq[(Long, Long, Int)] =
+      Similarity.searchIvfIndex(spark, i, queries, k = 3, nProbe = 2)
+        .select(col("qid"), col("cid"), col("rnk"))
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+    val tombstoned = hits(Similarity.loadIvfIndex(spark, dir))
+    assert(tombstoned.nonEmpty)
+    assert(tombstoned.map(_._2).toSet.intersect(delIds).isEmpty,
+      "a deleted vector must never be served")
+    // == a fresh assignment of the remaining corpus under the SAME quantizer
+    val remaining = emb.join(dels.toDF("vec_id"), Seq("vec_id"), "left_anti")
+    val rebuilt = Similarity.IvfIndex(idx.centers,
+      graft.cluster.KMeansAssign.assignMap(
+        remaining.toDF("cid", "cv"), idx.centers, "cv").drop("dist"))
+    assert(hits(rebuilt) == tombstoned, "tombstoned serve != rebuild-without-deleted")
+    // the live-frame delete agrees with the persisted one
+    assert(hits(Similarity.deleteFromIvfIndex(idx, dels)) == tombstoned)
+    // compact: tombstones folded in, partition layout preserved, serve unchanged
+    val compacted = Similarity.compactIvfIndex(spark, dir)
+    assert(!new java.io.File(dir + "/tombstones").exists(), "tombstones not folded in")
+    val parts = new java.io.File(dir + "/cells").listFiles()
+      .map(_.getName).filter(_.startsWith("center_id="))
+    assert(parts.length >= 2, "compaction lost the center_id partition layout")
+    assert(hits(compacted) == tombstoned)
+    // the compacted store holds exactly the surviving assignment rows
+    val cellRows = compacted.cells.select(col("cid"), col("center_id"))
+      .as[(Long, Int)].collect().toSet
+    val rebuiltRows = rebuilt.cells.select(col("cid"), col("center_id"))
+      .as[(Long, Int)].collect().toSet
+    assert(cellRows == rebuiltRows, "compacted cells diverged from re-assignment")
+  }
+
   test("q180 recall curve: monotone non-decreasing in nprobe, exactly 1.0 at nprobe = nCells") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
