@@ -1818,25 +1818,41 @@ object CurationOps {
     dataContract(Tables.documents(s, dir)).orderBy(col("source"))
   }
 
+  /** The q152 contract's declared language domain — one list for the
+    * batch kernel and the streaming gate.
+    */
+  private[graft] val contractLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** q152's three ROW-LOCAL violation flags — THE single definitions,
+    * consumed by the batch kernel below and by the incremental gate
+    * ([[graft.streaming.ContractStream]]), whose stream==batch parity
+    * is bit-exact only because both sides flag with these exact
+    * expressions. (The fourth check, doc_id uniqueness, is inherently
+    * global — the batch kernel windows over the corpus, the stream
+    * maintains the id index.)
+    */
+  private[graft] def vNull(text: org.apache.spark.sql.Column) =
+    when(text.isNull || length(text) === 0, 1L).otherwise(0L)
+  private[graft] def vLen(text: org.apache.spark.sql.Column,
+                          nChars: org.apache.spark.sql.Column) =
+    when(text.isNotNull && (nChars.isNull || nChars =!= length(text)), 1L)
+      .otherwise(0L)
+  private[graft] def vLang(lang: org.apache.spark.sql.Column) =
+    when(lang.isNull || !lang.isin(contractLangs.map(x => x: Any): _*), 1L)
+      .otherwise(0L)
+
   /** The q152 kernel over any (doc_id, text, lang, source, n_chars)
     * frame; unsorted output.
     */
   def dataContract(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val contractLangs = Seq("de", "en", "es", "fr", "zh")
     val w = Window.partitionBy(col("doc_id"))
     docs
       .withColumn("id_cnt", count(lit(1)).over(w))
       .select(col("source"),
-        when(col("text").isNull || length(col("text")) === 0, 1L)
-          .otherwise(0L).as("v_null"),
-        when(col("text").isNotNull
-            && (col("n_chars").isNull
-              || col("n_chars") =!= length(col("text"))), 1L)
-          .otherwise(0L).as("v_len"),
-        when(col("lang").isNull
-            || !col("lang").isin(contractLangs.map(x => x: Any): _*), 1L)
-          .otherwise(0L).as("v_lang"),
+        vNull(col("text")).as("v_null"),
+        vLen(col("text"), col("n_chars")).as("v_len"),
+        vLang(col("lang")).as("v_lang"),
         when(col("id_cnt") > 1, 1L).otherwise(0L).as("v_dup"))
       .groupBy(col("source"))
       .agg(
