@@ -71,6 +71,23 @@ private[ops] object CellStore {
     else cells0
   }
 
+  /** Initialize the layout for a FRESH index save: clear stale
+    * tombstones, a compaction backup, or a half-written rewrite left
+    * by a PREVIOUS index saved at the same path. Without this, a
+    * rebuilt index saved over a previously-used path is silently
+    * served with the old index's deletes applied (a re-ingested id
+    * would vanish from every search with no error) — so every save
+    * path ([[graft.ops.Similarity.saveIvfIndex]], [[Pq.saveIndex]])
+    * calls this before writing cells/meta.
+    */
+  def clearForSave(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = hfs(spark, root)
+    Seq("tombstones", "cells_old", "cells_compacting").foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(path + "/" + d), true)
+    }
+  }
+
   /** Tombstone-delete from a PERSISTED store without rewriting cells:
     * append the ids beside the cell files — O(delta), immediately
     * visible to every load. Idempotent: re-deleting an id appends a
@@ -87,10 +104,8 @@ private[ops] object CellStore {
     */
   def recoverCells(spark: SparkSession, path: String): Unit = {
     val cellsP = new org.apache.hadoop.fs.Path(path + "/cells")
-    val fs = hfs(spark, cellsP)
-    val old = new org.apache.hadoop.fs.Path(path + "/cells_old")
-    if (!fs.exists(cellsP) && fs.exists(old) && !fs.rename(old, cellsP))
-      sys.error(s"cell store recovery: rename $old -> $cellsP failed")
+    graft.streaming.SwapDir.recover(hfs(spark, cellsP), cellsP,
+      new org.apache.hadoop.fs.Path(path + "/cells_old"), "cell store")
   }
 
   /** Fold pending tombstones into the cell files: rewrite surviving
@@ -115,14 +130,9 @@ private[ops] object CellStore {
     val tmp = new org.apache.hadoop.fs.Path(path + "/cells_compacting")
     val old = new org.apache.hadoop.fs.Path(path + "/cells_old")
     cells.write.mode("overwrite").partitionBy("center_id").parquet(tmp.toString)
-    fs.delete(old, true) // stale backup from a prior completed run
-    // checked renames: a silently-failed swap would serve stale or
-    // missing cells undetected
-    if (!fs.rename(cellsP, old))
-      sys.error(s"cell compaction: rename $cellsP -> $old failed")
-    if (!fs.rename(tmp, cellsP))
-      sys.error(s"cell compaction: rename $tmp -> $cellsP failed")
-    fs.delete(old, true)
+    // the shared checked-rename swap (SwapDir — one definition of the
+    // crash windows for every compact-in-place store)
+    graft.streaming.SwapDir.swap(fs, cellsP, tmp, old, "cell compaction")
     tombFiles.foreach(f => fs.delete(f, false))
     // drop the dir only when no DATA file landed since the snapshot:
     // strip leftover _SUCCESS markers, then a non-recursive delete

@@ -150,9 +150,12 @@ object Pq {
     * of nested arrays (no side files, no custom format).
     */
   def saveIndex(idx: PqIndex, path: String): Unit = {
+    val spark = idx.cells.sparkSession
+    // a fresh index must not inherit a previous index's tombstones or
+    // half-finished compaction at the same path
+    CellStore.clearForSave(spark, path)
     idx.cells.write.mode("overwrite")
       .partitionBy("center_id").parquet(path + "/cells")
-    val spark = idx.cells.sparkSession
     import spark.implicits._
     Seq((idx.centers.map(_.toSeq).toSeq,
         idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
@@ -205,18 +208,6 @@ object Pq {
   def deleteFromSavedIndex(spark: SparkSession, path: String, ids: DataFrame): Unit =
     CellStore.appendTombstones(spark, path, ids)
 
-  /** If a compaction crashed between renaming the old cells aside and
-    * landing the rewrite, restore the backup (the rewrite is redone by
-    * re-running compaction; the tombstones it folded were only deleted
-    * AFTER the swap, so nothing is lost). WRITER-ONLY: called solely
-    * from [[compactIndex]] — [[loadIndex]] reads the backup in place
-    * instead, so a serving load can never race a live swap (a restore
-    * between the compactor's two renames would nest the new cells
-    * inside the restored dir — Hadoop renames into an existing dir).
-    */
-  private def recoverCells(spark: SparkSession, path: String): Unit =
-    CellStore.recoverCells(spark, path)
-
   /** Fold pending tombstones into the cell files: rewrite the
     * surviving rows (same PARTITIONED BY center_id layout — probe
     * pruning is preserved), swap via a sibling BACKUP rename, then
@@ -229,9 +220,11 @@ object Pq {
     * next compaction (deleting the whole tombstone DIR here would
     * resurrect that vector). A crash before the swap leaves the old
     * cells + all tombstones; between the backup rename and the swap,
-    * [[recoverCells]] restores the backup on next load; after the
-    * swap, at worst some folded tombstone files survive and re-apply
-    * as no-ops (the ids are already gone from the cells).
+    * [[CellStore.recoverCells]] restores the backup on the next WRITER
+    * entry ([[loadIndex]] reads the backup in place instead, so a
+    * serving load can never race a live swap); after the swap, at
+    * worst some folded tombstone files survive and re-apply as no-ops
+    * (the ids are already gone from the cells).
     */
   def compactIndex(spark: SparkSession, path: String): PqIndex = {
     CellStore.compactCells(spark, path)

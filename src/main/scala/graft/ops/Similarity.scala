@@ -270,9 +270,12 @@ object Similarity {
     * [[Pq.saveIndex]] layout without codebooks.
     */
   def saveIvfIndex(idx: IvfIndex, path: String): Unit = {
+    val spark = idx.cells.sparkSession
+    // a fresh index must not inherit a previous index's tombstones or
+    // half-finished compaction at the same path
+    CellStore.clearForSave(spark, path)
     idx.cells.write.mode("overwrite")
       .partitionBy("center_id").parquet(path + "/cells")
-    val spark = idx.cells.sparkSession
     import spark.implicits._
     Seq(Tuple1(idx.centers.map(_.toSeq).toSeq)).toDF("centers")
       .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
@@ -1206,8 +1209,10 @@ object Similarity {
     * curve: recall at nprobe = nCells is exact 1.0 by construction).
     *
     * TWO-STAGE ORACLE: the q53 shape — at lloydIters=1 the coarse
-    * centers are embeddings vec_id < 8, so DuckDB re-derives the cell
-    * assignment from raw parquet; only the probe targets (Spark's
+    * centers are the first 8 NON-null embeddings in vec_id order (the
+    * q181 twin's seed derivation: junk null vectors are not index
+    * members, not queries, and not seeds), so DuckDB re-derives the
+    * cell assignment from raw parquet; only the probe targets (Spark's
     * float centroid means, aux_ivf_centroids) are consumed; probing at
     * every depth, the per-(query, nprobe) top-k, the brute-force
     * reference top-k, and the hit counts are all re-derived. Counts
@@ -1223,13 +1228,18 @@ object Similarity {
                      lloydIters: Int = 1): DataFrame = {
     import graft.cluster.KMeansAssign
     import graft.functions.functions.{cosine_distance, cosine_similarity}
-    val c = corpus.toDF("cid", "cv")
+    // junk null vectors are not index members and not queries (the
+    // buildIvfIndex/q171 convention — lloydCenters seeds from the
+    // first NON-null vectors, so the twin's raw seed derivation must
+    // see the same filtered stream)
+    val c = corpus.toDF("cid", "cv").filter(col("cv").isNotNull)
     val centers = KMeansAssign.lloydCenters(c, nCells, lloydIters, "cid", "cv")
     val cells = KMeansAssign.assignMap(c, centers, "cv").drop("dist")
     val centroids = KMeansAssign.centroidMeans(cells, "cv")
       .withColumnRenamed("cvec", "repr")
+    val q = queries.toDF("qid", "qv").filter(col("qv").isNotNull)
     val wp = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("center_id"))
-    val probes = queries.toDF("qid", "qv")
+    val probes = q
       .crossJoin(broadcast(centroids))
       .select(col("qid"), col("qv"), col("center_id"),
         cosine_distance(col("qv"), col("repr")).as("cdist"))
@@ -1247,7 +1257,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= k)
       .select(col("nprobe"), col("qid"), col("cid"))
-    val brute = bruteForceKnn(queries.toDF("qid", "qv"), corpus, k)
+    val brute = bruteForceKnn(q, c, k)
       .select(col("qid"), col("cid"))
     val tot = brute.agg(count(lit(1)).cast("bigint").as("n_brute"),
       countDistinct(col("qid")).cast("bigint").as("n_queries"))
@@ -1265,10 +1275,13 @@ object Similarity {
 
   val q180: QueryDef = QueryDef.sql(
     "q180_ivf_recall_curve",
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE embedding IS NOT NULL),
        |ctr AS (
-       |  SELECT CAST(vec_id AS INT) AS center_id, embedding AS cv
-       |  FROM embeddings WHERE vec_id < 8),
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS center_id, embedding AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)),
        |ad AS (
        |  SELECT e.vec_id, ctr.center_id,
        |    ${TwinSql.distZ("e.embedding", "ctr.cv")} AS cdist

@@ -120,20 +120,24 @@ object ContractStream {
       .agg(count(lit(1)).cast("long").as("b_n"),
         sum(col("rclean")).cast("long").as("b_rc"))
     // previous cumulative state for the batch's ids only: scoped read
-    // (the replay guard), latest-wins per key, one semi-join on doc_id
-    // (an id's rows under OTHER sources matter for its total)
+    // (the replay guard), one semi-join on doc_id (an id's rows under
+    // OTHER sources matter for its total), THEN latest-wins per key.
+    // The semi-join must sit BELOW the window — Catalyst cannot push a
+    // semi-join through a window, and the join key doc_id is a prefix
+    // of the window partition key (doc_id, source), so filtering whole
+    // key groups first is result-identical while the per-batch sort
+    // covers only the touched keys instead of the whole id index.
+    val bids = bkey.select(col("doc_id").as("b_doc")).distinct()
     val prevRaw = DeltaStore.readScopedOr(spark, idsDir, Some(batchId), idsSchema)
       .select(col("doc_id"), col("source"), col("n"), col("rc"),
         col("batch_id").cast("long").as("batch_id"))
+      .join(bids, col("doc_id") <=> col("b_doc"), "left_semi")
     val wkey = Window.partitionBy(col("doc_id"), col("source"))
       .orderBy(col("batch_id").desc)
-    val prevLatest = prevRaw
+    val prevTouched = prevRaw
       .withColumn("__rn", row_number().over(wkey)).filter(col("__rn") === 1)
       .select(col("doc_id"), col("source"),
         col("n").as("p_n"), col("rc").as("p_rc"))
-    val bids = bkey.select(col("doc_id").as("b_doc")).distinct()
-    val prevTouched = prevLatest
-      .join(bids, col("doc_id") <=> col("b_doc"), "left_semi")
     // merge: full outer on the null-safe key, sides classified by
     // PRESENCE markers (key nullness would misfile NULL-doc_id junk)
     val merged = prevTouched
@@ -150,6 +154,9 @@ object ContractStream {
         (coalesce(col("p_rc"), lit(0L)) + coalesce(col("b_rc"), lit(0L))).as("rc"),
         coalesce(col("p_n"), lit(0L)).as("p_n"),
         coalesce(col("p_rc"), lit(0L)).as("p_rc"))
+      // evaluated twice (deltas collect + the ids write) — persist so
+      // the scoped read / window / full-outer merge runs once per batch
+      .persist()
     // dup/clean transitions from per-id totals before (P) and after (T)
     val wid = Window.partitionBy(col("doc_id"))
     val deltas = merged
@@ -178,9 +185,14 @@ object ContractStream {
         (s.orNull, pr + ir, pn + in, pl + il, pg + ig, pd + dd, pc + dc)
       }
     import spark.implicits._
+    // repartition (an exchange), not coalesce: coalesce(1) would
+    // collapse the merge pipeline above into one task — the exchange
+    // keeps the join/window parallel and only the delta-sized result
+    // funnels to one output file
     merged.select(col("doc_id"), col("source"), col("n"), col("rc"))
-      .coalesce(1)
+      .repartition(1)
       .write.mode("overwrite").parquet(s"$idsDir/batch_id=$batchId")
+    merged.unpersist()
     report.toDF("source", "n_rows", "n_null_text", "n_len_mismatch",
       "n_bad_lang", "n_dup_id", "n_clean")
       .coalesce(1)

@@ -49,14 +49,15 @@ import org.apache.spark.sql.functions._
   *    the deletes.
   */
 /** The sibling-backup two-rename swap shared by every directory-
-  * valued piece of streaming state (DeltaStore's `batch_id=0` fold,
-  * the Reservoir root): ONE definition of the crash-window machinery
-  * — delete stale backup, checked rename target→backup, checked
-  * rename tmp→target, delete backup — plus the WRITER-ONLY recovery.
-  * Previously duplicated per store; a fix to one swap path could
-  * silently miss the other.
+  * valued piece of compact-in-place state (DeltaStore's `batch_id=0`
+  * fold, the Reservoir root, and the ANN cell stores'
+  * [[graft.ops.CellStore]] compaction): ONE definition of the
+  * crash-window machinery — delete stale backup, checked rename
+  * target→backup, checked rename tmp→target, delete backup — plus the
+  * WRITER-ONLY recovery. Previously duplicated per store; a fix to
+  * one swap path could silently miss the other.
   */
-private[streaming] object SwapDir {
+private[graft] object SwapDir {
   import org.apache.hadoop.fs.FileSystem
 
   /** Swap fully-written `tmp` content into `target`. Every rename is

@@ -129,6 +129,20 @@ class PqSpec extends SparkSpec {
     * without the deleted docs — and compaction must preserve the
     * center_id partition layout that probe pruning relies on.
     */
+  test("a fresh save over a previously-used path clears stale tombstones") {
+    val corpus = emb.filter(col("vec_id") < 400).toDF("cid", "cv")
+    val idx = Pq.buildIndex(spark, corpus, nCells = 4, lloydIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqresave").toString
+    Pq.saveIndex(idx, dir)
+    val someId = idx.cells.select(col("cid")).as[Long].head()
+    Pq.deleteFromSavedIndex(spark, dir, Seq(someId).toDF("vec_id"))
+    Pq.saveIndex(idx, dir) // rebuilt world re-ingests the id
+    assert(Pq.loadIndex(spark, dir).cells
+        .filter(col("cid") === someId).count() == 1,
+      "a stale tombstone from the previous index silently deleted a re-ingested id")
+    assert(!new java.io.File(dir + "/tombstones").exists())
+  }
+
   test("index deletes: tombstoned serve == rebuild-without-deleted; compact keeps layout") {
     val corpus = emb.filter(col("vec_id") < 400).toDF("cid", "cv")
     val idx = Pq.buildIndex(spark, corpus, nCells = 4, lloydIters = 1)

@@ -257,6 +257,26 @@ class SimilaritySpec extends SparkSpec {
     assert(cellRows == rebuiltRows, "compacted cells diverged from re-assignment")
   }
 
+  test("a fresh save over a previously-used path clears stale tombstones") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    val idx = Similarity.buildIvfIndex(spark, emb, nCells = 4, lloydIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfresave").toString
+    Similarity.saveIvfIndex(idx, dir)
+    val someId = idx.cells.select(col("cid")).as[Long].head()
+    Similarity.deleteFromSavedIvfIndex(spark, dir, Seq(someId).toDF("vec_id"))
+    // the world rebuilds: the id is re-ingested and a FRESH index is
+    // saved over the same path — the old takedown must not survive
+    Similarity.saveIvfIndex(idx, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.cells.filter(col("cid") === someId).count() == 1,
+      "a stale tombstone from the previous index silently deleted a re-ingested id")
+    assert(!new java.io.File(dir + "/tombstones").exists(),
+      "save must clear the previous index's tombstones")
+  }
+
   test("q180 recall curve: monotone non-decreasing in nprobe, exactly 1.0 at nprobe = nCells") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
