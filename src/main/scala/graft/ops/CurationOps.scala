@@ -22,7 +22,7 @@ object CurationOps {
   def all: Seq[QueryDef] =
     Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125, q166,
       q132, q140, q143, q144, q152, q154, q157, q159, q161, q168, q169, q176,
-      q179)
+      q179, q182)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -1429,6 +1429,198 @@ object CurationOps {
        |FROM g
        |ORDER BY host""".stripMargin) { (s, dir) =>
     hostCurationRollup(Tables.documents(s, dir)).orderBy(asc_nulls_last("host"))
+  }
+
+  /** Curation funnel / attrition audit (q182): the per-source "where
+    * do my documents die" readout — every gate this engine ships,
+    * applied in PIPELINE ORDER, with survivor counts after each stage:
+    * raw → contract-clean (q152: row-local flags + the global dup-id
+    * window) → exact dedup (q25's key, min-doc_id keep policy, over
+    * contract survivors) → near-dup dedup (the q85/q162 Jaccard-0.7
+    * component machinery over exact survivors, min-id representative
+    * kept) → Gopher rules (q126) → quality classifier ≥ 0.5 (q109).
+    * The per-gate reports (q152/q25/q162/q126/q109) each grade one
+    * gate against the RAW corpus; a pipeline applies them in sequence,
+    * and the attrition a stage shows then depends on everything
+    * upstream of it — a source can look Gopher-clean overall yet lose
+    * every surviving doc at the classifier. This is the report a
+    * curation team actually reads before shipping a recipe, and the
+    * only place the gate ORDER is data, not code.
+    *
+    * Pure composition of single definitions on BOTH engines:
+    * [[vNull]]/[[vLen]]/[[vLang]] + the q152 dup window,
+    * [[graft.ops.Dedup.jaccardPairs]] + connectedComponents (the one
+    * cluster definition), [[TextAnalytics.gopherRuleFlags]], and the
+    * [[TextAnalytics.classifierZ]]/[[TextAnalytics.rationalSigmoid]]
+    * pair, with the q179 feature formulas verbatim. Counts are exact
+    * integers; survival_frac is one literal division.
+    *
+    * Stage conventions: a stage-k flag REQUIRES the stage-(k-1) flag,
+    * so the counts are monotone non-increasing by construction. The
+    * exact-dup keep is `min(doc_id)` among CONTRACT SURVIVORS per key
+    * (a junk copy never shadows a clean one); near-dup components are
+    * computed over exact survivors only (striking a doc twice would
+    * double-charge the funnel).
+    *
+    * Scale: one doc_id window + one content-key window (two exchanges
+    * over the slice), the q85 pair machinery (candidate-bounded via
+    * minhashCandidates at corpus scale), narrow per-doc arithmetic,
+    * and a partial+final rollup to source rows. Scope-bounded to the
+    * q85/q162 doc_id < 100 slice for the recursive-CTE oracle —
+    * ScaleCheck-excluded for q153's bounded-slice reason.
+    */
+  def curationFunnel(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import TextAnalytics.{classifierZ, gopherRuleFlags, probeStops, rationalSigmoid}
+    val stopsArr = array(probeStops.map(lit): _*)
+    val wid = Window.partitionBy(col("doc_id"))
+    val wkey = Window.partitionBy(col("k2"))
+    val flagged0 = docs
+      .select(col("doc_id"), col("source"), col("text"), col("lang"),
+        col("n_chars"), toks(col("text")).as("t"))
+      .withColumn("id_cnt", count(lit(1)).over(wid))
+      .withColumn("p1",
+        when(vNull(col("text")) + vLen(col("text"), col("n_chars")) +
+          vLang(col("lang")) +
+          when(col("id_cnt") > 1, 1L).otherwise(0L) === 0, 1L).otherwise(0L))
+      .withColumn("k2", substring(col("text"), 1, 30))
+      .withColumn("p2",
+        when(col("p1") === 1 && col("doc_id") ===
+          min(when(col("p1") === 1, col("doc_id"))).over(wkey), 1L)
+          .otherwise(0L))
+    val comp = Dedup.connectedComponents(
+      Dedup.jaccardPairs(flagged0.filter(col("p2") === 1)
+        .select(col("doc_id"), col("text"))))
+      .toDF("m_doc", "component")
+    val flagged = flagged0
+      .join(comp, col("doc_id") === col("m_doc"), "left")
+      .withColumn("p3",
+        when(col("p2") === 1 &&
+          (col("component").isNull || col("component") === col("doc_id")), 1L)
+          .otherwise(0L))
+      // the q179 feature formulas, verbatim
+      .withColumn("nt", when(col("t").isNotNull, size(col("t"))).cast("bigint"))
+      .withColumn("sl",
+        aggregate(col("t"), lit(0L), (a, x) => a + length(x).cast("bigint")))
+      .withColumn("na", when(col("t").isNotNull,
+        size(filter(col("t"), x => x.rlike("[A-Za-z]")))).cast("bigint"))
+      .withColumn("ns", when(col("t").isNotNull,
+        size(filter(col("t"), x => array_contains(stopsArr, x)))).cast("bigint"))
+      .withColumn("p4",
+        when(col("p3") === 1 &&
+          gopherRuleFlags(col("nt"), col("sl"), col("na"), col("ns"))
+            .reduce(_ && _), 1L).otherwise(0L))
+      .withColumn("punct_ratio",
+        (length(col("text")) - length(regexp_replace(col("text"), "\\p{P}", "")))
+          / length(col("text")))
+      .withColumn("digit_ratio",
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          / length(col("text")))
+      .withColumn("p5",
+        when(col("p4") === 1 &&
+          rationalSigmoid(classifierZ(col("ns") / col("nt"), col("nt"),
+            col("punct_ratio"), col("digit_ratio"))) >= 0.5, 1L).otherwise(0L))
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_raw"),
+        sum(col("p1")).cast("bigint").as("n_contract"),
+        sum(col("p2")).cast("bigint").as("n_exact"),
+        sum(col("p3")).cast("bigint").as("n_neardup"),
+        sum(col("p4")).cast("bigint").as("n_gopher"),
+        sum(col("p5")).cast("bigint").as("n_final"))
+      .select(col("source"), col("n_raw"), col("n_contract"), col("n_exact"),
+        col("n_neardup"), col("n_gopher"), col("n_final"),
+        (col("n_final").cast("double") / col("n_raw").cast("double"))
+          .as("survival_frac"))
+  }
+
+  val q182: QueryDef = QueryDef.sql(
+    "q182_curation_funnel",
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, source, text, lang, n_chars, $duckToks AS t
+       |  FROM documents WHERE doc_id < 100),
+       |c1 AS (
+       |  SELECT *,
+       |    CASE WHEN
+       |        (CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+       |      + (CASE WHEN text IS NOT NULL
+       |               AND (n_chars IS NULL OR n_chars <> length(text))
+       |          THEN 1 ELSE 0 END)
+       |      + (CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr','zh')
+       |          THEN 1 ELSE 0 END)
+       |      + (CASE WHEN count(*) OVER (PARTITION BY doc_id) > 1
+       |          THEN 1 ELSE 0 END) = 0
+       |      THEN 1 ELSE 0 END AS p1
+       |  FROM d),
+       |c2 AS (
+       |  SELECT *,
+       |    CASE WHEN p1 = 1 AND doc_id =
+       |        min(CASE WHEN p1 = 1 THEN doc_id END)
+       |          OVER (PARTITION BY substring(text, 1, 30))
+       |      THEN 1 ELSE 0 END AS p2
+       |  FROM c1),
+       |tt AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest(t) AS term FROM c2 WHERE p2 = 1)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM tt GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+       |  FROM tt a JOIN tt b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY d1, d2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sz s1 ON s1.doc_id = d1
+       |  JOIN sz s2 ON s2.doc_id = d2
+       |  WHERE n_common / (s1.n + s2.n - n_common) >= 0.7),
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM pairs
+       |  UNION SELECT d2 AS a, d1 AS b FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.v = e.b),
+       |comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+       |f AS (
+       |  SELECT c2.*, comp.component,
+       |    CASE WHEN p2 = 1 AND (comp.component IS NULL
+       |        OR comp.component = c2.doc_id)
+       |      THEN 1 ELSE 0 END AS p3
+       |  FROM c2 LEFT JOIN comp ON comp.doc_id = c2.doc_id),
+       |g AS (
+       |  SELECT f.*,
+       |    CAST(len(t) AS BIGINT) AS nt,
+       |    CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS sl,
+       |    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS na,
+       |    CAST(len(list_filter(t, x -> x IN ('the','a','an','and','of','to','is','in','it','on'))) AS BIGINT) AS ns,
+       |    (length(text) - length(regexp_replace(text, '\\p{P}', '', 'g'))) / length(text) AS punct_ratio,
+       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio
+       |  FROM f),
+       |h AS (
+       |  SELECT g.*,
+       |    CASE WHEN p3 = 1 AND nt >= 50 AND nt <= 100000
+       |           AND 3 * nt <= sl AND sl <= 10 * nt
+       |           AND 10 * na >= 8 * nt AND ns >= 2
+       |      THEN 1 ELSE 0 END AS p4
+       |  FROM g),
+       |i AS (
+       |  SELECT h.*,
+       |    CASE WHEN p4 = 1 AND (${TwinSql.rationalSigmoid(
+              TwinSql.classifierZ("((h.ns) / (h.nt))", "h.nt",
+                "h.punct_ratio", "h.digit_ratio"))}) >= 0.5
+       |      THEN 1 ELSE 0 END AS p5
+       |  FROM h)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_raw,
+       |  CAST(sum(p1) AS BIGINT) AS n_contract,
+       |  CAST(sum(p2) AS BIGINT) AS n_exact,
+       |  CAST(sum(p3) AS BIGINT) AS n_neardup,
+       |  CAST(sum(p4) AS BIGINT) AS n_gopher,
+       |  CAST(sum(p5) AS BIGINT) AS n_final,
+       |  CAST(sum(p5) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS survival_frac
+       |FROM i
+       |GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    curationFunnel(Tables.documents(s, dir).filter(col("doc_id") < 100))
+      .orderBy(asc_nulls_last("source"))
   }
 
   /** q176's knobs — interpolated into BOTH engine sides so the bucket

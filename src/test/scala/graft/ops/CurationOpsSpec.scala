@@ -717,6 +717,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(good.getDouble(4) == 0.0, "distinct clean docs share no 8-gram windows")
   }
 
+  test("q182 funnel: each planted doc dies at its own stage; counts monotone") {
+    import spark.implicits._
+    def filler(tag: String, n: Int) = (0 until n)
+      .map(i => s"$tag${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    // gopher+classifier-passing doc: 35 unique fillers FIRST (so the
+    // 30-char exact key is unique per tag), then 25 stopwords
+    def cleanDoc(tag: String) =
+      (filler(tag, 35) ++ Seq.fill(5)(Seq("the", "and", "of", "to", "is")).flatten)
+        .mkString(" ")
+    val nearA = cleanDoc("na")
+    val nearB = nearA.split(" ").reverse.mkString(" ") // same token SET, other prefix
+    // gopher-pass but classifier-fail: 2 stops only + digit-bearing
+    // fillers (digit_ratio drives z below 0)
+    val lowq = (filler("w1", 58) ++ Seq("the", "and")).mkString(" ")
+    val rows = Seq(
+      (1L, cleanDoc("one"), "s"),   // survives everything
+      (2L, cleanDoc("two"), "s"),   // exact-dup representative, survives
+      (12L, cleanDoc("two"), "s"),  // exact copy -> struck at exact stage
+      (3L, nearA, "s"),             // near-dup representative, survives
+      (13L, nearB, "s"),            // near-dup member -> struck at near-dup stage
+      (6L, "tiny text here", "s"),  // 3 tokens -> struck at gopher
+      (7L, lowq, "s"))              // gopher-pass, score < 0.5 -> struck at classifier
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val junk = Seq((4L, null.asInstanceOf[String], "s", "en", 0L),
+      (5L, "dup id row a", "s", "en", 12L), (5L, "dup id row b", "s", "en", 12L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val out = CurationOps.curationFunnel(rows.unionByName(junk)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((1 to 6).map(r.getLong).toSeq == Seq(10L, 7L, 6L, 5L, 4L, 3L),
+      s"funnel = ${(1 to 6).map(r.getLong)}")
+    assert(r.getDouble(7) == 0.3)
+  }
+
   test("embeddingCoverage: missing embeddings and orphan embeddings both surface, per source") {
     import spark.implicits._
     val docs = Seq(
