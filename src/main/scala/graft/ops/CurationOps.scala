@@ -1665,12 +1665,16 @@ object CurationOps {
     * TakeOrderedAndProject — per-partition heaps, k rows to the
     * driver, no global sort exchange.
     */
-  def dsirSelect(docs: org.apache.spark.sql.DataFrame,
-                 nBuckets: Int = dsirBuckets,
-                 k: Int = dsirK): org.apache.spark.sql.DataFrame = {
-    import graft.functions.functions.karp_rabin_fingerprint
+  /** The q176 candidate base: tokenized docs with ≥ 2 tokens and the
+    * Gopher-label target flag. SHARED KERNEL — one definition for the
+    * batch selection and [[graft.streaming.DsirStream]]'s incremental
+    * bucket maintenance (their parity is bit-exact only because both
+    * sides featurize with these exact expressions).
+    */
+  private[graft] def dsirBase(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val stopsArr = array(TextAnalytics.probeStops.map(lit): _*)
-    val base = docs
+    docs
       .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .select(col("doc_id"), col("source"), col("t"),
         size(col("t")).cast("bigint").as("nt"),
@@ -1681,19 +1685,45 @@ object CurationOps {
       .withColumn("is_target",
         when(TextAnalytics.gopherRuleFlags(col("nt"), col("sl"), col("na"), col("ns"))
           .reduce(_ && _), 1L).otherwise(0L))
-    // one bucket id per bigram OCCURRENCE: Karp-Rabin of "w1 w2" mod
-    // nBuckets — the engine-neutral string hash (q39's kernel), so the
-    // twin re-derives buckets from raw text instead of consuming a
-    // dumped artifact
-    val bg = base.select(col("doc_id"), col("is_target"),
+  }
+
+  /** One bucket id per bigram OCCURRENCE: Karp-Rabin of "w1 w2" mod
+    * `nBuckets` — the engine-neutral string hash (q39's kernel), so
+    * the twin re-derives buckets from raw text instead of consuming a
+    * dumped artifact. Shared by the batch and streaming sides.
+    */
+  private[graft] def dsirBigrams(base: org.apache.spark.sql.DataFrame,
+                                 nBuckets: Int = dsirBuckets)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.functions.karp_rabin_fingerprint
+    base.select(col("doc_id"), col("is_target"),
       explode(transform(sequence(lit(0), (col("nt") - 2).cast("int")), i =>
         pmod(karp_rabin_fingerprint(
           concat(element_at(col("t"), i + 1), lit(" "),
             element_at(col("t"), i + 2))), lit(nBuckets.toLong))))
         .as("bucket"))
-    val g = bg.groupBy(col("bucket"))
+  }
+
+  /** Exact integer bucket counts (raw occurrences + target-labelled
+    * occurrences) — the ONLY state DSIR selection needs from the
+    * corpus, and the state [[graft.streaming.DsirStream]] maintains
+    * incrementally (counts are additive over batches).
+    */
+  private[graft] def dsirBucketCounts(bg: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bg.groupBy(col("bucket"))
       .agg(count(lit(1)).cast("bigint").as("cnt_r"),
         sum(col("is_target")).cast("bigint").as("cnt_t"))
+
+  /** The selection chain given a bucket-count table `g` (from
+    * [[dsirBucketCounts]] or the streaming store — totals re-derive
+    * from it, so counts are the complete sufficient statistic).
+    */
+  private[graft] def dsirSelectFromCounts(base: org.apache.spark.sql.DataFrame,
+                                          bg: org.apache.spark.sql.DataFrame,
+                                          g: org.apache.spark.sql.DataFrame,
+                                          nBuckets: Int, k: Int)
+      : org.apache.spark.sql.DataFrame = {
     val tot = g.agg(sum(col("cnt_r")).cast("bigint").as("tot_r"),
       sum(col("cnt_t")).cast("bigint").as("tot_t"))
     // lp = ln p_target(b) − ln p_raw(b), add-one smoothed, factored to
@@ -1717,6 +1747,14 @@ object CurationOps {
         col("lw_micro") + round(-log(-log(u)) * lit(1000000.0)).cast("bigint"))
       .orderBy(col("key_micro").desc, col("doc_id"))
       .limit(k)
+  }
+
+  def dsirSelect(docs: org.apache.spark.sql.DataFrame,
+                 nBuckets: Int = dsirBuckets,
+                 k: Int = dsirK): org.apache.spark.sql.DataFrame = {
+    val base = dsirBase(docs)
+    val bg = dsirBigrams(base, nBuckets)
+    dsirSelectFromCounts(base, bg, dsirBucketCounts(bg), nBuckets, k)
   }
 
   val q176: QueryDef = QueryDef.sql(
