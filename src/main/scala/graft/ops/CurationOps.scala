@@ -22,7 +22,7 @@ object CurationOps {
   def all: Seq[QueryDef] =
     Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125, q166,
       q132, q140, q143, q144, q152, q154, q157, q159, q161, q168, q169, q176,
-      q179, q182)
+      q179, q182, q183)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -1122,6 +1122,127 @@ object CurationOps {
        |FROM a
        |ORDER BY source""".stripMargin) { (s, dir) =>
     epochAllocation(Tables.documents(s, dir), budgetTokens = 100000L)
+  }
+
+  /** Deterministic training-order manifest (q183): the data-loader
+    * CONTRACT — the exact (doc, epoch) multiset a training run feeds
+    * and its exact global order, as a pure function of (corpus,
+    * budget). q161 plans per-source epochs; this materializes the
+    * plan: every tokenized doc of a scheduled source appears once per
+    * FULL epoch, the fractional final epoch keeps a doc iff its
+    * deterministic uniform key falls under the fraction (the q125
+    * replayable-sampler discipline — so "0.4 extra epochs" is a fixed
+    * reproducible 40% of docs, not an RNG draw), and the global
+    * interleave order is a second multiplicative-hash key over the
+    * keep key (a DIFFERENT multiplier: keep and order keys from the
+    * same hash would sort all fractional-epoch survivors — small keep
+    * keys by construction — to the front of the run). Reproducibility
+    * is the point: a crashed run resumes from position p, an ablation
+    * re-runs the identical byte order, and two engines derive the
+    * same manifest — which is exactly what the oracle checks.
+    *
+    * Emits the first `k` manifest rows (the head a loader actually
+    * reads first; positions are 1-based over the TOTAL order, and the
+    * full manifest is the same query without the cut). Epochs pack
+    * into a 16-bit field beside doc_id mod 2^26 — exact int64
+    * arithmetic both engines, no overflow at any corpus size; epoch
+    * counts past 65535 would alias (far beyond any real schedule).
+    *
+    * Scale: the q161 planner output broadcasts (source-sized); the
+    * explode multiplies only narrow (doc_id, epoch) metadata rows;
+    * the head is TakeOrderedAndProject (per-partition heaps, k rows
+    * to the driver — no global sort exchange); the position window
+    * runs over the k-row result only. The FULL manifest at scale is
+    * the same plan with the cut replaced by a hash-bucketed write.
+    */
+  def trainingManifest(docs: org.apache.spark.sql.DataFrame,
+                       budgetTokens: Long, k: Int,
+                       maxEpochs: Double = 4.0): org.apache.spark.sql.DataFrame = {
+    val alloc = epochAllocation(docs, budgetTokens, maxEpochs)
+      .select(col("source").as("a_src"), col("epochs"), col("epochs_ceil"))
+    val d = docs
+      .select(col("doc_id"), col("source"),
+        when(col("text").isNotNull, size(toks(col("text"))))
+          .cast("bigint").as("nt"))
+      .filter(col("nt") > 0) // a loader skips empty records
+    val ex = d
+      .join(broadcast(alloc), col("source") === col("a_src"))
+      .select(col("doc_id"), col("source"), col("epochs"),
+        explode(sequence(lit(1L), col("epochs_ceil"))).as("epoch"))
+      .withColumn("ukey",
+        Sampling.hkey(pmod(col("doc_id"), lit(67108864L)) * lit(65536L)
+          + col("epoch")))
+    val kept = ex.filter(
+      col("epoch").cast("double") <= floor(col("epochs")) ||
+        (col("ukey").cast("double") + lit(0.5)) / lit(4294967296.0)
+          < (col("epochs") - floor(col("epochs"))))
+      .withColumn("okey", Sampling.hkey(col("ukey")))
+      .select(col("okey"), col("epoch"), col("doc_id"), col("source"))
+      .orderBy(col("okey"), col("doc_id"), col("epoch"))
+      .limit(k)
+    kept
+      .withColumn("pos", row_number().over(Window.orderBy(
+        col("okey"), col("doc_id"), col("epoch"))))
+      .select(col("pos").cast("bigint").as("pos"), col("epoch"),
+        col("doc_id"), col("source"), col("okey"))
+      .orderBy(col("pos"))
+  }
+
+  /** q183: [[trainingManifest]] at q161's 100k-token budget, first 200
+    * positions. The oracle re-derives the entire chain from raw
+    * parquet: the q161 plan, the epoch explode, the fractional-epoch
+    * keep, both hash keys, and the global order.
+    */
+  val q183: QueryDef = QueryDef.sql(
+    "q183_training_manifest",
+    s"""WITH c AS (
+       |  SELECT source, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+       |  FROM (SELECT source, $duckToks AS t FROM documents)
+       |  GROUP BY source
+       |  HAVING CAST(sum(len(t)) AS BIGINT) > 0),
+       |m AS (SELECT max(n_tokens) AS max_n FROM c),
+       |w AS (
+       |  SELECT source, n_tokens,
+       |    sqrt(CAST(n_tokens AS DOUBLE) / CAST(max_n AS DOUBLE)) AS weight
+       |  FROM c, m),
+       |tw AS (SELECT list_sum(list(weight ORDER BY source)) AS wsum FROM w),
+       |a AS (
+       |  SELECT source,
+       |    100000.0 * weight / wsum / CAST(n_tokens AS DOUBLE) AS epochs,
+       |    CAST(ceil(100000.0 * weight / wsum / CAST(n_tokens AS DOUBLE))
+       |      AS BIGINT) AS epochs_ceil
+       |  FROM w, tw),
+       |d AS (
+       |  SELECT doc_id, source, CAST(len($duckToks) AS BIGINT) AS nt
+       |  FROM documents),
+       |ex AS MATERIALIZED (
+       |  -- MATERIALIZED: DuckDB 1.x hits an internal binder error
+       |  -- ("Failed to bind column reference") when the unnest-derived
+       |  -- epoch column flows un-materialized into kept's WHERE +
+       |  -- nested-hash projection; the barrier sidesteps the optimizer
+       |  -- bug without changing semantics
+       |  SELECT d.doc_id, d.source, a.epochs,
+       |    unnest(range(1, a.epochs_ceil + 1)) AS epoch
+       |  FROM d JOIN a USING (source) WHERE d.nt > 0),
+       |uk AS (
+       |  SELECT doc_id, source, epochs, epoch,
+       |    ${Sampling.duckHkey("(doc_id % 67108864) * 65536 + epoch")} AS ukey
+       |  FROM ex),
+       |kept AS (
+       |  SELECT doc_id, source, epoch,
+       |    ${Sampling.duckHkey("ukey")} AS okey
+       |  FROM uk
+       |  WHERE CAST(epoch AS DOUBLE) <= floor(epochs)
+       |     OR (CAST(ukey AS DOUBLE) + 0.5) / 4294967296.0
+       |        < epochs - floor(epochs))
+       |SELECT CAST(row_number() OVER (ORDER BY okey, doc_id, epoch) AS BIGINT)
+       |    AS pos,
+       |  CAST(epoch AS BIGINT) AS epoch, doc_id, source,
+       |  CAST(okey AS BIGINT) AS okey
+       |FROM kept
+       |ORDER BY pos
+       |LIMIT 200""".stripMargin) { (s, dir) =>
+    trainingManifest(Tables.documents(s, dir), budgetTokens = 100000L, k = 200)
   }
 
   /** Corpus-wide LONGEST repeated substring (q144): the maximal L such

@@ -753,6 +753,57 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.getDouble(7) == 0.3)
   }
 
+  test("q183 manifest: full epochs complete, fractional epoch is the deterministic hkey cut, order reproducible") {
+    import spark.implicits._
+    def words(tag: String, n: Int) =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    // big: 4 docs x 25 tokens = 100; small: 2 docs x 10 = 20
+    val rows = Seq(
+      (1L, words("b1w", 25), "big"), (2L, words("b2w", 25), "big"),
+      (3L, words("b3w", 25), "big"), (4L, words("b4w", 25), "big"),
+      (10L, words("s1w", 10), "small"), (11L, words("s2w", 10), "small"),
+      (99L, null.asInstanceOf[String], "small")) // junk: never scheduled
+      .toDF("doc_id", "text", "source")
+    val full = CurationOps.trainingManifest(rows, budgetTokens = 200L, k = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    // contiguous 1-based positions in okey order
+    assert(full.map(_._1).toSeq == (1L to full.length))
+    assert(full.map(_._5).toSeq == full.map(_._5).toSeq.sorted)
+    assert(!full.exists(_._3 == 99L), "junk doc must not be scheduled")
+    // (doc, epoch) pairs unique
+    assert(full.map(e => (e._3, e._2)).distinct.length == full.length)
+    // epochs: big ~1.38 (floor 1), small ~3.09 (floor 3) — every doc
+    // appears in every FULL epoch
+    val alloc = CurationOps.epochAllocation(rows, 200L)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(math.floor(alloc("big")) == 1.0 && math.floor(alloc("small")) == 3.0,
+      s"fixture drifted: $alloc")
+    for (d <- Seq(1L, 2L, 3L, 4L))
+      assert(full.exists(e => e._3 == d && e._2 == 1L))
+    for (d <- Seq(10L, 11L); ep <- 1L to 3L)
+      assert(full.exists(e => e._3 == d && e._2 == ep))
+    // the fractional final epoch keeps EXACTLY the hkey-under-frac docs
+    def hkey(x: Long): Long = {
+      val a = x % 4294967296L
+      ((a >> 16) * 2654435761L % 4294967296L * 65536L
+        + (a & 65535L) * 2654435761L) % 4294967296L
+    }
+    def kept(d: Long, ep: Long, frac: Double): Boolean =
+      (hkey((d % 67108864L) * 65536L + ep) + 0.5) / 4294967296.0 < frac
+    for (d <- Seq(1L, 2L, 3L, 4L))
+      assert(full.exists(e => e._3 == d && e._2 == 2L)
+        == kept(d, 2L, alloc("big") - 1.0), s"big doc $d fractional epoch")
+    for (d <- Seq(10L, 11L))
+      assert(full.exists(e => e._3 == d && e._2 == 4L)
+        == kept(d, 4L, alloc("small") - 3.0), s"small doc $d fractional epoch")
+    // byte-deterministic replay
+    val again = CurationOps.trainingManifest(rows, budgetTokens = 200L, k = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    assert(again.toSeq == full.toSeq)
+  }
+
   test("embeddingCoverage: missing embeddings and orphan embeddings both surface, per source") {
     import spark.implicits._
     val docs = Seq(

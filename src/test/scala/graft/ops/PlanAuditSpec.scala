@@ -180,6 +180,7 @@ class PlanAuditSpec extends SparkSpec {
       "q158_calibration_audit" -> "10 bucket rows x two scalar broadcasts (corpus doc count, ordered-fold ECE)",
       "q163_quality_drift" -> "S x 10-decile spine (q151's shared chiSquareByBucket: source counts x bucket counts x scalar N, all broadcast)",
       "q161_epoch_allocation" -> "source rows x scalar broadcasts (max source size, ordered-fold weight sum)",
+      "q183_training_manifest" -> "q161's planner spine (source rows x scalar broadcasts) feeding the doc-side equi-join",
       "q164_label_noise" -> "bounded slice (vec_id<200) through bruteForceKnn: query batch broadcasts, slice streams; corpus path swaps in lshKnn/ivfKnn",
       "q171_ivf_cell_balance" -> "K cell-count rows x one-row broadcast holding the scalar corpus total",
       "q176_dsir_selection" -> "nBuckets bucket rows x one-row broadcast holding the scalar occurrence totals",
