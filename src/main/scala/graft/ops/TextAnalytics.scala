@@ -1061,10 +1061,15 @@ object TextAnalytics {
     * q116's argument) and partial-aggregates per doc. The AUC stage is
     * q175's: group rows, not documents, feed the rank windows.
     */
-  def nbClassifierAudit(docs: DataFrame): DataFrame = {
-    import graft.ops.Sampling.lnMicro
+  /** The q178 candidate base: tokenized, featurized, Gopher-labelled
+    * docs with > 0 tokens. SHARED KERNEL — one definition for the
+    * batch audit and [[graft.streaming.NbStream]]'s incremental
+    * trainer (their parity is bit-exact only because both sides
+    * featurize and label with these exact expressions).
+    */
+  private[graft] def nbBase(docs: DataFrame): DataFrame = {
     val stopsArr = array(probeStops.map(lit): _*)
-    val base = docs
+    docs
       .select(col("doc_id"), col("source"), col("text"), toks(col("text")).as("t"))
       .select(col("doc_id"), col("source"), col("t"),
         size(col("t")).cast("bigint").as("nt"),
@@ -1079,10 +1084,36 @@ object TextAnalytics {
       .withColumn("pos",
         when(gopherRuleFlags(col("nt"), col("sl"), col("na"), col("ns"))
           .reduce(_ && _), 1L).otherwise(0L))
-    val occ = base.select(col("doc_id"), col("pos"), explode(col("t")).as("w"))
-    val tc = occ.groupBy(col("w"))
+  }
+
+  /** The (doc, label, token) occurrence stream of a base frame. */
+  private[graft] def nbOccurrences(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), col("pos"), explode(col("t")).as("w"))
+
+  /** Per-token class counts — the trainer's vocabulary-keyed
+    * sufficient statistic, additive over batches (what
+    * [[graft.streaming.NbStream]] maintains incrementally).
+    */
+  private[graft] def nbTokenCounts(occ: DataFrame): DataFrame =
+    occ.groupBy(col("w"))
       .agg(sum(col("pos")).cast("bigint").as("c_pos"),
         (count(lit(1)) - sum(col("pos"))).cast("bigint").as("c_neg"))
+
+  /** Per-class DOCUMENT counts (the prior's statistic — one row). */
+  private[graft] def nbPriorCounts(base: DataFrame): DataFrame =
+    base.agg(sum(col("pos")).cast("bigint").as("npd"),
+      (count(lit(1)) - sum(col("pos"))).cast("bigint").as("nnd"))
+
+  /** Score documents given the trainer state: token counts `tc` (from
+    * [[nbTokenCounts]] or the streaming store — smoothing totals and
+    * V re-derive from it, so counts are the complete sufficient
+    * statistic) and the prior's doc counts. Returns
+    * (doc_id, source, score, pos) rows in exact micro-nat integers.
+    */
+  private[graft] def nbScoreFromCounts(base: DataFrame, occ: DataFrame,
+                                       tc: DataFrame,
+                                       priorCounts: DataFrame): DataFrame = {
+    import graft.ops.Sampling.lnMicro
     val scal = tc.agg(count(lit(1)).cast("bigint").as("v"),
       sum(col("c_pos")).cast("bigint").as("np"),
       sum(col("c_neg")).cast("bigint").as("nn"))
@@ -1094,18 +1125,25 @@ object TextAnalytics {
     // class prior in the same micro-nat units; a one-class corpus gets
     // prior 0 (its AUC is 0.0/undefined downstream anyway — never an
     // infinite ln crossing the BIGINT cast differently per engine)
-    val prior = base
-      .agg(sum(col("pos")).cast("bigint").as("npd"),
-        (count(lit(1)) - sum(col("pos"))).cast("bigint").as("nnd"))
+    val prior = priorCounts
       .select(when(col("npd") > 0 && col("nnd") > 0,
         lnMicro(col("npd")) - lnMicro(col("nnd"))).otherwise(lit(0L)).as("pr"))
     val ds = occ.join(llr, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(sum(col("llr")).cast("bigint").as("s"))
-    val nbScored = base.select(col("doc_id"), col("source"), col("pos"))
+    base.select(col("doc_id"), col("source"), col("pos"))
       .join(ds, Seq("doc_id"))
       .crossJoin(broadcast(prior))
-      .select(col("source"), (col("s") + col("pr")).as("score"), col("pos"))
+      .select(col("doc_id"), col("source"),
+        (col("s") + col("pr")).as("score"), col("pos"))
+  }
+
+  def nbClassifierAudit(docs: DataFrame): DataFrame = {
+    val base = nbBase(docs)
+    val occ = nbOccurrences(base)
+    val nbScored = nbScoreFromCounts(base, occ, nbTokenCounts(occ),
+      nbPriorCounts(base))
+      .select(col("source"), col("score"), col("pos"))
     val fixedScored = base.select(col("source"),
       rationalSigmoid(classifierZ(col("ns") / col("nt"), col("nt"),
         col("punct_ratio"), col("digit_ratio"))).as("score"),
