@@ -71,21 +71,39 @@ private[ops] object CellStore {
     else cells0
   }
 
-  /** Initialize the layout for a FRESH index save: clear stale
-    * tombstones, a compaction backup, or a half-written rewrite left
-    * by a PREVIOUS index saved at the same path. Without this, a
-    * rebuilt index saved over a previously-used path is silently
-    * served with the old index's deletes applied (a re-ingested id
-    * would vanish from every search with no error) — so every save
-    * path ([[graft.ops.Similarity.saveIvfIndex]], [[Pq.saveIndex]])
-    * calls this before writing cells/meta.
+  /** Initialize the layout for a FRESH index save: clear a compaction
+    * backup or half-written rewrite left by a PREVIOUS index at the
+    * same path (so the read path's backup fallback can never serve the
+    * old index's cells beside the new meta). Called BEFORE writing
+    * cells/meta; the previous index's tombstones are cleared AFTER the
+    * new cells land ([[clearTombstones]]) — deliberately not here: a
+    * save that died between clearing tombstones and writing the new
+    * cells would leave the OLD index served with its takedowns
+    * resurrected (a compliance bug), whereas the write-then-clear
+    * order's crash window at worst OVER-deletes the new index (old
+    * tombstones applied to re-ingested ids) until the interrupted save
+    * is re-run — never an un-deleted takedown.
     */
   def clearForSave(spark: SparkSession, path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = hfs(spark, root)
-    Seq("tombstones", "cells_old", "cells_compacting").foreach { d =>
+    Seq("cells_old", "cells_compacting").foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(path + "/" + d), true)
     }
+  }
+
+  /** Drop the PREVIOUS index's tombstones after a fresh save's cells
+    * and meta have landed — without this, a rebuilt index saved over a
+    * previously-used path is silently served with the old index's
+    * deletes applied (a re-ingested id would vanish from every search
+    * with no error). Every save path ([[graft.ops.Similarity.saveIvfIndex]],
+    * [[Pq.saveIndex]]) calls [[clearForSave]] before and this after
+    * its writes; see [[clearForSave]] for why the order matters.
+    */
+  def clearTombstones(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    hfs(spark, root).delete(
+      new org.apache.hadoop.fs.Path(path + "/tombstones"), true)
   }
 
   /** Tombstone-delete from a PERSISTED store without rewriting cells:

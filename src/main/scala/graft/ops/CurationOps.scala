@@ -1156,15 +1156,23 @@ object CurationOps {
     * the same plan with the cut replaced by a hash-bucketed write.
     */
   def trainingManifest(docs: org.apache.spark.sql.DataFrame,
-                       budgetTokens: Long, k: Int,
-                       maxEpochs: Double = 4.0): org.apache.spark.sql.DataFrame = {
-    val alloc = epochAllocation(docs, budgetTokens, maxEpochs)
+                       budgetTokens: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    // the planner's over_repeated flag is deliberately NOT a cap here:
+    // it is the q161 signal to re-plan (shrink the weight or the
+    // budget), and the manifest materializes whatever plan it is given
+    // — a silent cap would make the fed data diverge from the plan the
+    // team reviewed
+    val alloc = epochAllocation(docs, budgetTokens)
       .select(col("source").as("a_src"), col("epochs"), col("epochs_ceil"))
     val d = docs
       .select(col("doc_id"), col("source"),
         when(col("text").isNotNull, size(toks(col("text"))))
           .cast("bigint").as("nt"))
-      .filter(col("nt") > 0) // a loader skips empty records
+      // a loader skips empty records; a NULL-id junk row could not be
+      // addressed by a resume position anyway — and its NULL hash keys
+      // would sort nulls-FIRST in Spark but nulls-LAST in the twin,
+      // breaking the cross-engine order contract this query exists for
+      .filter(col("nt") > 0 && col("doc_id").isNotNull)
     val ex = d
       .join(broadcast(alloc), col("source") === col("a_src"))
       .select(col("doc_id"), col("source"), col("epochs"),
@@ -1223,7 +1231,8 @@ object CurationOps {
        |  -- bug without changing semantics
        |  SELECT d.doc_id, d.source, a.epochs,
        |    unnest(range(1, a.epochs_ceil + 1)) AS epoch
-       |  FROM d JOIN a USING (source) WHERE d.nt > 0),
+       |  FROM d JOIN a USING (source)
+       |  WHERE d.nt > 0 AND d.doc_id IS NOT NULL),
        |uk AS (
        |  SELECT doc_id, source, epochs, epoch,
        |    ${Sampling.duckHkey("(doc_id % 67108864) * 65536 + epoch")} AS ukey
@@ -1584,11 +1593,16 @@ object CurationOps {
     * double-charge the funnel).
     *
     * Scale: one doc_id window + one content-key window (two exchanges
-    * over the slice), the q85 pair machinery (candidate-bounded via
-    * minhashCandidates at corpus scale), narrow per-doc arithmetic,
-    * and a partial+final rollup to source rows. Scope-bounded to the
-    * q85/q162 doc_id < 100 slice for the recursive-CTE oracle —
-    * ScaleCheck-excluded for q153's bounded-slice reason.
+    * over the slice), narrow per-doc arithmetic, and a partial+final
+    * rollup to source rows. The near-dup stage AS WRITTEN calls the
+    * exact all-pairs [[graft.ops.Dedup.jaccardPairs]] verifier, so
+    * this function expects a BOUNDED slice (it is the q85/q162
+    * doc_id < 100 report shape); a corpus-scale funnel swaps that one
+    * stage for minhashCandidates → jaccardPairs-on-candidates (the
+    * q85-at-scale chain) with everything else unchanged.
+    * Scope-bounded to the q85/q162 slice for the recursive-CTE oracle
+    * — ScaleCheck-excluded for q153's bounded-slice reason (a 100x
+    * probe confirms size-invariance).
     */
   def curationFunnel(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -1745,10 +1759,13 @@ object CurationOps {
   }
 
   /** q176's knobs — interpolated into BOTH engine sides so the bucket
-    * space and selection size cannot drift between them.
+    * space and selection size cannot drift between them, and
+    * private[graft] so [[graft.streaming.DsirStream]]'s defaults are
+    * THESE values (a literal copy there would silently break the
+    * spec-pinned stream == batch parity if either changed).
     */
-  private val dsirBuckets = 256
-  private val dsirK = 100
+  private[graft] val dsirBuckets = 256
+  private[graft] val dsirK = 100
 
   /** DSIR-style importance resampling (q176): data SELECTION driven by
     * a TARGET distribution (Xie et al., "Data Selection for Language
@@ -1856,7 +1873,23 @@ object CurationOps {
           - Sampling.lnMicro(col("tot_t") + lit(nBuckets.toLong))
           - Sampling.lnMicro(col("cnt_r") + lit(1L))
           + Sampling.lnMicro(col("tot_r") + lit(nBuckets.toLong))).as("lp_micro"))
-    val scored = bg.join(broadcast(lp), Seq("bucket"))
+    // buckets ABSENT from g (possible when the counts are a streamed
+    // reference and bg holds fresh candidates) take the add-one-
+    // smoothed count-zero ratio — the same four-term formula at
+    // cnt_t = cnt_r = 0 — instead of being silently dropped by an
+    // inner join (which would also drop all-unseen docs from the
+    // candidate set); an EMPTY reference contributes 0, not an
+    // engine-divergent ln(0)
+    val scored = bg.join(broadcast(lp), Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        coalesce(col("lp_micro"),
+          when(col("tot_r").isNotNull,
+            Sampling.lnMicro(lit(0L) + lit(1L))
+              - Sampling.lnMicro(col("tot_t") + lit(nBuckets.toLong))
+              - Sampling.lnMicro(lit(0L) + lit(1L))
+              + Sampling.lnMicro(col("tot_r") + lit(nBuckets.toLong)))
+            .otherwise(lit(0L))).as("lp_micro"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("bigint").as("n_grams"),
         sum(col("lp_micro")).cast("bigint").as("lw_micro"))

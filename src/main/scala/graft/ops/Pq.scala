@@ -151,8 +151,10 @@ object Pq {
     */
   def saveIndex(idx: PqIndex, path: String): Unit = {
     val spark = idx.cells.sparkSession
-    // a fresh index must not inherit a previous index's tombstones or
-    // half-finished compaction at the same path
+    // a fresh index must not inherit a previous index's half-finished
+    // compaction (cleared up front) or tombstones (cleared AFTER the
+    // new cells land — CellStore.clearForSave has the crash-window
+    // ordering argument)
     CellStore.clearForSave(spark, path)
     idx.cells.write.mode("overwrite")
       .partitionBy("center_id").parquet(path + "/cells")
@@ -161,6 +163,7 @@ object Pq {
         idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
       .toDF("centers", "codebooks")
       .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    CellStore.clearTombstones(spark, path)
   }
 
   /** Load a persisted index; the cells frame is lazy (scans prune by

@@ -271,14 +271,17 @@ object Similarity {
     */
   def saveIvfIndex(idx: IvfIndex, path: String): Unit = {
     val spark = idx.cells.sparkSession
-    // a fresh index must not inherit a previous index's tombstones or
-    // half-finished compaction at the same path
+    // a fresh index must not inherit a previous index's half-finished
+    // compaction (cleared up front) or tombstones (cleared AFTER the
+    // new cells land — CellStore.clearForSave has the crash-window
+    // ordering argument)
     CellStore.clearForSave(spark, path)
     idx.cells.write.mode("overwrite")
       .partitionBy("center_id").parquet(path + "/cells")
     import spark.implicits._
     Seq(Tuple1(idx.centers.map(_.toSeq).toSeq)).toDF("centers")
       .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    CellStore.clearTombstones(spark, path)
   }
 
   /** Load: lazy cells with pending tombstones applied and the

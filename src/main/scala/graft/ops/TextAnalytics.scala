@@ -1128,7 +1128,21 @@ object TextAnalytics {
     val prior = priorCounts
       .select(when(col("npd") > 0 && col("nnd") > 0,
         lnMicro(col("npd")) - lnMicro(col("nnd"))).otherwise(lit(0L)).as("pr"))
-    val ds = occ.join(llr, Seq("w"))
+    // tokens ABSENT from tc (possible when the counts are a streamed
+    // model and occ holds fresh candidates) take the add-one-smoothed
+    // count-zero llr — the same four-term formula at c_pos = c_neg = 0
+    // — instead of being silently dropped by an inner join (which
+    // would also drop whole all-unseen docs from the gate's output);
+    // an EMPTY model (v = 0) contributes 0, not an engine-divergent
+    // ln(0)
+    val ds = occ.join(llr, Seq("w"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("doc_id"),
+        coalesce(col("llr"),
+          when(col("v") > 0,
+            lnMicro(lit(0L) + lit(1L)) - lnMicro(col("np") + col("v"))
+              - lnMicro(lit(0L) + lit(1L)) + lnMicro(col("nn") + col("v")))
+            .otherwise(lit(0L))).as("llr"))
       .groupBy(col("doc_id"))
       .agg(sum(col("llr")).cast("bigint").as("s"))
     base.select(col("doc_id"), col("source"), col("pos"))

@@ -56,7 +56,7 @@ object DsirStream {
     * cumulative counts land in `bucketsDir/batch_id=<k>`.
     */
   def monitor(docs: DataFrame, bucketsDir: String, checkpointDir: String,
-              nBuckets: Int = 256): StreamingQuery =
+              nBuckets: Int = CurationOps.dsirBuckets): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -124,7 +124,8 @@ object DsirStream {
     * candidates and keeps the reference streaming.
     */
   def selectCurrent(spark: SparkSession, docs: DataFrame, bucketsDir: String,
-                    nBuckets: Int = 256, k: Int = 100): DataFrame = {
+                    nBuckets: Int = CurationOps.dsirBuckets,
+                    k: Int = CurationOps.dsirK): DataFrame = {
     val base = CurationOps.dsirBase(docs)
     val bg = CurationOps.dsirBigrams(base, nBuckets)
     CurationOps.dsirSelectFromCounts(base, bg,

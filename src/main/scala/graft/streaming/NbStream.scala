@@ -89,7 +89,10 @@ object NbStream {
                                      tokensDir: String, priorDir: String): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val base = TextAnalytics.nbBase(batch)
+    // evaluated by three consumers (the merge's token counts, the
+    // semi-join's distinct tokens, the prior head) — persist so the
+    // tokenize/featurize/label kernel runs once per batch
+    val base = TextAnalytics.nbBase(batch).persist()
     val btc = TextAnalytics.nbTokenCounts(TextAnalytics.nbOccurrences(base))
     // previous cumulative counts for the batch's tokens only: scoped
     // read (the replay guard), semi-join BELOW the latest-wins window
@@ -122,6 +125,7 @@ object NbStream {
     Seq((ppd + bpd, pnd + bnd))
       .toDF("npd", "nnd").coalesce(1)
       .write.mode("overwrite").parquet(s"$priorDir/batch_id=$batchId")
+    base.unpersist()
   }
 
   /** Current cumulative token counts: latest-wins per token over the

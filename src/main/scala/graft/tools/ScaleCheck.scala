@@ -85,7 +85,13 @@ object ScaleCheck {
         // q181: the takedown strike + serve — the index/strike sides
         // scale with the replicated embeddings corpus while the query
         // batch stays replica-0-sized (q174's maintenance question)
-        "q181_ivf_delete_serve")
+        "q181_ivf_delete_serve",
+        // q182 is deliberately absent (q153's reason: the exact
+        // all-pairs funnel stage runs on q85's doc_id < 100 slice —
+        // only replica 0 participates, so the probe measures a fixed
+        // slice cost). q183 scans the full corpus (tokenize pass +
+        // planner broadcast + TakeOrderedAndProject head):
+        "q183_training_manifest")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()

@@ -804,6 +804,18 @@ class CurationOpsSpec extends SparkSpec {
     assert(again.toSeq == full.toSeq)
   }
 
+  test("q183: NULL-id junk with real text is never scheduled (its NULL hash keys would order differently across engines)") {
+    import spark.implicits._
+    val text = (0 until 30).map(i => s"w$i").mkString(" ")
+    val rows = Seq((Some(1L), text, "s"), (Option.empty[Long], text + " x", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = CurationOps.trainingManifest(rows, budgetTokens = 100L, k = 1000)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(!_.isNullAt(2)), "a NULL-id row must not appear in the manifest")
+    assert(out.forall(_.getLong(2) == 1L))
+  }
+
   test("embeddingCoverage: missing embeddings and orphan embeddings both surface, per source") {
     import spark.implicits._
     val docs = Seq(

@@ -119,6 +119,24 @@ class DsirStreamSpec extends SparkSpec {
     assert(streamedBuckets(buckets) == before)
   }
 
+  test("candidates hashing to unseen buckets: smoothed count-zero weight, no dropped docs") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir-unseen").toString
+    val buckets = s"$dir/buckets"
+    // tiny reference: only batch 0's smallest docs -> sparse bucket coverage
+    val tiny = batches(0).filter(d => Option(d.text).exists(_.length < 200)).take(3)
+    assert(tiny.nonEmpty)
+    DsirStream.updateBatch(tiny.toDF(), 0L, buckets, 256)
+    val ref = DsirStream.readBuckets(spark, buckets).as[B].collect()
+    assert(ref.length < 256, "reference must leave some buckets unseen")
+    // a candidate pool large enough that some bigram hits an unseen bucket
+    val cands = batches(1).toDF()
+    val nCand = graft.ops.CurationOps.dsirBase(cands).count()
+    val sel = DsirStream.selectCurrent(spark, cands, buckets, 256, k = 100000)
+      .collect()
+    assert(sel.length == nCand,
+      s"every candidate must be scored and ranked: ${sel.length} vs $nCand")
+  }
+
   test("empty batch persists the reference unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("dsir-empty").toString
     val buckets = s"$dir/buckets"

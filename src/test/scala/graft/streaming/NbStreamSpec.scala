@@ -128,6 +128,29 @@ class NbStreamSpec extends SparkSpec {
     assert(streamedTokens(toks) == beforeT)
   }
 
+  test("scoring candidates with unseen tokens: smoothed count-zero llr, no dropped docs") {
+    val dir = java.nio.file.Files.createTempDirectory("nb-unseen").toString
+    val toks = s"$dir/tokens"
+    val pri = s"$dir/prior"
+    NbStream.updateBatch(batches(0).toDF(), 0L, toks, pri)
+    // a fresh candidate whose tokens the model has NEVER seen
+    val cand = Seq(NbDoc(Some(777000L), "zzqx zzqy zzqz zzqw", "fresh")).toDF()
+    val out = NbStream.scoreCurrent(spark, cand, toks, pri)
+      .as[Sc].collect()
+    assert(out.length == 1, "an all-unseen candidate must still be scored")
+    val (npd, nnd) = NbStream.readPrior(spark, pri)
+    val tc = NbStream.readTokenCounts(spark, toks)
+      .as[T].collect()
+    val v = tc.length.toLong
+    val np = tc.map(_._2).sum
+    val nn = tc.map(_._3).sum
+    def lnMicro(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val perTok = lnMicro(1L) - lnMicro(np + v) - lnMicro(1L) + lnMicro(nn + v)
+    val prior = if (npd > 0 && nnd > 0) lnMicro(npd) - lnMicro(nnd) else 0L
+    assert(out.head._3 == 4L * perTok + prior,
+      s"unseen tokens must take the add-one-smoothed count-zero llr: ${out.head._3}")
+  }
+
   test("empty batch persists both stores unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("nb-empty").toString
     val toks = s"$dir/tokens"
