@@ -108,13 +108,9 @@ object ContractStream {
       .withColumn("rclean",
         when(col("v_null") + col("v_len") + col("v_lang") === 0, 1L)
           .otherwise(0L))
-    // per-source row-local increments (source-sized)
-    val incr = flagged.groupBy(col("source"))
-      .agg(count(lit(1)).as("d_rows"), sum(col("v_null")).as("d_null"),
-        sum(col("v_len")).as("d_len"), sum(col("v_lang")).as("d_lang"))
-      .collect()
-      .map(r => Option(r.getString(0)) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // three consumers (the incr rollup, bkey, bids) — persist so the
+      // batch is scanned and flagged once per trigger
+      .persist()
     // batch per-key contributions
     val bkey = flagged.groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).cast("long").as("b_n"),
@@ -145,7 +141,7 @@ object ContractStream {
         col("p_n"), col("p_rc"), lit(1).as("p_m"))
       .join(bkey
           .select(col("doc_id").as("b_doc"), col("source").as("b_src"),
-            col("b_n"), col("b_rc"), lit(1).as("b_m")),
+            col("b_n"), col("b_rc")),
         col("p_doc") <=> col("b_doc") && col("p_src") <=> col("b_src"), "full")
       .select(
         when(col("p_m").isNotNull, col("p_doc")).otherwise(col("b_doc")).as("doc_id"),
@@ -157,6 +153,14 @@ object ContractStream {
       // evaluated twice (deltas collect + the ids write) — persist so
       // the scoped read / window / full-outer merge runs once per batch
       .persist()
+    try {
+    // per-source row-local increments (source-sized)
+    val incr = flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("d_rows"), sum(col("v_null")).as("d_null"),
+        sum(col("v_len")).as("d_len"), sum(col("v_lang")).as("d_lang"))
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     // dup/clean transitions from per-id totals before (P) and after (T)
     val wid = Window.partitionBy(col("doc_id"))
     val deltas = merged
@@ -171,11 +175,25 @@ object ContractStream {
       .agg(sum(col("d_dup")).as("d_dup"), sum(col("d_clean")).as("d_clean"))
       .collect()
       .map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
-    // previous report snapshot (latest-wins, replay-guarded)
-    val prevRep = readReport(spark, reportDir, Some(batchId)).collect()
-      .map(r => Option(r.getString(0)) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5), r.getLong(6)))).toMap
+    // previous report snapshot (latest-wins, replay-guarded) — ONE
+    // driver-side collect + max filter (the store is source-count-sized
+    // by design; readReport's DataFrame form would cost two extra jobs
+    // and two store scans on the hot ingest path — the DriftStream
+    // scoreBatchWith argument)
+    val prevRepRows = DeltaStore
+      .readScopedOr(spark, reportDir, Some(batchId), reportSchema)
+      .select(col("source"), col("n_rows"), col("n_null_text"),
+        col("n_len_mismatch"), col("n_bad_lang"), col("n_dup_id"),
+        col("n_clean"), col("batch_id").cast("long")).collect()
+    val prevRep: Map[Option[String], (Long, Long, Long, Long, Long, Long)] =
+      if (prevRepRows.isEmpty) Map.empty
+      else {
+        val mx = prevRepRows.map(_.getLong(7)).max
+        prevRepRows.filter(_.getLong(7) == mx)
+          .map(r => Option(r.getString(0)) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+              r.getLong(5), r.getLong(6)))).toMap
+      }
     val sources = prevRep.keySet ++ incr.keySet ++ deltas.keySet
     val report = sources.toSeq
       .map { s =>
@@ -192,11 +210,17 @@ object ContractStream {
     merged.select(col("doc_id"), col("source"), col("n"), col("rc"))
       .repartition(1)
       .write.mode("overwrite").parquet(s"$idsDir/batch_id=$batchId")
-    merged.unpersist()
     report.toDF("source", "n_rows", "n_null_text", "n_len_mismatch",
       "n_bad_lang", "n_dup_id", "n_clean")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$reportDir/batch_id=$batchId")
+    } finally {
+      // unpersist in finally: a failed write replays the batch in the
+      // same session, and each failed attempt would otherwise leave
+      // another cached copy pinned
+      merged.unpersist()
+      flagged.unpersist()
+    }
   }
 
   /** Current per-source contract report: the latest cumulative
@@ -204,15 +228,10 @@ object ContractStream {
     * guard). An absent store is a valid empty report.
     */
   def readReport(spark: SparkSession, reportDir: String,
-                 beforeBatch: Option[Long] = None): DataFrame = {
-    val raw = DeltaStore.readScopedOr(spark, reportDir, beforeBatch, reportSchema)
-      .select(col("source"), col("n_rows"), col("n_null_text"),
-        col("n_len_mismatch"), col("n_bad_lang"), col("n_dup_id"),
-        col("n_clean"), col("batch_id").cast("long").as("batch_id"))
-    val latest = raw.agg(max(col("batch_id"))).head().get(0)
-    if (latest == null) raw.drop("batch_id")
-    else raw.filter(col("batch_id") === lit(latest)).drop("batch_id")
-  }
+                 beforeBatch: Option[Long] = None): DataFrame =
+    DeltaStore.readLatestSnapshot(spark, reportDir, beforeBatch, reportSchema,
+      Seq("source", "n_rows", "n_null_text", "n_len_mismatch", "n_bad_lang",
+        "n_dup_id", "n_clean"))
 
   /** Fold the id index into `batch_id=0`: latest-wins PER KEY on
     * batch_id (each partition holds full cumulative counts for its
@@ -234,12 +253,8 @@ object ContractStream {
     */
   def compactReport(spark: SparkSession, reportDir: String,
                     onDelete: org.apache.hadoop.fs.Path => Unit = _ => ()): Unit =
-    DeltaStore.compact(spark, reportDir, raw => {
-      val w = Window.partitionBy()
-      raw.withColumn("__mx", max(col("batch_id").cast("long")).over(w))
-        .filter(col("batch_id").cast("long") === col("__mx"))
-        .select(col("source"), col("n_rows"), col("n_null_text"),
-          col("n_len_mismatch"), col("n_bad_lang"), col("n_dup_id"),
-          col("n_clean"))
-    }, keepLatest = true, onDelete = onDelete)
+    DeltaStore.compact(spark, reportDir,
+      DeltaStore.latestSnapshot(_, Seq("source", "n_rows", "n_null_text",
+        "n_len_mismatch", "n_bad_lang", "n_dup_id", "n_clean")),
+      keepLatest = true, onDelete = onDelete)
 }

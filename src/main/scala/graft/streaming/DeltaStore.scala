@@ -69,6 +69,13 @@ private[graft] object SwapDir {
     */
   def swap(fs: FileSystem, target: Path, tmp: Path, backup: Path,
            label: String): Unit = {
+    // safety-by-construction, not caller discipline: if a previous
+    // swap died between its two renames, the backup is the ONLY copy —
+    // deleting it below would silently destroy the state. Every caller
+    // must recover() first; fail loudly if one forgot.
+    if (!fs.exists(target) && fs.exists(backup))
+      sys.error(s"$label: swap without recovery — $target missing while " +
+        s"backup $backup exists (call recover first)")
     fs.delete(backup, true) // stale backup from a prior completed swap
     if (fs.exists(target) && !fs.rename(target, backup))
       sys.error(s"$label: rename $target -> $backup failed")
@@ -141,6 +148,42 @@ private[streaming] object DeltaStore {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
+
+  /** Whole-snapshot LATEST-WINS fold over a raw delta union: keep only
+    * the max-batch_id partition's rows, projected to `cols`. THE one
+    * definition of the cumulative-snapshot store discipline
+    * (DriftStream's histograms, ContractStream's report, DsirStream's
+    * buckets, NbStream's prior) — each partition holds a complete
+    * cumulative snapshot, so the newest one IS the state and every
+    * leftover from a crashed compaction is itself a valid (older)
+    * snapshot. Previously copy-pasted per store; a fix to the fold
+    * semantics could silently miss a copy (the SwapDir argument).
+    */
+  def latestSnapshot(raw: DataFrame, cols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    raw.withColumn("__mx", max(col("batch_id").cast("long")).over(w))
+      .filter(col("batch_id").cast("long") === col("__mx"))
+      .select(cols.map(col): _*)
+  }
+
+  /** The read-path form of [[latestSnapshot]] over a store directory:
+    * scoped raw read (`beforeBatch` = the replay guard), then the
+    * max-batch_id snapshot, falling back to the empty frame for an
+    * absent store. Two jobs (max + filter) — fine for reporting APIs;
+    * per-micro-batch HOT paths with driver-sized state should collect
+    * once and pick the max driver-side instead (the DriftStream
+    * scoreBatchWith pattern).
+    */
+  def readLatestSnapshot(spark: SparkSession, indexDir: String,
+                         beforeBatch: Option[Long],
+                         schema: org.apache.spark.sql.types.StructType,
+                         cols: Seq[String]): DataFrame = {
+    val raw = readScopedOr(spark, indexDir, beforeBatch, schema)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val latest = raw.agg(max(col("batch_id"))).head().get(0)
+    if (latest == null) raw.select(cols.map(col): _*)
+    else raw.filter(col("batch_id") === lit(latest)).select(cols.map(col): _*)
+  }
 
   /** If a compaction crashed between renaming the old `batch_id=0`
     * aside and landing the new one, restore the backup — the folded

@@ -201,15 +201,9 @@ object DriftStream {
     * An absent store is a valid empty reference.
     */
   def readHistogram(spark: SparkSession, refDir: String,
-                    beforeBatch: Option[Long] = None): DataFrame = {
-    val raw = DeltaStore.readScopedOr(spark, refDir, beforeBatch, refSchema)
-    val latest = raw.agg(max(col("batch_id"))).head().get(0)
-    if (latest == null)
-      raw.select(col("bucket"), col("c")) // empty
-    else
-      raw.filter(col("batch_id") === lit(latest))
-        .select(col("bucket"), col("c"))
-  }
+                    beforeBatch: Option[Long] = None): DataFrame =
+    DeltaStore.readLatestSnapshot(spark, refDir, beforeBatch, refSchema,
+      Seq("bucket", "c"))
 
   /** Fold delta partitions into `batch_id=0` with the latest-wins
     * merge (each partition is a complete cumulative snapshot, so the
@@ -222,10 +216,7 @@ object DriftStream {
   def compactHistogram(spark: SparkSession, refDir: String,
                        onDelete: org.apache.hadoop.fs.Path => Unit = _ => ())
       : Unit =
-    DeltaStore.compact(spark, refDir, raw => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy()
-      raw.withColumn("mx", max(col("batch_id")).over(w))
-        .filter(col("batch_id") === col("mx"))
-        .select(col("bucket"), col("c"))
-    }, keepLatest = true, onDelete = onDelete)
+    DeltaStore.compact(spark, refDir,
+      DeltaStore.latestSnapshot(_, Seq("bucket", "c")),
+      keepLatest = true, onDelete = onDelete)
 }

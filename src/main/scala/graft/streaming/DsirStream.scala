@@ -106,14 +106,9 @@ object DsirStream {
     * store is a valid empty reference (no evidence yet).
     */
   def readBuckets(spark: SparkSession, bucketsDir: String,
-                  beforeBatch: Option[Long] = None): DataFrame = {
-    val raw = DeltaStore.readScopedOr(spark, bucketsDir, beforeBatch, bucketsSchema)
-      .select(col("bucket"), col("cnt_r"), col("cnt_t"),
-        col("batch_id").cast("long").as("batch_id"))
-    val latest = raw.agg(max(col("batch_id"))).head().get(0)
-    if (latest == null) raw.drop("batch_id")
-    else raw.filter(col("batch_id") === lit(latest)).drop("batch_id")
-  }
+                  beforeBatch: Option[Long] = None): DataFrame =
+    DeltaStore.readLatestSnapshot(spark, bucketsDir, beforeBatch,
+      bucketsSchema, Seq("bucket", "cnt_r", "cnt_t"))
 
   /** Score + select candidates against the ACCUMULATED reference: the
     * batch kernel's exact selection chain
@@ -139,10 +134,7 @@ object DsirStream {
     */
   def compactBuckets(spark: SparkSession, bucketsDir: String,
                      onDelete: org.apache.hadoop.fs.Path => Unit = _ => ()): Unit =
-    DeltaStore.compact(spark, bucketsDir, raw => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy()
-      raw.withColumn("__mx", max(col("batch_id").cast("long")).over(w))
-        .filter(col("batch_id").cast("long") === col("__mx"))
-        .select(col("bucket"), col("cnt_r"), col("cnt_t"))
-    }, keepLatest = true, onDelete = onDelete)
+    DeltaStore.compact(spark, bucketsDir,
+      DeltaStore.latestSnapshot(_, Seq("bucket", "cnt_r", "cnt_t")),
+      keepLatest = true, onDelete = onDelete)
 }

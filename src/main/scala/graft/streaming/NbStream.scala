@@ -93,6 +93,7 @@ object NbStream {
     // semi-join's distinct tokens, the prior head) — persist so the
     // tokenize/featurize/label kernel runs once per batch
     val base = TextAnalytics.nbBase(batch).persist()
+    try {
     val btc = TextAnalytics.nbTokenCounts(TextAnalytics.nbOccurrences(base))
     // previous cumulative counts for the batch's tokens only: scoped
     // read (the replay guard), semi-join BELOW the latest-wins window
@@ -125,7 +126,10 @@ object NbStream {
     Seq((ppd + bpd, pnd + bnd))
       .toDF("npd", "nnd").coalesce(1)
       .write.mode("overwrite").parquet(s"$priorDir/batch_id=$batchId")
-    base.unpersist()
+    } finally
+      // in finally: a failed write replays the batch in the same
+      // session, and each attempt would otherwise pin another copy
+      base.unpersist()
   }
 
   /** Current cumulative token counts: latest-wins per token over the
@@ -191,10 +195,7 @@ object NbStream {
   /** Fold the prior store: whole-snapshot latest-wins. */
   def compactPrior(spark: SparkSession, priorDir: String,
                    onDelete: org.apache.hadoop.fs.Path => Unit = _ => ()): Unit =
-    DeltaStore.compact(spark, priorDir, raw => {
-      val w = Window.partitionBy()
-      raw.withColumn("__mx", max(col("batch_id").cast("long")).over(w))
-        .filter(col("batch_id").cast("long") === col("__mx"))
-        .select(col("npd"), col("nnd"))
-    }, keepLatest = true, onDelete = onDelete)
+    DeltaStore.compact(spark, priorDir,
+      DeltaStore.latestSnapshot(_, Seq("npd", "nnd")),
+      keepLatest = true, onDelete = onDelete)
 }
