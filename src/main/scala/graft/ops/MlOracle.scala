@@ -127,17 +127,11 @@ object MlOracle {
       |  CAST(sum(width) AS BIGINT) / count(*) AS avg_width,
       |  (CAST(sum(bm) AS BIGINT) / 1000.0) / count(*) AS avg_brightness
       |FROM f GROUP BY mime ORDER BY mime""".stripMargin) { (s, dir) =>
-    val features = Multimodal.extractFeatures(s,
-      Multimodal.attachMedia(Tables.documents(s, dir))).toDF()
-    features
-      .groupBy(col("mime"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("n_bytes")).as("total_bytes"),
-        (sum(col("width").cast("bigint")) / count(lit(1))).as("avg_width"),
-        ((sum(round(col("brightness") * 1000).cast("bigint")) / lit(1000.0))
-          / count(lit(1))).as("avg_brightness"))
-      .orderBy(col("mime"))
+    // the rollup is Multimodal.mediaStats — ONE definition of the
+    // quantized-brightness aggregation (a second copy here had already
+    // drifted back to an order-dependent raw-double sum once)
+    Multimodal.mediaStats(Multimodal.extractFeatures(s,
+      Multimodal.attachMedia(Tables.documents(s, dir))))
   }
 
   /** Heuristic language-ID over the corpus (function-word profile

@@ -28,7 +28,6 @@ object Multimodal {
   case class MediaFeatures(
       doc_id: Long, mime: String, n_bytes: Int,
       width: Int, height: Int, channels: Int, brightness: Double)
-  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Image decoding. Real formats (PNG/JPEG/GIF/BMP) decode through the
     * JDK's `javax.imageio` — no external libraries needed; payloads
@@ -55,8 +54,10 @@ object Multimodal {
         val w = img.getWidth
         val h = img.getHeight
         val channels = img.getColorModel.getNumComponents
-        // Rec.601 luma averaged over a bounded pixel grid (<= 64x64
-        // samples) so huge frames cost O(1), not O(pixels)
+        // Rec.601 luma averaged over a bounded pixel grid — step =
+        // max(1, dim/64) gives up to 127 samples per axis (<= 127x127
+        // total; dims just under a step multiple sample densest), so
+        // huge frames cost O(1), not O(pixels)
         val stepX = math.max(1, w / 64)
         val stepY = math.max(1, h / 64)
         var sum = 0.0
@@ -102,6 +103,25 @@ object Multimodal {
     }
   }
 
+  /** The 64-bit polynomial byte fold (h = 31·h + b, signed bytes)
+    * behind every deterministic stub feature — ONE Scala definition
+    * because q48's DuckDB twin reproduces this exact arithmetic in
+    * HUGEINT SQL, so a tweak must change precisely two places (here
+    * and that twin), not four.
+    */
+  private[ops] def byteFold64(bytes: Array[Byte], seed: Long): Long = {
+    var h = seed
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    h
+  }
+
+  /** mix-draw -> uniform double in [0, 1): the 53-bit-mantissa
+    * conversion shared by the stub grids/embeddings.
+    */
+  private[ops] def toUnitDouble(h: Long): Double =
+    (h >>> 11).toDouble / (1L << 53).toDouble
+
   /** ======================= STUB ==============================
     * Deterministic fallback for payloads with no real decoder in this
     * container (audio/video formats; the fixtures' synthetic blobs).
@@ -110,9 +130,7 @@ object Multimodal {
     */
   object StubCodec {
     def decode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      val h = byteFold64(bytes, 1125899906842597L)
       val width = 64 + math.floorMod(h, 1024).toInt
       val height = 64 + math.floorMod(h >> 10, 1024).toInt
       val channels = 1 + math.floorMod(h >> 20, 4).toInt
@@ -173,14 +191,12 @@ object Multimodal {
       * are not.
       */
     private[ops] def stubGrid(bytes: Array[Byte]): Array[Double] = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      var h = byteFold64(bytes, 1125899906842597L)
       val out = new Array[Double](72)
-      i = 0
+      var i = 0
       while (i < 72) {
         h = graft.functions.VectorOps.mix64(h + i)
-        out(i) = (h >>> 11).toDouble / (1L << 53).toDouble * 255.0
+        out(i) = toUnitDouble(h) * 255.0
         i += 1
       }
       out
@@ -306,8 +322,14 @@ object Multimodal {
     * over the split size) — no plan-to-RDD conversion, no physical
     * planning, no job. `.rdd.getNumPartitions` here would force a full
     * RDD conversion per call and still report the pre-AQE count.
-    * Non-file leaves (in-memory test relations) estimate as 1: tiny by
-    * construction, so they take the repartition branch.
+    * In-memory leaves (LocalRelation test frames) estimate as 1: tiny
+    * by construction, so they take the repartition branch. Any OTHER
+    * leaf (DSv2 scans — Iceberg/Delta, or parquet with V1 disabled)
+    * estimates as already-parallel: those sources split by
+    * maxPartitionBytes themselves, and estimating them as 1 would
+    * force a full exchange of every blob at any scale — the exact
+    * shuffle the no-op promise below rules out. The forced spread is
+    * an optimization reserved for scans we can PROVE under-parallel.
     */
   private def estimatedScanTasks(spark: SparkSession, df: DataFrame): Long = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -318,7 +340,8 @@ object Multimodal {
           math.max(1L, fs.location.sizeInBytes / maxSplit)
         case _ => 1L
       }
-      case _ => 1L
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => 1L
+      case _ => spark.sparkContext.defaultParallelism.toLong
     }.sum
   }
 
@@ -362,7 +385,10 @@ object Multimodal {
     * a byte-slice as the (stub) frame payload.
     */
   def sampleFrames(media: DataFrame, nFrames: Int = 8, stride: Int = 2): DataFrame =
-    media.select(
+    // the shared entry: junk rows (NULL doc_id / NULL media — a failed
+    // download is routine) degrade row-local here exactly as in every
+    // sibling op, and the byte-slice work spreads across cores
+    spread(media.sparkSession, media).select(
       col("doc_id"), col("media"),
       posexplode(sequence(lit(0), lit(nFrames - 1), lit(stride)))
         .as(Seq("pos", "frame_idx")))
@@ -389,9 +415,13 @@ object Multimodal {
     spread(spark, media).as[MediaRow].mapPartitions { rows =>
       // per-task scaler init would go here (ImageIO is stateless)
       rows.map { r =>
-        // decode ONCE; dims and the rescale source share the image
+        // decode ONCE; dims and the rescale source share the image.
+        // getWidth/getHeight are O(1) — Codec.measure would pay its
+        // full luma-sampling loop just to discard the brightness
         val img = Codec.decodeImage(r.media)
-        val (w, h, _, _) = Codec.measure(img, r.media)
+        val (w, h) =
+          if (img != null) (img.getWidth, img.getHeight)
+          else { val (sw, sh, _, _) = StubCodec.decode(r.media); (sw, sh) }
         val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
         val nw = math.max(1, math.round(w * scale).toInt)
         val nh = math.max(1, math.round(h * scale).toInt)
@@ -419,14 +449,12 @@ object Multimodal {
     spread(spark, media).as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
         val v = new Array[Double](dim)
-        var h = 0x9e3779b97f4a7c15L
-        var i = 0
-        while (i < r.media.length) { h = h * 31 + r.media(i); i += 1 }
+        var h = byteFold64(r.media, 0x9e3779b97f4a7c15L)
         var d = 0
         var norm = 0.0
         while (d < dim) {
           h = graft.functions.VectorOps.mix64(h + d)
-          v(d) = (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+          v(d) = toUnitDouble(h) * 2.0 - 1.0
           norm += v(d) * v(d)
           d += 1
         }
@@ -439,7 +467,12 @@ object Multimodal {
   }
 
   /** Metadata-only projection — must never touch the blob column
-    * (verify with .explain: ReadSchema excludes `media`).
+    * (verify with .explain: ReadSchema excludes `media`). THE single
+    * definition of the q48 rollup (q48's builder calls this): the
+    * brightness mean quantizes each value to integer millis before the
+    * sum so the result is independent of partition summation order —
+    * the repo's float discipline, and what lets the q48 oracle
+    * hash-match a raw-double sum never could.
     */
   def mediaStats(features: Dataset[MediaFeatures]): DataFrame =
     features.toDF()
@@ -448,6 +481,7 @@ object Multimodal {
         count(lit(1)).as("n"),
         sum(col("n_bytes")).as("total_bytes"),
         (sum(col("width").cast("bigint")) / count(lit(1))).as("avg_width"),
-        (sum(col("brightness")) / count(lit(1))).as("avg_brightness"))
+        ((sum(round(col("brightness") * 1000).cast("bigint")) / lit(1000.0))
+          / count(lit(1))).as("avg_brightness"))
       .orderBy(col("mime"))
 }

@@ -55,6 +55,15 @@ object Sampling {
     * scale sum of |lp| ≤ ~30·10⁶ stays far inside BIGINT.
     * Both [[lnMicro]] and [[duckLnMicro]] round HALF-AWAY-FROM-ZERO
     * (Spark's HALF_UP on doubles == DuckDB's round()).
+    *
+    * PRECONDITION: x ≥ 1. The lockstep contract does NOT cover x ≤ 0 —
+    * Spark's log returns NULL there (the pipeline keeps running) while
+    * DuckDB's ln(0) is -inf and the BIGINT cast ABORTS the oracle
+    * query: silent NULLs on one engine, a fatal error on the other.
+    * Every caller guarantees positivity structurally (add-one
+    * smoothing, count+B totals, `> 0` CASE guards) — a new caller
+    * interpolating [[duckLnMicro]] over an expression that can reach 0
+    * must add the same.
     */
   def lnMicro(x: Column): Column =
     round(log(x.cast("double")) * lit(1000000.0)).cast("bigint")
