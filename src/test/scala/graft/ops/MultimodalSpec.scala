@@ -72,6 +72,9 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.embedStub(spark, junk).collect().map(_.doc_id).toSeq == Seq(1L))
     assert(Multimodal.extractFeatures(spark, junk).collect().map(_.doc_id).toSeq == Seq(1L))
     assert(Multimodal.resize(spark, junk).collect().map(_.doc_id).toSeq == Seq(1L))
+    assert(Multimodal.sampleFrames(junk, nFrames = 4, stride = 2)
+      .select("doc_id").distinct().as[Long].collect().toSeq == Seq(1L),
+      "sampleFrames must drop junk rows at the shared entry like every sibling op")
   }
 
   test("sampleFrames: stride sampling with per-frame byte-slice payload") {
