@@ -22,7 +22,7 @@ object CurationOps {
   def all: Seq[QueryDef] =
     Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125, q166,
       q132, q140, q143, q144, q152, q154, q157, q159, q161, q168, q169, q176,
-      q179, q182, q183)
+      q179, q182, q183, q184)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -2528,5 +2528,88 @@ object CurationOps {
       |ORDER BY source""".stripMargin) { (s, dir) =>
     embeddingCoverage(Tables.documents(s, dir), Tables.embeddings(s, dir))
       .orderBy(col("source"))
+  }
+
+  /** Per-column data-profiling report (q184): the Deequ-PROFILES
+    * complement of the q152 contract gate — q152 checks declared
+    * expectations, this DISCOVERS the table's shape so a team can
+    * write them: per column, row count, null count and share, exact
+    * distinct count, min/max rendered length, and (numeric columns)
+    * min/max value. The first query a curation team runs against an
+    * unfamiliar drop — "is doc_id actually unique", "how null is
+    * lang", "is n_chars in a sane range" — and the source of the
+    * thresholds q152 then enforces. Junk rows are the POINT here:
+    * the profile counts them instead of filtering them.
+    *
+    * All counts are exact BIGINTs; null_share is one literal division
+    * of two exact BIGINTs. Rendered length is `length(CAST(c AS
+    * STRING))` — for the fixture's types (int64/string) the string
+    * rendering is engine-identical, and it gives ONE schema across
+    * heterogeneous columns; min_num/max_num carry the numeric min/max
+    * where the cast is lossless and NULL elsewhere.
+    *
+    * Scale: one aggregate PER COLUMN, each a column-pruned scan +
+    * partial+final agg — columns profile independently (a 100 TB
+    * profile parallelizes per column and never carries another
+    * column's bytes). The exact-distinct term exchanges each column's
+    * distinct values (map-side partial dedup first); that is the
+    * price of EXACT — the engine's auditable-HLL (q128) is the
+    * sketch path when an estimate suffices. The final union is
+    * column-count-sized (metadata).
+    */
+  def columnProfile(df: org.apache.spark.sql.DataFrame,
+                    numeric: Set[String]): org.apache.spark.sql.DataFrame =
+    df.columns.toSeq.map { c =>
+      val rendered = length(col(c).cast("string")).cast("bigint")
+      df.agg(
+          count(lit(1)).cast("bigint").as("n_rows"),
+          (count(lit(1)) - count(col(c))).cast("bigint").as("n_null"),
+          countDistinct(col(c)).cast("bigint").as("n_distinct"),
+          min(rendered).as("min_len"),
+          max(rendered).as("max_len"),
+          (if (numeric(c)) min(col(c)).cast("bigint")
+           else lit(null).cast("bigint")).as("min_num"),
+          (if (numeric(c)) max(col(c)).cast("bigint")
+           else lit(null).cast("bigint")).as("max_num"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          when(col("n_rows") > 0,
+            col("n_null").cast("double") / col("n_rows").cast("double"))
+            .otherwise(lit(0.0)).as("null_share"),
+          col("n_distinct"), col("min_len"), col("max_len"),
+          col("min_num"), col("max_num"))
+    }.reduce(_.union(_))
+
+  /** The q184 twin's per-column SELECT — generated from the same
+    * (name, numeric?) list the Spark side profiles, so the two sides
+    * cannot drift column-by-column.
+    */
+  private def profileColSql(c: String, numeric: Boolean): String = {
+    val num =
+      if (numeric) s"CAST(min($c) AS BIGINT) AS min_num, CAST(max($c) AS BIGINT) AS max_num"
+      else "CAST(NULL AS BIGINT) AS min_num, CAST(NULL AS BIGINT) AS max_num"
+    s"""SELECT '$c' AS col_name,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+       |  CASE WHEN count(*) > 0
+       |    THEN CAST(count(*) - count($c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    ELSE 0.0 END AS null_share,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  CAST(min(length(CAST($c AS VARCHAR))) AS BIGINT) AS min_len,
+       |  CAST(max(length(CAST($c AS VARCHAR))) AS BIGINT) AS max_len,
+       |  $num
+       |FROM documents""".stripMargin
+  }
+
+  private val profileCols: Seq[(String, Boolean)] = Seq(
+    "doc_id" -> true, "text" -> false, "lang" -> false,
+    "source" -> false, "n_chars" -> true)
+
+  val q184: QueryDef = QueryDef.sql(
+    "q184_column_profile",
+    profileCols.map { case (c, n) => profileColSql(c, n) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")) { (s, dir) =>
+    columnProfile(Tables.documents(s, dir),
+      profileCols.filter(_._2).map(_._1).toSet)
+      .orderBy(col("col_name"))
   }
 }

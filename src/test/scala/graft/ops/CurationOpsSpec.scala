@@ -835,4 +835,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(out("(orphan_embedding)") == ((0L, 0L, 0L, 2L, 0.0)),
       "embeddings referencing no document (incl. a NULL-id junk row) must be reported")
   }
+
+  test("q184 column profile: exact nulls/distincts/lengths on a controlled frame; numeric min/max only for numeric cols") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1L), Option("ab"), Option("en"), Option("s1"), Option(2L)),
+      (Option(2L), Option.empty[String], Option("en"), Option("s1"), Option(0L)),
+      (Option.empty[Long], Option("xyz"), Option.empty[String], Option("s2"), Option(3L)),
+      (Option(4L), Option("ab"), Option("de"), Option.empty[String], Option.empty[Long]))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = CurationOps.columnProfile(df, Set("doc_id", "n_chars"))
+      .collect()
+    assert(rows.length == 5)
+    val p = rows.map(r => r.getString(0) -> r).toMap
+    // every column: 4 rows, exactly one null => null_share 0.25
+    p.values.foreach { r =>
+      assert(r.getLong(1) == 4L, s"${r.getString(0)} n_rows")
+      assert(r.getLong(2) == 1L, s"${r.getString(0)} n_null")
+      assert(r.getDouble(3) == 0.25, s"${r.getString(0)} null_share")
+    }
+    def stats(c: String) = {
+      val r = p(c)
+      (r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)),
+        if (r.isNullAt(8)) None else Some(r.getLong(8)))
+    }
+    assert(stats("doc_id") == ((3L, 1L, 1L, Some(1L), Some(4L))))
+    assert(stats("text") == ((2L, 2L, 3L, None, None)),
+      "duplicate 'ab' collapses in n_distinct; numeric min/max stay NULL")
+    assert(stats("lang") == ((2L, 2L, 2L, None, None)))
+    assert(stats("source") == ((2L, 2L, 2L, None, None)))
+    assert(stats("n_chars") == ((3L, 1L, 1L, Some(0L), Some(3L))),
+      "rendered length of 0/2/3 is one char; numeric min is the true 0")
+  }
+
+  test("q184 on the fixture: one row per documents column; doc_id distincts match an independent count") {
+    val out = CurationOps.q184.build(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("doc_id", "lang", "n_chars", "source", "text"))
+    val idRow = out.find(_.getString(0) == "doc_id").get
+    val expected = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+    assert(idRow.getLong(4) == expected)
+    assert(idRow.getLong(1) == docs.count())
+  }
 }
