@@ -28,7 +28,7 @@ object Dedup {
 
   def all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89, q112, q135, q139, q162,
-      q172)
+      q172, q185)
 
   /** Exact dedup on a normalized key: keep the lowest doc_id per group.
     * Scale: one hash exchange on the key; with pre-partitioned/bucketed
@@ -1376,5 +1376,111 @@ object Dedup {
   val q172: QueryDef = QueryDef.sql(
     "q172_lsh_tuning_curve", lshTuningCurveSql) { (s, dir) =>
     lshTuningCurve(s).orderBy(col("bands").desc, col("k"))
+  }
+
+  /** Source marginal-novelty report (q185): per source, how much of
+    * its content exists NOWHERE else in the corpus — the
+    * "what do we lose if we drop this feed" budgeting readout. q112
+    * says which source PAIRS overlap and q173 where verified near-dup
+    * pairs flow; this is the corpus-wide complement: distinct 3-token
+    * shingles per source, the count appearing in NO other source
+    * (n_src = 1 globally), and at document granularity how many of
+    * the source's docs carry at least one globally-unique shingle. A
+    * source with high pair-overlap can still be worth keeping if its
+    * novel_doc_share is high; one whose unique_share ~ 0 is fully
+    * covered by the rest of the corpus and is a drop candidate.
+    *
+    * Junk handling: a NULL source groups as '(null)' (the q168
+    * convention — junk is reported, not hidden); NULL-doc_id rows
+    * keep their TEXT in the shingle universe (content exists and
+    * suppresses other sources' "unique" claims regardless of a
+    * broken id) but are excluded from the DOC-level readout (no
+    * actionable document to keep or drop — the q183 exclusion
+    * argument), so a junk-only source surfaces with n_docs = 0.
+    *
+    * Scale: no pair joins anywhere — the chain is distinct /
+    * group-by / equi-join on the shingle key only: (source, doc, sh)
+    * distinct (one corpus exchange, partial-agg dedup map-side),
+    * (source, sh) distinct (collapses from the first), per-shingle
+    * source count (vocabulary-sized), and two shingle-keyed joins
+    * back. Everything is linear in corpus shingle volume at any
+    * source count — unlike q112's C(k,2) per-shingle fan-out, there
+    * is nothing quadratic to cap here.
+    */
+  def sourceMarginalNovelty(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // (source, doc_id, shingle) distinct — checkpointed (lazy): feeds
+    // both the shingle-level and the doc-level branch; without it each
+    // branch re-runs the scan+shingle+distinct pipeline
+    val ds = docs
+      .select(coalesce(col("source"), lit("(null)")).as("source"),
+        col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+      .distinct()
+      .localCheckpoint(false)
+    val ss = ds.select(col("source"), col("sh")).distinct()
+      .localCheckpoint(false)
+    val psh = ss.groupBy(col("sh"))
+      .agg(count(lit(1)).cast("bigint").as("n_src"))
+    val sstat = ss.join(psh, Seq("sh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_shingles"),
+        sum(when(col("n_src") === 1L, 1L).otherwise(0L)).cast("bigint")
+          .as("n_unique"))
+    val dstat = ds.filter(col("doc_id").isNotNull)
+      .join(psh, Seq("sh"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(max(when(col("n_src") === 1L, 1L).otherwise(0L)).as("novel"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("novel")).cast("bigint").as("n_docs_novel"))
+    sstat.join(dstat, Seq("source"), "left")
+      .select(col("source"), col("n_shingles"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_shingles").cast("double"))
+          .as("unique_share"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_docs_novel"), lit(0L)).as("n_docs_novel"),
+        when(coalesce(col("n_docs"), lit(0L)) > 0,
+          col("n_docs_novel").cast("double") / col("n_docs").cast("double"))
+          .otherwise(lit(0.0)).as("novel_doc_share"))
+  }
+
+  val q185: QueryDef = QueryDef.sql(
+    "q185_source_marginal_novelty",
+    s"""WITH d AS (
+       |  SELECT COALESCE(source, '(null)') AS source, doc_id, $duckToks AS t
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT source, doc_id, unnest(list_filter(
+       |    list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+       |      i -> array_to_string(t[i+1:i+3], ' ')),
+       |    s -> s <> '')) AS sh
+       |  FROM d),
+       |ds AS (SELECT DISTINCT source, doc_id, sh FROM sh0),
+       |ss AS (SELECT DISTINCT source, sh FROM ds),
+       |psh AS (SELECT sh, CAST(count(*) AS BIGINT) AS n_src FROM ss GROUP BY sh),
+       |sstat AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_shingles,
+       |    CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+       |  FROM ss JOIN psh USING (sh) GROUP BY source),
+       |dn AS (
+       |  SELECT source, doc_id,
+       |    max(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS novel
+       |  FROM ds JOIN psh USING (sh)
+       |  WHERE doc_id IS NOT NULL
+       |  GROUP BY source, doc_id),
+       |dstat AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(novel) AS BIGINT) AS n_docs_novel
+       |  FROM dn GROUP BY source)
+       |SELECT s.source, s.n_shingles, s.n_unique,
+       |  CAST(s.n_unique AS DOUBLE) / CAST(s.n_shingles AS DOUBLE) AS unique_share,
+       |  CAST(COALESCE(t.n_docs, 0) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(t.n_docs_novel, 0) AS BIGINT) AS n_docs_novel,
+       |  CASE WHEN COALESCE(t.n_docs, 0) > 0
+       |    THEN CAST(t.n_docs_novel AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+       |    ELSE 0.0 END AS novel_doc_share
+       |FROM sstat s LEFT JOIN dstat t USING (source)
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    sourceMarginalNovelty(Tables.documents(s, dir)).orderBy(col("source"))
   }
 }

@@ -355,4 +355,36 @@ class DedupSpec extends SparkSpec {
     assert(shipped(8L) < 0.3 && shipped(16L) > 0.9,
       "the (8,4) S-curve must separate s=0.4 from s=0.8")
   }
+
+  test("q185 marginal novelty: unique shingles per source; junk text suppresses uniqueness but junk docs don't count") {
+    import spark.implicits._
+    val docs = Seq(
+      // A doc 1: shingles "x y z", "y z w" — "y z w" is globally unique
+      (Option(1L), Option("x y z w"), Option("A")),
+      // A doc 2: only the shared shingle — not novel
+      (Option(2L), Option("x y z"), Option("A")),
+      // B's one shingle also lives in A — zero unique
+      (Option(3L), Option("x y z"), Option("B")),
+      // NULL source, real doc: groups as '(null)', fully unique
+      (Option(4L), Option("q r s"), Option.empty[String]),
+      // C: ONLY a NULL-id junk row — its text joins the shingle
+      // universe (suppressing D's uniqueness below) but no doc counts
+      (Option.empty[Long], Option("u v w"), Option("C")),
+      // D: same text as C's junk row — NOT unique because of it
+      (Option(5L), Option("u v w"), Option("D")))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.sourceMarginalNovelty(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    assert(out("A") == ((2L, 1L, 0.5, 2L, 1L, 0.5)),
+      "A: 2 distinct shingles, 1 unique; doc 1 novel, doc 2 not")
+    assert(out("B") == ((1L, 0L, 0.0, 1L, 0L, 0.0)))
+    assert(out("(null)") == ((1L, 1L, 1.0, 1L, 1L, 1.0)),
+      "NULL source is reported as '(null)', not dropped")
+    assert(out("C") == ((1L, 0L, 0.0, 0L, 0L, 0.0)),
+      "junk-only source: shingles counted (and shared with D), zero docs")
+    assert(out("D") == ((1L, 0L, 0.0, 1L, 0L, 0.0)),
+      "D's text is NOT unique — C's junk row carries the same content")
+  }
 }
