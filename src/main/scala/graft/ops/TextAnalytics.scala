@@ -81,7 +81,7 @@ object TextAnalytics {
 
   def all: Seq[QueryDef] =
     Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121, q126, q127,
-      q129, q142, q145, q147, q148, q158, q167, q175, q178)
+      q129, q142, q145, q147, q148, q158, q167, q175, q178, q186)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -1168,9 +1168,17 @@ object TextAnalytics {
         Seq("source"))
   }
 
-  val q178: QueryDef = QueryDef.sql(
-    "q178_nb_classifier_audit",
-    s"""WITH f AS (
+  /** The q178 twin's featurize/label/train/score CTE chain (f → lab →
+    * occ → tc → scal → llr → dscal → prior → ds) — ONE definition,
+    * interpolated into both the q178 discrimination audit and the
+    * q186 disagreement audit: a drifted copy of the training
+    * arithmetic in either would grade a different classifier than the
+    * engine ships. In-sample by construction, so `ds` joins occ to
+    * llr INNER (every token was trained on); the Spark kernel's
+    * unseen-token smoothing arm is exercised only by streamed models.
+    */
+  private def nbTwinChainSql: String =
+    s"""f AS (
        |  SELECT doc_id, source, t,
        |    CAST(len(t) AS BIGINT) AS nt,
        |    CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS sl,
@@ -1214,7 +1222,11 @@ object TextAnalytics {
        |  FROM dscal),
        |ds AS (
        |  SELECT doc_id, CAST(sum(llr) AS BIGINT) AS s
-       |  FROM occ JOIN llr USING (w) GROUP BY doc_id),
+       |  FROM occ JOIN llr USING (w) GROUP BY doc_id)""".stripMargin
+
+  val q178: QueryDef = QueryDef.sql(
+    "q178_nb_classifier_audit",
+    s"""WITH $nbTwinChainSql,
        |nb AS (
        |  SELECT lab.source, ds.s + prior.pr AS score, lab.pos
        |  FROM lab JOIN ds USING (doc_id), prior),
@@ -1233,6 +1245,89 @@ object TextAnalytics {
        |FROM a1 JOIN a2 ON a1.source = a2.source
        |ORDER BY a1.source""".stripMargin) { (s, dir) =>
     nbClassifierAudit(Tables.documents(s, dir)).orderBy(col("source"))
+  }
+
+  /** Gate-disagreement audit (q186): the fixed q109 gate (z ≥ 0, i.e.
+    * sigmoid score ≥ 0.5) and the trained q178 Naive Bayes gate
+    * (log-odds ≥ 0 micro-nats) applied to the SAME documents, as a
+    * per-source confusion: both-pass / fixed-only / nb-only /
+    * both-fail counts, the disagreement share, and each gate's
+    * agreement with the q126 Gopher label. q178's AUC says which gate
+    * RANKS better; this says what each would actually DO to the
+    * corpus — a high-disagreement source is where swapping gates
+    * changes the recipe, and the correct-count columns say which gate
+    * the label sides with there. Pure composition of the single-
+    * definition kernels ([[nbBase]]/[[nbScoreFromCounts]] and
+    * [[classifierZ]]); both thresholds are exact (z ≥ 0 is an IEEE
+    * comparison of the literal-identical formula, the NB cut is an
+    * integer sign test).
+    *
+    * Scale: the NB chain is q178's (one corpus pass + vocab-keyed
+    * join); the fixed gate is row-local arithmetic on the same base;
+    * the confusion is a partial+final aggregate to source granularity.
+    */
+  def gateDisagreement(docs: DataFrame): DataFrame = {
+    val base = nbBase(docs)
+    val occ = nbOccurrences(base)
+    val nb = nbScoreFromCounts(base, occ, nbTokenCounts(occ),
+      nbPriorCounts(base))
+      .select(col("doc_id"), col("score").as("nbs"))
+    val flags = base
+      .select(col("doc_id"), col("source"), col("pos"),
+        classifierZ(col("ns") / col("nt"), col("nt"),
+          col("punct_ratio"), col("digit_ratio")).as("z"))
+      .join(nb, Seq("doc_id"))
+      .select(col("source"), col("pos"),
+        when(col("z") >= 0.0, 1L).otherwise(0L).as("fx"),
+        when(col("nbs") >= 0L, 1L).otherwise(0L).as("nbp"))
+    flags.groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col("fx") === 1L && col("nbp") === 1L, 1L).otherwise(0L))
+          .cast("bigint").as("n_both_pass"),
+        sum(when(col("fx") === 1L && col("nbp") === 0L, 1L).otherwise(0L))
+          .cast("bigint").as("n_fixed_only"),
+        sum(when(col("fx") === 0L && col("nbp") === 1L, 1L).otherwise(0L))
+          .cast("bigint").as("n_nb_only"),
+        sum(when(col("fx") === 0L && col("nbp") === 0L, 1L).otherwise(0L))
+          .cast("bigint").as("n_both_fail"),
+        sum(when(col("fx") === col("pos"), 1L).otherwise(0L))
+          .cast("bigint").as("n_fixed_correct"),
+        sum(when(col("nbp") === col("pos"), 1L).otherwise(0L))
+          .cast("bigint").as("n_nb_correct"))
+      .select(col("source"), col("n_docs"), col("n_both_pass"),
+        col("n_fixed_only"), col("n_nb_only"), col("n_both_fail"),
+        ((col("n_fixed_only") + col("n_nb_only")).cast("double")
+          / col("n_docs").cast("double")).as("disagree_share"),
+        col("n_fixed_correct"), col("n_nb_correct"))
+  }
+
+  val q186: QueryDef = QueryDef.sql(
+    "q186_gate_disagreement",
+    s"""WITH $nbTwinChainSql,
+       |fl AS (
+       |  SELECT lab.source, lab.pos,
+       |    CASE WHEN ${TwinSql.classifierZ("(ns / nt)", "nt",
+                "punct_ratio", "digit_ratio")} >= 0.0
+       |      THEN 1 ELSE 0 END AS fx,
+       |    CASE WHEN ds.s + prior.pr >= 0 THEN 1 ELSE 0 END AS nbp
+       |  FROM lab JOIN ds USING (doc_id), prior),
+       |c AS (
+       |  SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN fx = 1 AND nbp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both_pass,
+       |    CAST(sum(CASE WHEN fx = 1 AND nbp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fixed_only,
+       |    CAST(sum(CASE WHEN fx = 0 AND nbp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_nb_only,
+       |    CAST(sum(CASE WHEN fx = 0 AND nbp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_both_fail,
+       |    CAST(sum(CASE WHEN fx = pos THEN 1 ELSE 0 END) AS BIGINT) AS n_fixed_correct,
+       |    CAST(sum(CASE WHEN nbp = pos THEN 1 ELSE 0 END) AS BIGINT) AS n_nb_correct
+       |  FROM fl GROUP BY source)
+       |SELECT source, n_docs, n_both_pass, n_fixed_only, n_nb_only, n_both_fail,
+       |  CAST(n_fixed_only + n_nb_only AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |    AS disagree_share,
+       |  n_fixed_correct, n_nb_correct
+       |FROM c
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    gateDisagreement(Tables.documents(s, dir)).orderBy(col("source"))
   }
 
   /** Per-source lexical statistics (q127): the data-card vocabulary

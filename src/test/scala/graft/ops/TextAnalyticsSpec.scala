@@ -303,4 +303,39 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(np == 2L && nn == 2L)
     assert(auc == 1.0, s"separable fixture must score AUC 1.0, got $auc")
   }
+
+  test("q186 gate disagreement: NB acts on the lexical signal, the fixed gate ties — disagreement is exactly one class") {
+    import spark.implicits._
+    // the q178 corpus: 4 Gopher-pass docs vs 4 docs failing only the
+    // word-length rule; every FIXED feature is identical across all 8
+    // docs (one z for everyone), while the NB vocabularies separate
+    // the classes perfectly
+    val posBase = "the cats and dogs race into barns on warm days "
+    val negBase = "the catastrophically and dinosaurically proceeding " +
+      "magnificently extraordinarily on unquestionably wonderfulness "
+    val tag = "abcd"
+    val rows =
+      (1L to 4L).map(i => (i, (posBase * 5) + s"tail${tag(i.toInt - 1)}", "en", "s1")) ++
+      (5L to 8L).map(i =>
+        (i, (negBase * 5) + s"extraordinarines${tag(i.toInt - 5)}", "en", "s1"))
+    val d = rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val out = TextAnalytics.gateDisagreement(d).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (nDocs, bp, fo, no, bf) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(nDocs == 8L && bp + fo + no + bf == 8L,
+      "the four confusion cells must partition the docs")
+    assert(r.getLong(8) == 8L,
+      s"NB separates the classes perfectly: n_nb_correct = ${r.getLong(8)}")
+    assert(r.getLong(7) == 4L,
+      "one shared fixed z: the uniform gate is right on exactly one of the 4/4 classes")
+    assert(r.getDouble(6) == 0.5,
+      "uniform fixed gate vs 4/4 NB split: disagreement is exactly one class")
+    // the two gates' pass counts are consistent with the cells
+    assert(bp + fo == 0L || bp + fo == 8L,
+      "identical fixed features => the fixed gate passes all docs or none")
+    assert(bp + no == 4L, "NB passes exactly the Gopher-pass class")
+  }
 }
