@@ -81,7 +81,7 @@ object TextAnalytics {
 
   def all: Seq[QueryDef] =
     Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121, q126, q127,
-      q129, q142, q145, q147, q148, q158, q167, q175, q178, q186)
+      q129, q142, q145, q147, q148, q158, q167, q175, q178, q186, q187)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -1344,11 +1344,25 @@ object TextAnalytics {
     * vocabulary-sized, and the top-10 rank window partitions by
     * source over that vocabulary table, never the corpus.
     */
-  def lexicalStats(docs: DataFrame): DataFrame = {
-    val tf = docs
+  /** The (source, term) frequency table — ONE definition shared by the
+    * q127 lexical stats and the q187 Zipf audit (its twin face is
+    * [[tfCteSql]]): a drifted tokenization in either would grade a
+    * different vocabulary than the other reports.
+    */
+  private[graft] def sourceTermFreq(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), explode(toks(col("text"))).as("term"))
       .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("c"))
+
+  /** [[sourceTermFreq]]'s DuckDB face (a CTE body). */
+  private def tfCteSql: String =
+    s"""SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT source, unnest($duckToks) AS term FROM documents)
+       |  GROUP BY source, term""".stripMargin
+
+  def lexicalStats(docs: DataFrame): DataFrame = {
+    val tf = sourceTermFreq(docs)
     val w = Window.partitionBy(col("source")).orderBy(col("c").desc, col("term"))
     tf.withColumn("rk", row_number().over(w))
       .groupBy(col("source"))
@@ -1366,9 +1380,7 @@ object TextAnalytics {
   val q127: QueryDef = QueryDef.sql(
     "q127_lexical_stats",
     s"""WITH tf AS (
-       |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
-       |  FROM (SELECT source, unnest($duckToks) AS term FROM documents)
-       |  GROUP BY source, term),
+       |  $tfCteSql),
        |rk AS (
        |  SELECT source, c,
        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS rk
@@ -1387,6 +1399,112 @@ object TextAnalytics {
        |FROM agg
        |ORDER BY source""".stripMargin) { (s, dir) =>
     lexicalStats(Tables.documents(s, dir))
+  }
+
+  /** Per-source Zipf's-law audit (q187): the least-squares slope of
+    * ln(term frequency) on ln(frequency rank) over each source's
+    * vocabulary, with intercept (the ln of the Zipf constant, in
+    * nats), r², and the absolute deviation from the canonical −1
+    * slope. Natural text sits near slope −1 with high r²; a flat
+    * slope (dev → 1) is templated/synthetic text whose terms are
+    * near-uniform, and a low r² means no power law at all (e.g.
+    * boilerplate mixed with noise) — the distributional complement of
+    * q148's Heaps'-law vocabulary-growth curve and q127's scalar
+    * ratios. Both logs go through [[graft.ops.Sampling.lnMicro]]
+    * (one libm ln per (rank|count) value, rounded once to micro-nat
+    * BIGINTs), the five regression sums are exact DECIMAL arithmetic
+    * over those integers (micro-nat units cancel in the slope and r²;
+    * the intercept divides back to nats once), and the q80 discipline
+    * finishes: cast the exact sums to DOUBLE and run the literal-
+    * identical formula on both engines, round 9.
+    *
+    * Scale: [[sourceTermFreq]] is a corpus-sized partial+final
+    * aggregate; the rank window and regression sums run over the
+    * vocabulary-sized frequency table, never the corpus.
+    */
+  def zipfAudit(docs: DataFrame): DataFrame = {
+    import graft.ops.Sampling.lnMicro
+    val w = Window.partitionBy(col("source")).orderBy(col("c").desc, col("term"))
+    val xy = sourceTermFreq(docs)
+      .withColumn("rk", row_number().over(w))
+      .select(col("source"), col("c"),
+        lnMicro(col("rk")).cast("decimal(19,0)").as("x"),
+        lnMicro(col("c")).cast("decimal(19,0)").as("y"))
+    val g = xy.groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_types"),
+        sum(col("c")).cast("bigint").as("n_tokens"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sx2"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("y") * col("y")).cast("double").as("sy2"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+    val n = col("n_types").cast("double")
+    val varX = n * col("sx2") - col("sx") * col("sx")
+    val varY = n * col("sy2") - col("sy") * col("sy")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val slope = cov / varX
+    val fitOk = col("n_types") >= 2L && varX =!= 0.0
+    g.select(col("source"), col("n_types"), col("n_tokens"),
+      when(fitOk, round(slope, 9)).otherwise(lit(0.0)).as("slope"),
+      when(fitOk, round(((col("sy") - col("sx") * slope) / n) / 1000000.0, 9))
+        .otherwise(lit(0.0)).as("intercept"),
+      when(fitOk && varY =!= 0.0, round((cov * cov) / (varX * varY), 9))
+        .otherwise(lit(0.0)).as("r2"),
+      when(fitOk, round(abs(slope + 1.0), 9)).otherwise(lit(1.0))
+        .as("zipf_dev"))
+  }
+
+  val q187: QueryDef = QueryDef.sql(
+    "q187_zipf_audit",
+    s"""WITH tf AS (
+       |  $tfCteSql),
+       |rk AS (
+       |  SELECT source, term, c,
+       |    row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS rk
+       |  FROM tf),
+       |xy AS (
+       |  SELECT source, c,
+       |    CAST(${Sampling.duckLnMicro("rk")} AS DECIMAL(19,0)) AS x,
+       |    CAST(${Sampling.duckLnMicro("c")} AS DECIMAL(19,0)) AS y
+       |  FROM rk),
+       |g AS (
+       |  SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(sum(x) AS DOUBLE) AS sx,
+       |    CAST(sum(x * x) AS DOUBLE) AS sx2,
+       |    CAST(sum(y) AS DOUBLE) AS sy,
+       |    CAST(sum(y * y) AS DOUBLE) AS sy2,
+       |    CAST(sum(x * y) AS DOUBLE) AS sxy
+       |  FROM xy GROUP BY source)
+       |SELECT source, n_types, n_tokens,
+       |  CASE WHEN n_types >= 2
+       |        AND (CAST(n_types AS DOUBLE) * sx2 - sx * sx) <> 0.0
+       |    THEN round((CAST(n_types AS DOUBLE) * sxy - sx * sy)
+       |      / (CAST(n_types AS DOUBLE) * sx2 - sx * sx), 9)
+       |    ELSE 0.0 END AS slope,
+       |  CASE WHEN n_types >= 2
+       |        AND (CAST(n_types AS DOUBLE) * sx2 - sx * sx) <> 0.0
+       |    THEN round(((sy - sx * ((CAST(n_types AS DOUBLE) * sxy - sx * sy)
+       |        / (CAST(n_types AS DOUBLE) * sx2 - sx * sx)))
+       |      / CAST(n_types AS DOUBLE)) / 1000000.0, 9)
+       |    ELSE 0.0 END AS intercept,
+       |  CASE WHEN n_types >= 2
+       |        AND (CAST(n_types AS DOUBLE) * sx2 - sx * sx) <> 0.0
+       |        AND (CAST(n_types AS DOUBLE) * sy2 - sy * sy) <> 0.0
+       |    THEN round(((CAST(n_types AS DOUBLE) * sxy - sx * sy)
+       |        * (CAST(n_types AS DOUBLE) * sxy - sx * sy))
+       |      / ((CAST(n_types AS DOUBLE) * sx2 - sx * sx)
+       |        * (CAST(n_types AS DOUBLE) * sy2 - sy * sy)), 9)
+       |    ELSE 0.0 END AS r2,
+       |  CASE WHEN n_types >= 2
+       |        AND (CAST(n_types AS DOUBLE) * sx2 - sx * sx) <> 0.0
+       |    THEN round(abs(((CAST(n_types AS DOUBLE) * sxy - sx * sy)
+       |      / (CAST(n_types AS DOUBLE) * sx2 - sx * sx)) + 1.0), 9)
+       |    ELSE 1.0 END AS zipf_dev
+       |FROM g
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    zipfAudit(Tables.documents(s, dir)).orderBy(col("source"))
   }
 
   /** Lift-ranked collocation mining (q145): adjacent token pairs whose

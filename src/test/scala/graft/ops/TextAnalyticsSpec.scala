@@ -338,4 +338,35 @@ class TextAnalyticsSpec extends SparkSpec {
       "identical fixed features => the fixed gate passes all docs or none")
     assert(bp + no == 4L, "NB passes exactly the Gopher-pass class")
   }
+
+  test("q187 zipf audit: exact -1 slope on a 4/2 frequency pair; flat and singleton sources degrade to the documented zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      // freqs 4,2 at ranks 1,2: slope = (ln2-ln4)/(ln2-ln1) = -1
+      // EXACTLY even in micro-nats (1386294 = 2*693147)
+      (1L, "aa aa aa aa bb bb", "zipf"),
+      // equal freqs: zero y-variance => slope 0, r2 0, dev 1
+      (2L, "cc cc cc dd dd dd", "flat"),
+      // single type: no fit (n_types < 2)
+      (3L, "ee", "one"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val out = TextAnalytics.zipfAudit(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    val (nt, ntok, slope, intercept, r2, dev) = out("zipf")
+    assert((nt, ntok) == ((2L, 6L)))
+    assert(slope == -1.0, s"micro-nat-exact -1 expected, got $slope")
+    assert(r2 == 1.0, s"two points fit perfectly, got $r2")
+    assert(dev == 0.0)
+    // intercept = mean(y) - slope*mean(x) = (1386294+693147)/2 + 693147/2
+    //           = 1386294 micro-nats -> 1.386294 nats (ln of freq at rank 1)
+    assert(intercept == 1.386294, s"ln-Zipf-constant in nats, got $intercept")
+    assert(out("flat") == ((2L, 6L, 0.0, 1.098612, 0.0, 1.0)),
+      "zero y-variance: slope 0 (intercept = mean ln freq = ln 3), r2 0, dev 1")
+    assert(out("one") == ((1L, 1L, 0.0, 0.0, 0.0, 1.0)),
+      "a single type cannot be fit")
+  }
 }
