@@ -25,7 +25,7 @@ object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
     q45, q46, q47, q51, q52, q53, q57, q102, q105, q106, q128, q130, q153,
-    q160, q170, q173, q177)
+    q160, q170, q173, q177, q188)
 
   // the shared twin cosine fragments (single definition: TwinSql)
   // every twin in this file SCORES vectors, so only the zero-norm
@@ -1077,5 +1077,153 @@ object NonOracle {
     top.join(est, "term")
       .select(col("term"), col("cnt").as("n_exact"), col("n_cms"))
       .orderBy(col("n_exact").desc, col("term"))
+  }
+
+  /** Hybrid sparse+dense retrieval with reciprocal-rank fusion (q188):
+    * "related documents" for each query doc (doc_id < 5) from TWO
+    * arms run over the whole corpus — Okapi BM25 (the q115 engine,
+    * queried with the doc's own top-4 terms by (tf desc, term)) and
+    * embedding cosine kNN (the q57 stub-embedding engine) — fused by
+    * RRF: score(c) = Σ_arm 1/(60 + rank_arm(c)), the standard fusion
+    * constant, summed sparse-then-dense in one fixed IEEE order. A
+    * candidate missing from an arm contributes 0 from it. This is the
+    * serving-stack shape every RAG/retrieval deployment runs (lexical
+    * recall + semantic recall, union of shortlists, rank-only fusion
+    * — RRF needs no score calibration between arms, which is the
+    * point: BM25 scores and cosines are not comparable).
+    *
+    * Each arm excludes the query doc itself: BM25 retrieves top-(k+1)
+    * then drops self and re-ranks by its own (score desc, id) order
+    * (contiguous 1..k ranks — a rank GAP where self sat would leak
+    * into the fused score); the kNN kernel never scores self. Ranks
+    * are exact integers, so the only floats in the fusion are the two
+    * literal divisions.
+    *
+    * Scale: the arms are the audited q115/q57 engines (postings built
+    * once; the query side of both arms is query-count-sized and
+    * broadcast); fusion is a shortlist-sized (|Q|·2k rows) full outer
+    * join + window. TWO-STAGE ORACLE: DuckDB re-runs the ENTIRE
+    * sparse arm from raw documents (the q115 chain with the per-doc
+    * query derivation) and the ENTIRE dense arm from the dumped
+    * deterministic embeddings (the q57 chain), then the fusion.
+    */
+  def hybridRetrieval(s: org.apache.spark.sql.SparkSession, dir: String,
+                      nQ: Int = 5, k: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    // sparse arm: BM25 over the corpus postings, one query per doc
+    val tokens = docs.select(col("doc_id"),
+      explode(TextAnalytics.toks(col("text"))).as("term"))
+    val n = docs.count()
+    val tf = graft.index.Retrieval.postings(tokens).localCheckpoint(false)
+    val wq = Window.partitionBy(col("qid")).orderBy(col("tf").desc, col("term"))
+    val queries = tf.filter(col("doc_id") < nQ)
+      .select(col("doc_id").as("qid"), col("term"), col("tf"))
+      .withColumn("r", row_number().over(wq)).filter(col("r") <= 4)
+      .select(col("qid"), col("term"))
+    val wS = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val sparse = graft.index.Retrieval
+      .searchBm25Postings(tf, queries, n, k = k + 1)
+      .filter(col("doc_id") =!= col("qid"))
+      .withColumn("rs", row_number().over(wS)).filter(col("rs") <= k)
+      .select(col("qid"), col("doc_id").as("cid"),
+        col("rs").cast("bigint").as("rs"))
+    // dense arm: q57's deterministic stub embeddings, exact cosine kNN
+    val emb = Multimodal.embedStub(s, Multimodal.attachMedia(docs))
+      .toDF("vec_id", "v")
+    val dense = Similarity
+      .bruteForceKnn(emb.filter(col("vec_id") < nQ).toDF("qid", "qv"), emb, k)
+      .select(col("qid"), col("cid"), col("rnk").cast("bigint").as("rd"))
+    val wF = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("cid"))
+    sparse.join(dense, Seq("qid", "cid"), "full_outer")
+      .select(col("qid"), col("cid"), col("rs"), col("rd"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("rs").cast("double")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + col("rd").cast("double")), lit(0.0)))
+          .as("rrf"))
+      .withColumn("rnk", row_number().over(wF)).filter(col("rnk") <= k)
+  }
+
+  val q188 = QueryDef.sql(
+    "q188_hybrid_rrf_retrieval",
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    unnest(${TwinSql.toksSql}) AS term
+       |  FROM documents),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tk GROUP BY term, doc_id),
+       |qs AS (
+       |  SELECT qid, term FROM (
+       |    SELECT doc_id AS qid, term,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS r
+       |    FROM tf WHERE doc_id < 5)
+       |  WHERE r <= 4),
+       |tfdl AS (SELECT term, doc_id, tf,
+       |         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+       |         FROM tf),
+       |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |       FROM tk GROUP BY term),
+       |idf AS (
+       |  SELECT term,
+       |    round(ln((CAST(n.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |      / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9) AS idf
+       |  FROM df CROSS JOIN n),
+       |ad AS (
+       |  SELECT CAST(sum(dl0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM (SELECT doc_id, count(*) AS dl0 FROM tk GROUP BY doc_id)),
+       |w AS (
+       |  SELECT tfdl.term, tfdl.doc_id,
+       |    idf.idf * (CAST(tf AS DOUBLE) * 2.2
+       |      / (CAST(tf AS DOUBLE)
+       |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS w
+       |  FROM tfdl JOIN idf USING (term) CROSS JOIN ad),
+       |m AS (SELECT qs.qid, w.doc_id, w.term, w.w FROM w JOIN qs USING (term)),
+       |agg AS (
+       |  SELECT qid, doc_id,
+       |    list_sum(list(w ORDER BY term)) AS score
+       |  FROM m GROUP BY qid, doc_id),
+       |scut AS (
+       |  SELECT qid, doc_id, score FROM (
+       |    SELECT qid, doc_id, score,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r0
+       |    FROM agg)
+       |  WHERE r0 <= 11),
+       |sarm AS (
+       |  SELECT qid, cid, rs FROM (
+       |    SELECT qid, doc_id AS cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rs
+       |    FROM scut WHERE doc_id <> qid)
+       |  WHERE rs <= 10),
+       |e AS (
+       |  SELECT vec_id, list(x ORDER BY pos) AS v
+       |  FROM read_parquet('__GRAFT_OUT__/aux_mm_embed/*.parquet')
+       |  GROUP BY vec_id),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |sden AS (
+       |  SELECT qid, e.vec_id AS cid,
+       |    ${cosSqlZ("qv", "v")} AS score
+       |  FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+       |darm AS (
+       |  SELECT qid, cid, rd FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rd
+       |    FROM sden)
+       |  WHERE rd <= 10),
+       |fu AS (
+       |  SELECT COALESCE(s.qid, d.qid) AS qid, COALESCE(s.cid, d.cid) AS cid,
+       |    s.rs, d.rd,
+       |    COALESCE(1.0 / (60.0 + CAST(s.rs AS DOUBLE)), 0.0)
+       |      + COALESCE(1.0 / (60.0 + CAST(d.rd AS DOUBLE)), 0.0) AS rrf
+       |  FROM sarm s FULL OUTER JOIN darm d
+       |    ON s.qid = d.qid AND s.cid = d.cid)
+       |SELECT qid, cid, rs, rd, rrf, rnk FROM (
+       |  SELECT qid, cid, rs, rd, rrf,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rnk
+       |  FROM fu)
+       |WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+    hybridRetrieval(s, dir).orderBy(col("qid"), col("rnk"))
   }
 }
