@@ -186,7 +186,9 @@ class PlanAuditSpec extends SparkSpec {
       "q176_dsir_selection" -> "nBuckets bucket rows x one-row broadcast holding the scalar occurrence totals",
       "q178_nb_classifier_audit" -> "vocab rows x one-row broadcast of (V, N+, N-); doc rows x one-row broadcast of the class prior",
       "q180_ivf_recall_curve" -> "bounded audit: query batch x K centroids, candidates x 8-row nprobe spine, brute reference x corpus, one-row totals",
-      "q181_ivf_delete_serve" -> "bounded query batch x K-row broadcast of the persisted quantizer (the probeSearch serve join)"
+      "q181_ivf_delete_serve" -> "bounded query batch x K-row broadcast of the persisted quantizer (the probeSearch serve join)",
+      "q186_gate_disagreement" -> "q178's NB kernel: vocab rows x one-row broadcast of (V, N+, N-); doc rows x one-row broadcast of the class prior",
+      "q188_hybrid_rrf_retrieval" -> "the audited arms' bounded sides: q115's one-row corpus-mean doc-length broadcast (sparse) + q31's bounded query batch x corpus (dense)"
     )
     val bad = scala.collection.mutable.ListBuffer[String]()
     val observedBnlj = scala.collection.mutable.TreeSet[String]()
