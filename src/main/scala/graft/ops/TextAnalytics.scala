@@ -81,7 +81,7 @@ object TextAnalytics {
 
   def all: Seq[QueryDef] =
     Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121, q126, q127,
-      q129, q142, q145, q147, q148, q158, q167, q175, q178, q186, q187)
+      q129, q142, q145, q147, q148, q158, q167, q175, q178, q186, q187, q189)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -737,6 +737,115 @@ object TextAnalytics {
        |FROM d LEFT JOIN sc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     bigramLogProb(Tables.documents(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** Interpolated Kneser–Ney bigram scoring (q189): the standard
+    * smoothing the CCNet/KenLM perplexity filter actually trains
+    * (Kneser & Ney 1995; Chen & Goodman 1999) next to q116's add-one
+    * baseline — absolute discount d = 3/4 off every seen bigram, the
+    * freed mass backing off to the CONTINUATION unigram (how many
+    * distinct contexts precede w2, not how often w2 occurs — the
+    * "San Francisco" correction: frequent-but-predictable words stop
+    * inflating the backoff).
+    *
+    *   P(w2|w1) = (c12 − 3/4)/c1 + (3/4)·(N1+(w1·)/c1)·(N1+(·w2)/NN)
+    *
+    * Because the corpus scores ITSELF, every scored bigram has
+    * c12 ≥ 1 — no OOV branch, no max(·,0) clamp, and over a common
+    * denominator the probability is the ratio of two exact BIGINTs:
+    *
+    *   num = (4·c12 − 3)·NN + 3·N1+(w1·)·N1+(·w2),  den = 4·c1·NN
+    *
+    * so ln goes through [[graft.ops.Sampling.lnMicro]] twice per
+    * DISTINCT bigram (the q116/q176 discipline) and the per-doc score
+    * is an INTEGER micro-nat sum — fold-order-free, unlike q116's
+    * position-pinned float fold. avg_logprob divides the exact sum
+    * once at the end.
+    *
+    * Scale: bigram extraction is narrow (array-local transform); the
+    * count table is one partial+final (w1,w2) aggregate; c1/N1+(w1·)
+    * ride ONE w1-partitioned window and N1+(·w2) one w2-partitioned
+    * window — both over the vocabulary²-bounded pair table, never the
+    * corpus; NN is a one-row broadcast (whitelisted scalar BNLJ);
+    * scoring joins corpus bigrams to the LM on (w1,w2) (AQE handles
+    * the heavy-hitter skew, q116's argument) and partial-aggregates
+    * per doc.
+    */
+  def knBigramLogProb(docs: DataFrame): DataFrame = {
+    import graft.ops.Sampling.lnMicro
+    val d = docs.select(col("doc_id"), toks(col("text")).as("t"))
+    val bg = d.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("bigint").as("c12"))
+    val w1w = Window.partitionBy(col("w1"))
+    val stats = c
+      .withColumn("c1", sum(col("c12")).over(w1w).cast("bigint"))
+      .withColumn("n1f", count(lit(1)).over(w1w).cast("bigint"))
+      .withColumn("n1b",
+        count(lit(1)).over(Window.partitionBy(col("w2"))).cast("bigint"))
+    val nn = c.agg(count(lit(1)).cast("bigint").as("nn"))
+    val lm = stats.crossJoin(broadcast(nn))
+      .select(col("w1"), col("w2"),
+        (lnMicro((lit(4L) * col("c12") - lit(3L)) * col("nn")
+            + lit(3L) * col("n1f") * col("n1b"))
+          - lnMicro(lit(4L) * col("c1") * col("nn"))).as("lp"))
+    val scored = bg.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+        sum(col("lp")).cast("bigint").as("s"))
+    d.join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("s"), lit(0L)).as("kn_sum_micro"),
+        coalesce(col("s").cast("double")
+            / (col("n_bigrams").cast("double") * lit(1000000.0)), lit(0.0))
+          .as("avg_logprob"))
+  }
+
+  /** q189: [[knBigramLogProb]] over the documents table. The twin
+    * re-trains the full KN model in SQL — same discount, same
+    * continuation counts, same two-lnMicro-per-distinct-bigram — so
+    * the hash compare covers training and scoring alike.
+    */
+  val q189: QueryDef = QueryDef.sql(
+    "q189_kneser_ney_score",
+    s"""WITH d AS (SELECT doc_id, $duckToks AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, t[k + 1] AS w1, t[k + 2] AS w2
+       |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS k
+       |        FROM d WHERE len(t) >= 2)),
+       |c AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |  FROM bg GROUP BY w1, w2),
+       |st AS (
+       |  SELECT w1, w2, c12,
+       |    CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+       |    CAST(count(*) OVER (PARTITION BY w1) AS BIGINT) AS n1f,
+       |    CAST(count(*) OVER (PARTITION BY w2) AS BIGINT) AS n1b
+       |  FROM c),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM c),
+       |lm AS (
+       |  SELECT w1, w2,
+       |    ${Sampling.duckLnMicro("(4 * c12 - 3) * nn + 3 * n1f * n1b")}
+       |      - ${Sampling.duckLnMicro("4 * c1 * nn")} AS lp
+       |  FROM st CROSS JOIN nn),
+       |sc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(lp) AS BIGINT) AS s
+       |  FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(sc.s, 0) AS kn_sum_micro,
+       |  COALESCE(CAST(sc.s AS DOUBLE)
+       |    / (CAST(sc.n_bigrams AS DOUBLE) * 1000000.0), 0.0) AS avg_logprob
+       |FROM d LEFT JOIN sc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    knBigramLogProb(Tables.documents(s, dir)).orderBy(col("doc_id"))
   }
 
   /** Rule-based quality gate (q126): the Gopher-style NAMED-RULE

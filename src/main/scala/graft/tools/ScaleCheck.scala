@@ -91,7 +91,10 @@ object ScaleCheck {
         // only replica 0 participates, so the probe measures a fixed
         // slice cost). q183 scans the full corpus (tokenize pass +
         // planner broadcast + TakeOrderedAndProject head):
-        "q183_training_manifest")
+        "q183_training_manifest",
+        // q189 trains + scores on the full corpus (q116's shape plus
+        // one extra vocabulary-sized w2 window):
+        "q189_kneser_ney_score")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()

@@ -369,4 +369,84 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(out("one") == ((1L, 1L, 0.0, 0.0, 0.0, 1.0)),
       "a single type cannot be fit")
   }
+
+  /** Independent Scala reference of the q189 KN statistics over a
+    * token list corpus — plain Maps, no Spark, no shared code with
+    * the kernel.
+    */
+  private def knRef(docs: Seq[(Long, String)]) = {
+    val tokd = docs.map { case (id, t) =>
+      id -> t.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq }
+    val bgs = tokd.flatMap { case (id, w) =>
+      if (w.length >= 2) w.sliding(2).map(p => (id, p(0), p(1))).toSeq else Nil }
+    val c12 = bgs.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1f = c12.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1b = c12.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nn = c12.size.toLong
+    (tokd, bgs, c12, c1, n1f, n1b, nn)
+  }
+
+  test("q189 KN: per-context probabilities sum to exactly 1 (integer identity)") {
+    // sum over OBSERVED (w1,w2) of (4*c12-3)*NN plus sum over ALL
+    // second-word types of 3*n1f(w1)*n1b(w2) must equal 4*c1(w1)*NN
+    // for every context w1 — the exact-rational normalization of the
+    // interpolated KN model over a common denominator
+    val (_, _, c12, c1, n1f, n1b, nn) = knRef(Seq(
+      1L -> "a b a b c b", 2L -> "b c d a a", 3L -> "c a b b b x y"))
+    val secondTypes = n1b.keys.toSeq
+    c1.keys.foreach { w1 =>
+      val disc = c12.collect { case ((h, _), c) if h == w1 =>
+        BigInt(4 * c - 3) * BigInt(nn) }.sum
+      val back = secondTypes.map(w2 =>
+        BigInt(3) * BigInt(n1f(w1)) * BigInt(n1b(w2))).sum
+      assert(disc + back == BigInt(4) * BigInt(c1(w1)) * BigInt(nn),
+        s"KN mass for context '$w1' does not normalize")
+    }
+  }
+
+  test("q189 KN kernel matches an independent reference, zeros on degenerate docs") {
+    import spark.implicits._
+    val corpus = Seq(1L -> "a b a b c b", 2L -> "b c d a a",
+      3L -> "c a b b b x y", 4L -> "solo", 5L -> "")
+    val (tokd, bgs, c12, c1, n1f, n1b, nn) = knRef(corpus)
+    def lnMicro(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val expected = tokd.map { case (id, w) =>
+      val mine = bgs.filter(_._1 == id)
+      val s = mine.map { case (_, w1, w2) =>
+        lnMicro((4 * c12((w1, w2)) - 3) * nn + 3 * n1f(w1) * n1b(w2)) -
+          lnMicro(4 * c1(w1) * nn) }.sum
+      val n = mine.size.toLong
+      id -> ((n, s, if (n == 0) 0.0 else s.toDouble / (n.toDouble * 1e6)))
+    }.toMap
+    val out = TextAnalytics.knBigramLogProb(
+      corpus.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(out(id) == e, s"doc $id: kernel ${out(id)} != reference $e")
+    }
+    assert(out(4L) == ((0L, 0L, 0.0)), "one-token doc scores zero")
+    assert(out(5L) == ((0L, 0L, 0.0)), "empty doc scores zero")
+  }
+
+  test("q189 KN discounts frequent-but-predictable continuations below their raw MLE share") {
+    import spark.implicits._
+    // 'q' follows ONLY 'p' (predictable) though frequent; 'z' follows
+    // many contexts. KN's continuation count must hold P(q | fresh
+    // context) below P(z | fresh context) even when raw unigram
+    // frequency says otherwise.
+    val docs = Seq(
+      1L -> "p q p q p q p q p q p q",
+      2L -> "a z b z c z d z",
+      3L -> "e z f q") // f->q: the fresh context for q; e->z for z
+    val (_, _, c12, c1, n1f, n1b, nn) = knRef(docs.map(d => (d._1, d._2)))
+    def p(w1: String, w2: String): Double =
+      ((4.0 * c12((w1, w2)) - 3.0) * nn + 3.0 * n1f(w1) * n1b(w2)) /
+        (4.0 * c1(w1) * nn)
+    assert(n1b("q") < n1b("z"), "fixture: q has fewer distinct contexts")
+    assert(p("f", "q") < p("e", "z"),
+      "continuation smoothing must rank the versatile word higher in a fresh context")
+  }
 }
