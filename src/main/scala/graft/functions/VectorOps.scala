@@ -286,6 +286,28 @@ object VectorOps {
     sig
   }
 
+  /** Real-valued random projection of `v` against `planes` (m x dim):
+    * component p is dot(planes(p), v) folded in index order over the
+    * common prefix — the JL sketch whose SIGN BIT [[signBucket]]
+    * keeps. Shared by the interpreted and codegen paths of
+    * [[JlProjectExpr]]; dimensions beyond min(|v|, dim) are ignored
+    * (signBucket's convention).
+    */
+  def jlProject(v: ArrayData, planes: Array[Array[Double]]): ArrayData = {
+    val out = new Array[Any](planes.length)
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val n = math.min(pl.length, v.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += pl(i) * v.getDouble(i); i += 1 }
+      out(p) = s
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** splitmix64 finalizer — public-domain bit mixer. */
   def mix64(v: Long): Long = {
     var z = v + 0x9e3779b97f4a7c15L

@@ -295,6 +295,42 @@ case class SignBucketExpr(child: Expression, planes: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Real-valued JL random projection against driver-side planes
+  * (m x dim): ARRAY<DOUBLE> -> ARRAY<DOUBLE> of plane dots, each an
+  * index-order fold over the common prefix. [[SignBucketExpr]] keeps
+  * the sign bit of each component this computes; like it, the planes
+  * ride into the generated code as a reference object, so corpus
+  * projection — the 100 TB side of dimensionality reduction — is a
+  * pure codegen'd narrow map.
+  */
+case class JlProjectExpr(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(planes.nonEmpty, "jl_project needs at least one plane")
+  require(planes.map(_.length).distinct.size == 1,
+    "jl_project planes must share one dimension")
+
+  // Seq field for structural equality (canonicalization / reuse);
+  // primitive form derived once for the kernel.
+  @transient private lazy val planesArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "jl_project"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.jlProject(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planesArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planesArr, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.jlProject($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JlProjectExpr =
+    copy(child = newChild)
+}
+
 /** Product-quantization encode against driver-side codebooks
   * ([m][ksub][subDim]): ARRAY<DOUBLE> -> ARRAY<INT> of m codeword
   * indices. Like [[NearestCenterExpr]], the codebooks ride into the
@@ -552,6 +588,10 @@ object functions {
     Shim.column(SignBucketExpr(Shim.expression(c),
       planes.map(_.toIndexedSeq).toIndexedSeq))
 
+  def jl_project(c: Column, planes: Array[Array[Double]]): Column =
+    Shim.column(JlProjectExpr(Shim.expression(c),
+      planes.map(_.toIndexedSeq).toIndexedSeq))
+
   def bloom_might_contain(c: Column,
                           bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     Shim.column(BloomMightContainExpr(Shim.expression(c), bloom))
@@ -677,5 +717,7 @@ object GraftExtensions {
       dblVec(es(0)), nestedDoublesArg(es(1), "nearest_center")))
     f("sign_bucket", es => SignBucketExpr(
       dblVec(es(0)), nestedDoublesArg(es(1), "sign_bucket")))
+    f("jl_project", es => JlProjectExpr(
+      dblVec(es(0)), nestedDoublesArg(es(1), "jl_project")))
   }
 }

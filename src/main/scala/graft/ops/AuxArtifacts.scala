@@ -41,6 +41,13 @@ object AuxArtifacts {
     // q51: same corpus under the 8-plane set (dedupByEmbedding's knob)
     "aux_sign_bucket8" -> ((s, dir) =>
       Similarity.signBuckets(embDouble(s, dir), nPlanes = 8)),
+    // q190: the 31-dim JL projection of every embedding (the same
+    // hyperplane family the sign buckets keep one bit of), exploded
+    // to (vec_id, pos, x); null embeddings self-exclude (the kernel
+    // is null-safe and posexplode drops the null array)
+    "aux_jl_proj" -> ((s, dir) =>
+      Similarity.jlProjected(embDouble(s, dir))
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "x")))),
     // q177: dHash-64 perceptual image signatures over the attached
     // media frame (decoded pixels where a JDK reader applies, the
     // deterministic stub grid otherwise — stable per byte content)

@@ -23,7 +23,7 @@ import graft.functions.VectorOps
 object Similarity {
 
   def all: Seq[QueryDef] = Seq(q30, q31, q117, q120, q149, q150, q164, q165,
-    q171, q174, q180, q181)
+    q171, q174, q180, q181, q190)
 
   // the shared twin cosine fragments (single definition: TwinSql)
   private def cosSqlZ(a: String, b: String): String = TwinSql.cosZ(a, b)
@@ -1351,6 +1351,141 @@ object Similarity {
     ivfRecallCurve(s, emb, emb.filter(col("vec_id") < 10), k = 10,
       nCells = 8, lloydIters = 1)
       .orderBy(col("nprobe"))
+  }
+
+  /** The 32-plane JL projection set: the SAME deterministic seedless
+    * hyperplane family sign-LSH buckets with ([[signPlanes]] — plane p
+    * depends only on p, so the m-plane set is a PREFIX of this one and
+    * every curve point below reads a prefix slice of one projection).
+    * JL keeps the real dot product where sign-LSH keeps its sign bit.
+    */
+  private[ops] def jlPlanes: Array[Array[Double]] = signPlanes(31, 64)
+
+  /** 31-dim JL projection of a two-column (id, vector) frame — the
+    * narrow map-side half of the q190 audit (a pure codegen kernel,
+    * [[graft.functions.JlProjectExpr]]), exposed so graft.Verify can
+    * dump it as a two-stage-oracle artifact.
+    */
+  def jlProjected(vecs: DataFrame): DataFrame = {
+    val Array(idName, _) = vecs.columns
+    vecs.toDF("id", "v")
+      .select(col("id").as(idName),
+        graft.functions.functions.jl_project(col("v"), jlPlanes).as("proj"))
+  }
+
+  /** Empirical recall-vs-projection-dim curve (q190): recall@k of
+    * exact cosine kNN run in JL-PROJECTED space (dims 4/8/16/31)
+    * against [[bruteForceKnn]] in the raw 64-dim space — the
+    * Johnson–Lindenstrauss operating table that says how few
+    * projected dimensions this corpus tolerates, the q180/q172
+    * companion for the third ANN family (random projection) next to
+    * IVF's nprobe curve and LSH's analytic S-curve. Production use:
+    * the projected vectors feed the SAME lshKnn/ivfKnn machinery at
+    * m/64 of the per-distance cost; this curve prices that trade.
+    *
+    * The corpus is projected ONCE at 31 dims; every curve point
+    * scores a prefix slice (the planes are prefix-stable), so the
+    * curve shares one projection pass exactly as q180's points share
+    * one assignment.
+    *
+    * TWO-STAGE ORACLE: only the projection kernel is engine-internal
+    * (dumped as aux_jl_proj); DuckDB re-runs the prefix slicing, both
+    * kNNs (the pinned cosine fold over the dumped doubles — identical
+    * bits, identical ties), and the hit counts. Counts are integers;
+    * recall is one literal division.
+    *
+    * Scale: bounded audit batch (vec_id < 10, q180's exclusion
+    * reasoning) — the corpus side streams through the broadcast query
+    * join exactly as serving does; the dim spine multiplies only the
+    * bounded scored frame.
+    */
+  def jlRecallCurve(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                    k: Int, dims: Seq[Int] = Seq(4, 8, 16, 31)): DataFrame = {
+    require(dims.nonEmpty && dims.forall(m => m >= 1 && m <= jlPlanes.length),
+      s"projection dims must sit in 1..${jlPlanes.length}")
+    val c = corpus.toDF("cid", "cv").filter(col("cv").isNotNull)
+    val q = queries.toDF("qid", "qv").filter(col("qv").isNotNull)
+    val cp = jlProjected(c).toDF("cid", "cproj")
+    val qp = jlProjected(q).toDF("qid", "qproj")
+    val spine = spark.createDataFrame(dims.map(m => Tuple1(m.toLong)))
+      .toDF("proj_dim")
+    val wr = Window.partitionBy(col("proj_dim"), col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    val jlTop = cp.crossJoin(broadcast(qp))
+      .filter(col("qid") =!= col("cid"))
+      .crossJoin(broadcast(spine))
+      .select(col("proj_dim"), col("qid"), col("cid"),
+        cosine_similarity(
+          slice(col("qproj"), lit(1), col("proj_dim").cast("int")),
+          slice(col("cproj"), lit(1), col("proj_dim").cast("int"))).as("score"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+      .select(col("proj_dim"), col("qid"), col("cid"))
+    val brute = bruteForceKnn(q, c, k).select(col("qid"), col("cid"))
+    val tot = brute.agg(count(lit(1)).cast("bigint").as("n_brute"),
+      countDistinct(col("qid")).cast("bigint").as("n_queries"))
+    val hits = jlTop.join(brute, Seq("qid", "cid"))
+      .groupBy(col("proj_dim"))
+      .agg(count(lit(1)).cast("bigint").as("n_hits"))
+    spine.join(hits, Seq("proj_dim"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("proj_dim").cast("bigint").as("proj_dim"),
+        lit(k.toLong).as("k"),
+        col("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).cast("bigint").as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_brute").cast("double")).as("recall"))
+  }
+
+  val q190: QueryDef = QueryDef.sql(
+    "q190_jl_recall_curve",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |p AS (
+       |  SELECT vec_id, list(x ORDER BY pos) AS proj
+       |  FROM read_parquet('__GRAFT_OUT__/aux_jl_proj/*.parquet')
+       |  GROUP BY vec_id),
+       |m AS (SELECT CAST(unnest([4, 8, 16, 31]) AS BIGINT) AS proj_dim),
+       |sc AS (
+       |  SELECT m.proj_dim, qp.vec_id AS qid, cp.vec_id AS cid,
+       |    ${cosSqlZ("list_slice(qp.proj, 1, m.proj_dim)",
+                      "list_slice(cp.proj, 1, m.proj_dim)")} AS score
+       |  FROM p qp CROSS JOIN p cp CROSS JOIN m
+       |  WHERE qp.vec_id < 10 AND qp.vec_id <> cp.vec_id),
+       |jl AS (
+       |  SELECT proj_dim, qid, cid FROM (
+       |    SELECT proj_dim, qid, cid,
+       |      row_number() OVER (PARTITION BY proj_dim, qid
+       |        ORDER BY score DESC, cid) AS rnk
+       |    FROM sc) WHERE rnk <= 10),
+       |bsc AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    ${cosSqlZ("q.embedding", "c.embedding")} AS score
+       |  FROM e q CROSS JOIN e c
+       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |bs AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+       |    FROM bsc) WHERE rnk <= 10),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_brute,
+       |    CAST(count(DISTINCT qid) AS BIGINT) AS n_queries FROM bs),
+       |h AS (
+       |  SELECT proj_dim, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM jl JOIN bs USING (qid, cid) GROUP BY proj_dim)
+       |SELECT m.proj_dim,
+       |  CAST(10 AS BIGINT) AS k,
+       |  tot.n_queries,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(tot.n_brute AS DOUBLE)
+       |    AS recall
+       |FROM m LEFT JOIN h USING (proj_dim), tot
+       |ORDER BY m.proj_dim""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    jlRecallCurve(s, emb, emb.filter(col("vec_id") < 10), k = 10)
+      .orderBy(col("proj_dim"))
   }
 
   val q171: QueryDef = QueryDef.sql(

@@ -73,7 +73,10 @@ object ScaleCheck {
         // q180 is deliberately absent (q164's reason: bounded
         // vec_id < 10 audit batch against the vec_id < 8 fixture
         // quantizer — the corpus-scale serving story is q53's probe
-        // join shape, pinned in PLANS.md).
+        // join shape, pinned in PLANS.md). q190 is absent for the
+        // same reason (bounded vec_id < 10 batch; the corpus-scale
+        // half — the projection itself — is a pure codegen narrow
+        // map, JlProjectExpr).
         // q177 is deliberately absent: id-shifted replicas land in the
         // SAME doc_id % 50 pattern group (10^7 is a multiple of 50),
         // so the fixture's verified-pair output grows quadratically in

@@ -294,4 +294,59 @@ class SimilaritySpec extends SparkSpec {
       "probing every cell IS the exact search: recall must be exactly 1.0")
     assert(rows.head._3 > 0.0, "probing the nearest cell must find something")
   }
+
+  test("jlProject kernel: per-plane index-order dots, sign bits agree with signBucket") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val planes = Array(Array(1.0, -2.0, 0.5), Array(0.0, 3.0, -1.0))
+    val v = new GenericArrayData(Array[Any](2.0, 1.0, 4.0))
+    val out = graft.functions.VectorOps.jlProject(v, planes)
+    assert(out.numElements() == 2)
+    assert(out.getDouble(0) == 1.0 * 2.0 + -2.0 * 1.0 + 0.5 * 4.0)
+    assert(out.getDouble(1) == 0.0 * 2.0 + 3.0 * 1.0 + -1.0 * 4.0)
+    // ragged input: dimensions beyond the common prefix are ignored
+    val short = new GenericArrayData(Array[Any](2.0, 1.0))
+    assert(graft.functions.VectorOps.jlProject(short, planes).getDouble(0) == 0.0)
+    // the sign bit of every projected component IS the sign-LSH bucket
+    // bit — same planes, same fold, one family
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      val x = new GenericArrayData(
+        Array.fill[Any](8)(rnd.nextDouble() * 2 - 1))
+      val pl = graft.ops.Similarity.signPlanes(12, 8)
+      val proj = graft.functions.VectorOps.jlProject(x, pl)
+      val bucket = graft.functions.VectorOps.signBucket(x, pl)
+      (0 until 12).foreach { p =>
+        assert(((bucket >> p) & 1) == (if (proj.getDouble(p) >= 0) 1 else 0),
+          s"plane $p: sign bit diverges from the projected component")
+      }
+    }
+  }
+
+  test("q190 JL curve: prefix-stable planes, one row per dim, recall bounded and exact-by-31 high") {
+    // prefix property the curve's shared projection rests on: the
+    // m-plane set is literally the first m rows of the 31-plane set
+    val all = Similarity.jlPlanes
+    val eight = Similarity.signPlanes(8, 64)
+    (0 until 8).foreach(p => assert(all(p).sameElements(eight(p)),
+      s"plane $p must not depend on the set width"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val rows = Similarity.jlRecallCurve(spark, emb,
+      emb.filter(col("vec_id") < 10), k = 10)
+      .orderBy(col("proj_dim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(4L, 8L, 16L, 31L),
+      "one curve point per projection dim, zero-hit dims included")
+    rows.foreach { case (m, k, nq, nh, rec) =>
+      assert(k == 10L && nq > 0)
+      assert(nh >= 0 && nh <= k * nq, s"dim $m: hits out of range")
+      assert(rec >= 0.0 && rec <= 1.0, s"dim $m: recall $rec out of [0,1]")
+    }
+    // JL in expectation: the widest projection must beat the narrowest
+    // on any non-adversarial corpus (the fixture is driver-generated
+    // gaussian-ish); equality would mean the slice plumbing is dead
+    assert(rows.last._5 > rows.head._5,
+      "31-dim recall must exceed 4-dim recall on the fixture")
+  }
 }
