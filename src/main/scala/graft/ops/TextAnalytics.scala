@@ -81,7 +81,8 @@ object TextAnalytics {
 
   def all: Seq[QueryDef] =
     Seq(q21, q22, q23, q24, q38, q39, q86, q88, q109, q116, q121, q126, q127,
-      q129, q142, q145, q147, q148, q158, q167, q175, q178, q186, q187, q189)
+      q129, q142, q145, q147, q148, q158, q167, q175, q178, q186, q187, q189,
+      q191)
 
   /** Per-document token statistics. */
   val q21: QueryDef = QueryDef.sql(
@@ -1437,6 +1438,118 @@ object TextAnalytics {
        |FROM c
        |ORDER BY source""".stripMargin) { (s, dir) =>
     gateDisagreement(Tables.documents(s, dir)).orderBy(col("source"))
+  }
+
+  /** Gate operating-point table (q191): the threshold sweep that turns
+    * q175/q178's "which gate RANKS better" into "where do I CUT" —
+    * for both shipped gates (the fixed q109 sigmoid and the trained
+    * q178 NB log-odds) at every threshold k/20, k = 1..19, the full
+    * confusion against the q126 Gopher label plus precision, recall,
+    * and F1. The NB gate is swept in its NATIVE micro-nat log-odds
+    * space: the cut for probability k/20 is ln(k/(20−k)) micro-nats =
+    * lnMicro(k) − lnMicro(20−k), exact integers — never a sigmoid
+    * materialized in floats. F1 is the SINGLE division
+    * 2·tp/(2·tp+fp+fn) of exact BIGINTs (not the two-stage
+    * 2PR/(P+R), whose intermediate rounding could diverge per
+    * engine); precision/recall are likewise one division each, 0.0
+    * when undefined.
+    *
+    * Pure composition of the single-definition kernels
+    * ([[nbBase]]/[[nbScoreFromCounts]], [[classifierZ]]/
+    * [[rationalSigmoid]]) — the sweep grades exactly the scores the
+    * engine ships.
+    *
+    * Scale: both score passes are the audited q178/q109 chains; the
+    * 19-row threshold spine multiplies doc-count rows (narrow,
+    * pre-aggregation — map-side combine folds them before the one
+    * exchange to 38 output rows).
+    */
+  def gateOperatingPoints(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import graft.ops.Sampling.lnMicro
+    val base = nbBase(docs)
+    val occ = nbOccurrences(base)
+    val nb = nbScoreFromCounts(base, occ, nbTokenCounts(occ),
+      nbPriorCounts(base))
+      .select(col("pos"), col("score"))
+    val fixed = base.select(col("pos"),
+      rationalSigmoid(classifierZ(col("ns") / col("nt"), col("nt"),
+        col("punct_ratio"), col("digit_ratio"))).as("score"))
+    val spine = spark.range(1, 20).toDF("thr_num")
+    val fx = fixed.crossJoin(broadcast(spine))
+      .select(lit("fixed").as("gate"), col("thr_num"), col("pos"),
+        when(col("score") >= col("thr_num").cast("double") / 20.0, 1L)
+          .otherwise(0L).as("pred"))
+    val nbp = nb.crossJoin(broadcast(spine))
+      .select(lit("nb").as("gate"), col("thr_num"), col("pos"),
+        when(col("score") >=
+          lnMicro(col("thr_num")) - lnMicro(lit(20L) - col("thr_num")), 1L)
+          .otherwise(0L).as("pred"))
+    fx.union(nbp)
+      .groupBy(col("gate"), col("thr_num"))
+      .agg(
+        sum(col("pred") * col("pos")).cast("bigint").as("tp"),
+        sum(col("pred") * (lit(1L) - col("pos"))).cast("bigint").as("fp"),
+        sum((lit(1L) - col("pred")) * col("pos")).cast("bigint").as("fn"),
+        sum((lit(1L) - col("pred")) * (lit(1L) - col("pos"))).cast("bigint")
+          .as("tn"))
+      .select(col("gate"), col("thr_num").cast("bigint").as("thr_num"),
+        (col("thr_num").cast("double") / 20.0).as("threshold"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .otherwise(lit(0.0)).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .otherwise(lit(0.0)).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          (lit(2L) * col("tp")).cast("double")
+            / (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .otherwise(lit(0.0)).as("f1"))
+  }
+
+  val q191: QueryDef = QueryDef.sql(
+    "q191_gate_operating_points",
+    s"""WITH $nbTwinChainSql,
+       |thr AS (SELECT CAST(unnest(range(1, 20)) AS BIGINT) AS thr_num),
+       |fxp AS (
+       |  SELECT 'fixed' AS gate, thr.thr_num, lab.pos,
+       |    CASE WHEN ${TwinSql.rationalSigmoid(
+                TwinSql.classifierZ("(ns / nt)", "nt",
+                  "punct_ratio", "digit_ratio"))}
+       |           >= CAST(thr.thr_num AS DOUBLE) / 20.0
+       |      THEN 1 ELSE 0 END AS pred
+       |  FROM lab CROSS JOIN thr),
+       |nbp AS (
+       |  SELECT 'nb' AS gate, thr.thr_num, lab.pos,
+       |    CASE WHEN ds.s + prior.pr >=
+       |        ${Sampling.duckLnMicro("thr.thr_num")}
+       |          - ${Sampling.duckLnMicro("20 - thr.thr_num")}
+       |      THEN 1 ELSE 0 END AS pred
+       |  FROM lab JOIN ds USING (doc_id), prior CROSS JOIN thr),
+       |u AS (SELECT * FROM fxp UNION ALL SELECT * FROM nbp),
+       |c AS (
+       |  SELECT gate, thr_num,
+       |    CAST(sum(pred * pos) AS BIGINT) AS tp,
+       |    CAST(sum(pred * (1 - pos)) AS BIGINT) AS fp,
+       |    CAST(sum((1 - pred) * pos) AS BIGINT) AS fn,
+       |    CAST(sum((1 - pred) * (1 - pos)) AS BIGINT) AS tn
+       |  FROM u GROUP BY gate, thr_num)
+       |SELECT gate, thr_num,
+       |  CAST(thr_num AS DOUBLE) / 20.0 AS threshold,
+       |  tp, fp, fn, tn,
+       |  CASE WHEN tp + fp > 0
+       |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+       |    ELSE 0.0 END AS precision,
+       |  CASE WHEN tp + fn > 0
+       |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+       |    ELSE 0.0 END AS recall,
+       |  CASE WHEN 2 * tp + fp + fn > 0
+       |    THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+       |    ELSE 0.0 END AS f1
+       |FROM c
+       |ORDER BY gate, thr_num""".stripMargin) { (s, dir) =>
+    gateOperatingPoints(s, Tables.documents(s, dir))
+      .orderBy(col("gate"), col("thr_num"))
   }
 
   /** Per-source lexical statistics (q127): the data-card vocabulary

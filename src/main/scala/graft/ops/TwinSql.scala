@@ -68,10 +68,15 @@ private[ops] object TwinSql {
 
   /** The RATIONAL sigmoid 0.5 + 0.5·z/(1+|z|) in twin SQL — the SQL
     * face of TextAnalytics.rationalSigmoid (IEEE-exact on both
-    * engines, unlike libm exp).
+    * engines, unlike libm exp). `z` is parenthesized before the
+    * division: a compound expression (e.g. classifierZ's sum) would
+    * otherwise be re-associated by SQL precedence into dividing only
+    * its last term — a different function that HAPPENED to threshold
+    * and rank identically at the single 0.5 cut the pre-q191 callers
+    * used (caught by q191's multi-threshold sweep).
     */
   def rationalSigmoid(z: String): String =
-    s"0.5 + 0.5 * ($z / (1.0 + abs($z)))"
+    s"0.5 + 0.5 * (($z) / (1.0 + abs($z)))"
 
   /** The engine-neutral whitespace tokenizer in twin SQL — ONE
     * definition of the split the oracle-checked text queries replay

@@ -449,4 +449,37 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(p("f", "q") < p("e", "z"),
       "continuation smoothing must rank the versatile word higher in a fresh context")
   }
+
+  test("q191 operating points: confusion identities and threshold monotonicity per gate") {
+    val rows = TextAnalytics.gateOperatingPoints(spark,
+      Tables.documents(spark, sfDir))
+      .orderBy(col("gate"), col("thr_num")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getDouble(7), r.getDouble(8),
+        r.getDouble(9)))
+    assert(rows.length == 38, "19 thresholds x 2 gates")
+    rows.groupBy(_._1).foreach { case (gate, g) =>
+      // tp+fn and fp+tn are the label marginals — constant across
+      // thresholds for a gate (every doc is classified at every cut)
+      assert(g.map(r => r._3 + r._5).distinct.size == 1,
+        s"$gate: positives leak across thresholds")
+      assert(g.map(r => r._4 + r._6).distinct.size == 1,
+        s"$gate: negatives leak across thresholds")
+      // raising the cut can only shrink the predicted-positive set
+      g.sortBy(_._2).sliding(2).foreach { case Array(a, b) =>
+        assert(b._3 + b._4 <= a._3 + a._4,
+          s"$gate: predicted positives grew as the threshold rose " +
+            s"(${a._2} -> ${b._2}: ${a._3 + a._4} -> ${b._3 + b._4})")
+        assert(b._8 <= a._8,
+          s"$gate: recall must be non-increasing in the threshold")
+      }
+      g.foreach { case (_, t, tp, fp, fn, _, prec, rec, f1) =>
+        assert(prec >= 0.0 && prec <= 1.0 && rec >= 0.0 && rec <= 1.0 &&
+          f1 >= 0.0 && f1 <= 1.0, s"$gate@$t: ratio out of [0,1]")
+        if (2 * tp + fp + fn > 0)
+          assert(f1 == 2.0 * tp / (2.0 * tp + fp + fn).toDouble,
+            s"$gate@$t: f1 must be the single exact division")
+      }
+    }
+  }
 }
