@@ -20,7 +20,7 @@ object SparkEntry {
     Relational.all ++ Extended.all ++ TextAnalytics.all ++ Dedup.all ++
       Similarity.all ++ MlOracle.all ++ IndexOracle.all ++ NonOracle.all ++
       CurationOps.all ++ Layout.all ++ TrainingData.all ++ Graph.all ++
-      CorpusDrift.all
+      CorpusDrift.all ++ UnigramLm.all
 
   /** Flagship: reference Job 1 (normalize -> term-document matrix) over
     * the sf0.001 documents corpus; driver smoke-checks rows>0.

@@ -295,6 +295,51 @@ case class SignBucketExpr(child: Expression, planes: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Viterbi unigram-LM segmentation against a driver-side piece table
+  * (piece -> micro-nat log-prob): STRING -> STRUCT(n_pieces BIGINT,
+  * score_micro BIGINT), or null for an unsegmentable word. The DP is
+  * pure integer arithmetic with the tie rule pinned in
+  * [[graft.ops.UnigramLm.segment]]; the piece map rides into the
+  * generated code as a reference object, so segmenting the word-type
+  * table is a codegen'd narrow map (and would stay one on a
+  * corpus-sized stream).
+  */
+case class UnigramSegmentExpr(child: Expression, vocab: Seq[(String, Long)],
+                              maxPiece: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(vocab.nonEmpty, "unigram_segment needs a non-empty piece table")
+  require(maxPiece >= 1, s"maxPiece must be positive, got $maxPiece")
+
+  // Seq field for structural equality (canonicalization / reuse);
+  // the lookup map is derived once for the kernel.
+  @transient private lazy val vocabMap: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (p, lp) => m.put(p, java.lang.Long.valueOf(lp)) }
+    m
+  }
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pieces", LongType, nullable = false),
+    StructField("score_micro", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "unigram_segment"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.ops.UnigramLm.segment(input.asInstanceOf[UTF8String], vocabMap, maxPiece)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocab", vocabMap, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.ops.UnigramLm.segment($c, $ref, $maxPiece);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegmentExpr =
+    copy(child = newChild)
+}
+
 /** Real-valued JL random projection against driver-side planes
   * (m x dim): ARRAY<DOUBLE> -> ARRAY<DOUBLE> of plane dots, each an
   * index-order fold over the common prefix. [[SignBucketExpr]] keeps
@@ -591,6 +636,9 @@ object functions {
   def jl_project(c: Column, planes: Array[Array[Double]]): Column =
     Shim.column(JlProjectExpr(Shim.expression(c),
       planes.map(_.toIndexedSeq).toIndexedSeq))
+
+  def unigram_segment(c: Column, vocab: Seq[(String, Long)], maxPiece: Int): Column =
+    Shim.column(UnigramSegmentExpr(Shim.expression(c), vocab, maxPiece))
 
   def bloom_might_contain(c: Column,
                           bloom: org.apache.spark.util.sketch.BloomFilter): Column =

@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-family) subword segmentation — the second
+  * tokenizer family next to BPE (q38/q105/q160/q170). Where BPE builds
+  * words bottom-up along a learned merge order, the unigram model
+  * scores every possible segmentation under piece log-probabilities
+  * and keeps the Viterbi-best one (Kudo 2018's inference step, with
+  * the frequency-derived piece distribution standing in for the
+  * EM-trained one — same pipeline shape; an EM-trained piece table
+  * plugs in as a different lp map).
+  *
+  * Determinism contract: piece probabilities are exact rationals
+  * (substring frequency over vocabulary total), ln enters ONLY via
+  * the micro-nat discipline (one rounded ln per DISTINCT vocab piece
+  * — the q116/q176 rule), and the Viterbi DP maximizes an INTEGER
+  * score with a pinned tie rule (equal score → longer final piece),
+  * so both engines segment identically with no float fold anywhere.
+  */
+object UnigramLm {
+
+  /** Maximum piece length enumerated into the vocabulary (and the DP
+    * lookback width — the two must agree, and the DuckDB twin's
+    * carried-state window is sized by it).
+    */
+  val MaxPiece = 4
+
+  /** Multi-character vocabulary budget (all observed single characters
+    * are always in, so every word stays segmentable).
+    */
+  val TopMulti = 64
+
+  /** Viterbi segmentation of one word under integer micro-nat piece
+    * scores: best[i] = max over L ≤ MaxPiece of best[i−L] + lp(piece
+    * ending at i), ties to the LONGER piece (the twin's struct-max
+    * (score, L) order — iterating L ascending with >= keeps the
+    * largest maximal L). Returns (piece count, total score) or null
+    * when the word cannot be segmented from the vocab (impossible
+    * when the vocab carries every observed character; the guard keeps
+    * a foreign word from crashing the scan).
+    */
+  def segment(w: org.apache.spark.unsafe.types.UTF8String,
+              vocab: java.util.HashMap[String, java.lang.Long],
+              maxPiece: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = w.toString
+    val n = s.length
+    val score = new Array[Long](n + 1)
+    val np = new Array[Long](n + 1)
+    val reach = new Array[Boolean](n + 1)
+    reach(0) = true
+    var i = 1
+    while (i <= n) {
+      var bestS = Long.MinValue
+      var bestN = 0L
+      var found = false
+      var L = 1
+      val maxL = math.min(maxPiece, i)
+      while (L <= maxL) {
+        if (reach(i - L)) {
+          val lp = vocab.get(s.substring(i - L, i))
+          if (lp != null) {
+            val cand = score(i - L) + lp.longValue()
+            if (!found || cand >= bestS) {
+              bestS = cand
+              bestN = np(i - L) + 1L
+              found = true
+            }
+          }
+        }
+        L += 1
+      }
+      if (found) { score(i) = bestS; np(i) = bestN; reach(i) = true }
+      i += 1
+    }
+    if (!reach(n)) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](np(n), score(n)))
+  }
+
+  def all: Seq[QueryDef] = Seq(q192)
+
+  private val duckToks = TwinSql.toksSql
+
+  /** The (source, word, count) and (word, count) frequency tables plus
+    * the piece vocabulary with micro-nat log-probs, collected to the
+    * driver (vocabulary-sized by construction: observed characters +
+    * [[TopMulti]] substrings — the BPE-merge/k-means-centers collect
+    * precedent). Piece frequency counts EVERY occurrence position in
+    * every word type, weighted by word frequency; ties at the
+    * multi-piece cutoff break (freq desc, piece asc).
+    */
+  private def pieceLp(wf: DataFrame): Seq[(String, Long)] = {
+    val sub = wf
+      .select(col("word"), col("wn"),
+        explode(sequence(lit(1), length(col("word")))).as("s"))
+      .select(col("word"), col("wn"), col("s"),
+        explode(sequence(lit(1), lit(MaxPiece))).as("l"))
+      .filter(col("s") + col("l") <= length(col("word")) + 1)
+      .select(expr("substr(word, s, l)").as("piece"), col("wn"))
+      .groupBy(col("piece")).agg(sum(col("wn")).cast("bigint").as("freq"))
+    val chars = sub.filter(length(col("piece")) === 1)
+    val multi = sub.filter(length(col("piece")) >= 2)
+      .orderBy(col("freq").desc, col("piece")).limit(TopMulti)
+    val vocab = chars.union(multi).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    require(vocab.length <= 100000,
+      s"unigram vocab ${vocab.length} exceeds the driver-side budget")
+    val tot = vocab.map(_._2).sum
+    def lnMicro(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    vocab.map { case (p, f) => p -> (lnMicro(f) - lnMicro(tot)) }.toSeq
+  }
+
+  /** Per-source segmentation rollup (the q192 kernel): word counts,
+    * Viterbi piece counts, pieces-per-word fertility, and the mean
+    * per-word log-prob in nats. The DP runs once per word TYPE (the
+    * type table is vocabulary-bounded, never corpus-sized) through
+    * the codegen [[graft.functions.UnigramSegmentExpr]]; per-source
+    * occurrence counts then weight the type results.
+    *
+    * Scale: ONE corpus-sized aggregate (the (source, word) counts —
+    * partial+final, map-side combined); everything downstream is
+    * word-type- or vocabulary-sized: the substring enumeration
+    * explodes the type table, the top-[[TopMulti]] cut is
+    * TakeOrdered (never a global sort), the lp map broadcasts inside
+    * the codegen expression, and the rollup re-aggregates the type
+    * join to source rows.
+    */
+  def unigramSegmentation(docs: DataFrame): DataFrame = {
+    val sw = docs
+      .select(col("source"), explode(TextAnalytics.toks(col("text"))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).cast("bigint").as("swn"))
+    val wf = sw.groupBy(col("word")).agg(sum(col("swn")).cast("bigint").as("wn"))
+    val lp = pieceLp(wf)
+    val seg = wf
+      .select(col("word"),
+        graft.functions.functions.unigram_segment(col("word"), lp, MaxPiece)
+          .as("seg"))
+      .select(col("word"), col("seg.n_pieces").as("np"),
+        col("seg.score_micro").as("sc"))
+    sw.join(seg, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("swn")).cast("bigint").as("n_words"),
+        sum(col("swn") * col("np")).cast("bigint").as("n_pieces"),
+        sum(col("swn") * col("sc")).cast("bigint").as("sum_lp_micro"))
+      .select(col("source"), col("n_words"), col("n_pieces"),
+        (col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("pieces_per_word"),
+        col("sum_lp_micro"),
+        (col("sum_lp_micro").cast("double")
+          / (col("n_words").cast("double") * lit(1000000.0))).as("mean_lp"))
+  }
+
+  /** q192: [[unigramSegmentation]] over the documents table. FULL
+    * REPLAY oracle: DuckDB re-derives the word frequencies, the piece
+    * vocabulary (same enumeration, same (freq desc, piece asc) cut),
+    * the micro-nat piece scores, and the ENTIRE Viterbi DP — a
+    * recursive CTE stepping one character at a time, carrying the
+    * best (score, piece-count) for the trailing [[MaxPiece]]
+    * positions, candidates ranked by the struct order (score desc,
+    * piece-length desc) that mirrors the kernel's tie rule.
+    */
+  val q192: QueryDef = QueryDef.sql(
+    "q192_unigram_segmentation",
+    s"""WITH RECURSIVE
+       |d AS (SELECT source, unnest($duckToks) AS word FROM documents),
+       |sw AS (
+       |  SELECT source, word, CAST(count(*) AS BIGINT) AS swn
+       |  FROM d GROUP BY source, word),
+       |wf AS (
+       |  SELECT word, CAST(sum(swn) AS BIGINT) AS wn
+       |  FROM sw GROUP BY word),
+       |sub AS (
+       |  SELECT substr(word, s, l) AS piece, CAST(sum(wn) AS BIGINT) AS freq
+       |  FROM (
+       |    SELECT word, wn, s, unnest(range(1, ${MaxPiece + 1})) AS l
+       |    FROM (SELECT word, wn, unnest(range(1, length(word) + 1)) AS s
+       |          FROM wf))
+       |  WHERE s + l <= length(word) + 1
+       |  GROUP BY piece),
+       |chars AS (SELECT piece, freq FROM sub WHERE length(piece) = 1),
+       |multi AS (
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, freq,
+       |      row_number() OVER (ORDER BY freq DESC, piece) AS rk
+       |    FROM sub WHERE length(piece) >= 2)
+       |  WHERE rk <= $TopMulti),
+       |vocab AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+       |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM vocab),
+       |lp AS (
+       |  SELECT piece,
+       |    ${Sampling.duckLnMicro("freq")} - ${Sampling.duckLnMicro("tot")}
+       |      AS lp
+       |  FROM vocab, tot),
+       |v AS (
+       |  SELECT word, 0 AS i,
+       |    CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS n0,
+       |    CAST(NULL AS BIGINT) AS s1, CAST(NULL AS BIGINT) AS n1,
+       |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS n2,
+       |    CAST(NULL AS BIGINT) AS s3, CAST(NULL AS BIGINT) AS n3
+       |  FROM wf
+       |  UNION ALL
+       |  SELECT word, i + 1,
+       |    best.s, best.n, s0, n0, s1, n1, s2, n2
+       |  FROM (
+       |    SELECT v.word, v.i, v.s0, v.n0, v.s1, v.n1, v.s2, v.n2,
+       |      list_reverse_sort(list_filter([
+       |        {'s': v.s0 + p1.lp, 'l': CAST(1 AS BIGINT), 'n': v.n0 + 1},
+       |        {'s': v.s1 + p2.lp, 'l': CAST(2 AS BIGINT), 'n': v.n1 + 1},
+       |        {'s': v.s2 + p3.lp, 'l': CAST(3 AS BIGINT), 'n': v.n2 + 1},
+       |        {'s': v.s3 + p4.lp, 'l': CAST(4 AS BIGINT), 'n': v.n3 + 1}
+       |      ], x -> x.s IS NOT NULL))[1] AS best
+       |    FROM v
+       |    LEFT JOIN lp p1 ON p1.piece = substr(v.word, v.i + 1, 1)
+       |    LEFT JOIN lp p2 ON v.i >= 1 AND p2.piece = substr(v.word, v.i, 2)
+       |    LEFT JOIN lp p3 ON v.i >= 2 AND p3.piece = substr(v.word, v.i - 1, 3)
+       |    LEFT JOIN lp p4 ON v.i >= 3 AND p4.piece = substr(v.word, v.i - 2, 4)
+       |    WHERE v.i < length(v.word))),
+       |seg AS (
+       |  SELECT word, n0 AS np, s0 AS sc
+       |  FROM v WHERE i = length(word)),
+       |r AS (
+       |  SELECT sw.source,
+       |    CAST(sum(sw.swn) AS BIGINT) AS n_words,
+       |    CAST(sum(sw.swn * seg.np) AS BIGINT) AS n_pieces,
+       |    CAST(sum(sw.swn * seg.sc) AS BIGINT) AS sum_lp_micro
+       |  FROM sw JOIN seg USING (word)
+       |  GROUP BY sw.source)
+       |SELECT source, n_words, n_pieces,
+       |  CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE) AS pieces_per_word,
+       |  sum_lp_micro,
+       |  CAST(sum_lp_micro AS DOUBLE) / (CAST(n_words AS DOUBLE) * 1000000.0)
+       |    AS mean_lp
+       |FROM r
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    unigramSegmentation(Tables.documents(s, dir)).orderBy(col("source"))
+  }
+}

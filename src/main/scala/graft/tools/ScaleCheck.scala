@@ -97,7 +97,10 @@ object ScaleCheck {
         "q183_training_manifest",
         // q189 trains + scores on the full corpus (q116's shape plus
         // one extra vocabulary-sized w2 window):
-        "q189_kneser_ney_score")
+        "q189_kneser_ney_score",
+        // q192's corpus-sized stage is the one (source, word) agg;
+        // everything after runs on the word-type table:
+        "q192_unigram_segmentation")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()
