@@ -22,7 +22,7 @@ object CurationOps {
   def all: Seq[QueryDef] =
     Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125, q166,
       q132, q140, q143, q144, q152, q154, q157, q159, q161, q168, q169, q176,
-      q179, q182, q183, q184)
+      q179, q182, q183, q184, q193)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -2611,5 +2611,148 @@ object CurationOps {
     columnProfile(Tables.documents(s, dir),
       profileCols.filter(_._2).map(_._1).toSet)
       .orderBy(col("col_name"))
+  }
+
+  /** Takedown-propagation audit (q193): what a right-to-be-forgotten
+    * batch (here the deterministic stand-in doc_id % 97 = 0; in
+    * production an input id list) touches in every doc-keyed derived
+    * store this engine builds — the compliance readout that must
+    * accompany the tombstone machinery (q181 / Pq.deleteFromIndex
+    * handle the ANN stores; this prices the rest). Per store:
+    * rows removed, keys touched, keys fully EMPTIED (a term leaving
+    * the index, a bucket vanishing), and — the dedup interaction no
+    * single-store view shows — re-exposures: exact-dup groups whose
+    * kept representative (min doc_id, the q25 policy) is struck while
+    * copies survive, so a previously-suppressed duplicate re-enters
+    * the corpus and the keep decision must be replayed.
+    *
+    * Stores audited: `documents` (the raw rows), `postings` (q41's
+    * (term, doc) index), `band_buckets` (the q45 MinHash-LSH bucket
+    * membership over its doc_id < 500 signature scope — engine-hashed,
+    * so the TWIN re-derives buckets from the dumped aux_minhash_sig32
+    * slices, the q45 slice-equality convention), and
+    * `exact_dup_groups` (the q25 key). `n_reexposed` is 0 by
+    * definition everywhere but the dedup row.
+    *
+    * Counts are exact integers throughout. Scale: each store audit is
+    * one partial+final aggregate at that store's own key granularity
+    * (term / bucket / dup key — the same exchanges building the store
+    * costs); nothing is pairwise.
+    */
+  def takedownPropagation(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hit = when(pmod(col("doc_id"), lit(97)) === 0, 1L).otherwise(0L)
+    val d = docs.select(col("doc_id"), col("text"), hit.as("hit"))
+    import org.apache.spark.sql.Column
+    def row(store: String, removed: Column, touched: Column,
+            emptied: Column, reexposed: Column) =
+      Seq(lit(store).as("store"), removed.cast("bigint").as("n_rows_removed"),
+        touched.cast("bigint").as("n_keys_touched"),
+        emptied.cast("bigint").as("n_keys_emptied"),
+        reexposed.cast("bigint").as("n_reexposed"))
+    val docsRow = d.agg(sum(col("hit")).as("nh"))
+      .select(row("documents", col("nh"), col("nh"), col("nh"), lit(0L)): _*)
+    val pt = d
+      .select(col("doc_id"), col("hit"), explode(toks(col("text"))).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("nh"))
+    val postingsRow = pt.agg(
+      sum(col("nh")).as("rm"),
+      sum(when(col("nh") > 0, 1L).otherwise(0L)).as("tch"),
+      sum(when(col("nh") === col("n"), 1L).otherwise(0L)).as("emp"))
+      .select(row("postings", col("rm"), col("tch"), col("emp"), lit(0L)): _*)
+    val bk = Dedup.bandSignatures(docs.filter(col("doc_id") < 500))
+      .withColumn("hit", hit)
+      .groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("nh"))
+    val bandsRow = bk.agg(
+      sum(col("nh")).as("rm"),
+      sum(when(col("nh") > 0, 1L).otherwise(0L)).as("tch"),
+      sum(when(col("nh") === col("n"), 1L).otherwise(0L)).as("emp"))
+      .select(row("band_buckets", col("rm"), col("tch"), col("emp"), lit(0L)): _*)
+    val g = d
+      .groupBy(substring(col("text"), 1, 30).as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("nh"),
+        min(col("doc_id")).as("rep"),
+        min(when(col("hit") === 0L, col("doc_id"))).as("surv"))
+    val dupRow = g.agg(
+      sum(col("nh")).as("rm"),
+      sum(when(col("nh") > 0, 1L).otherwise(0L)).as("tch"),
+      sum(when(col("nh") === col("n"), 1L).otherwise(0L)).as("emp"),
+      sum(when(pmod(col("rep"), lit(97)) === 0 && col("surv").isNotNull, 1L)
+        .otherwise(0L)).as("re"))
+      .select(row("exact_dup_groups", col("rm"), col("tch"), col("emp"),
+        col("re")): _*)
+    docsRow.union(postingsRow).union(bandsRow).union(dupRow)
+  }
+
+  val q193: QueryDef = QueryDef.sql(
+    "q193_takedown_propagation",
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    CAST(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS BIGINT) AS hit
+       |  FROM documents),
+       |docs_row AS (
+       |  SELECT 'documents' AS store,
+       |    CAST(sum(hit) AS BIGINT) AS n_rows_removed,
+       |    CAST(sum(hit) AS BIGINT) AS n_keys_touched,
+       |    CAST(sum(hit) AS BIGINT) AS n_keys_emptied,
+       |    CAST(0 AS BIGINT) AS n_reexposed
+       |  FROM d),
+       |tok AS (
+       |  SELECT DISTINCT doc_id, hit, term FROM (
+       |    SELECT doc_id, hit, unnest($duckToks) AS term FROM d)),
+       |pt AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(hit) AS BIGINT) AS nh
+       |  FROM tok GROUP BY term),
+       |postings_row AS (
+       |  SELECT 'postings',
+       |    CAST(sum(nh) AS BIGINT),
+       |    CAST(sum(CASE WHEN nh > 0 THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(sum(CASE WHEN nh = n THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(0 AS BIGINT)
+       |  FROM pt),
+       |mh AS (
+       |  SELECT s.doc_id, list(s.h ORDER BY s.pos) AS mh
+       |  FROM read_parquet('__GRAFT_OUT__/aux_minhash_sig32/*.parquet') s
+       |  GROUP BY s.doc_id),
+       |bb AS (
+       |  SELECT mh.doc_id, b.b AS band,
+       |    list_slice(mh.mh, b.b * 4 + 1, b.b * 4 + 4) AS bsig,
+       |    CAST(CASE WHEN mh.doc_id % 97 = 0 THEN 1 ELSE 0 END AS BIGINT) AS hit
+       |  FROM mh, (SELECT unnest(range(0, 8)) AS b) b),
+       |bk AS (
+       |  SELECT band, bsig, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(hit) AS BIGINT) AS nh
+       |  FROM bb GROUP BY band, bsig),
+       |bands_row AS (
+       |  SELECT 'band_buckets',
+       |    CAST(sum(nh) AS BIGINT),
+       |    CAST(sum(CASE WHEN nh > 0 THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(sum(CASE WHEN nh = n THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(0 AS BIGINT)
+       |  FROM bk),
+       |g AS (
+       |  SELECT substring(text, 1, 30) AS k, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(hit) AS BIGINT) AS nh,
+       |    min(doc_id) AS rep,
+       |    min(CASE WHEN hit = 0 THEN doc_id END) AS surv
+       |  FROM d GROUP BY k),
+       |dup_row AS (
+       |  SELECT 'exact_dup_groups',
+       |    CAST(sum(nh) AS BIGINT),
+       |    CAST(sum(CASE WHEN nh > 0 THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(sum(CASE WHEN nh = n THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(sum(CASE WHEN rep % 97 = 0 AND surv IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM g)
+       |SELECT * FROM docs_row
+       |UNION ALL SELECT * FROM postings_row
+       |UNION ALL SELECT * FROM bands_row
+       |UNION ALL SELECT * FROM dup_row
+       |ORDER BY store""".stripMargin) { (s, dir) =>
+    takedownPropagation(Tables.documents(s, dir)).orderBy(col("store"))
   }
 }

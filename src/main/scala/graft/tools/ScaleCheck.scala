@@ -100,7 +100,11 @@ object ScaleCheck {
         "q189_kneser_ney_score",
         // q192's corpus-sized stage is the one (source, word) agg;
         // everything after runs on the word-type table:
-        "q192_unigram_segmentation")
+        "q192_unigram_segmentation",
+        // q193's documents/postings/dup-group stores scale with the
+        // corpus (its band store rides the fixed q45 doc_id < 500
+        // signature scope — replica 0 only, a constant term):
+        "q193_takedown_propagation")
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()

@@ -878,4 +878,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(idRow.getLong(4) == expected)
     assert(idRow.getLong(1) == docs.count())
   }
+
+  test("q193 takedown propagation: hand-counted stores and the dup re-exposure") {
+    import spark.implicits._
+    // 0 and 97 are struck (doc_id % 97 = 0); doc 1 duplicates doc 0's
+    // text, so the kept representative (min id 0) dies while a copy
+    // survives -> one re-exposure; 'unique' is owned solely by a
+    // struck doc -> one emptied posting key
+    val d = Seq(
+      (0L, "aaa bbb"), (97L, "unique"), (1L, "aaa bbb"), (2L, "ccc"))
+      .toDF("doc_id", "text")
+    val out = CurationOps.takedownPropagation(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("documents") == ((2L, 2L, 2L, 0L)))
+    // postings: aaa{0,1} bbb{0,1} unique{97} ccc{2} -> 3 struck rows,
+    // 3 terms touched, 'unique' emptied
+    assert(out("postings") == ((3L, 3L, 1L, 0L)))
+    assert(out("exact_dup_groups") == ((2L, 2L, 1L, 1L)),
+      "rep 0 struck with survivor 1 must count as a re-exposure")
+    // both struck docs carry text -> 8 band rows each
+    val (brm, btch, bemp, bre) = out("band_buckets")
+    assert(brm == 16L && btch >= 1L && bemp <= btch && bre == 0L)
+  }
 }
