@@ -772,30 +772,70 @@ object TextAnalytics {
     * the heavy-hitter skew, q116's argument) and partial-aggregates
     * per doc.
     */
-  def knBigramLogProb(docs: DataFrame): DataFrame = {
-    import graft.ops.Sampling.lnMicro
-    val d = docs.select(col("doc_id"), toks(col("text")).as("t"))
-    val bg = d.filter(size(col("t")) >= 2)
+  /** The (doc_id, w1, w2) bigram occurrence stream of a (doc_id, t)
+    * frame — ONE definition shared by the q189 batch kernel and
+    * [[graft.streaming.KnStream]]'s per-batch counting (their parity
+    * is bit-exact only because both sides extract with this exact
+    * array-local transform).
+    */
+  private[graft] def knBigrams(d: DataFrame): DataFrame =
+    d.filter(size(col("t")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
           struct(element_at(col("t"), i).as("w1"),
             element_at(col("t"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c = bg.groupBy(col("w1"), col("w2"))
+
+  /** Per-bigram counts — the KN trainer's complete sufficient
+    * statistic (context totals c1, successor/predecessor distinct
+    * counts N1+, and the type total NN all re-derive from it), and
+    * additive over batches (what [[graft.streaming.KnStream]]
+    * maintains incrementally).
+    */
+  private[graft] def knCounts(bg: DataFrame): DataFrame =
+    bg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).cast("bigint").as("c12"))
+
+  /** Score documents given the trainer state: bigram counts `counts`
+    * (from [[knCounts]] or the streaming store). Self-scoring hits
+    * only the seen-bigram arm (the q189 contract); a candidate bigram
+    * ABSENT from the counts — possible only against a streamed model
+    * — takes the pure backoff mass when its context and continuation
+    * are known, and contributes 0 micro-nats (no model evidence) when
+    * either is unseen, instead of being silently dropped by an inner
+    * join.
+    */
+  private[graft] def knScoreFromCounts(d: DataFrame, bg: DataFrame,
+                                       counts: DataFrame): DataFrame = {
+    import graft.ops.Sampling.lnMicro
     val w1w = Window.partitionBy(col("w1"))
-    val stats = c
+    val stats = counts
       .withColumn("c1", sum(col("c12")).over(w1w).cast("bigint"))
       .withColumn("n1f", count(lit(1)).over(w1w).cast("bigint"))
       .withColumn("n1b",
         count(lit(1)).over(Window.partitionBy(col("w2"))).cast("bigint"))
-    val nn = c.agg(count(lit(1)).cast("bigint").as("nn"))
+    val nn = counts.agg(count(lit(1)).cast("bigint").as("nn"))
     val lm = stats.crossJoin(broadcast(nn))
       .select(col("w1"), col("w2"),
         (lnMicro((lit(4L) * col("c12") - lit(3L)) * col("nn")
             + lit(3L) * col("n1f") * col("n1b"))
           - lnMicro(lit(4L) * col("c1") * col("nn"))).as("lp"))
-    val scored = bg.join(lm, Seq("w1", "w2"))
+    val w1s = counts.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("bigint").as("f_c1"),
+        count(lit(1)).cast("bigint").as("f_n1f"))
+    val w2s = counts.groupBy(col("w2"))
+      .agg(count(lit(1)).cast("bigint").as("f_n1b"))
+    val scored = bg
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(w1s, Seq("w1"), "left")
+      .join(w2s, Seq("w2"), "left")
+      .crossJoin(broadcast(nn))
+      .select(col("doc_id"),
+        coalesce(col("lp"),
+          when(col("f_c1").isNotNull && col("f_n1b").isNotNull,
+            lnMicro(lit(3L) * col("f_n1f") * col("f_n1b"))
+              - lnMicro(lit(4L) * col("f_c1") * col("nn")))
+            .otherwise(lit(0L))).as("lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
         sum(col("lp")).cast("bigint").as("s"))
@@ -806,6 +846,12 @@ object TextAnalytics {
         coalesce(col("s").cast("double")
             / (col("n_bigrams").cast("double") * lit(1000000.0)), lit(0.0))
           .as("avg_logprob"))
+  }
+
+  def knBigramLogProb(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), toks(col("text")).as("t"))
+    val bg = knBigrams(d)
+    knScoreFromCounts(d, bg, knCounts(bg))
   }
 
   /** q189: [[knBigramLogProb]] over the documents table. The twin
