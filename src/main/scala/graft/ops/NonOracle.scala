@@ -625,7 +625,7 @@ object NonOracle {
     * exponentially (2^20 base scans); materialization makes it one
     * pass per iteration.
     */
-  private def bpeChainSql(nMerges: Int): String = {
+  private[ops] def bpeChainSql(nMerges: Int): String = {
     // seg CTEs carry `word` (unused by q105's merge output, keyed on
     // by q160's fertility rollup: segN(word) IS the word's final
     // segmentation under the learned merges)

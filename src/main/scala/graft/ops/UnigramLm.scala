@@ -79,7 +79,7 @@ object UnigramLm {
       Array[Any](np(n), score(n)))
   }
 
-  def all: Seq[QueryDef] = Seq(q192)
+  def all: Seq[QueryDef] = Seq(q192, q194)
 
   private val duckToks = TwinSql.toksSql
 
@@ -153,19 +153,17 @@ object UnigramLm {
           / (col("n_words").cast("double") * lit(1000000.0))).as("mean_lp"))
   }
 
-  /** q192: [[unigramSegmentation]] over the documents table. FULL
-    * REPLAY oracle: DuckDB re-derives the word frequencies, the piece
-    * vocabulary (same enumeration, same (freq desc, piece asc) cut),
-    * the micro-nat piece scores, and the ENTIRE Viterbi DP — a
-    * recursive CTE stepping one character at a time, carrying the
-    * best (score, piece-count) for the trailing [[MaxPiece]]
-    * positions, candidates ranked by the struct order (score desc,
-    * piece-length desc) that mirrors the kernel's tie rule.
+  /** The q192 twin's CTE chain (d → sw → wf → piece vocab → lp →
+    * the recursive Viterbi → seg), parameterized by a doc-level WHERE
+    * clause — ONE definition interpolated into the q192 full-corpus
+    * oracle and the q194 comparison (which trains on the BPE chain's
+    * doc_id < 500 slice): a drifted copy of the vocabulary cut or the
+    * DP in either would grade a different tokenizer than the engine
+    * ships. Callers prepend WITH RECURSIVE.
     */
-  val q192: QueryDef = QueryDef.sql(
-    "q192_unigram_segmentation",
-    s"""WITH RECURSIVE
-       |d AS (SELECT source, unnest($duckToks) AS word FROM documents),
+  private[ops] def unigramChainSql(docWhere: String): String =
+    s"""d AS (SELECT source, unnest($duckToks) AS word
+       |      FROM documents $docWhere),
        |sw AS (
        |  SELECT source, word, CAST(count(*) AS BIGINT) AS swn
        |  FROM d GROUP BY source, word),
@@ -220,7 +218,21 @@ object UnigramLm {
        |    WHERE v.i < length(v.word))),
        |seg AS (
        |  SELECT word, n0 AS np, s0 AS sc
-       |  FROM v WHERE i = length(word)),
+       |  FROM v WHERE i = length(word))""".stripMargin
+
+  /** q192: [[unigramSegmentation]] over the documents table. FULL
+    * REPLAY oracle: DuckDB re-derives the word frequencies, the piece
+    * vocabulary (same enumeration, same (freq desc, piece asc) cut),
+    * the micro-nat piece scores, and the ENTIRE Viterbi DP — a
+    * recursive CTE stepping one character at a time, carrying the
+    * best (score, piece-count) for the trailing [[MaxPiece]]
+    * positions, candidates ranked by the struct order (score desc,
+    * piece-length desc) that mirrors the kernel's tie rule.
+    */
+  val q192: QueryDef = QueryDef.sql(
+    "q192_unigram_segmentation",
+    s"""WITH RECURSIVE
+       |${unigramChainSql("")},
        |r AS (
        |  SELECT sw.source,
        |    CAST(sum(sw.swn) AS BIGINT) AS n_words,
@@ -236,5 +248,83 @@ object UnigramLm {
        |FROM r
        |ORDER BY source""".stripMargin) { (s, dir) =>
     unigramSegmentation(Tables.documents(s, dir)).orderBy(col("source"))
+  }
+
+  /** Tokenizer-family comparison (q194): BPE (the q105/q160 20-merge
+    * vocabulary) and unigram-LM (the q192 Viterbi) trained on the
+    * SAME corpus slice and weighting (the BPE chain's doc_id < 500
+    * scope), graded per source by fertility — the decision table for
+    * WHICH tokenizer family to ship, which neither q160 (BPE alone)
+    * nor q192 (unigram alone, full corpus) can answer because a
+    * fertility comparison is only meaningful when both vocabularies
+    * saw identical training data. unigram_to_bpe > 1 means BPE packs
+    * this source tighter; the families' budgets differ (20 merges vs
+    * 64 multi-char pieces), so the column reads as an operating-point
+    * comparison of the SHIPPED configurations, not a theorem about
+    * the algorithms.
+    *
+    * Scale: ONE corpus (source, word) rollup (checkpointed — trainer
+    * word freqs, both segmenters, and the fertility rollup all derive
+    * from it); both segmentations run on word-TYPE rows via codegen
+    * expressions; the report is an S-row aggregate. FULL-REPLAY
+    * ORACLE: DuckDB re-learns the 20 BPE merges (the unrolled q105
+    * chain), re-derives the unigram vocabulary and re-runs the
+    * recursive Viterbi (the q192 chain, slice-scoped), and joins both
+    * segmentations — integer sums + literal divisions.
+    */
+  def tokenizerComparison(docs0: DataFrame): DataFrame = {
+    val docs = docs0.filter(col("doc_id") < 500)
+    val sw = docs
+      .select(col("source"), explode(TextAnalytics.toks(col("text"))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).cast("bigint").as("swn"))
+      .localCheckpoint(true)
+    val wf = sw.groupBy(col("word")).agg(sum(col("swn")).cast("bigint").as("wn"))
+    val merges = Bpe.train(
+      wf.select(col("word"), col("wn").as("freq")), nMerges = 20)
+    val lp = pieceLp(wf)
+    val seg = wf.select(col("word"),
+      size(graft.functions.functions.bpe_segment(col("word"), merges))
+        .cast("bigint").as("bpe_units"),
+      graft.functions.functions.unigram_segment(col("word"), lp, MaxPiece)
+        .getField("n_pieces").as("uni_pieces"))
+    sw.join(seg, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("swn")).cast("bigint").as("n_words"),
+        sum(col("swn") * col("bpe_units")).cast("bigint").as("n_bpe_units"),
+        sum(col("swn") * col("uni_pieces")).cast("bigint")
+          .as("n_unigram_pieces"))
+      .select(col("source"), col("n_words"), col("n_bpe_units"),
+        col("n_unigram_pieces"),
+        (col("n_bpe_units").cast("double") / col("n_words").cast("double"))
+          .as("fertility_bpe"),
+        (col("n_unigram_pieces").cast("double") / col("n_words").cast("double"))
+          .as("fertility_unigram"),
+        (col("n_unigram_pieces").cast("double")
+          / col("n_bpe_units").cast("double")).as("unigram_to_bpe"))
+  }
+
+  val q194: QueryDef = QueryDef.sql(
+    "q194_tokenizer_comparison",
+    NonOracle.bpeChainSql(20).replaceFirst("^WITH ", "WITH RECURSIVE\n") +
+      s""",
+         |${unigramChainSql("WHERE doc_id < 500")},
+         |u AS (SELECT word, CAST(len(s) AS BIGINT) AS units FROM seg20),
+         |r AS (
+         |  SELECT sw.source,
+         |    CAST(sum(sw.swn) AS BIGINT) AS n_words,
+         |    CAST(sum(sw.swn * u.units) AS BIGINT) AS n_bpe_units,
+         |    CAST(sum(sw.swn * seg.np) AS BIGINT) AS n_unigram_pieces
+         |  FROM sw JOIN u USING (word) JOIN seg USING (word)
+         |  GROUP BY sw.source)
+         |SELECT source, n_words, n_bpe_units, n_unigram_pieces,
+         |  CAST(n_bpe_units AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    AS fertility_bpe,
+         |  CAST(n_unigram_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    AS fertility_unigram,
+         |  CAST(n_unigram_pieces AS DOUBLE) / CAST(n_bpe_units AS DOUBLE)
+         |    AS unigram_to_bpe
+         |FROM r ORDER BY source""".stripMargin) { (s, dir) =>
+    tokenizerComparison(Tables.documents(s, dir)).orderBy(col("source"))
   }
 }

@@ -48,7 +48,7 @@ object ScaleCheck {
         // on B's side — the probe would scale "added" rows, not the
         // diff join both sides feed; the full-outer join's scale
         // argument is the plan pin in PLANS.md instead.
-        // q160/q162/q170 are absent for q153's reason (bounded doc_id
+        // q160/q162/q170/q194 are absent for q153's reason (bounded doc_id
         // slices); q172 is size-invariant (constant 114-row analytic
         // table, no corpus scan); q173 is bounded-slice (doc_id < 500,
         // the q45 signature scope); q150's embeddings probe runs on request (its 1x

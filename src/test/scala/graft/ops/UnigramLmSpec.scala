@@ -94,4 +94,19 @@ class UnigramLmSpec extends SparkSpec {
     out.foreach(r => assert(r.getDouble(3) < avgLen,
       s"fertility ${r.getDouble(3)} not below the character baseline $avgLen"))
   }
+
+  test("q194 comparison: both fertilities in [1, char baseline], ratio consistent") {
+    val rows = UnigramLm.tokenizerComparison(Tables.documents(spark, sfDir))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nb, nu) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (fb, fu, ratio) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(nw > 0 && nb >= nw && nu >= nw,
+        "every word costs at least one unit in both families")
+      assert(fb >= 1.0 && fu >= 1.0)
+      assert(ratio == nu.toDouble / nb.toDouble,
+        "the ratio column must be the single division of the exact counts")
+    }
+  }
 }
