@@ -1353,11 +1353,13 @@ object Similarity {
       .orderBy(col("nprobe"))
   }
 
-  /** The 32-plane JL projection set: the SAME deterministic seedless
-    * hyperplane family sign-LSH buckets with ([[signPlanes]] — plane p
-    * depends only on p, so the m-plane set is a PREFIX of this one and
-    * every curve point below reads a prefix slice of one projection).
-    * JL keeps the real dot product where sign-LSH keeps its sign bit.
+  /** The 31-plane JL projection set — 31 because that is sign-LSH's
+    * maximum width (its bucket is an Int), and this is the SAME
+    * deterministic seedless hyperplane family sign-LSH buckets with
+    * ([[signPlanes]] — plane p depends only on p, so the m-plane set
+    * is a PREFIX of this one and every curve point below reads a
+    * prefix slice of one projection). JL keeps the real dot product
+    * where sign-LSH keeps its sign bit.
     */
   private[ops] def jlPlanes: Array[Array[Double]] = signPlanes(31, 64)
 

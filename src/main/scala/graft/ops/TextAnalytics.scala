@@ -804,9 +804,18 @@ object TextAnalytics {
     * are known, and contributes 0 micro-nats (no model evidence) when
     * either is unseen, instead of being silently dropped by an inner
     * join.
+    *
+    * `selfScoring = true` (the q189 batch path, where counts =
+    * knCounts(bg) by construction so every scored pair is in the LM)
+    * skips the two backoff-stat joins the unseen arms need — the two
+    * paths are provably identical there, and the KnStream parity spec
+    * pins exactly that: scoring the seen prefix through the
+    * `selfScoring = false` path equals the batch kernel's output
+    * bit-for-bit.
     */
   private[graft] def knScoreFromCounts(d: DataFrame, bg: DataFrame,
-                                       counts: DataFrame): DataFrame = {
+                                       counts: DataFrame,
+                                       selfScoring: Boolean = false): DataFrame = {
     import graft.ops.Sampling.lnMicro
     val w1w = Window.partitionBy(col("w1"))
     val stats = counts
@@ -820,22 +829,28 @@ object TextAnalytics {
         (lnMicro((lit(4L) * col("c12") - lit(3L)) * col("nn")
             + lit(3L) * col("n1f") * col("n1b"))
           - lnMicro(lit(4L) * col("c1") * col("nn"))).as("lp"))
-    val w1s = counts.groupBy(col("w1"))
-      .agg(sum(col("c12")).cast("bigint").as("f_c1"),
-        count(lit(1)).cast("bigint").as("f_n1f"))
-    val w2s = counts.groupBy(col("w2"))
-      .agg(count(lit(1)).cast("bigint").as("f_n1b"))
-    val scored = bg
-      .join(lm, Seq("w1", "w2"), "left")
-      .join(w1s, Seq("w1"), "left")
-      .join(w2s, Seq("w2"), "left")
-      .crossJoin(broadcast(nn))
-      .select(col("doc_id"),
-        coalesce(col("lp"),
-          when(col("f_c1").isNotNull && col("f_n1b").isNotNull,
-            lnMicro(lit(3L) * col("f_n1f") * col("f_n1b"))
-              - lnMicro(lit(4L) * col("f_c1") * col("nn")))
-            .otherwise(lit(0L))).as("lp"))
+    val withLp =
+      if (selfScoring) bg.join(lm, Seq("w1", "w2"))
+        .select(col("doc_id"), col("lp"))
+      else {
+        val w1s = counts.groupBy(col("w1"))
+          .agg(sum(col("c12")).cast("bigint").as("f_c1"),
+            count(lit(1)).cast("bigint").as("f_n1f"))
+        val w2s = counts.groupBy(col("w2"))
+          .agg(count(lit(1)).cast("bigint").as("f_n1b"))
+        bg
+          .join(lm, Seq("w1", "w2"), "left")
+          .join(w1s, Seq("w1"), "left")
+          .join(w2s, Seq("w2"), "left")
+          .crossJoin(broadcast(nn))
+          .select(col("doc_id"),
+            coalesce(col("lp"),
+              when(col("f_c1").isNotNull && col("f_n1b").isNotNull,
+                lnMicro(lit(3L) * col("f_n1f") * col("f_n1b"))
+                  - lnMicro(lit(4L) * col("f_c1") * col("nn")))
+                .otherwise(lit(0L))).as("lp"))
+      }
+    val scored = withLp
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
         sum(col("lp")).cast("bigint").as("s"))
@@ -851,7 +866,7 @@ object TextAnalytics {
   def knBigramLogProb(docs: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"), toks(col("text")).as("t"))
     val bg = knBigrams(d)
-    knScoreFromCounts(d, bg, knCounts(bg))
+    knScoreFromCounts(d, bg, knCounts(bg), selfScoring = true)
   }
 
   /** q189: [[knBigramLogProb]] over the documents table. The twin

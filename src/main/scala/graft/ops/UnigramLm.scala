@@ -40,6 +40,13 @@ object UnigramLm {
     * when the word cannot be segmented from the vocab (impossible
     * when the vocab carries every observed character; the guard keeps
     * a foreign word from crashing the scan).
+    *
+    * Cross-engine precondition (the lnMicro x ≥ 1 class): positions
+    * here are UTF-16 code units while the twin's length()/substr()
+    * count code points — identical on BMP text (every fixture and any
+    * whitespace-tokenized ASCII/Latin corpus), divergent on
+    * astral-plane symbols, whose surrogate halves this kernel would
+    * segment separately.
     */
   def segment(w: org.apache.spark.unsafe.types.UTF8String,
               vocab: java.util.HashMap[String, java.lang.Long],
