@@ -28,7 +28,7 @@ object Dedup {
 
   def all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89, q112, q135, q139, q162,
-      q172, q185)
+      q172, q185, q195)
 
   /** Exact dedup on a normalized key: keep the lowest doc_id per group.
     * Scale: one hash exchange on the key; with pre-partitioned/bucketed
@@ -964,22 +964,31 @@ object Dedup {
     * candidate step is [[minhashCandidates]]; this exact form is the
     * verifier that runs on candidates (and on bounded slices here).
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+  /** The integer core of [[jaccardPairs]]: every co-occurring pair
+    * with its EXACT intersection and union sizes (d1, d2, n_common,
+    * uni) — no threshold, no division. Consumed by jaccardPairs (the
+    * shipped 0.7 double-compare gate) and the q195 threshold sweep
+    * (whose cuts are the exact rational 10·n_common ≥ k·uni).
+    */
+  private[ops] def jaccardScoredPairs(docs: DataFrame): DataFrame = {
     val t = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .distinct()
     val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = t.toDF("d1", "term")
+    t.toDF("d1", "term")
       .join(t.toDF("d2", "term2"), col("term") === col("term2") && col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_common"))
-    val jac = col("n_common") / (col("n1") + col("n2") - col("n_common"))
-    inter
       .join(sz.toDF("dk1", "n1"), col("dk1") === col("d1"))
       .join(sz.toDF("dk2", "n2"), col("dk2") === col("d2"))
-      .filter(jac >= threshold)
-      .select(col("d1"), col("d2"))
+      .select(col("d1"), col("d2"), col("n_common"),
+        (col("n1") + col("n2") - col("n_common")).as("uni"))
   }
+
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame =
+    jaccardScoredPairs(docs)
+      .filter(col("n_common") / col("uni") >= threshold)
+      .select(col("d1"), col("d2"))
 
   /** Near-dup clustering (q85): verified Jaccard pairs (the q26
     * semantics at a 0.7 threshold over doc_id < 100 — the synthetic
@@ -1025,6 +1034,102 @@ object Dedup {
           transform(array_sort(collect_list(col("v"))), x => x.cast("string")))
           .as("members"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** The q195 operating points, in tenths — ONE list drives BOTH
+    * engine sides (the q172 lshConfigs discipline).
+    */
+  private val sweepTenths: Seq[Int] = Seq(5, 6, 7, 8, 9)
+
+  /** Near-dup threshold sweep (q195): the q191-style operating-point
+    * table for the OTHER big curation knob — at every Jaccard cut
+    * k/10, k = 5..9, over the q85 verification slice: surviving
+    * pairs, docs drawn into any cluster, cluster count, and the docs
+    * a keep-one-representative dedup would remove. The shipped
+    * 0.7 operating point (q85/q135/q155/q162 all consume it) is a
+    * choice this table prices: each step up trades recall for
+    * precision, and n_removed is the budget impact.
+    *
+    * Every cut is the EXACT RATIONAL comparison 10·n_common ≥ k·uni
+    * over the integer intersection/union sizes
+    * ([[jaccardScoredPairs]]) — no float threshold anywhere (the
+    * shipped jaccardPairs gate keeps its documented double compare;
+    * on any corpus where a pair's Jaccard rounds across 0.7, THIS
+    * table is the exact adjudication of what the cut means).
+    *
+    * Scale: the scored-pair table is built ONCE (bounded slice — the
+    * q85/q153 exclusion reasoning; at corpus scale candidates come
+    * from minhashCandidates and the sweep runs on the verified
+    * candidate set); each cut filters it and runs the shared
+    * [[connectedComponents]]. Counts are exact integers; the
+    * threshold column is one literal division.
+    */
+  def dedupThresholdSweep(docs: DataFrame): DataFrame = {
+    val scored = jaccardScoredPairs(docs).localCheckpoint(true)
+    sweepTenths.map { k =>
+      val pairsK = scored
+        .filter(lit(10L) * col("n_common") >= lit(k.toLong) * col("uni"))
+        .select(col("d1"), col("d2"))
+      val comp = connectedComponents(pairsK)
+      comp
+        .agg(count(lit(1)).cast("bigint").as("n_clustered_docs"),
+          countDistinct(col("component")).cast("bigint").as("n_clusters"))
+        .crossJoin(broadcast(
+          pairsK.agg(count(lit(1)).cast("bigint").as("n_pairs"))))
+        .select(lit(k.toLong).as("thr_num"),
+          lit(k.toDouble / 10.0).as("threshold"),
+          col("n_pairs"), col("n_clustered_docs"), col("n_clusters"),
+          (col("n_clustered_docs") - col("n_clusters")).as("n_removed"))
+    }.reduce(_ union _)
+  }
+
+  val q195: QueryDef = QueryDef.sql(
+    "q195_dedup_threshold_sweep", {
+      val perK = sweepTenths.map { k =>
+        s"""pairs$k AS (
+           |  SELECT d1, d2 FROM sc WHERE 10 * n_common >= $k * uni),
+           |edges$k AS (
+           |  SELECT d1 AS a, d2 AS b FROM pairs$k
+           |  UNION SELECT d2 AS a, d1 AS b FROM pairs$k),
+           |reach$k(v, r) AS (
+           |  SELECT DISTINCT a, a FROM edges$k
+           |  UNION
+           |  SELECT e.a, re.r FROM edges$k e JOIN reach$k re ON re.v = e.b),
+           |comp$k AS (SELECT v, min(r) AS cluster_id FROM reach$k GROUP BY v),
+           |row$k AS (
+           |  SELECT CAST($k AS BIGINT) AS thr_num,
+           |    CAST($k AS DOUBLE) / 10.0 AS threshold,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM pairs$k) AS n_pairs,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM comp$k)
+           |      AS n_clustered_docs,
+           |    (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM comp$k)
+           |      AS n_clusters,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM comp$k)
+           |      - (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT)
+           |         FROM comp$k) AS n_removed)""".stripMargin
+      }.mkString(",\n")
+      val unions = sweepTenths.map(k => s"SELECT * FROM row$k")
+        .mkString("\nUNION ALL ")
+      s"""WITH RECURSIVE t AS (
+         |  SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest($duckToks) AS term
+         |    FROM documents WHERE doc_id < 100)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+         |  FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY d1, d2),
+         |sc AS (
+         |  SELECT d1, d2, n_common, s1.n + s2.n - n_common AS uni
+         |  FROM inter
+         |  JOIN sz s1 ON s1.doc_id = d1
+         |  JOIN sz s2 ON s2.doc_id = d2),
+         |$perK
+         |$unions
+         |ORDER BY thr_num""".stripMargin
+    }) { (s, dir) =>
+    dedupThresholdSweep(Tables.documents(s, dir).filter(col("doc_id") < 100))
+      .orderBy(col("thr_num"))
   }
 
   /** Canonical-representative selection (q135): q85's near-dup

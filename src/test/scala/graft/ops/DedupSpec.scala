@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.explode
+import org.apache.spark.sql.functions.{col, explode}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -386,5 +386,30 @@ class DedupSpec extends SparkSpec {
       "junk-only source: shingles counted (and shared with D), zero docs")
     assert(out("D") == ((1L, 0L, 0.0, 1L, 0L, 0.0)),
       "D's text is NOT unique — C's junk row carries the same content")
+  }
+
+  test("q195 sweep: monotone in the cut, and the 0.7 row agrees with q85's clustering") {
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 100)
+    val rows = Dedup.dedupThresholdSweep(docs)
+      .orderBy(col("thr_num")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(5L, 6L, 7L, 8L, 9L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, "pairs must shrink as the cut rises")
+      assert(b._3 <= a._3, "clustered docs must shrink as the cut rises")
+      assert(b._5 <= a._5, "removed docs must shrink as the cut rises")
+    }
+    // the k = 7 row must describe exactly the clustering q85 ships
+    // (the sweep's exact rational cut and the shipped double compare
+    // coincide on this corpus; a divergence here means a pair's
+    // Jaccard rounded across 0.7 and the operating point is ambiguous)
+    val q85rows = Dedup.q85.build(spark, sfDir).collect()
+    val k7 = rows.find(_._1 == 7L).get
+    assert(k7._4 == q85rows.length.toLong,
+      "0.7 cluster count diverged from q85")
+    assert(k7._3 == q85rows.map(_.getLong(1)).sum,
+      "0.7 clustered-doc count diverged from q85's member totals")
   }
 }

@@ -191,7 +191,8 @@ class PlanAuditSpec extends SparkSpec {
       "q188_hybrid_rrf_retrieval" -> "the audited arms' bounded sides: q115's one-row corpus-mean doc-length broadcast (sparse) + q31's bounded query batch x corpus (dense)",
       "q189_kneser_ney_score" -> "one-row broadcast holding the scalar distinct-bigram total NN",
       "q190_jl_recall_curve" -> "bounded audit: query batch x corpus (q31's shape, twice), 4-row dim spine, one-row totals",
-      "q191_gate_operating_points" -> "19-row threshold spine x doc rows (pre-aggregation) + q178's NB scalar broadcasts"
+      "q191_gate_operating_points" -> "19-row threshold spine x doc rows (pre-aggregation) + q178's NB scalar broadcasts",
+      "q195_dedup_threshold_sweep" -> "per-cut one-row aggregate crossJoins (scalar pair counts) over the bounded q85 slice"
     )
     val bad = scala.collection.mutable.ListBuffer[String]()
     val observedBnlj = scala.collection.mutable.TreeSet[String]()
