@@ -134,11 +134,27 @@ object UnigramLm {
     * the codegen expression, and the rollup re-aggregates the type
     * join to source rows.
     */
-  def unigramSegmentation(docs: DataFrame): DataFrame = {
-    val sw = docs
+  /** The (source, word, swn) occurrence-count table — the unigram
+    * pipeline's COMPLETE sufficient statistic (word freqs, the piece
+    * vocabulary, the lp map, every segmentation, and the rollup all
+    * derive from it), additive over batches (what
+    * [[graft.streaming.UnigramStream]] maintains incrementally). ONE
+    * definition shared by the batch kernel and the stream — their
+    * parity is bit-exact only because both sides count with this
+    * exact chain.
+    */
+  private[graft] def sourceWordCounts(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), explode(TextAnalytics.toks(col("text"))).as("word"))
       .groupBy(col("source"), col("word"))
       .agg(count(lit(1)).cast("bigint").as("swn"))
+
+  /** The full per-source rollup given the trainer state (`sw` from
+    * [[sourceWordCounts]] or the streaming store): derive the vocab +
+    * lp map, Viterbi-segment the word types, weight by occurrence
+    * counts.
+    */
+  private[graft] def segmentationFromCounts(sw: DataFrame): DataFrame = {
     val wf = sw.groupBy(col("word")).agg(sum(col("swn")).cast("bigint").as("wn"))
     val lp = pieceLp(wf)
     val seg = wf
@@ -159,6 +175,9 @@ object UnigramLm {
         (col("sum_lp_micro").cast("double")
           / (col("n_words").cast("double") * lit(1000000.0))).as("mean_lp"))
   }
+
+  def unigramSegmentation(docs: DataFrame): DataFrame =
+    segmentationFromCounts(sourceWordCounts(docs))
 
   /** The q192 twin's CTE chain (d → sw → wf → piece vocab → lp →
     * the recursive Viterbi → seg), parameterized by a doc-level WHERE
