@@ -35,4 +35,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // This box's ext4 serializes concurrent file creates/deletes badly:
+  // with shuffle.partitions=32 <= bypassMergeThreshold (200), every SQL
+  // exchange took BypassMergeSortShuffleWriter's 32-temp-files-per-map
+  // path = ~1k creates per shuffle, and thread dumps showed all 32
+  // executor threads RUNNABLE inside FileOutputStream.open0 /
+  // File.exists — q131 (15 shuffles/run) measured 5-60s of which <1s
+  // was compute. Shuffle scratch goes to tmpfs and the bypass path is
+  // disabled; both match real-cluster behavior (clusters run hundreds
+  // of reduce partitions, far past the bypass threshold, on fast local
+  // disks). Measured: q131 5-60s noisy -> 3.9-5.0s stable.
+  "-Dspark.local.dir=/dev/shm/spark-local",
+  "-Dspark.shuffle.sort.bypassMergeThreshold=1",
 )

@@ -28,6 +28,15 @@ object Bench {
       // on a real cluster this stays default and the bucketed layout
       // (see Bucketing) removes the fact-fact exchange instead
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // local-box shuffle hygiene (duplicated from build.sbt javaOptions
+      // so a non-sbt launch behaves the same): tmpfs scratch + no bypass
+      // writer — this host's ext4 serializes the bypass path's
+      // 32-files-per-map creates and was charging multi-second syscall
+      // stalls to every shuffle-heavy query (see build.sbt comment)
+      .config("spark.local.dir",
+        sys.props.getOrElse("spark.local.dir", "/dev/shm/spark-local"))
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.props.getOrElse("spark.shuffle.sort.bypassMergeThreshold", "1"))
       .getOrCreate()
     // ERROR, not WARN: executor-side WARN spam (e.g. WindowExec's
     // single-partition notice) would otherwise land in the same bounded
@@ -206,8 +215,26 @@ object Bench {
     def assemble(qsMap: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsMap,"reps":$reps,"load":$loadJ$errsField,"sf":$sfNum}"""
     val lineFull = assemble(qsFull)
+    // Final degrade tier: at 195 queries even the 1-decimal map
+    // overflowed the window and the driver recorded parsed=null (the
+    // r11 artifact — the whole line was clipped from the FRONT, losing
+    // "metric"/"value"). Keep the headline total exact and degrade the
+    // per-query map to the K slowest queries (the ones a reader would
+    // time-box first); the full map lives in BENCH_DETAIL.json.
+    def topK(k: Int): String = {
+      val top = medians.toSeq.sortBy { case (n, v) => (-v, n) }.take(k)
+        .map { case (n, v) => short(n) -> v }.sortBy(_._1)
+      top.map { case (n, v) => "\"" + n + "\":" + fmtq1(v) }
+        .mkString("{", ",", "}")
+    }
     val metricLine =
-      if (lineFull.length <= 1900) lineFull else assemble(qsAt(fmtq1))
+      if (lineFull.length <= 1900) lineFull
+      else {
+        val l1 = assemble(qsAt(fmtq1))
+        if (l1.length <= 1900) l1
+        else Iterator.from(medians.size, -10).map(k => assemble(topK(k)))
+          .find(_.length <= 1900).get // k=0 yields "{}" — always fits
+      }
     if (metricLine.length > 1950)
       System.err.println(s"[bench] WARNING metric line ${metricLine.length} chars " +
         "— approaching the driver's ~2000-char tail window")

@@ -25,6 +25,13 @@ object Verify {
       // on a real cluster this stays default and the bucketed layout
       // (see Bucketing) removes the fact-fact exchange instead
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // local-box shuffle hygiene, same rationale as Bench/build.sbt:
+      // tmpfs scratch + no bypass writer (this host's ext4 serializes
+      // concurrent shuffle-temp-file creates)
+      .config("spark.local.dir",
+        sys.props.getOrElse("spark.local.dir", "/dev/shm/spark-local"))
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.props.getOrElse("spark.shuffle.sort.bypassMergeThreshold", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

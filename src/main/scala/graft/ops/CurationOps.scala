@@ -2630,7 +2630,13 @@ object CurationOps {
     * (term, doc) index), `band_buckets` (the q45 MinHash-LSH bucket
     * membership over its doc_id < 500 signature scope — engine-hashed,
     * so the TWIN re-derives buckets from the dumped aux_minhash_sig32
-    * slices, the q45 slice-equality convention), and
+    * slices, the q45 slice-equality convention; asymmetry accepted as
+    * there: Spark groups by the xxhash64 band_sig, the twin by the raw
+    * 4-slot slice, so an xxhash64 collision between distinct slices
+    * would merge two buckets on the Spark side only — ~2⁻⁶⁴ per
+    * bucket pair, and the production store is KEYED on the engine
+    * hash, so the audit prices the store as it exists, not an
+    * idealized collision-free one), and
     * `exact_dup_groups` (the q25 key). `n_reexposed` is 0 by
     * definition everywhere but the dedup row.
     *

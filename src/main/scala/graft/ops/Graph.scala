@@ -130,12 +130,24 @@ object Graph {
       // identical for x >= 0 (x = 20q + r => both are 17q + (17r) div 20) but
       // never forms 17*x, which overflows Long once a hub's in-sum passes
       // Long.MaxValue/17 (~7% of total mass at the 8M-node broadcast limit)
+      // EAGER checkpoint, one small job per iteration. The former lazy
+      // form deferred all five to the final action, where each
+      // iteration's broadcast build is its own Spark job and block
+      // reuse across those jobs is a RACE: a broadcast subtree that
+      // started before the previous iteration's checkpoint blocks
+      // landed re-executed the whole lineage below it, compounding
+      // across iterations (measured at sf0.1: 5-56s per run lazy, with
+      // the spread driven by which blocks won the race, vs a stable
+      // ~0.1s per-iteration materialization eager — phase-probed, see
+      // PLANS.md q131). Eager serializes the iterations the way a
+      // cluster PageRank does anyway: iteration t+1 cannot start
+      // before t's vector exists.
       ranks = nodes.join(hinted(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(Teleport) +
             expr("17 * (coalesce(insum, 0L) div 20) + (17 * (coalesce(insum, 0L) % 20)) div 20"))
             .as("rank"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
     }
     ranks
   }

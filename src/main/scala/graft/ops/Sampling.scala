@@ -68,6 +68,18 @@ object Sampling {
   def lnMicro(x: Column): Column =
     round(log(x.cast("double")) * lit(1000000.0)).cast("bigint")
 
+  /** Driver-side twin of the Column [[lnMicro]] for vocabulary-bounded
+    * collect paths (the q192 piece table): SAME rounding discipline —
+    * java.math HALF_UP (= half-away-from-zero) through BigDecimal,
+    * exactly Spark's `round` on doubles — where a bare
+    * `math.round(ln·1e6)` would be floor(x+0.5), a THIRD rounding
+    * rule that disagrees on negative half-boundaries. One definition;
+    * the precondition (x ≥ 1) and micro-nat semantics above apply.
+    */
+  def lnMicro(x: Long): Long =
+    java.math.BigDecimal.valueOf(math.log(x.toDouble) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
   /** The DuckDB twin of [[lnMicro]] over an expression string. */
   def duckLnMicro(x: String): String =
     s"CAST(round(ln(CAST(($x) AS DOUBLE)) * 1000000.0) AS BIGINT)"

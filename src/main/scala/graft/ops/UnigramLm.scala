@@ -41,18 +41,19 @@ object UnigramLm {
     * when the vocab carries every observed character; the guard keeps
     * a foreign word from crashing the scan).
     *
-    * Cross-engine precondition (the lnMicro x ≥ 1 class): positions
-    * here are UTF-16 code units while the twin's length()/substr()
-    * count code points — identical on BMP text (every fixture and any
-    * whitespace-tokenized ASCII/Latin corpus), divergent on
-    * astral-plane symbols, whose surrogate halves this kernel would
-    * segment separately.
+    * The DP indexes CODE POINTS, the same unit the vocabulary
+    * enumeration (Spark `substr`/`length`) and the DuckDB twin count
+    * — an astral-plane word segments by whole characters instead of
+    * silently nulling out because its vocab pieces (whole code
+    * points) never matched the kernel's former UTF-16 surrogate-half
+    * substrings.
     */
   def segment(w: org.apache.spark.unsafe.types.UTF8String,
               vocab: java.util.HashMap[String, java.lang.Long],
               maxPiece: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val s = w.toString
-    val n = s.length
+    val cps = s.codePoints().toArray
+    val n = cps.length
     val score = new Array[Long](n + 1)
     val np = new Array[Long](n + 1)
     val reach = new Array[Boolean](n + 1)
@@ -66,7 +67,7 @@ object UnigramLm {
       val maxL = math.min(maxPiece, i)
       while (L <= maxL) {
         if (reach(i - L)) {
-          val lp = vocab.get(s.substring(i - L, i))
+          val lp = vocab.get(new String(cps, i - L, L))
           if (lp != null) {
             val cand = score(i - L) + lp.longValue()
             if (!found || cand >= bestS) {
@@ -115,8 +116,11 @@ object UnigramLm {
     require(vocab.length <= 100000,
       s"unigram vocab ${vocab.length} exceeds the driver-side budget")
     val tot = vocab.map(_._2).sum
-    def lnMicro(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
-    vocab.map { case (p, f) => p -> (lnMicro(f) - lnMicro(tot)) }.toSeq
+    // the ONE driver-side micro-nat rounding (Sampling.lnMicro(Long)):
+    // a local math.round here would be a third, subtly different rule
+    vocab.map { case (p, f) =>
+      p -> (Sampling.lnMicro(f) - Sampling.lnMicro(tot))
+    }.toSeq
   }
 
   /** Per-source segmentation rollup (the q192 kernel): word counts,

@@ -95,6 +95,27 @@ object ScaleCheck {
         // slice cost). q183 scans the full corpus (tokenize pass +
         // planner broadcast + TakeOrderedAndProject head):
         "q183_training_manifest",
+        // q184 is deliberately absent: it profiles the documents TABLE
+        // column-by-column (exact distinct per column) — replica
+        // scaling would measure countDistinct over near-identical
+        // replicas (text gains a rep tag, ids shift), i.e. the
+        // replicator's layout, not the op; the scale story is the
+        // per-column independent scan+agg shape (one pruned column per
+        // job), argued in the doc comment.
+        // q185 scans the FULL corpus shingle stream — the canonical
+        // content-keyed exchange class (no pair joins anywhere):
+        "q185_source_marginal_novelty",
+        // q186/q191 ride the q178 NB chain (corpus pass + vocab join)
+        // plus row-local fixed-gate arithmetic; q191 additionally
+        // fans the 19-row spine pre-aggregation:
+        "q186_gate_disagreement", "q191_gate_operating_points",
+        // q187's corpus-sized stage is the (source, term) freq agg;
+        // the regression runs on the vocabulary table:
+        "q187_zipf_audit",
+        // q188's corpus-side arms scale (postings build + brute-force
+        // dense scan) while the query batch stays replica-0-pinned
+        // (doc_id < 5 — q174's maintenance-question shape):
+        "q188_hybrid_rrf_retrieval",
         // q189 trains + scores on the full corpus (q116's shape plus
         // one extra vocabulary-sized w2 window):
         "q189_kneser_ney_score",
@@ -105,6 +126,11 @@ object ScaleCheck {
         // corpus (its band store rides the fixed q45 doc_id < 500
         // signature scope — replica 0 only, a constant term):
         "q193_takedown_propagation")
+        // q195 is deliberately absent (q153's reason: the scored-pair
+        // table is q85's doc_id < 100 all-pairs verification slice —
+        // only replica 0 participates; at corpus scale candidates come
+        // from minhashCandidates and the sweep prices the verified
+        // candidate set, argued in the doc comment).
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()

@@ -410,7 +410,7 @@ class TextAnalyticsSpec extends SparkSpec {
     val corpus = Seq(1L -> "a b a b c b", 2L -> "b c d a a",
       3L -> "c a b b b x y", 4L -> "solo", 5L -> "")
     val (tokd, bgs, c12, c1, n1f, n1b, nn) = knRef(corpus)
-    def lnMicro(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    def lnMicro(x: Long): Long = graft.ops.Sampling.lnMicro(x)
     val expected = tokd.map { case (id, w) =>
       val mine = bgs.filter(_._1 == id)
       val s = mine.map { case (_, w1, w2) =>

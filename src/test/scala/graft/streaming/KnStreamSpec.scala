@@ -121,7 +121,7 @@ class KnStreamSpec extends SparkSpec {
       b <- n1b.keys.toSeq.sorted
       if !pairs.contains((a, b))
     } yield (a, b)).head
-    def lnMicro(v: Long): Long = math.round(math.log(v.toDouble) * 1e6)
+    def lnMicro(v: Long): Long = graft.ops.Sampling.lnMicro(v)
     val backoff = lnMicro(3L * n1f(x) * n1b(y)) - lnMicro(4L * c1(x) * nn)
     val out = KnStream.scoreCurrent(spark,
         Seq(KnDoc(Some(901L), s"$x $y"), KnDoc(Some(902L), "zzqx zzqy")).toDF(),

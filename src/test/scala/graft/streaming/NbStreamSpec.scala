@@ -144,7 +144,7 @@ class NbStreamSpec extends SparkSpec {
     val v = tc.length.toLong
     val np = tc.map(_._2).sum
     val nn = tc.map(_._3).sum
-    def lnMicro(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    def lnMicro(x: Long): Long = graft.ops.Sampling.lnMicro(x)
     val perTok = lnMicro(1L) - lnMicro(np + v) - lnMicro(1L) + lnMicro(nn + v)
     val prior = if (npd > 0 && nnd > 0) lnMicro(npd) - lnMicro(nnd) else 0L
     assert(out.head._3 == 4L * perTok + prior,
