@@ -340,6 +340,45 @@ case class UnigramSegmentExpr(child: Expression, vocab: Seq[(String, Long)],
     copy(child = newChild)
 }
 
+/** [[UnigramSegmentExpr]]'s piece-materializing sibling: STRING ->
+  * ARRAY<STRING> of the Viterbi piece sequence (left-to-right), same
+  * vocab/tie contract, null when unsegmentable. The q199 EM E-step's
+  * kernel — kept separate so the count-only q192 path never allocates
+  * piece arrays.
+  */
+case class UnigramSegmentPiecesExpr(child: Expression, vocab: Seq[(String, Long)],
+                                    maxPiece: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(vocab.nonEmpty, "unigram_segment_pieces needs a non-empty piece table")
+  require(maxPiece >= 1, s"maxPiece must be positive, got $maxPiece")
+
+  @transient private lazy val vocabMap: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (p, lp) => m.put(p, java.lang.Long.valueOf(lp)) }
+    m
+  }
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "unigram_segment_pieces"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.ops.UnigramLm.segmentPieces(
+      input.asInstanceOf[UTF8String], vocabMap, maxPiece)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocab", vocabMap, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.ops.UnigramLm.segmentPieces($c, $ref, $maxPiece);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegmentPiecesExpr =
+    copy(child = newChild)
+}
+
 /** Real-valued JL random projection against driver-side planes
   * (m x dim): ARRAY<DOUBLE> -> ARRAY<DOUBLE> of plane dots, each an
   * index-order fold over the common prefix. [[SignBucketExpr]] keeps
@@ -639,6 +678,10 @@ object functions {
 
   def unigram_segment(c: Column, vocab: Seq[(String, Long)], maxPiece: Int): Column =
     Shim.column(UnigramSegmentExpr(Shim.expression(c), vocab, maxPiece))
+
+  def unigram_segment_pieces(c: Column, vocab: Seq[(String, Long)],
+                             maxPiece: Int): Column =
+    Shim.column(UnigramSegmentPiecesExpr(Shim.expression(c), vocab, maxPiece))
 
   def bloom_might_contain(c: Column,
                           bloom: org.apache.spark.util.sketch.BloomFilter): Column =

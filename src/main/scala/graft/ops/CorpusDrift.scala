@@ -16,7 +16,7 @@ object CorpusDrift {
 
   private val duckToks = TwinSql.toksSql
 
-  def all: Seq[QueryDef] = Seq(q134, q136, q146, q151, q156, q163)
+  def all: Seq[QueryDef] = Seq(q134, q136, q146, q151, q156, q163, q197)
 
   /** Pairwise source-distribution divergence (q134): for every source
     * pair, the L1 distance between their unigram distributions —
@@ -643,5 +643,100 @@ object CorpusDrift {
         sum(when(col("status") === "unchanged", 1L).otherwise(0L))
           .cast("bigint").as("n_unchanged"),
         sum(col("tok_b") - col("tok_a")).cast("bigint").as("tok_delta"))
+  }
+
+  /** Embedding-space drift monitor (q197): chi² of the IVF-cell
+    * occupancy histogram of a CURRENT embedding window against a
+    * REFERENCE window — the q151/q163 drift spine pointed at the
+    * vector axis. Coverage drift (a feed whose new vectors crowd into
+    * different coarse cells than the corpus the quantizer and the ANN
+    * operating points were tuned on) is invisible to every text-side
+    * monitor and silently degrades q53/q150/q180 serving (probe depths
+    * calibrated on the old occupancy); this is the readout that
+    * catches it. Centroid-level shift is deliberately expressed as
+    * CELL-OCCUPANCY shift: cell counts are exact integers the chi²
+    * spine consumes with no float mean anywhere (a per-dimension float
+    * centroid would need an ordered fold per dim for cross-engine
+    * determinism and says less about serving than the cells do).
+    *
+    * Windows: ref = vec_id % 10 < 8, cur = the rest — the
+    * deterministic SF-proportional stand-in for "yesterday's snapshot
+    * vs today's ingest" (a real deployment keys the windows on ingest
+    * time; the split is a parameter, not a semantic). Assignment is
+    * the q171/q174 serving convention: frozen lloydIters=1 quantizer
+    * (first-8 by vec_id), null-vector junk excluded, the shared
+    * argmin. Both windows are scored against the combined occupancy
+    * (q151's source-vs-corpus semantics — e_b > 0 guaranteed); the
+    * `cur` row is the drift readout and `ref`'s chi² is the
+    * self-consistency baseline.
+    *
+    * Scale: assignment is the zero-shuffle broadcast map; the
+    * histogram partial-aggregates to K cells map-side; the chi² runs
+    * on the 2×K spine. [[graft.streaming.DriftStream.monitorEmbedding]]
+    * maintains the same histogram incrementally (bit-exact parity,
+    * spec-pinned like the length/quality monitors).
+    */
+  def embeddingCellDrift(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.cluster.KMeansAssign
+    val e = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    val centers = KMeansAssign.lloydCenters(e, 8, iters = 1, "vec_id", "v")
+    chiSquareByBucket(
+      KMeansAssign.assignMap(e, centers, "v")
+        .select(
+          when(pmod(col("vec_id"), lit(10)) < 8, lit("ref"))
+            .otherwise(lit("cur")).as("source"),
+          col("center_id").cast("bigint").as("bucket")))
+      .select(col("source").as("win"), col("n_docs").as("n_vecs"),
+        col("dof"), col("chi2"))
+  }
+
+  val q197: QueryDef = QueryDef.sql(
+    "q197_embedding_cell_drift",
+    s"""WITH ctr AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS center_id, embedding AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)),
+       |base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |asg AS (
+       |  SELECT vec_id, center_id FROM (
+       |    SELECT base.vec_id, ctr.center_id,
+       |      row_number() OVER (PARTITION BY base.vec_id ORDER BY
+       |        ${TwinSql.distZ("base.v", "ctr.cv")}, ctr.center_id) AS rn
+       |    FROM base CROSS JOIN ctr) WHERE rn = 1),
+       |b AS (
+       |  SELECT CASE WHEN vec_id % 10 < 8 THEN 'ref' ELSE 'cur' END AS source,
+       |    CAST(center_id AS BIGINT) AS bucket
+       |  FROM asg),
+       |cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bucket),
+       |sb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS o
+       |       FROM b GROUP BY source, bucket),
+       |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM b GROUP BY source),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+       |spine AS (SELECT ns.source, ns.n_docs, cb.bucket, cb.c, tot.n
+       |          FROM ns CROSS JOIN cb CROSS JOIN tot),
+       |terms AS (
+       |  SELECT source, n_docs, bucket,
+       |    (CAST(COALESCE(sb.o, 0) AS DOUBLE)
+       |       - CAST(spine.n_docs AS DOUBLE) * CAST(spine.c AS DOUBLE) / CAST(spine.n AS DOUBLE))
+       |    * (CAST(COALESCE(sb.o, 0) AS DOUBLE)
+       |       - CAST(spine.n_docs AS DOUBLE) * CAST(spine.c AS DOUBLE) / CAST(spine.n AS DOUBLE))
+       |    / (CAST(spine.n_docs AS DOUBLE) * CAST(spine.c AS DOUBLE) / CAST(spine.n AS DOUBLE))
+       |      AS term
+       |  FROM spine LEFT JOIN sb USING (source, bucket))
+       |SELECT source AS win, n_docs AS n_vecs,
+       |  CAST((SELECT count(*) FROM cb) - 1 AS BIGINT) AS dof,
+       |  list_sum(list(term ORDER BY bucket)) AS chi2
+       |FROM terms
+       |GROUP BY source, n_docs
+       |ORDER BY win""".stripMargin) { (s, dir) =>
+    embeddingCellDrift(Tables.embeddings(s, dir)).orderBy(col("win"))
   }
 }

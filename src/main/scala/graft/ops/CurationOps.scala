@@ -2551,7 +2551,14 @@ object CurationOps {
     * Scale: one aggregate PER COLUMN, each a column-pruned scan +
     * partial+final agg — columns profile independently (a 100 TB
     * profile parallelizes per column and never carries another
-    * column's bytes). The exact-distinct term exchanges each column's
+    * column's bytes). The deliberate trade-off: a single-pass
+    * multi-agg would halve the JOB count on wide tables but scans
+    * every profiled column in one pass (and exact-distinct over
+    * several columns in one aggregate multiplies its hash state);
+    * per-column jobs keep each scan pruned to one column and each
+    * distinct exchange independent — the right side of the trade
+    * whenever the table is wider than the cluster is job-latency-
+    * bound. The exact-distinct term exchanges each column's
     * distinct values (map-side partial dedup first); that is the
     * price of EXACT — the engine's auditable-HLL (q128) is the
     * sketch path when an estimate suffices. The final union is

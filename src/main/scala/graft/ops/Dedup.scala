@@ -28,7 +28,7 @@ object Dedup {
 
   def all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89, q112, q135, q139, q162,
-      q172, q185, q195)
+      q172, q185, q195, q198)
 
   /** Exact dedup on a normalized key: keep the lowest doc_id per group.
     * Scale: one hash exchange on the key; with pre-partitioned/bucketed
@@ -553,6 +553,146 @@ object Dedup {
     index
       .join(fresh.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .unionByName(fresh)
+  }
+
+  /** Incremental near-dup CLUSTER maintenance (the q198 kernel): merge
+    * a delta into a persisted component view WITHOUT re-running global
+    * union-find — the missing piece between [[upsertBandIndex]]
+    * (candidates incrementally) and the q85/q135/q155/q162 consumers
+    * (which re-ran components from scratch per run). The persisted
+    * artifacts are the verified-pair EDGE store and the component
+    * view; an ingest batch (new docs + re-ingested versions of
+    * existing ids) updates both:
+    *
+    *  1. every stored edge touching a re-ingested id is STRUCK (its
+    *     endpoints' content changed — delta wins, the upsertBandIndex
+    *     rule);
+    *  2. `newPairs` — the verified pairs of the batch against the
+    *     merged corpus (candidates from [[probeBandIndex]] +
+    *     delta-internal banding at scale; the caller verifies) — are
+    *     added;
+    *  3. ONLY components touched by a struck or added edge recompute
+    *     (their kept edges + the new edges through the shared
+    *     [[connectedComponents]]); every untouched component carries
+    *     over byte-identical.
+    *
+    * merge == rebuild (spec-proven): pairs between two non-delta docs
+    * are unchanged by the ingest, so the merged edge store equals the
+    * from-scratch edge set over the merged corpus, and components of
+    * the touched region recompute from exactly those edges — a struck
+    * id that lost all edges drops out, a bridge edge merges two old
+    * components, and the canonical min-member cluster ids re-derive.
+    *
+    * Scale: the delta id set is small — both strike flags and the
+    * touched-component semi-join broadcast it (AQE); the edge store is
+    * never content-rescanned; the union-find loop runs on the touched
+    * region only (new edges + kept edges of touched components), not
+    * the corpus graph.
+    */
+  def upsertComponents(histPairs: DataFrame, histComp: DataFrame,
+                       deltaIds: DataFrame, newPairs: DataFrame): DataFrame = {
+    val ids = deltaIds.select(col("doc_id")).distinct()
+    val flagged = histPairs.toDF("d1", "d2")
+      .join(ids.toDF("x1"), col("d1") === col("x1"), "left")
+      .join(ids.toDF("x2"), col("d2") === col("x2"), "left")
+    val struck = flagged
+      .filter(col("x1").isNotNull || col("x2").isNotNull)
+      .select(col("d1"), col("d2"))
+    val kept = flagged
+      .filter(col("x1").isNull && col("x2").isNull)
+      .select(col("d1"), col("d2"))
+    val np = newPairs.toDF("d1", "d2")
+    val comp = histComp.toDF("v", "component")
+    val touchedNodes = struck.select(col("d1").as("v"))
+      .union(struck.select(col("d2").as("v")))
+      .union(np.select(col("d1").as("v")))
+      .union(np.select(col("d2").as("v")))
+      .distinct()
+    val touchedComps = comp.join(touchedNodes, Seq("v"))
+      .select(col("component")).distinct()
+    // kept edges live inside one component by definition — joining the
+    // d1 endpoint's membership suffices to scope the region
+    val regionKept = kept
+      .join(comp.toDF("d1", "c1"), Seq("d1"))
+      .join(touchedComps.toDF("c1"), Seq("c1"))
+      .select(col("d1"), col("d2"))
+    val regionComp = connectedComponents(regionKept.unionByName(np))
+    comp.join(touchedComps, Seq("component"), "left_anti")
+      .select(col("v"), col("component"))
+      .unionByName(regionComp.select(col("v"), col("component")))
+  }
+
+  /** q198: the incremental-maintenance lifecycle over the q85 slice —
+    * history = doc_id < 80, ingest batch = 20 new docs (80..99) plus
+    * re-ingested v2 versions (text || ' v2') of ids ≡ 0 (mod 20); the
+    * output is the q85-shaped cluster table of the MERGED state. The
+    * spec proves merge == rebuild; the ORACLE is therefore the
+    * from-scratch recursive-CTE rebuild over the merged corpus — the
+    * strongest possible check of the merge path's end state. Bounded
+    * slice (q85's recursive-CTE reasoning; ScaleCheck-excluded for
+    * q153's reason — at corpus scale candidates come from
+    * [[probeBandIndex]] and the region recompute is delta-local).
+    */
+  val q198: QueryDef = QueryDef.sql(
+    "q198_incremental_clusters",
+    s"""WITH RECURSIVE md AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id < 80 AND doc_id % 20 = 0 THEN text || ' v2'
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id < 100),
+       |t AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest($duckToks) AS term FROM md)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+       |  FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY d1, d2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sz s1 ON s1.doc_id = d1
+       |  JOIN sz s2 ON s2.doc_id = d2
+       |  WHERE n_common / (s1.n + s2.n - n_common) >= 0.7),
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM pairs
+       |  UNION ALL
+       |  SELECT d2, d1 FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.v = e.b),
+       |comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+       |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+    val all = Tables.documents(s, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    val hist = all.filter(col("doc_id") < 80)
+    val reingest = hist.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+    val delta = reingest.unionByName(all.filter(col("doc_id") >= 80))
+    val deltaIds = delta.select(col("doc_id"))
+    val merged = hist.join(deltaIds, Seq("doc_id"), "left_anti")
+      .unionByName(delta)
+      .localCheckpoint(false)
+    val histPairs = jaccardPairs(hist)
+    val histComp = connectedComponents(histPairs)
+    // verified pairs of the batch against the merged corpus: at this
+    // slice the exact q85 criterion; pairs NOT touching the delta are
+    // provably unchanged and never re-verified
+    val newPairs = jaccardPairs(merged)
+      .join(deltaIds.toDF("x1"), col("d1") === col("x1"), "left")
+      .join(deltaIds.toDF("x2"), col("d2") === col("x2"), "left")
+      .filter(col("x1").isNotNull || col("x2").isNotNull)
+      .select(col("d1"), col("d2"))
+    upsertComponents(histPairs, histComp, deltaIds, newPairs)
+      .groupBy(col("component").as("cluster_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_members"),
+        concat_ws(",",
+          transform(array_sort(collect_list(col("v"))), x => x.cast("string")))
+          .as("members"))
+      .orderBy(col("cluster_id"))
   }
 
   /** Probe an LSH band index with an incoming batch: candidate pairs

@@ -25,7 +25,7 @@ object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
     q45, q46, q47, q51, q52, q53, q57, q102, q105, q106, q128, q130, q153,
-    q160, q170, q173, q177, q188)
+    q160, q170, q173, q177, q188, q196, q200)
 
   // the shared twin cosine fragments (single definition: TwinSql)
   // every twin in this file SCORES vectors, so only the zero-norm
@@ -1225,5 +1225,381 @@ object NonOracle {
        |WHERE rnk <= 10
        |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
     hybridRetrieval(s, dir).orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Cross-modal consistency audit (q196): the paired-modality dedup
+    * readout — per doc pair flagged near-dup by EITHER modality over
+    * the shared doc_id < 500 signature scope, which modality agrees:
+    * `both_dup` (text MinHash-verified AND image dHash-verified),
+    * `image_only` (duplicate pixels under different/absent captions —
+    * the mirror-with-rewritten-alt-text case), `text_only` (duplicate
+    * captions over different images — the template-caption case). A
+    * multimodal dedup that trusts one modality silently keeps exactly
+    * the off-diagonal pairs this table counts (the LAION-style paired
+    * audit). The fourth cell (neither) is every other pair —
+    * unbounded and meaningless, deliberately absent.
+    *
+    * Criteria are the shipped gates, not new ones: text =
+    * [[Dedup.verifiedPairs]] (banded candidates + MinHash slot
+    * agreement ≥ 0.7 — the q132/q173 criterion), image =
+    * [[Dedup.simhashBandPairs]] over [[Multimodal.phashSig64]] at
+    * hamming ≤ 10 (the q177 operating point). A NULL-text doc has no
+    * shingle signature, so its pairs can only surface as `image_only`
+    * — caption-absent counts as caption-different (documented, the
+    * audit's point).
+    *
+    * Scale: both arms are banded equi-joins (never all-pairs); the
+    * classification is one full-outer join of two pair shortlists +
+    * a 3-row aggregate. TWO-STAGE ORACLE: DuckDB re-derives the text
+    * arm from aux_minhash_sig32 (the q173 chain) and the image arm
+    * from aux_phash64 (the q177 chain), then the same join +
+    * classification. Bounded slice — the q45 signature scope
+    * (ScaleCheck exclusion reasoning as q173's).
+    */
+  def crossModalConsistency(s: org.apache.spark.sql.SparkSession,
+                            docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sigs = Dedup.minhashSignatures(docs).localCheckpoint(false)
+    val txt = Dedup.verifiedPairs(sigs)
+      .select(col("d1"), col("d2"), lit(1L).as("is_txt"))
+    val img = Dedup.simhashBandPairs(
+      Multimodal.phashSig64(s, Multimodal.attachSyntheticImages(s, docs)),
+      maxHamming = 10)
+      .select(col("d1"), col("d2"), lit(1L).as("is_img"))
+    val u = txt.join(img, Seq("d1", "d2"), "full_outer")
+      .select(col("d1"), col("d2"),
+        when(col("is_txt").isNotNull && col("is_img").isNotNull, "both_dup")
+          .when(col("is_img").isNotNull, "image_only")
+          .otherwise("text_only").as("cls"))
+    val pairs = u.groupBy(col("cls"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+    val docsIn = u
+      .select(col("cls"), explode(array(col("d1"), col("d2"))).as("d"))
+      .groupBy(col("cls"))
+      .agg(countDistinct(col("d")).cast("bigint").as("n_docs"))
+    pairs.join(docsIn, Seq("cls"))
+  }
+
+  val q196 = QueryDef.sql(
+    "q196_crossmodal_consistency",
+    """WITH s AS (
+      |  SELECT doc_id, list(h ORDER BY pos) AS mh
+      |  FROM read_parquet('__GRAFT_OUT__/aux_minhash_sig32/*.parquet')
+      |  GROUP BY doc_id),
+      |b AS (
+      |  SELECT doc_id, g.b AS band, list_slice(mh, g.b*4 + 1, g.b*4 + 4) AS key
+      |  FROM s CROSS JOIN (SELECT unnest(range(8)) AS b) g),
+      |cand AS (
+      |  SELECT a.doc_id AS d1, c.doc_id AS d2
+      |  FROM b a JOIN b c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+      |  GROUP BY d1, d2),
+      |m AS (
+      |  SELECT cand.d1, cand.d2,
+      |    CAST(len(list_filter(range(1, 33), i -> s1.mh[i] = s2.mh[i])) AS BIGINT)
+      |      AS n_match
+      |  FROM cand JOIN s s1 ON s1.doc_id = cand.d1
+      |            JOIN s s2 ON s2.doc_id = cand.d2),
+      |tp AS (SELECT d1, d2 FROM m WHERE CAST(n_match AS DOUBLE) / 32.0 >= 0.7),
+      |ph AS (
+      |  SELECT doc_id, sig
+      |  FROM read_parquet('__GRAFT_OUT__/aux_phash64/*.parquet')
+      |  WHERE doc_id < 500),
+      |pb AS (
+      |  SELECT doc_id, sig, g.b AS b, ((sig >> (g.b * 16)) & 65535) AS band
+      |  FROM ph CROSS JOIN (SELECT unnest(range(4)) AS b) g),
+      |pp AS (
+      |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2,
+      |    a.sig AS s1, c.sig AS s2
+      |  FROM pb a JOIN pb c
+      |    ON a.b = c.b AND a.band = c.band AND a.doc_id < c.doc_id),
+      |ip AS (
+      |  SELECT d1, d2 FROM pp WHERE bit_count(xor(s1, s2)) <= 10),
+      |u AS (
+      |  SELECT COALESCE(t.d1, i.d1) AS d1, COALESCE(t.d2, i.d2) AS d2,
+      |    CASE WHEN t.d1 IS NOT NULL AND i.d1 IS NOT NULL THEN 'both_dup'
+      |         WHEN i.d1 IS NOT NULL THEN 'image_only'
+      |         ELSE 'text_only' END AS cls
+      |  FROM tp t FULL OUTER JOIN ip i ON t.d1 = i.d1 AND t.d2 = i.d2),
+      |cp AS (
+      |  SELECT cls, CAST(count(*) AS BIGINT) AS n_pairs FROM u GROUP BY cls),
+      |cd AS (
+      |  SELECT cls, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+      |  FROM (SELECT cls, unnest([d1, d2]) AS d FROM u) GROUP BY cls)
+      |SELECT cp.cls, cp.n_pairs, cd.n_docs
+      |FROM cp JOIN cd USING (cls)
+      |ORDER BY cls""".stripMargin) { (s, dir) =>
+    crossModalConsistency(s,
+      Tables.documents(s, dir).filter(col("doc_id") < 500))
+      .orderBy(col("cls"))
+  }
+
+  /** Retrieval-quality eval harness (q200): recall@10 and nDCG@10 of
+    * the THREE shipped retrieval systems — TF-IDF (the q114 engine),
+    * Okapi BM25 (q115), and hybrid RRF (the q188 fusion) — against a
+    * PLANTED graded relevance set, per query. The q57 planted-pair
+    * discipline applied to retrieval: q188's RRF is defended by a
+    * measured number, not by shape.
+    *
+    * Relevance is defined INDEPENDENTLY of every system's score:
+    * graded rel(q, c) = min(3, (10·|Tq ∩ Tc|) div |Tq ∪ Tc|) over
+    * exact DISTINCT-token sets — integer Jaccard deciles capped at 3
+    * (q195's exact-rational discipline; no float threshold), relevant
+    * iff grade ≥ 1. Lexical overlap favors no arm a priori: BM25/TFIDF
+    * see only the 4-term query, not the full token set, and the dense
+    * arm sees stub embeddings.
+    *
+    * Float discipline: ranks, grades, and DCG sums are exact integers
+    * — the per-rank weight w_r = round(10⁶·ln 2 / ln(r+1)) is the
+    * lnMicro single-rounding rule applied to the nDCG discount (one
+    * libm expression, one rounding, identical formula both engines),
+    * so DCG_micro = Σ grade·w_r is order-free; recall and ndcg are
+    * final literal divisions. IDCG ranks the relevance set itself
+    * (grade desc — ties irrelevant to the sum). n_rel counts the
+    * query's full relevant set; a query with none reports 0.0 metrics.
+    *
+    * Scale: ONE postings build feeds both lexical arms; the relevance
+    * join is query-side-bounded (5 query token sets broadcast against
+    * the corpus token stream — linear, never all-pairs); metrics are
+    * shortlist-sized. The dense arm is the q57/q188 engine. ORACLE:
+    * full replay — the q188 twin chain (both arms + fusion from raw
+    * documents + aux_mm_embed) extended with the TF-IDF arm, the
+    * relevance derivation, and the metric arithmetic.
+    */
+  def retrievalEval(s: org.apache.spark.sql.SparkSession, dir: String,
+                    nQ: Int = 5, k: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val tokens = docs.select(col("doc_id"),
+      explode(TextAnalytics.toks(col("text"))).as("term"))
+    val n = docs.count()
+    val tf = graft.index.Retrieval.postings(tokens).localCheckpoint(false)
+    val wq = Window.partitionBy(col("qid")).orderBy(col("tf").desc, col("term"))
+    val queries = tf.filter(col("doc_id") < nQ)
+      .select(col("doc_id").as("qid"), col("term"), col("tf"))
+      .withColumn("r", row_number().over(wq)).filter(col("r") <= 4)
+      .select(col("qid"), col("term"))
+    // each lexical arm: top-(k+1), drop self, re-rank to contiguous
+    // 1..k (the q188 self-exclusion rule)
+    val wS = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    def arm(res: org.apache.spark.sql.DataFrame, sys: String) = res
+      .filter(col("doc_id") =!= col("qid"))
+      .withColumn("rk", row_number().over(wS)).filter(col("rk") <= k)
+      .select(lit(sys).as("system"), col("qid"),
+        col("doc_id").as("cid"), col("rk").cast("bigint").as("rk"))
+    val tfidfArm = arm(
+      graft.index.Retrieval.searchPostings(tf, queries, n, k + 1), "tfidf")
+    val bm25Arm = arm(
+      graft.index.Retrieval.searchBm25Postings(tf, queries, n, k + 1), "bm25")
+    val rrfArm = hybridRetrieval(s, dir, nQ, k)
+      .select(lit("rrf").as("system"), col("qid"), col("cid"),
+        col("rnk").cast("bigint").as("rk"))
+    val ranked = tfidfArm.unionByName(bm25Arm).unionByName(rrfArm)
+    // planted graded relevance: exact distinct-token Jaccard deciles,
+    // query side bounded and broadcast
+    val dt = tokens.distinct().localCheckpoint(false)
+    val qt = dt.filter(col("doc_id") < nQ).toDF("qid", "term")
+    val qsz = qt.groupBy(col("qid")).agg(count(lit(1)).as("nq"))
+    val csz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
+      .toDF("cid", "nc")
+    val rel = dt.toDF("cid", "term")
+      .join(broadcast(qt), Seq("term"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(qsz), Seq("qid"))
+      .join(csz, Seq("cid"))
+      .select(col("qid"), col("cid"),
+        least(lit(3L), expr("(10 * n_common) div (nq + nc - n_common)"))
+          .cast("bigint").as("grade"))
+      .filter(col("grade") >= 1L)
+      .localCheckpoint(false)
+    // per-rank micro discount, single-rounded (see doc comment)
+    def wOf(r: org.apache.spark.sql.Column) =
+      round(lit(1000000.0) * log(lit(2.0)) / log(r.cast("double") + lit(1.0)))
+        .cast("bigint")
+    val hits = ranked.join(rel, Seq("qid", "cid"), "left")
+      .select(col("system"), col("qid"),
+        when(col("grade").isNotNull, 1L).otherwise(0L).as("hit"),
+        coalesce(col("grade"), lit(0L)).as("g"), col("rk"))
+      .groupBy(col("system"), col("qid"))
+      .agg(sum(col("hit")).cast("bigint").as("n_hits"),
+        sum(col("g") * wOf(col("rk"))).cast("bigint").as("dcg_micro"))
+    val wI = Window.partitionBy(col("qid"))
+      .orderBy(col("grade").desc, col("cid"))
+    val ideal = rel
+      .withColumn("rk", row_number().over(wI)).filter(col("rk") <= k)
+      .groupBy(col("qid"))
+      .agg(sum(col("grade") * wOf(col("rk"))).cast("bigint").as("idcg_micro"))
+    val nRel = rel.groupBy(col("qid"))
+      .agg(count(lit(1)).cast("bigint").as("n_rel"))
+    hits
+      .join(broadcast(nRel), Seq("qid"), "left")
+      .join(broadcast(ideal), Seq("qid"), "left")
+      .select(col("system"), col("qid"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"), col("n_hits"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0L,
+          col("n_hits").cast("double") / col("n_rel").cast("double"))
+          .otherwise(lit(0.0)).as("recall"),
+        col("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        when(coalesce(col("idcg_micro"), lit(0L)) > 0L,
+          col("dcg_micro").cast("double") / col("idcg_micro").cast("double"))
+          .otherwise(lit(0.0)).as("ndcg"))
+  }
+
+  val q200 = QueryDef.sql(
+    "q200_retrieval_eval",
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    unnest(${TwinSql.toksSql}) AS term
+       |  FROM documents),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tk GROUP BY term, doc_id),
+       |qs AS (
+       |  SELECT qid, term FROM (
+       |    SELECT doc_id AS qid, term,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS r
+       |    FROM tf WHERE doc_id < 5)
+       |  WHERE r <= 4),
+       |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |       FROM tk GROUP BY term),
+       |tw AS (
+       |  SELECT tf.term, tf.doc_id,
+       |    round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 9) AS w
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |tm AS (SELECT qs.qid, tw.doc_id, tw.term, tw.w FROM tw JOIN qs USING (term)),
+       |tagg AS (
+       |  SELECT qid, doc_id, list_sum(list(w ORDER BY term)) AS score
+       |  FROM tm GROUP BY qid, doc_id),
+       |tcut AS (
+       |  SELECT qid, doc_id, score FROM (
+       |    SELECT qid, doc_id, score,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r0
+       |    FROM tagg)
+       |  WHERE r0 <= 11),
+       |tarm AS (
+       |  SELECT 'tfidf' AS system, qid, cid, rk FROM (
+       |    SELECT qid, doc_id AS cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+       |    FROM tcut WHERE doc_id <> qid)
+       |  WHERE rk <= 10),
+       |tfdl AS (SELECT term, doc_id, tf,
+       |         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+       |         FROM tf),
+       |idf AS (
+       |  SELECT term,
+       |    round(ln((CAST(n.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |      / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9) AS idf
+       |  FROM df CROSS JOIN n),
+       |ad AS (
+       |  SELECT CAST(sum(dl0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM (SELECT doc_id, count(*) AS dl0 FROM tk GROUP BY doc_id)),
+       |w AS (
+       |  SELECT tfdl.term, tfdl.doc_id,
+       |    idf.idf * (CAST(tf AS DOUBLE) * 2.2
+       |      / (CAST(tf AS DOUBLE)
+       |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS w
+       |  FROM tfdl JOIN idf USING (term) CROSS JOIN ad),
+       |m AS (SELECT qs.qid, w.doc_id, w.term, w.w FROM w JOIN qs USING (term)),
+       |agg AS (
+       |  SELECT qid, doc_id, list_sum(list(w ORDER BY term)) AS score
+       |  FROM m GROUP BY qid, doc_id),
+       |scut AS (
+       |  SELECT qid, doc_id, score FROM (
+       |    SELECT qid, doc_id, score,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r0
+       |    FROM agg)
+       |  WHERE r0 <= 11),
+       |barm AS (
+       |  SELECT 'bm25' AS system, qid, cid, rk FROM (
+       |    SELECT qid, doc_id AS cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+       |    FROM scut WHERE doc_id <> qid)
+       |  WHERE rk <= 10),
+       |e AS (
+       |  SELECT vec_id, list(x ORDER BY pos) AS v
+       |  FROM read_parquet('__GRAFT_OUT__/aux_mm_embed/*.parquet')
+       |  GROUP BY vec_id),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |sden AS (
+       |  SELECT qid, e.vec_id AS cid,
+       |    ${cosSqlZ("qv", "v")} AS score
+       |  FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+       |darm AS (
+       |  SELECT qid, cid, rd FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rd
+       |    FROM sden)
+       |  WHERE rd <= 10),
+       |sarm AS (
+       |  SELECT qid, cid, rk AS rs FROM barm),
+       |fu AS (
+       |  SELECT COALESCE(s.qid, d.qid) AS qid, COALESCE(s.cid, d.cid) AS cid,
+       |    COALESCE(1.0 / (60.0 + CAST(s.rs AS DOUBLE)), 0.0)
+       |      + COALESCE(1.0 / (60.0 + CAST(d.rd AS DOUBLE)), 0.0) AS rrf
+       |  FROM sarm s FULL OUTER JOIN darm d
+       |    ON s.qid = d.qid AND s.cid = d.cid),
+       |rarm AS (
+       |  SELECT 'rrf' AS system, qid, cid, rk FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rk
+       |    FROM fu)
+       |  WHERE rk <= 10),
+       |ranked AS (
+       |  SELECT * FROM tarm UNION ALL SELECT * FROM barm
+       |  UNION ALL SELECT * FROM rarm),
+       |dt AS (SELECT DISTINCT doc_id, term FROM tk),
+       |qt AS (SELECT doc_id AS qid, term FROM dt WHERE doc_id < 5),
+       |qsz AS (SELECT qid, CAST(count(*) AS BIGINT) AS nq FROM qt GROUP BY qid),
+       |csz AS (SELECT doc_id AS cid, CAST(count(*) AS BIGINT) AS nc
+       |        FROM dt GROUP BY doc_id),
+       |rel AS (
+       |  SELECT qid, cid, grade FROM (
+       |    SELECT j.qid, j.cid,
+       |      least(3, (10 * j.n_common) // (qsz.nq + csz.nc - j.n_common))
+       |        AS grade
+       |    FROM (
+       |      SELECT qt.qid, dt.doc_id AS cid, CAST(count(*) AS BIGINT) AS n_common
+       |      FROM dt JOIN qt USING (term)
+       |      WHERE dt.doc_id <> qt.qid
+       |      GROUP BY qt.qid, dt.doc_id) j
+       |    JOIN qsz USING (qid) JOIN csz USING (cid))
+       |  WHERE grade >= 1),
+       |hits AS (
+       |  SELECT r.system, r.qid,
+       |    CAST(sum(CASE WHEN rel.grade IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hits,
+       |    CAST(sum(COALESCE(rel.grade, 0)
+       |      * CAST(round(1000000.0 * ln(2.0) / ln(CAST(r.rk AS DOUBLE) + 1.0))
+       |          AS BIGINT)) AS BIGINT) AS dcg_micro
+       |  FROM ranked r LEFT JOIN rel ON rel.qid = r.qid AND rel.cid = r.cid
+       |  GROUP BY r.system, r.qid),
+       |ideal AS (
+       |  SELECT qid,
+       |    CAST(sum(grade
+       |      * CAST(round(1000000.0 * ln(2.0) / ln(CAST(rk AS DOUBLE) + 1.0))
+       |          AS BIGINT)) AS BIGINT) AS idcg_micro
+       |  FROM (
+       |    SELECT qid, grade,
+       |      row_number() OVER (PARTITION BY qid ORDER BY grade DESC, cid) AS rk
+       |    FROM rel)
+       |  WHERE rk <= 10 GROUP BY qid),
+       |nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid)
+       |SELECT hits.system, hits.qid,
+       |  CAST(COALESCE(nr.n_rel, 0) AS BIGINT) AS n_rel, hits.n_hits,
+       |  CASE WHEN COALESCE(nr.n_rel, 0) > 0
+       |    THEN CAST(hits.n_hits AS DOUBLE) / CAST(nr.n_rel AS DOUBLE)
+       |    ELSE 0.0 END AS recall,
+       |  hits.dcg_micro,
+       |  CAST(COALESCE(ideal.idcg_micro, 0) AS BIGINT) AS idcg_micro,
+       |  CASE WHEN COALESCE(ideal.idcg_micro, 0) > 0
+       |    THEN CAST(hits.dcg_micro AS DOUBLE) / CAST(ideal.idcg_micro AS DOUBLE)
+       |    ELSE 0.0 END AS ndcg
+       |FROM hits LEFT JOIN nr USING (qid) LEFT JOIN ideal USING (qid)
+       |ORDER BY system, qid""".stripMargin) { (s, dir) =>
+    retrievalEval(s, dir).orderBy(col("system"), col("qid"))
   }
 }

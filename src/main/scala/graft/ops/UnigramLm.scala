@@ -87,7 +87,66 @@ object UnigramLm {
       Array[Any](np(n), score(n)))
   }
 
-  def all: Seq[QueryDef] = Seq(q192, q194)
+  /** [[segment]] with the PIECES materialized: the same forward DP
+    * (same candidate order, same ties-to-longer rule — the chosen L is
+    * the LAST `>=` update, i.e. the largest maximizer) plus a recorded
+    * per-position choice and a backtrack, returning the Viterbi piece
+    * sequence left-to-right. The q199 E-step consumes this (expected
+    * piece counts under the Viterbi segmentation); kept separate from
+    * [[segment]] so the hot q192 path never allocates piece arrays.
+    * Returns null when the word cannot be segmented (as there).
+    */
+  def segmentPieces(w: org.apache.spark.unsafe.types.UTF8String,
+                    vocab: java.util.HashMap[String, java.lang.Long],
+                    maxPiece: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = w.toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    val score = new Array[Long](n + 1)
+    val reach = new Array[Boolean](n + 1)
+    val choice = new Array[Int](n + 1)
+    reach(0) = true
+    var i = 1
+    while (i <= n) {
+      var bestS = Long.MinValue
+      var bestL = 0
+      var found = false
+      var L = 1
+      val maxL = math.min(maxPiece, i)
+      while (L <= maxL) {
+        if (reach(i - L)) {
+          val lp = vocab.get(new String(cps, i - L, L))
+          if (lp != null) {
+            val cand = score(i - L) + lp.longValue()
+            if (!found || cand >= bestS) {
+              bestS = cand
+              bestL = L
+              found = true
+            }
+          }
+        }
+        L += 1
+      }
+      if (found) { score(i) = bestS; choice(i) = bestL; reach(i) = true }
+      i += 1
+    }
+    if (!reach(n)) null
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var p = n
+      while (p > 0) {
+        val L = choice(p)
+        out += org.apache.spark.unsafe.types.UTF8String
+          .fromString(new String(cps, p - L, L))
+        p -= L
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        out.reverse.toArray)
+    }
+  }
+
+  def all: Seq[QueryDef] = Seq(q192, q194, q199)
 
   private val duckToks = TwinSql.toksSql
 
@@ -191,6 +250,42 @@ object UnigramLm {
     * DP in either would grade a different tokenizer than the engine
     * ships. Callers prepend WITH RECURSIVE.
     */
+  /** The recursive Viterbi CTE pair (`$v`, `$seg`) stepping the words
+    * of `wf` one character at a time under the piece table `$lp` —
+    * ONE text generator shared by the v1 chain and the q199 EM re-run
+    * (a drifted copy of the DP would grade a different segmentation
+    * than the engine ships). Candidates ranked by the struct order
+    * (score desc, piece-length desc) mirroring the kernel's tie rule.
+    */
+  private def viterbiSql(lp: String, v: String, seg: String): String =
+    s"""$v AS (
+       |  SELECT word, 0 AS i,
+       |    CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS n0,
+       |    CAST(NULL AS BIGINT) AS s1, CAST(NULL AS BIGINT) AS n1,
+       |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS n2,
+       |    CAST(NULL AS BIGINT) AS s3, CAST(NULL AS BIGINT) AS n3
+       |  FROM wf
+       |  UNION ALL
+       |  SELECT word, i + 1,
+       |    best.s, best.n, s0, n0, s1, n1, s2, n2
+       |  FROM (
+       |    SELECT vv.word, vv.i, vv.s0, vv.n0, vv.s1, vv.n1, vv.s2, vv.n2,
+       |      list_reverse_sort(list_filter([
+       |        {'s': vv.s0 + p1.lp, 'l': CAST(1 AS BIGINT), 'n': vv.n0 + 1},
+       |        {'s': vv.s1 + p2.lp, 'l': CAST(2 AS BIGINT), 'n': vv.n1 + 1},
+       |        {'s': vv.s2 + p3.lp, 'l': CAST(3 AS BIGINT), 'n': vv.n2 + 1},
+       |        {'s': vv.s3 + p4.lp, 'l': CAST(4 AS BIGINT), 'n': vv.n3 + 1}
+       |      ], x -> x.s IS NOT NULL))[1] AS best
+       |    FROM $v vv
+       |    LEFT JOIN $lp p1 ON p1.piece = substr(vv.word, vv.i + 1, 1)
+       |    LEFT JOIN $lp p2 ON vv.i >= 1 AND p2.piece = substr(vv.word, vv.i, 2)
+       |    LEFT JOIN $lp p3 ON vv.i >= 2 AND p3.piece = substr(vv.word, vv.i - 1, 3)
+       |    LEFT JOIN $lp p4 ON vv.i >= 3 AND p4.piece = substr(vv.word, vv.i - 2, 4)
+       |    WHERE vv.i < length(vv.word))),
+       |$seg AS (
+       |  SELECT word, n0 AS np, s0 AS sc
+       |  FROM $v WHERE i = length(word))""".stripMargin
+
   private[ops] def unigramChainSql(docWhere: String): String =
     s"""d AS (SELECT source, unnest($duckToks) AS word
        |      FROM documents $docWhere),
@@ -222,33 +317,7 @@ object UnigramLm {
        |    ${Sampling.duckLnMicro("freq")} - ${Sampling.duckLnMicro("tot")}
        |      AS lp
        |  FROM vocab, tot),
-       |v AS (
-       |  SELECT word, 0 AS i,
-       |    CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS n0,
-       |    CAST(NULL AS BIGINT) AS s1, CAST(NULL AS BIGINT) AS n1,
-       |    CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS n2,
-       |    CAST(NULL AS BIGINT) AS s3, CAST(NULL AS BIGINT) AS n3
-       |  FROM wf
-       |  UNION ALL
-       |  SELECT word, i + 1,
-       |    best.s, best.n, s0, n0, s1, n1, s2, n2
-       |  FROM (
-       |    SELECT v.word, v.i, v.s0, v.n0, v.s1, v.n1, v.s2, v.n2,
-       |      list_reverse_sort(list_filter([
-       |        {'s': v.s0 + p1.lp, 'l': CAST(1 AS BIGINT), 'n': v.n0 + 1},
-       |        {'s': v.s1 + p2.lp, 'l': CAST(2 AS BIGINT), 'n': v.n1 + 1},
-       |        {'s': v.s2 + p3.lp, 'l': CAST(3 AS BIGINT), 'n': v.n2 + 1},
-       |        {'s': v.s3 + p4.lp, 'l': CAST(4 AS BIGINT), 'n': v.n3 + 1}
-       |      ], x -> x.s IS NOT NULL))[1] AS best
-       |    FROM v
-       |    LEFT JOIN lp p1 ON p1.piece = substr(v.word, v.i + 1, 1)
-       |    LEFT JOIN lp p2 ON v.i >= 1 AND p2.piece = substr(v.word, v.i, 2)
-       |    LEFT JOIN lp p3 ON v.i >= 2 AND p3.piece = substr(v.word, v.i - 1, 3)
-       |    LEFT JOIN lp p4 ON v.i >= 3 AND p4.piece = substr(v.word, v.i - 2, 4)
-       |    WHERE v.i < length(v.word))),
-       |seg AS (
-       |  SELECT word, n0 AS np, s0 AS sc
-       |  FROM v WHERE i = length(word))""".stripMargin
+       |${viterbiSql("lp", "v", "seg")}""".stripMargin
 
   /** q192: [[unigramSegmentation]] over the documents table. FULL
     * REPLAY oracle: DuckDB re-derives the word frequencies, the piece
@@ -356,5 +425,169 @@ object UnigramLm {
          |    AS unigram_to_bpe
          |FROM r ORDER BY source""".stripMargin) { (s, dir) =>
     tokenizerComparison(Tables.documents(s, dir)).orderBy(col("source"))
+  }
+
+  /** One hard-EM training round for the unigram LM (q199): the
+    * SentencePiece-shaped refinement q192's frequency-seeded
+    * vocabulary was the honest v1 of. E-step: expected piece counts
+    * under the VITERBI segmentation of every word type (hard EM —
+    * each word contributes its best path, weighted by corpus word
+    * frequency), through the [[segmentPieces]] kernel. M-step:
+    * re-estimate piece log-probs from those counts and PRUNE — a
+    * multi-char piece the Viterbi never uses drops out of the
+    * vocabulary (the q192 seed keeps the `TopMulti` most FREQUENT
+    * substrings; after one EM round only the ones that earn their
+    * place in actual segmentations survive); single characters stay
+    * unconditionally (segmentability invariant) with add-one
+    * smoothing (count can be 0 when every occurrence of a char rides
+    * inside multi-char pieces; ln needs positivity — documented
+    * asymmetry, identical both engines). Output: per source, the
+    * fertility and mean log-prob under BOTH vocabularies plus the
+    * global vocab sizes — the table that says what the EM round
+    * bought (fertility_em ≤ fertility_v1 on corpora where pruned
+    * probability mass re-concentrates on used pieces).
+    *
+    * Exactness: counts are integers; piece log-probs go through the
+    * one [[Sampling.lnMicro]] discipline; the DP maximizes integer
+    * micro-nat scores (ties to the longer piece) in both rounds.
+    *
+    * Scale: q192's shape twice — ONE corpus-sized (source, word)
+    * aggregate feeds everything; the E-step explodes pieces over word
+    * TYPES (vocabulary-bounded), both vocab collects sit under the
+    * 100k `require`, and both segmentation passes are codegen narrow
+    * maps over the word-type table.
+    *
+    * FULL-REPLAY ORACLE: DuckDB re-derives the v1 chain (the q192
+    * recursive Viterbi), BACKTRACKS the DP to the piece sequence (a
+    * second recursive CTE walking positions down, choosing at each
+    * position the longest piece whose source state + piece score
+    * exactly reproduces the DP value — provably the forward tie
+    * rule's choice), recounts, re-estimates, and re-runs the ENTIRE
+    * second Viterbi under the EM table.
+    */
+  def emSegmentation(docs: DataFrame): DataFrame = {
+    val sw = sourceWordCounts(docs)
+    val wf = sw.groupBy(col("word"))
+      .agg(sum(col("swn")).cast("bigint").as("wn"))
+      .localCheckpoint(false)
+    val lp1 = pieceLp(wf)
+    val pieces = wf.select(col("word"), col("wn"),
+      graft.functions.functions.unigram_segment_pieces(col("word"), lp1, MaxPiece)
+        .as("ps"))
+      .localCheckpoint(false)
+    val pc: Map[String, Long] = pieces
+      .filter(col("ps").isNotNull)
+      .select(explode(col("ps")).as("piece"), col("wn"))
+      .groupBy(col("piece")).agg(sum(col("wn")).cast("bigint").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def nCp(p: String): Int = p.codePointCount(0, p.length)
+    val emVocab: Seq[(String, Long)] =
+      lp1.map(_._1).filter(nCp(_) == 1)
+        .map(c => c -> (pc.getOrElse(c, 0L) + 1L)) ++
+      pc.toSeq.filter { case (p, _) => nCp(p) >= 2 }.sortBy(_._1)
+    require(emVocab.length <= 100000,
+      s"unigram EM vocab ${emVocab.length} exceeds the driver-side budget")
+    val emTot = emVocab.map(_._2).sum
+    val lpEm = emVocab.map { case (p, f) =>
+      p -> (Sampling.lnMicro(f) - Sampling.lnMicro(emTot))
+    }
+    val seg = pieces.select(col("word"),
+      size(col("ps")).cast("bigint").as("np1"),
+      graft.functions.functions.unigram_segment(col("word"), lpEm, MaxPiece)
+        .as("s2"))
+      .select(col("word"), col("np1"),
+        col("s2.n_pieces").as("np2"), col("s2.score_micro").as("sc2"))
+    sw.join(seg, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("swn")).cast("bigint").as("n_words"),
+        sum(col("swn") * col("np1")).cast("bigint").as("n_pieces_v1"),
+        sum(col("swn") * col("np2")).cast("bigint").as("n_pieces_em"),
+        sum(col("swn") * col("sc2")).cast("bigint").as("sum_lp_em_micro"))
+      .select(col("source"), col("n_words"), col("n_pieces_v1"),
+        col("n_pieces_em"),
+        (col("n_pieces_v1").cast("double") / col("n_words").cast("double"))
+          .as("fertility_v1"),
+        (col("n_pieces_em").cast("double") / col("n_words").cast("double"))
+          .as("fertility_em"),
+        col("sum_lp_em_micro"),
+        (col("sum_lp_em_micro").cast("double")
+          / (col("n_words").cast("double") * lit(1000000.0))).as("mean_lp_em"),
+        lit(lp1.size.toLong).as("n_vocab_v1"),
+        lit(emVocab.size.toLong).as("n_vocab_em"))
+  }
+
+  val q199: QueryDef = QueryDef.sql(
+    "q199_unigram_em_round",
+    s"""WITH RECURSIVE
+       |${unigramChainSql("")},
+       |dp AS (SELECT word, i, s0 FROM v),
+       |bt AS (
+       |  SELECT word, CAST(length(word) AS BIGINT) AS pos,
+       |    CAST(NULL AS VARCHAR) AS piece
+       |  FROM seg WHERE np IS NOT NULL
+       |  UNION ALL
+       |  SELECT word, pos - pick.l, pick.pc FROM (
+       |    SELECT b.word, b.pos,
+       |      list_reverse_sort(list_filter([
+       |        CASE WHEN d1.s0 IS NOT NULL AND p1.lp IS NOT NULL
+       |               AND d1.s0 + p1.lp = d0.s0
+       |             THEN {'l': CAST(1 AS BIGINT), 'pc': p1.piece} END,
+       |        CASE WHEN d2.s0 IS NOT NULL AND p2.lp IS NOT NULL
+       |               AND d2.s0 + p2.lp = d0.s0
+       |             THEN {'l': CAST(2 AS BIGINT), 'pc': p2.piece} END,
+       |        CASE WHEN d3.s0 IS NOT NULL AND p3.lp IS NOT NULL
+       |               AND d3.s0 + p3.lp = d0.s0
+       |             THEN {'l': CAST(3 AS BIGINT), 'pc': p3.piece} END,
+       |        CASE WHEN d4.s0 IS NOT NULL AND p4.lp IS NOT NULL
+       |               AND d4.s0 + p4.lp = d0.s0
+       |             THEN {'l': CAST(4 AS BIGINT), 'pc': p4.piece} END
+       |      ], x -> x IS NOT NULL))[1] AS pick
+       |    FROM bt b
+       |    JOIN dp d0 ON d0.word = b.word AND d0.i = b.pos
+       |    LEFT JOIN dp d1 ON d1.word = b.word AND d1.i = b.pos - 1
+       |    LEFT JOIN lp p1 ON p1.piece = substr(b.word, b.pos, 1)
+       |    LEFT JOIN dp d2 ON d2.word = b.word AND d2.i = b.pos - 2
+       |    LEFT JOIN lp p2 ON b.pos >= 2 AND p2.piece = substr(b.word, b.pos - 1, 2)
+       |    LEFT JOIN dp d3 ON d3.word = b.word AND d3.i = b.pos - 3
+       |    LEFT JOIN lp p3 ON b.pos >= 3 AND p3.piece = substr(b.word, b.pos - 2, 3)
+       |    LEFT JOIN dp d4 ON d4.word = b.word AND d4.i = b.pos - 4
+       |    LEFT JOIN lp p4 ON b.pos >= 4 AND p4.piece = substr(b.word, b.pos - 3, 4)
+       |    WHERE b.pos > 0)),
+       |bp AS (SELECT word, piece FROM bt WHERE piece IS NOT NULL),
+       |pcnt AS (
+       |  SELECT piece, CAST(sum(wf.wn) AS BIGINT) AS cnt
+       |  FROM bp JOIN wf USING (word) GROUP BY piece),
+       |emv AS (
+       |  SELECT c.piece, CAST(COALESCE(p.cnt, 0) + 1 AS BIGINT) AS freq
+       |  FROM chars c LEFT JOIN pcnt p USING (piece)
+       |  UNION ALL
+       |  SELECT piece, cnt AS freq FROM pcnt WHERE length(piece) >= 2),
+       |emtot AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM emv),
+       |emlp AS (
+       |  SELECT piece,
+       |    ${Sampling.duckLnMicro("freq")} - ${Sampling.duckLnMicro("tot")}
+       |      AS lp
+       |  FROM emv, emtot),
+       |${viterbiSql("emlp", "v2", "seg2")},
+       |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab_v1 FROM vocab),
+       |nev AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab_em FROM emv),
+       |r AS (
+       |  SELECT sw.source,
+       |    CAST(sum(sw.swn) AS BIGINT) AS n_words,
+       |    CAST(sum(sw.swn * s1.np) AS BIGINT) AS n_pieces_v1,
+       |    CAST(sum(sw.swn * s2.np) AS BIGINT) AS n_pieces_em,
+       |    CAST(sum(sw.swn * s2.sc) AS BIGINT) AS sum_lp_em_micro
+       |  FROM sw JOIN seg s1 USING (word) JOIN seg2 s2 USING (word)
+       |  GROUP BY sw.source)
+       |SELECT source, n_words, n_pieces_v1, n_pieces_em,
+       |  CAST(n_pieces_v1 AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility_v1,
+       |  CAST(n_pieces_em AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility_em,
+       |  sum_lp_em_micro,
+       |  CAST(sum_lp_em_micro AS DOUBLE) / (CAST(n_words AS DOUBLE) * 1000000.0)
+       |    AS mean_lp_em,
+       |  nv.n_vocab_v1, nev.n_vocab_em
+       |FROM r CROSS JOIN nv CROSS JOIN nev
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    emSegmentation(Tables.documents(s, dir)).orderBy(col("source"))
   }
 }

@@ -80,6 +80,54 @@ object DriftStream {
       .outputMode("update")
       .start()
 
+  /** EMBEDDING drift monitor over a streaming (vec_id, embedding)
+    * frame: the q197 axis — each batch's IVF-cell occupancy histogram
+    * is chi²-scored against the distribution accumulated so far,
+    * catching coverage drift of the vector space (new vectors crowding
+    * into cells the quantizer/probe depths weren't tuned on) at ingest
+    * time. The quantizer is FROZEN and passed in (`centers` — the
+    * q171/q174 serving contract: re-deriving it per batch would make
+    * every historical cell id meaningless); bucketing is the batch
+    * kernel's own assignment map, which is what makes parity with
+    * [[graft.ops.CorpusDrift.embeddingCellDrift]] bit-exact
+    * (spec-pinned like the length/quality monitors). Same state
+    * machine, store shape, replay guard, and crash contract as
+    * [[monitor]].
+    */
+  def monitorEmbedding(vecs: DataFrame, centers: Array[Array[Double]],
+                       refDir: String, outDir: String,
+                       checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scoreEmbeddingBatch(batch, batchId, centers, refDir, outDir)
+      }
+      .outputMode("update")
+      .start()
+
+  /** One micro-batch of [[monitorEmbedding]]. */
+  private[streaming] def scoreEmbeddingBatch(batch: DataFrame, batchId: Long,
+                                             centers: Array[Array[Double]],
+                                             refDir: String,
+                                             outDir: String): Unit =
+    scoreBatchWith(batch, batchId, refDir, outDir,
+      df => cellHistogram(df, centers))
+
+  /** q197's IVF-cell bucketing of a (vec_id, embedding) frame to
+    * (bucket, c) — the batch kernel's assignment convention (null
+    * vectors excluded, the shared argmin against the frozen centers).
+    */
+  private[streaming] def cellHistogram(vecs: DataFrame,
+                                       centers: Array[Array[Double]])
+      : DataFrame =
+    graft.cluster.KMeansAssign.assignMap(
+        vecs.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .filter(col("v").isNotNull),
+        centers, "v")
+      .select(col("center_id").cast("bigint").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).cast("bigint").as("c"))
+
   /** One micro-batch of [[monitor]], named so replay idempotence is
     * directly testable. ONE pass over the batch (its histogram
     * aggregation) and one bucket-sized store read — the reference and

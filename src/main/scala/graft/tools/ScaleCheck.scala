@@ -125,12 +125,28 @@ object ScaleCheck {
         // q193's documents/postings/dup-group stores scale with the
         // corpus (its band store rides the fixed q45 doc_id < 500
         // signature scope — replica 0 only, a constant term):
-        "q193_takedown_propagation")
+        "q193_takedown_propagation",
+        // q197 scans the full replicated embeddings through the
+        // zero-shuffle broadcast assignment map + a K-cell aggregate:
+        "q197_embedding_cell_drift",
+        // q199 is q192's shape twice (one corpus agg, then word-type-
+        // bounded E-step/M-step/second segmentation):
+        "q199_unigram_em_round",
+        // q200's corpus-side arms scale (postings build, dense scan,
+        // the query-side-bounded relevance join) while the 5-query
+        // batch stays replica-0-pinned (q188's shape):
+        "q200_retrieval_eval")
         // q195 is deliberately absent (q153's reason: the scored-pair
         // table is q85's doc_id < 100 all-pairs verification slice —
         // only replica 0 participates; at corpus scale candidates come
         // from minhashCandidates and the sweep prices the verified
         // candidate set, argued in the doc comment).
+        // q196 is absent for the same reason (both signature arms ride
+        // the q45 doc_id < 500 scope; the scale story is the two
+        // banded joins, q45/q177's published class).
+        // q198 is absent for q85's reason (doc_id < 100 exact-Jaccard
+        // slice; at corpus scale candidates come from probeBandIndex
+        // and the region recompute is delta-local by construction).
     val out = s"/tmp/graft_scale_${factor}x_" +
       base.replaceAll("[^0-9a-zA-Z.]", "_")
     val spark = SparkSession.builder()

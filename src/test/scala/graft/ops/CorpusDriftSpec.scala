@@ -328,4 +328,34 @@ class CorpusDriftSpec extends SparkSpec {
     assert(a == b, "junk rows must not reach the chi-square spine")
     assert(a("a")._1 == 2L && a("b")._1 == 2L)
   }
+
+  test("q197 embedding cell drift: shifted current window spikes, conforming one does not") {
+    import spark.implicits._
+    // centers = first 8 by vec_id (lloydIters=1): 8 DIRECTIONALLY
+    // distinct anchors (assignment distance is cosine — collinear
+    // anchors would be indistinguishable); ref vectors (id % 10 < 8)
+    // point exactly along center 0, cur vectors along center 7
+    val anchors = (0 until 8).map(i => (i.toLong, Seq(1.0f, i.toFloat)))
+    val ref = Seq(10L, 11L, 20L, 21L, 30L).map(id => (id, Seq(2.0f, 0.0f)))
+    val cur = Seq(18L, 19L, 28L).map(id => (id, Seq(2.0f, 14.0f)))
+    val junk = Seq((99L, null.asInstanceOf[Seq[Float]]))
+    val emb = (anchors ++ ref ++ cur ++ junk).toDF("vec_id", "embedding")
+    val out = CorpusDrift.embeddingCellDrift(emb)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out.keySet == Set("ref", "cur"))
+    // 8 anchors (ids 0..7, all % 10 < 8) + 5 ref = 13; junk excluded
+    assert(out("ref")._1 == 13L, s"ref window miscounted: $out")
+    assert(out("cur")._1 == 3L)
+    assert(out("cur")._2 > out("ref")._2,
+      "the shifted current window must out-score the reference")
+
+    // a conforming current window (same cell as ref mass) scores lower
+    // than the shifted one did
+    val cur2 = Seq(18L, 19L, 28L).map(id => (id, Seq(2.0f, 0.0f)))
+    val emb2 = (anchors ++ ref ++ cur2).toDF("vec_id", "embedding")
+    val out2 = CorpusDrift.embeddingCellDrift(emb2)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out2("cur") < out("cur")._2,
+      "a conforming window must score below the shifted one")
+  }
 }

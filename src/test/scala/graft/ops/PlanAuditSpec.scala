@@ -192,7 +192,9 @@ class PlanAuditSpec extends SparkSpec {
       "q189_kneser_ney_score" -> "one-row broadcast holding the scalar distinct-bigram total NN",
       "q190_jl_recall_curve" -> "bounded audit: query batch x corpus (q31's shape, twice), 4-row dim spine, one-row totals",
       "q191_gate_operating_points" -> "19-row threshold spine x doc rows (pre-aggregation) + q178's NB scalar broadcasts",
-      "q195_dedup_threshold_sweep" -> "per-cut one-row aggregate crossJoins (scalar pair counts) over the bounded q85 slice"
+      "q195_dedup_threshold_sweep" -> "per-cut one-row aggregate crossJoins (scalar pair counts) over the bounded q85 slice",
+      "q197_embedding_cell_drift" -> "q151's shared chiSquareByBucket: 2-window x K-cell spine + scalar N + scalar cell count, all broadcast",
+      "q200_retrieval_eval" -> "the audited engines' bounded sides: q115's one-row avgdl broadcast, q31's bounded query batch x corpus (dense arm), and the query-count-sized n_rel/idcg broadcasts onto 15 metric rows"
     )
     val bad = scala.collection.mutable.ListBuffer[String]()
     val observedBnlj = scala.collection.mutable.TreeSet[String]()

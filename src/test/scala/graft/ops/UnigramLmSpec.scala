@@ -109,4 +109,68 @@ class UnigramLmSpec extends SparkSpec {
         "the ratio column must be the single division of the exact counts")
     }
   }
+
+  private def pieces(w: String, vs: (String, Long)*): Option[Seq[String]] =
+    Option(UnigramLm.segmentPieces(UTF8String.fromString(w), mapOf(vs: _*),
+      UnigramLm.MaxPiece))
+      .map(_.toSeq[UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString))
+
+  test("segmentPieces is segment() materialized: same count, score re-derives, concat == word") {
+    val rnd = new scala.util.Random(23)
+    val alpha = "abc"
+    (1 to 300).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(9))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val vocabPieces = alpha.map(_.toString) ++
+        (1 to 6).map(_ => (1 to (2 + rnd.nextInt(3)))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      val vocab = vocabPieces.distinct
+        .map(p => p -> -(100000L + rnd.nextInt(3000000).toLong)).toMap
+      val ps = pieces(w, vocab.toSeq: _*)
+      val cnt = seg(w, vocab.toSeq: _*)
+      assert(ps.isDefined == cnt.isDefined, s"'$w': null-ness diverged")
+      (ps, cnt) match {
+        case (Some(pp), Some((n, s))) =>
+          assert(pp.mkString("") == w, s"'$w': pieces $pp do not concat back")
+          assert(pp.length.toLong == n, s"'$w': ${pp.length} pieces vs count $n")
+          assert(pp.map(vocab).sum == s, s"'$w': piece scores do not re-derive $s")
+          assert(pp.forall(p => p.nonEmpty && p.length <= UnigramLm.MaxPiece))
+        case _ => ()
+      }
+    }
+    assert(pieces("xyz", "a" -> -1L).isEmpty)
+    assert(pieces("", "a" -> -1L).contains(Seq.empty))
+  }
+
+  test("segmentPieces honors the ties-to-longer rule") {
+    // 'ab' one piece vs 'a'+'b', equal scores: the longer piece wins
+    assert(pieces("ab", "a" -> -2L, "b" -> -2L, "ab" -> -4L)
+      .contains(Seq("ab")))
+    // greedy trap: DP must pick ab+ab over aba+b
+    assert(pieces("abab",
+      "a" -> -6L, "b" -> -10L, "ab" -> -2L, "aba" -> -1L)
+      .contains(Seq("ab", "ab")))
+  }
+
+  test("q199 EM round: words conserved, v1 counts match q192, char vocab survives, multi vocab pruned") {
+    val docs = Tables.documents(spark, sfDir)
+    val em = UnigramLm.emSegmentation(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val v1 = UnigramLm.unigramSegmentation(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(em.keySet == v1.keySet, "EM round changed the source set")
+    em.foreach { case (src, r) =>
+      val base = v1(src)
+      assert(r.getLong(1) == base.getLong(1), s"$src: n_words drifted")
+      assert(r.getLong(2) == base.getLong(2),
+        s"$src: n_pieces_v1 != q192's n_pieces — the v1 segmentation drifted")
+      val (nVocab1, nVocabEm) = (r.getLong(8), r.getLong(9))
+      // prune direction: multi pieces can only drop out; chars survive
+      assert(nVocabEm <= nVocab1,
+        s"EM vocab $nVocabEm grew past the v1 vocab $nVocab1")
+      assert(r.getLong(3) >= r.getLong(1),
+        "every word costs at least one EM piece")
+      assert(r.getDouble(7) < 0.0, "mean EM log-prob must be negative")
+    }
+  }
 }

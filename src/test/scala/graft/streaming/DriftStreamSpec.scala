@@ -275,4 +275,71 @@ class DriftStreamSpec extends SparkSpec {
     DriftStream.scoreBatch(b2.toDF(), 2L, s"$dir/ref", s"$dir/out")
     assert(spark.read.parquet(s"$dir/out/batch_id=2").count() == 1)
   }
+
+  // ---- embedding (q197-axis) monitor ----
+
+  // DIRECTIONALLY distinct frozen centers (assignment distance is
+  // cosine — collinear centers would be indistinguishable)
+  private val centers: Array[Array[Double]] =
+    (0 until 8).map(i => Array(1.0, i.toDouble)).toArray
+  private def vb(ids: Seq[Long], y: Float) =
+    ids.map(id => (id, Seq(2.0f, y)))
+  private val vb1 = vb(Seq(10L, 11L, 12L), 0.0f)   // cell 0
+  private val vb2 = vb(Seq(13L, 14L, 15L), 14.0f)  // cell 7 — shifted feed
+  private val vb3 = vb(Seq(16L, 17L), 0.0f) ++ vb(Seq(18L), 14.0f)
+
+  /** The q197 chi² spine over batches 0..k tagged as their own source
+    * with the SAME frozen centers, keeping batch k's row — the parity
+    * reference (the embedding analogue of [[kernelRow]]).
+    */
+  private def cellKernelRow(upTo: Int): (Long, Long, Double) = {
+    val batches = Seq(vb1, vb2, vb3).take(upTo + 1)
+    val tagged = batches.zipWithIndex.flatMap { case (b, i) =>
+      b.map(v => (v._1, s"b$i", v._2))
+    }.toDF("vec_id", "source", "embedding")
+    graft.ops.CorpusDrift.chiSquareByBucket(
+      graft.cluster.KMeansAssign.assignMap(
+          tagged.select(col("source"),
+            col("embedding").cast("array<double>").as("v")),
+          centers, "v")
+        .select(col("source"), col("center_id").cast("bigint").as("bucket")))
+      .filter(col("source") === s"b$upTo")
+      .select(col("n_docs"), col("dof"), col("chi2"))
+      .as[(Long, Long, Double)].head()
+  }
+
+  test("streamed embedding chi2 == cell-occupancy kernel over the tagged prefix; replay idempotent") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("embdrift").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = DriftStream.monitorEmbedding(
+      mem.toDF().toDF("vec_id", "embedding"), centers,
+      s"$dir/ref", s"$dir/out", s"$dir/ckpt")
+    try {
+      Seq(vb1, vb2, vb3).foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    (0 to 2).foreach { k =>
+      val (nd, _, dof, chi2) = streamedRow(s"$dir/out", k)
+      val (knd, kdof, kchi2) = cellKernelRow(k)
+      assert(nd == knd && dof == kdof, s"batch $k shape mismatch")
+      assert(chi2 == kchi2, s"batch $k: streamed $chi2 != kernel $kchi2")
+    }
+    // the cell-shifted feed (vb2) must spike vs the mostly-conforming vb3
+    assert(streamedRow(s"$dir/out", 1)._4 > streamedRow(s"$dir/out", 2)._4)
+    // replay of the last batch is byte-identical (the batch_id guard)
+    val before = streamedRow(s"$dir/out", 2)
+    DriftStream.scoreEmbeddingBatch(
+      vb3.toDF("vec_id", "embedding"), 2L, centers, s"$dir/ref", s"$dir/out")
+    assert(streamedRow(s"$dir/out", 2) == before, "embedding replay diverged")
+    // null-vector junk is excluded by the shared assignment convention
+    DriftStream.scoreEmbeddingBatch(
+      Seq((30L, Seq(2.0f, 0.0f)), (31L, null.asInstanceOf[Seq[Float]]))
+        .toDF("vec_id", "embedding"),
+      3L, centers, s"$dir/ref", s"$dir/out")
+    assert(streamedRow(s"$dir/out", 3)._1 == 1L,
+      "null-vector row must not enter the batch histogram")
+  }
 }
