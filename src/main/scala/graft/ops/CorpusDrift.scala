@@ -16,7 +16,7 @@ object CorpusDrift {
 
   private val duckToks = TwinSql.toksSql
 
-  def all: Seq[QueryDef] = Seq(q134, q136, q146, q151, q156, q163, q197)
+  def all: Seq[QueryDef] = Seq(q134, q136, q146, q151, q156, q163, q197, q201)
 
   /** Pairwise source-distribution divergence (q134): for every source
     * pair, the L1 distance between their unigram distributions —
@@ -738,5 +738,111 @@ object CorpusDrift {
        |GROUP BY source, n_docs
        |ORDER BY win""".stripMargin) { (s, dir) =>
     embeddingCellDrift(Tables.embeddings(s, dir)).orderBy(col("win"))
+  }
+
+  /** Per-cell embedding drift drilldown (q201): q197 says THAT the
+    * vector space drifted (one chi² per window); this says WHERE —
+    * per IVF cell, the reference and current occupancy (exact
+    * integers), each window's share, the share delta, and the cell's
+    * own chi² contribution from the current window. The cells with
+    * the largest terms are the ones whose q53/q150 probe behavior the
+    * drift actually changes — the readout that turns q197's alarm
+    * into an action (re-train the quantizer, re-tune nprobe, or
+    * quarantine the feed crowding one cell).
+    *
+    * Same assignment, windows, and exactness contract as q197 (one
+    * deliberate exception class: share/term columns are per-ROW
+    * literal double formulas over exact integers — no fold anywhere,
+    * so no ordered-fold machinery is needed). Empty-window guards
+    * return 0.0 shares (CASE, both engines).
+    *
+    * Scale: q197's shape — broadcast assignment map, K-cell map-side
+    * aggregate, one-row totals broadcast onto K rows.
+    */
+  def embeddingCellDriftDetail(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.cluster.KMeansAssign
+    val e = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    val centers = KMeansAssign.lloydCenters(e, 8, iters = 1, "vec_id", "v")
+    val counts = KMeansAssign.assignMap(e, centers, "v")
+      .select(col("center_id").cast("bigint").as("cell"),
+        when(pmod(col("vec_id"), lit(10)) < 8, 1L).otherwise(0L).as("isr"))
+      .groupBy(col("cell"))
+      .agg(sum(col("isr")).cast("bigint").as("n_ref"),
+        (count(lit(1)) - sum(col("isr"))).cast("bigint").as("n_cur"))
+    val tot = counts.agg(
+      sum(col("n_ref")).cast("bigint").as("tr"),
+      sum(col("n_cur")).cast("bigint").as("tc"))
+    val c = (col("n_ref") + col("n_cur")).cast("double")
+    val n = (col("tr") + col("tc")).cast("double")
+    val e_cur = col("tc").cast("double") * c / n
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_ref"), col("n_cur"),
+        when(col("tr") > 0L,
+          col("n_ref").cast("double") / col("tr").cast("double"))
+          .otherwise(lit(0.0)).as("share_ref"),
+        when(col("tc") > 0L,
+          col("n_cur").cast("double") / col("tc").cast("double"))
+          .otherwise(lit(0.0)).as("share_cur"),
+        (when(col("tc") > 0L,
+          col("n_cur").cast("double") / col("tc").cast("double"))
+          .otherwise(lit(0.0))
+          - when(col("tr") > 0L,
+              col("n_ref").cast("double") / col("tr").cast("double"))
+              .otherwise(lit(0.0))).as("share_delta"),
+        ((col("n_cur").cast("double") - e_cur)
+          * (col("n_cur").cast("double") - e_cur) / e_cur).as("term_cur"))
+  }
+
+  val q201: QueryDef = QueryDef.sql(
+    "q201_embedding_drift_cells",
+    s"""WITH ctr AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS center_id, embedding AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)),
+       |base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |asg AS (
+       |  SELECT vec_id, center_id FROM (
+       |    SELECT base.vec_id, ctr.center_id,
+       |      row_number() OVER (PARTITION BY base.vec_id ORDER BY
+       |        ${TwinSql.distZ("base.v", "ctr.cv")}, ctr.center_id) AS rn
+       |    FROM base CROSS JOIN ctr) WHERE rn = 1),
+       |counts AS (
+       |  SELECT CAST(center_id AS BIGINT) AS cell,
+       |    CAST(sum(CASE WHEN vec_id % 10 < 8 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_ref,
+       |    CAST(sum(CASE WHEN vec_id % 10 < 8 THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_cur
+       |  FROM asg GROUP BY center_id),
+       |tot AS (
+       |  SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+       |    CAST(sum(n_cur) AS BIGINT) AS tc
+       |  FROM counts)
+       |SELECT cell, n_ref, n_cur,
+       |  CASE WHEN tr > 0 THEN CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE)
+       |       ELSE 0.0 END AS share_ref,
+       |  CASE WHEN tc > 0 THEN CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)
+       |       ELSE 0.0 END AS share_cur,
+       |  CASE WHEN tc > 0 THEN CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)
+       |       ELSE 0.0 END
+       |    - CASE WHEN tr > 0 THEN CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE)
+       |           ELSE 0.0 END AS share_delta,
+       |  (CAST(n_cur AS DOUBLE)
+       |     - CAST(tc AS DOUBLE) * CAST(n_ref + n_cur AS DOUBLE)
+       |       / CAST(tr + tc AS DOUBLE))
+       |  * (CAST(n_cur AS DOUBLE)
+       |     - CAST(tc AS DOUBLE) * CAST(n_ref + n_cur AS DOUBLE)
+       |       / CAST(tr + tc AS DOUBLE))
+       |  / (CAST(tc AS DOUBLE) * CAST(n_ref + n_cur AS DOUBLE)
+       |     / CAST(tr + tc AS DOUBLE)) AS term_cur
+       |FROM counts CROSS JOIN tot
+       |ORDER BY cell""".stripMargin) { (s, dir) =>
+    embeddingCellDriftDetail(Tables.embeddings(s, dir)).orderBy(col("cell"))
   }
 }

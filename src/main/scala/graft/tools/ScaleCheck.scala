@@ -126,9 +126,9 @@ object ScaleCheck {
         // corpus (its band store rides the fixed q45 doc_id < 500
         // signature scope — replica 0 only, a constant term):
         "q193_takedown_propagation",
-        // q197 scans the full replicated embeddings through the
+        // q197/q201 scan the full replicated embeddings through the
         // zero-shuffle broadcast assignment map + a K-cell aggregate:
-        "q197_embedding_cell_drift",
+        "q197_embedding_cell_drift", "q201_embedding_drift_cells",
         // q199 is q192's shape twice (one corpus agg, then word-type-
         // bounded E-step/M-step/second segmentation):
         "q199_unigram_em_round",

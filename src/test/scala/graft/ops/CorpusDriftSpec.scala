@@ -358,4 +358,31 @@ class CorpusDriftSpec extends SparkSpec {
     assert(out2("cur") < out("cur")._2,
       "a conforming window must score below the shifted one")
   }
+
+  test("q201 per-cell drilldown re-folds to q197's scalar and conserves the windows") {
+    import spark.implicits._
+    val anchors = (0 until 8).map(i => (i.toLong, Seq(1.0f, i.toFloat)))
+    val ref = Seq(10L, 11L, 20L, 21L, 30L).map(id => (id, Seq(2.0f, 0.0f)))
+    val cur = Seq(18L, 19L, 28L).map(id => (id, Seq(2.0f, 14.0f)))
+    val emb = (anchors ++ ref ++ cur).toDF("vec_id", "embedding")
+    val detail = CorpusDrift.embeddingCellDriftDetail(emb)
+      .orderBy(col("cell")).collect()
+    val scalar = CorpusDrift.embeddingCellDrift(emb)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // exact-integer window conservation
+    assert(detail.map(_.getLong(1)).sum == scalar("ref")._1)
+    assert(detail.map(_.getLong(2)).sum == scalar("cur")._1)
+    // the per-cell cur terms, folded in cell order from 0.0, ARE the
+    // q197 cur chi2 (same formula, same fold order) — bit-equal
+    val refolded = detail.map(_.getDouble(6)).foldLeft(0.0)(_ + _)
+    assert(refolded == scalar("cur")._2,
+      s"detail terms $refolded != q197 chi2 ${scalar("cur")._2}")
+    // shares sum to 1 per window (exact counts over exact totals)
+    assert(math.abs(detail.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+    assert(math.abs(detail.map(_.getDouble(4)).sum - 1.0) < 1e-12)
+    // the shifted cell carries the dominant term
+    val top = detail.maxBy(_.getDouble(6))
+    assert(top.getLong(0) == 7L && top.getDouble(5) > 0.0,
+      s"cell 7 must dominate the drift: ${top}")
+  }
 }

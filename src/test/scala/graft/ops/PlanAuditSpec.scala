@@ -194,7 +194,8 @@ class PlanAuditSpec extends SparkSpec {
       "q191_gate_operating_points" -> "19-row threshold spine x doc rows (pre-aggregation) + q178's NB scalar broadcasts",
       "q195_dedup_threshold_sweep" -> "per-cut one-row aggregate crossJoins (scalar pair counts) over the bounded q85 slice",
       "q197_embedding_cell_drift" -> "q151's shared chiSquareByBucket: 2-window x K-cell spine + scalar N + scalar cell count, all broadcast",
-      "q200_retrieval_eval" -> "the audited engines' bounded sides: q115's one-row avgdl broadcast, q31's bounded query batch x corpus (dense arm), and the query-count-sized n_rel/idcg broadcasts onto 15 metric rows"
+      "q200_retrieval_eval" -> "the audited engines' bounded sides: q115's one-row avgdl broadcast, q31's bounded query batch x corpus (dense arm), and the query-count-sized n_rel/idcg broadcasts onto 15 metric rows",
+      "q201_embedding_drift_cells" -> "K cell rows x one-row broadcast of the two window totals (q171's shape)"
     )
     val bad = scala.collection.mutable.ListBuffer[String]()
     val observedBnlj = scala.collection.mutable.TreeSet[String]()
