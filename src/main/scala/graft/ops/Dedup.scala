@@ -505,10 +505,23 @@ object Dedup {
     * consumers read it (both band sides + this verification join).
     */
   def verifiedPairs(sigs: DataFrame, nHashes: Int = 32, bandSize: Int = 4,
-                    minAgree: Double = 0.7): DataFrame = {
+                    minAgree: Double = 0.7): DataFrame =
+    verifyCandidates(
+      candidatesFromBands(bandsFromSignatures(sigs, nHashes, bandSize)),
+      sigs, nHashes, minAgree)
+
+  /** The verification HALF of [[verifiedPairs]] over an externally-
+    * produced candidate set — THE one definition of the slot-agreement
+    * criterion, shared with callers whose candidates come from an
+    * incremental index probe instead of the full banded self-join
+    * (ClusterStream's per-batch maintenance): a threshold or formula
+    * fix here reaches every consumer at once.
+    */
+  def verifyCandidates(cand: DataFrame, sigs: DataFrame,
+                       nHashes: Int = 32, minAgree: Double = 0.7): DataFrame = {
     val agree = zip_with(col("mh1"), col("mh2"),
       (a, b) => when(a === b, 1).otherwise(0))
-    candidatesFromBands(bandsFromSignatures(sigs, nHashes, bandSize))
+    cand.select(col("d1"), col("d2"))
       .join(sigs.toDF("d1j", "mh1"), col("d1j") === col("d1"))
       .join(sigs.toDF("d2j", "mh2"), col("d2j") === col("d2"))
       .withColumn("_est",

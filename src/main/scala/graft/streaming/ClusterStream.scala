@@ -137,17 +137,11 @@ object ClusterStream {
       .select(least(col("bd"), col("od")).as("d1"),
         greatest(col("bd"), col("od")).as("d2"))
       .distinct()
-    // verification: the verifiedPairs slot-agreement criterion over
-    // the LATEST signatures, candidate partners only
-    val agree = zip_with(col("mh1"), col("mh2"),
-      (a, b) => when(a === b, 1).otherwise(0))
-    val newPairs = cand
-      .join(curSigs.toDF("d1j", "mh1"), col("d1j") === col("d1"))
-      .join(curSigs.toDF("d2j", "mh2"), col("d2j") === col("d2"))
-      .withColumn("_est",
-        aggregate(agree, lit(0), (acc, x) => acc + x) / lit(32))
-      .filter(col("_est") >= minAgree)
-      .select(col("d1"), col("d2"))
+    // verification: THE shared slot-agreement criterion
+    // (Dedup.verifyCandidates — the exact half of verifiedPairs the
+    // batch pipeline runs), over the LATEST signatures, candidate
+    // partners only
+    val newPairs = Dedup.verifyCandidates(cand, curSigs, minAgree = minAgree)
     // merge through the q198 kernel: batch ids strike their old edges,
     // new verified edges come in, touched components recompute
     val prevPairs = DeltaStore.readScopedOr(spark, pairsDir, Some(batchId),
@@ -173,11 +167,14 @@ object ClusterStream {
       .select(col("d1"), col("d2"))
       .unionByName(newPairs)
       .localCheckpoint(false)
-    batchSigs.coalesce(1)
+    // repartition(1) (an exchange), NOT coalesce(1): coalescing would
+    // collapse the signature/merge pipelines upstream into one task —
+    // the ContractStream ids-write lesson
+    batchSigs.repartition(1)
       .write.mode("overwrite").parquet(s"$sigDir/batch_id=$batchId")
-    mergedPairs.coalesce(1)
+    mergedPairs.repartition(1)
       .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
-    mergedComp.coalesce(1)
+    mergedComp.repartition(1)
       .write.mode("overwrite").parquet(s"$compDir/batch_id=$batchId")
   }
 
