@@ -1122,6 +1122,23 @@ object NonOracle {
       .select(col("doc_id").as("qid"), col("term"), col("tf"))
       .withColumn("r", row_number().over(wq)).filter(col("r") <= 4)
       .select(col("qid"), col("term"))
+    hybridFromPostings(s, dir, tf, n, queries, nQ, k)
+  }
+
+  /** [[hybridRetrieval]] from a caller-held postings table + query set
+    * — the serving form, and what keeps q200 (which already built the
+    * identical postings for its other two arms) from paying a second
+    * corpus token pass + exchange for the fused arm.
+    */
+  private[ops] def hybridFromPostings(s: org.apache.spark.sql.SparkSession,
+                                      dir: String,
+                                      tf: org.apache.spark.sql.DataFrame,
+                                      n: Long,
+                                      queries: org.apache.spark.sql.DataFrame,
+                                      nQ: Int = 5, k: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
     val wS = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id"))
     val sparse = graft.index.Retrieval
@@ -1392,7 +1409,7 @@ object NonOracle {
       graft.index.Retrieval.searchPostings(tf, queries, n, k + 1), "tfidf")
     val bm25Arm = arm(
       graft.index.Retrieval.searchBm25Postings(tf, queries, n, k + 1), "bm25")
-    val rrfArm = hybridRetrieval(s, dir, nQ, k)
+    val rrfArm = hybridFromPostings(s, dir, tf, n, queries, nQ, k)
       .select(lit("rrf").as("system"), col("qid"), col("cid"),
         col("rnk").cast("bigint").as("rk"))
     val ranked = tfidfArm.unionByName(bm25Arm).unionByName(rrfArm)
