@@ -82,6 +82,27 @@ class IncrementalClustersSpec extends SparkSpec {
     assert(got == want, "empty delta changed the component view")
   }
 
+  test("merge == rebuild on random corpora, deltas, and re-ingests (fuzz)") {
+    // random small-vocab docs so near-dup pairs actually occur; random
+    // delta = new ids + re-ingested ids with regenerated text
+    val rnd = new scala.util.Random(198L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    def text() = Seq.fill(3 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size)))
+      .distinct.mkString(" ")
+    (1 to 5).foreach { round =>
+      val histN = 8 + rnd.nextInt(6)
+      val h = (0L until histN.toLong).map(i => (i, text()))
+      val reingest = h.filter(_ => rnd.nextBoolean() && rnd.nextBoolean())
+        .map { case (id, _) => (id, text()) }
+      val fresh = (100L until (100L + 1 + rnd.nextInt(4))).map(i => (i, text()))
+      val delta = reingest ++ fresh
+      val got = runMerge(h, delta)
+      val want = components(merged(h, delta))
+      assert(got == want,
+        s"round $round: merge $got != rebuild $want (hist=$h delta=$delta)")
+    }
+  }
+
   test("a delta doc bridging two old clusters merges them under the min id") {
     val delta = Seq(
       // near-dup with BOTH A and B texts: eight tokens, four from each
