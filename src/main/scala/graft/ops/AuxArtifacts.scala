@@ -60,6 +60,12 @@ object AuxArtifacts {
       Multimodal.embedStub(s,
         Multimodal.attachMedia(Tables.documents(s, dir))).toDF("vec_id", "v")
         .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))),
+    // q204: the TEXT-side stub embeddings (same kernel over the doc's
+    // own UTF-8 bytes — the paired modality), same exploded layout
+    "aux_txt_embed" -> ((s, dir) =>
+      Multimodal.embedStub(s,
+        Multimodal.attachTextBytes(Tables.documents(s, dir))).toDF("vec_id", "v")
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))),
     // q53: the probe targets (true cell centroids). The coarse centers
     // themselves are SQL-derivable (lloydIters=1 => first-k by id), but
     // the per-slot MEAN is a distributed float aggregation whose

@@ -22,7 +22,7 @@ object CurationOps {
   def all: Seq[QueryDef] =
     Seq(q49, q90, q91, q92, q93, q94, q95, q104, q107, q108, q110, q113, q125, q166,
       q132, q140, q143, q144, q152, q154, q157, q159, q161, q168, q169, q176,
-      q179, q182, q183, q184, q193)
+      q179, q182, q183, q184, q193, q203)
 
   /** Cross-document boilerplate removal (q49): the line-level dedup
     * step of CCNet/RefinedWeb-style curation — text fragments repeated
@@ -2767,5 +2767,139 @@ object CurationOps {
        |UNION ALL SELECT * FROM dup_row
        |ORDER BY store""".stripMargin) { (s, dir) =>
     takedownPropagation(Tables.documents(s, dir)).orderBy(col("store"))
+  }
+
+  /** DoReMi-style domain reweighting (q203): turn per-source EXCESS
+    * LM loss into mixture weights (Xie et al., "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining", 2023 — the
+    * published multiplicative-weights shape, with the proxy-model
+    * excess loss stood in by the engine's own trained LM). The
+    * scorer is the shipped q189 Kneser-Ney bigram model, so every
+    * input to the weight is already exact: per-source bigram count
+    * and micro-nat score sum are BIGINT sums of q189's per-doc
+    * integers, token totals are exact, and every double is a literal
+    * formula over those integers.
+    *
+    * excess_s = avg_lp_global - avg_lp_s (nats/bigram; positive =
+    * the source is HARDER than the corpus average, i.e. the LM
+    * predicts it worse — DoReMi upweights it). The multiplicative
+    * update exp(eta*excess) is replaced by the repo's pinned rational
+    * sigmoid (TwinSql.rationalSigmoid — libm exp is not cross-engine
+    * bit-exact, the q110 sqrt argument): same monotonicity, bounded
+    * (0,1), so weight_s = baseline_s * sigma(eta*excess_s), then one
+    * K-row ordered-fold normalization (sources sorted by name — the
+    * q128 list-fold discipline; an unordered double sum would hash-
+    * diverge). baseline_s is the exact token share.
+    *
+    * Scale: everything after q189's own plan is source-granular —
+    * one partial+final aggregate to K source rows, two one-row
+    * broadcasts (totals, normalizer). The LM training/scoring scale
+    * story is q189's, unchanged.
+    */
+  def doremiWeights(docs: org.apache.spark.sql.DataFrame,
+                    eta: Double = 4.0): org.apache.spark.sql.DataFrame = {
+    val perDoc = TextAnalytics.knBigramLogProb(docs)
+    val src = docs.select(col("doc_id"), col("source"),
+      when(col("text").isNotNull, size(toks(col("text"))))
+        .cast("bigint").as("nt"))
+    // LEFT join: a null-doc_id junk row stays in its source's doc and
+    // token tallies (matching the twin's LEFT JOIN null-key behavior)
+    // with no LM contribution, instead of vanishing via an inner join
+    val perSrc = src.join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        coalesce(sum(col("nt")), lit(0L)).cast("bigint").as("n_tokens"),
+        coalesce(sum(col("n_bigrams")), lit(0L)).cast("bigint")
+          .as("n_bigrams"),
+        coalesce(sum(col("kn_sum_micro")), lit(0L)).cast("bigint")
+          .as("kn_sum_micro"))
+    val tot = perSrc.agg(
+      sum(col("n_tokens")).cast("bigint").as("nt_tot"),
+      sum(col("n_bigrams")).cast("bigint").as("nb_tot"),
+      sum(col("kn_sum_micro")).cast("bigint").as("s_tot"))
+    // avg_lp uses q189's exact literal formula; guards mirror the twin
+    val scored = perSrc.crossJoin(broadcast(tot))
+      .withColumn("avg_lp", when(col("n_bigrams") > 0,
+          col("kn_sum_micro").cast("double")
+            / (col("n_bigrams").cast("double") * lit(1000000.0)))
+        .otherwise(lit(0.0)))
+      .withColumn("g", when(col("nb_tot") > 0,
+          col("s_tot").cast("double")
+            / (col("nb_tot").cast("double") * lit(1000000.0)))
+        .otherwise(lit(0.0)))
+      .withColumn("excess", when(col("n_bigrams") > 0,
+          col("g") - col("avg_lp")).otherwise(lit(0.0)))
+      .withColumn("baseline",
+        col("n_tokens").cast("double") / col("nt_tot").cast("double"))
+      .withColumn("score", col("baseline")
+        * TextAnalytics.rationalSigmoid(lit(eta) * col("excess")))
+    val den = scored.agg(
+      aggregate(
+        transform(array_sort(collect_list(struct(col("source"), col("score")))),
+          x => x.getField("score")),
+        lit(0.0), (a, x) => a + x).as("den"))
+    scored.crossJoin(broadcast(den))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_bigrams"), col("kn_sum_micro"), col("avg_lp"), col("excess"),
+        (col("score") / col("den")).as("doremi_weight"),
+        (col("score") / col("den") / col("baseline")).as("boost"))
+      .orderBy(col("source"))
+  }
+
+  /** q203: [[doremiWeights]] at eta = 4.0 over the documents table.
+    * FULL-REPLAY ORACLE: the twin re-trains the entire KN model
+    * (TextAnalytics.knChainSql — the q189 chain, one definition) and
+    * re-derives excess, sigmoid, and the ordered-fold normalization.
+    */
+  val q203: QueryDef = QueryDef.sql(
+    "q203_doremi_weights",
+    s"""WITH ${TextAnalytics.knChainSql},
+       |sc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+       |    CAST(sum(lp) AS BIGINT) AS s
+       |  FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id),
+       |ds AS (
+       |  SELECT source, doc_id, CAST(len(t2) AS BIGINT) AS nt
+       |  FROM (SELECT source, doc_id, $duckToks AS t2 FROM documents)),
+       |ps AS (
+       |  SELECT ds.source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(COALESCE(sum(ds.nt), 0) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(sum(sc.nb), 0) AS BIGINT) AS n_bigrams,
+       |    CAST(COALESCE(sum(sc.s), 0) AS BIGINT) AS kn_sum_micro
+       |  FROM ds LEFT JOIN sc USING (doc_id)
+       |  GROUP BY ds.source),
+       |tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS nt_tot,
+       |    CAST(sum(n_bigrams) AS BIGINT) AS nb_tot,
+       |    CAST(sum(kn_sum_micro) AS BIGINT) AS s_tot
+       |  FROM ps),
+       |sc2 AS (
+       |  SELECT source, n_docs, n_tokens, n_bigrams, kn_sum_micro,
+       |    CASE WHEN n_bigrams > 0
+       |      THEN CAST(kn_sum_micro AS DOUBLE)
+       |           / (CAST(n_bigrams AS DOUBLE) * 1000000.0)
+       |      ELSE 0.0 END AS avg_lp,
+       |    CASE WHEN nb_tot > 0
+       |      THEN CAST(s_tot AS DOUBLE)
+       |           / (CAST(nb_tot AS DOUBLE) * 1000000.0)
+       |      ELSE 0.0 END AS g,
+       |    CAST(n_tokens AS DOUBLE) / CAST(nt_tot AS DOUBLE) AS baseline
+       |  FROM ps CROSS JOIN tot),
+       |sc3 AS (
+       |  SELECT *, CASE WHEN n_bigrams > 0 THEN g - avg_lp
+       |                 ELSE 0.0 END AS excess
+       |  FROM sc2),
+       |sc4 AS (
+       |  SELECT *,
+       |    baseline * (${TwinSql.rationalSigmoid("4.0 * excess")}) AS score
+       |  FROM sc3),
+       |den AS (SELECT list_sum(list(score ORDER BY source)) AS den FROM sc4)
+       |SELECT source, n_docs, n_tokens, n_bigrams, kn_sum_micro, avg_lp,
+       |  excess,
+       |  score / den AS doremi_weight,
+       |  score / den / baseline AS boost
+       |FROM sc4 CROSS JOIN den ORDER BY source""".stripMargin) { (s, dir) =>
+    doremiWeights(Tables.documents(s, dir))
   }
 }

@@ -317,6 +317,20 @@ object Multimodal {
       // deterministic fake payload; unhex(sha2) = 32 opaque bytes
       to_binary(sha2(col("text"), 256), lit("hex")).as("media"))
 
+  /** The TEXT side of a paired image/text corpus, as media rows: the
+    * document's own UTF-8 bytes under the MediaRow contract, so the
+    * SAME deterministic [[embedStub]] kernel yields a text-space
+    * embedding that is decorrelated from [[attachMedia]]'s image-side
+    * payload (different bytes -> different byteFold64 stream). A real
+    * pipeline runs a text encoder here; the Spark-side plumbing —
+    * schema, spread, batch shape — is what q204 exercises. Null text
+    * yields a null payload, excluded at the shared [[spread]] junk
+    * gate like every failed download.
+    */
+  def attachTextBytes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), lit("text/plain").as("mime"),
+      encode(col("text"), "UTF-8").cast("binary").as("media"))
+
   /** Estimated scan-task count for the frame's file sources, read from
     * the OPTIMIZED LOGICAL plan's leaf metadata (file-index byte totals
     * over the split size) — no plan-to-RDD conversion, no physical

@@ -25,7 +25,7 @@ object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
     q45, q46, q47, q51, q52, q53, q57, q102, q105, q106, q128, q130, q153,
-    q160, q170, q173, q177, q188, q196, q200)
+    q160, q170, q173, q177, q188, q196, q200, q204)
 
   // the shared twin cosine fragments (single definition: TwinSql)
   // every twin in this file SCORES vectors, so only the zero-norm
@@ -1618,5 +1618,79 @@ object NonOracle {
        |FROM hits LEFT JOIN nr USING (qid) LEFT JOIN ideal USING (qid)
        |ORDER BY system, qid""".stripMargin) { (s, dir) =>
     retrievalEval(s, dir).orderBy(col("system"), col("qid"))
+  }
+
+  /** CLIP-style hard-negative mining over the paired image/text
+    * embedding spaces (q204): for each anchor image, the highest-
+    * cosine NON-PAIR text embeddings — the in-batch negatives a
+    * contrastive multimodal trainer wants hardest, plus the margin
+    * pos_sim - neg_sim that prices how confusable the pair actually
+    * is (a negative margin row IS a mislabeled-pair candidate: some
+    * other caption matches this image better than its own).
+    *
+    * Image side = the q57 stub kernel over the attached media bytes;
+    * text side = the SAME kernel over the document's own UTF-8 bytes
+    * ([[Multimodal.attachTextBytes]] — a real pipeline runs a text
+    * encoder; the plumbing is what ships). Self-pair exclusion is the
+    * positive-pair exclusion by construction (vec_id = doc_id on both
+    * sides).
+    *
+    * Scale: the anchor batch is bounded (doc_id < 20 — the q53/q164
+    * audit-batch convention, ScaleCheck-excluded), so the mining is
+    * the broadcast brute-force scan over the text corpus; the
+    * corpus-scale path swaps [[Similarity.bruteForceKnn]] for the
+    * shipped IVF/LSH serving (q53's probe join) unchanged, since the
+    * miner consumes only (qid, cid, score, rnk).
+    *
+    * TWO-STAGE ORACLE: both embedding tables are dumped
+    * (aux_mm_embed / aux_txt_embed); DuckDB re-derives the positive
+    * similarity, the full negative scan, ranking, and margins.
+    */
+  val q204 = QueryDef.sql(
+    "q204_hard_negative_mining",
+    s"""WITH ti AS (
+       |  SELECT vec_id, list(x ORDER BY pos) AS v
+       |  FROM read_parquet('__GRAFT_OUT__/aux_txt_embed/*.parquet')
+       |  GROUP BY vec_id),
+       |im AS (
+       |  SELECT vec_id, list(x ORDER BY pos) AS v
+       |  FROM read_parquet('__GRAFT_OUT__/aux_mm_embed/*.parquet')
+       |  GROUP BY vec_id),
+       |anchors AS (SELECT vec_id AS qid, v AS qv FROM im WHERE vec_id < 20),
+       |pos AS (
+       |  SELECT qid, ${cosSqlZ("qv", "ti.v")} AS pos_sim
+       |  FROM anchors JOIN ti ON ti.vec_id = anchors.qid),
+       |neg AS (
+       |  SELECT qid, ti.vec_id AS neg_id, ${cosSqlZ("qv", "ti.v")} AS neg_sim
+       |  FROM anchors CROSS JOIN ti WHERE ti.vec_id <> qid),
+       |rk AS (
+       |  SELECT qid, neg_id, neg_sim,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY neg_sim DESC, neg_id) AS rnk
+       |  FROM neg)
+       |SELECT rk.qid, CAST(rk.rnk AS BIGINT) AS rnk, rk.neg_id,
+       |  p.pos_sim, rk.neg_sim,
+       |  p.pos_sim - rk.neg_sim AS margin
+       |FROM rk JOIN pos p USING (qid)
+       |WHERE rk.rnk <= 3
+       |ORDER BY rk.qid, rk.rnk""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val img = Multimodal.embedStub(s, Multimodal.attachMedia(docs))
+      .toDF("vec_id", "v")
+    val txt = Multimodal.embedStub(s, Multimodal.attachTextBytes(docs))
+      .toDF("vec_id", "v")
+      .localCheckpoint(false) // consumed twice: positive join + scan
+    val anchors = img.filter(col("vec_id") < 20).toDF("qid", "qv")
+    val posSim = anchors
+      .join(txt.toDF("qid", "pv"), Seq("qid"))
+      .select(col("qid"), graft.functions.functions
+        .cosine_similarity(col("qv"), col("pv")).as("pos_sim"))
+    Similarity.bruteForceKnn(anchors, txt, k = 3)
+      .join(posSim, Seq("qid"))
+      .select(col("qid"), col("rnk").cast("bigint").as("rnk"),
+        col("cid").as("neg_id"), col("pos_sim"),
+        col("score").as("neg_sim"),
+        (col("pos_sim") - col("score")).as("margin"))
+      .orderBy(col("qid"), col("rnk"))
   }
 }

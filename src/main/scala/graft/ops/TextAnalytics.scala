@@ -874,9 +874,16 @@ object TextAnalytics {
     * continuation counts, same two-lnMicro-per-distinct-bigram — so
     * the hash compare covers training and scoring alike.
     */
-  val q189: QueryDef = QueryDef.sql(
-    "q189_kneser_ney_score",
-    s"""WITH d AS (SELECT doc_id, $duckToks AS t FROM documents),
+  /** The KN trainer CTE chain in twin SQL — defines d (tokenized
+    * docs), bg (bigram instances), c/st/nn (sufficient statistics),
+    * and lm (per-distinct-bigram micro-nat log prob, two lnMicro
+    * calls). ONE definition consumed by the q189 twin and the q203
+    * DoReMi twin: a drifted copy of the discount or continuation
+    * counts in either would silently grade a different LM than the
+    * engine trains. Callers append their own consumers after a comma.
+    */
+  private[ops] val knChainSql: String =
+    s"""d AS (SELECT doc_id, $duckToks AS t FROM documents),
        |bg AS (
        |  SELECT doc_id, t[k + 1] AS w1, t[k + 2] AS w2
        |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS k
@@ -895,7 +902,11 @@ object TextAnalytics {
        |  SELECT w1, w2,
        |    ${Sampling.duckLnMicro("(4 * c12 - 3) * nn + 3 * n1f * n1b")}
        |      - ${Sampling.duckLnMicro("4 * c1 * nn")} AS lp
-       |  FROM st CROSS JOIN nn),
+       |  FROM st CROSS JOIN nn)""".stripMargin
+
+  val q189: QueryDef = QueryDef.sql(
+    "q189_kneser_ney_score",
+    s"""WITH $knChainSql,
        |sc AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        |    CAST(sum(lp) AS BIGINT) AS s

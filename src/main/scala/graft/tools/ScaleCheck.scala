@@ -135,7 +135,17 @@ object ScaleCheck {
         // q200's corpus-side arms scale (postings build, dense scan,
         // the query-side-bounded relevance join) while the 5-query
         // batch stays replica-0-pinned (q188's shape):
-        "q200_retrieval_eval")
+        "q200_retrieval_eval",
+        // q202: the benchmark slice is pinned to replica-0 ids
+        // ([450,500) — id-shifted replicas never land there), so the
+        // filter build stays constant while the corpus screening +
+        // exact-audit join scale — exactly the gate's production
+        // question (broadcast-bitmap probes at scan speed vs the q89
+        // exchange):
+        "q202_bloom_decontamination",
+        // q203 rides q189's full training chain (its scale class);
+        // everything past it is source-granular:
+        "q203_doremi_weights")
         // q195 is deliberately absent (q153's reason: the scored-pair
         // table is q85's doc_id < 100 all-pairs verification slice —
         // only replica 0 participates; at corpus scale candidates come
