@@ -28,7 +28,7 @@ object Dedup {
 
   def all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89, q112, q135, q139, q162,
-      q172, q185, q195, q198, q202)
+      q172, q185, q195, q198, q202, q205)
 
   /** Exact dedup on a normalized key: keep the lowest doc_id per group.
     * Scale: one hash exchange on the key; with pre-partitioned/bucketed
@@ -431,6 +431,92 @@ object Dedup {
           .as("n_flagged"),
         sum(coalesce(col("__x"), lit(0L))).cast("bigint").as("n_exact"))
       .withColumn("n_fp", (col("n_flagged") - col("n_exact")).cast("bigint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Eval-burn report (q205): the FLIP of q89/q202 — per BENCHMARK
+    * item, how compromised it is by the training corpus. q89 answers
+    * "which corpus docs to drop"; this answers the question an eval
+    * owner asks when the corpus is already trained on and frozen:
+    * "which eval ITEMS are burned and must be excluded from the
+    * score". Per benchmark doc: distinct shingles, how many of them
+    * appear anywhere in the corpus (n_burned), the burned fraction as
+    * an exact rational pair, how many distinct corpus docs touch it,
+    * and the largest single-corpus-doc overlap (one big overlap =
+    * verbatim leak; many small ones = common phrases).
+    *
+    * Scale: the benchmark side is pinned-small ([450,500), the q202
+    * slice) and BROADCASTS; the corpus shingle stream joins it
+    * map-side at scan speed and partial-aggregates to benchmark-sized
+    * outputs — no corpus-keyed exchange anywhere.
+    */
+  val q205: QueryDef = QueryDef.sql(
+    "q205_eval_burn",
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckToks AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct(list_filter(
+       |    list_transform(range(0, greatest(len(t) - 4, 0) + 1),
+       |      i -> array_to_string(t[i+1:i+4], ' ')), s -> s <> ''))) AS sh
+       |  FROM d),
+       |bench AS (
+       |  SELECT doc_id AS bdoc, sh FROM g
+       |  WHERE doc_id >= 450 AND doc_id < 500),
+       |corp AS (
+       |  SELECT doc_id AS cdoc, sh FROM g
+       |  WHERE doc_id < 450 OR doc_id >= 500),
+       |tot AS (
+       |  SELECT bdoc, CAST(count(*) AS BIGINT) AS n_sh
+       |  FROM bench GROUP BY bdoc),
+       |hits AS (SELECT bdoc, sh, cdoc FROM bench JOIN corp USING (sh)),
+       |per AS (
+       |  SELECT bdoc,
+       |    CAST(count(DISTINCT sh) AS BIGINT) AS n_burned,
+       |    CAST(count(DISTINCT cdoc) AS BIGINT) AS n_corpus_docs
+       |  FROM hits GROUP BY bdoc),
+       |pairs AS (
+       |  SELECT bdoc, cdoc, CAST(count(DISTINCT sh) AS BIGINT) AS ov
+       |  FROM hits GROUP BY bdoc, cdoc),
+       |mx AS (SELECT bdoc, CAST(max(ov) AS BIGINT) AS max_overlap
+       |       FROM pairs GROUP BY bdoc)
+       |SELECT t.bdoc AS doc_id, t.n_sh,
+       |  COALESCE(p.n_burned, 0) AS n_burned,
+       |  COALESCE(p.n_corpus_docs, 0) AS n_corpus_docs,
+       |  COALESCE(m.max_overlap, 0) AS max_overlap,
+       |  CAST(COALESCE(p.n_burned, 0) AS DOUBLE)
+       |    / CAST(t.n_sh AS DOUBLE) AS frac_burned
+       |FROM tot t LEFT JOIN per p ON p.bdoc = t.bdoc
+       |LEFT JOIN mx m ON m.bdoc = t.bdoc
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def shingleSet(df: DataFrame) = df
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), 4))).as("sh"))
+    val docs = Tables.documents(s, dir)
+    val isBench = col("doc_id") >= 450 && col("doc_id") < 500
+    val bench = shingleSet(docs.filter(isBench))
+      .select(col("doc_id").as("bdoc"), col("sh"))
+      .localCheckpoint(false) // consumed twice: totals + the hit join
+    val corp = shingleSet(docs.filter(!isBench))
+      .select(col("doc_id").as("cdoc"), col("sh"))
+    val tot = bench.groupBy(col("bdoc"))
+      .agg(count(lit(1)).cast("bigint").as("n_sh"))
+    val hits = corp.join(broadcast(bench), Seq("sh"))
+      .localCheckpoint(false) // consumed twice: per-item + pair rollups
+    val per = hits.groupBy(col("bdoc"))
+      .agg(countDistinct(col("sh")).cast("bigint").as("n_burned"),
+        countDistinct(col("cdoc")).cast("bigint").as("n_corpus_docs"))
+    val mx = hits.groupBy(col("bdoc"), col("cdoc"))
+      .agg(countDistinct(col("sh")).as("ov"))
+      .groupBy(col("bdoc"))
+      .agg(max(col("ov")).cast("bigint").as("max_overlap"))
+    tot.join(per, Seq("bdoc"), "left").join(mx, Seq("bdoc"), "left")
+      .select(col("bdoc").as("doc_id"), col("n_sh"),
+        coalesce(col("n_burned"), lit(0L)).as("n_burned"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        coalesce(col("max_overlap"), lit(0L)).as("max_overlap"),
+        (coalesce(col("n_burned"), lit(0L)).cast("double")
+          / col("n_sh").cast("double")).as("frac_burned"))
       .orderBy(col("doc_id"))
   }
 

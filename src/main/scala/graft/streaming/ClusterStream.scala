@@ -48,11 +48,19 @@ import graft.ops.Dedup
   * write a deterministic overwrite of the batch's own partition,
   * keepLatest compaction — the shared DeltaStore discipline.
   *
+  * Event contract per row (doc_id, text): non-null text upserts
+  * (row-min winner on duplicate delivery); an id whose batch rows are
+  * ALL null text is a TAKEDOWN — signature tombstoned (null-mh row,
+  * shadowed out by the latest-wins fold and garbage-collected at
+  * compaction), incident edges struck, vertex dropped from the
+  * component view (the IvfStream takedown convention, so the
+  * near-dup and ANN maintenance stories share one event shape).
+  *
   * PARITY (spec-pinned, bit-exact): the component view after batch k
   * equals `connectedComponents(verifiedPairs(minhashSignatures(D_k)))`
   * where D_k is the prefix corpus with later batches winning
-  * re-ingested doc_ids — the batch near-dup pipeline over the
-  * logically-current corpus.
+  * re-ingested doc_ids and taken-down ids REMOVED — the batch
+  * near-dup pipeline over the logically-current corpus.
   */
 object ClusterStream {
 
@@ -104,25 +112,36 @@ object ClusterStream {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     // at-least-once ingest can deliver one doc_id twice in a batch:
-    // deterministic winner = row-min text (the upsertBandIndex rule)
+    // deterministic winner = row-min NON-NULL text (min ignores nulls
+    // — an upsert beats a same-batch takedown, the IvfStream mixed-
+    // delivery rule); an id whose batch rows are ALL null text is a
+    // TAKEDOWN (the right-to-be-forgotten event): its signature is
+    // tombstoned, its edges struck, its vertex dropped from the view
     val winners = batch.select(col("doc_id"), col("text"))
       .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
-    val batchSigs = Dedup.minhashSignatures(winners)
+    val batchSigs = Dedup.minhashSignatures(
+        winners.filter(col("text").isNotNull))
       .localCheckpoint(false)
+    val downs = winners.filter(col("text").isNull).select(col("doc_id"))
+    // ids this batch speaks for — upserts AND takedowns both shadow
+    // history (the strike set for edges/signatures alike)
+    val allIds = winners.select(col("doc_id"))
     // accumulated signature view: per-doc latest-wins over the scoped
     // store (re-ingested ids in THIS batch shadow their stored rows
     // via the anti-join, not the window — the batch never sorts with
-    // the history)
+    // the history); null-mh rows are takedown tombstones from earlier
+    // batches and carry no signature
     val prevSigs = {
       val raw = DeltaStore.readScopedOr(spark, sigDir, Some(batchId), sigSchema)
         .select(col("doc_id"), col("mh"), col("batch_id").cast("long"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("batch_id").desc)
       raw.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .filter(col("mh").isNotNull)
         .select(col("doc_id"), col("mh"))
     }
     val curSigs = prevSigs
-      .join(batchSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(allIds, Seq("doc_id"), "left_anti")
       .unionByName(batchSigs)
       .localCheckpoint(false)
     // candidates: batch bands vs the full current band view (batch
@@ -142,8 +161,11 @@ object ClusterStream {
     // batch pipeline runs), over the LATEST signatures, candidate
     // partners only
     val newPairs = Dedup.verifyCandidates(cand, curSigs, minAgree = minAgree)
-    // merge through the q198 kernel: batch ids strike their old edges,
-    // new verified edges come in, touched components recompute
+    // merge through the q198 kernel: every id the batch speaks for
+    // (upserted OR taken down) strikes its old edges, new verified
+    // edges come in, touched components recompute — a taken-down
+    // vertex has no new edges, so it drops out of the recomputed
+    // region (upsertComponents' struck-id-loses-all-edges rule)
     val prevPairs = DeltaStore.readScopedOr(spark, pairsDir, Some(batchId),
         pairSchema)
       .transform(r => DeltaStore.latestSnapshot(
@@ -154,23 +176,26 @@ object ClusterStream {
       .transform(r => DeltaStore.latestSnapshot(
         r.select(col("v"), col("component"), col("batch_id").cast("long")
           .as("batch_id")), Seq("v", "component")))
-    val batchIds = batchSigs.select(col("doc_id"))
     val mergedComp = Dedup.upsertComponents(prevPairs, prevComp,
-        batchIds, newPairs)
+        allIds, newPairs)
       .localCheckpoint(false)
     // the merged EDGE store: kept non-batch edges + new verified edges
     // (exactly upsertComponents' strike rule, re-stated on the store)
     val mergedPairs = prevPairs
-      .join(batchIds.toDF("x1"), col("d1") === col("x1"), "left")
-      .join(batchIds.toDF("x2"), col("d2") === col("x2"), "left")
+      .join(allIds.toDF("x1"), col("d1") === col("x1"), "left")
+      .join(allIds.toDF("x2"), col("d2") === col("x2"), "left")
       .filter(col("x1").isNull && col("x2").isNull)
       .select(col("d1"), col("d2"))
       .unionByName(newPairs)
       .localCheckpoint(false)
     // repartition(1) (an exchange), NOT coalesce(1): coalescing would
     // collapse the signature/merge pipelines upstream into one task —
-    // the ContractStream ids-write lesson
-    batchSigs.repartition(1)
+    // the ContractStream ids-write lesson. Takedowns land as null-mh
+    // tombstone rows so the latest-wins fold shadows the old signature
+    batchSigs
+      .unionByName(downs.select(col("doc_id"),
+        lit(null).cast(sigSchema("mh").dataType).as("mh")))
+      .repartition(1)
       .write.mode("overwrite").parquet(s"$sigDir/batch_id=$batchId")
     mergedPairs.repartition(1)
       .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
@@ -192,6 +217,10 @@ object ClusterStream {
 
   /** Fold the signature store: per-doc latest-wins (the ContractStream
     * id-index fold). keepLatest for the shared replay reason.
+    * Takedown tombstones (null mh) whose turn came up latest are
+    * DROPPED from the fold — the fold leaves one row per key, so no
+    * older signature remains for a dropped tombstone to shadow (the
+    * IvfStream compaction argument); the mh column itself stays.
     */
   def compactSigs(spark: SparkSession, sigDir: String,
                   onDelete: org.apache.hadoop.fs.Path => Unit = _ => ()): Unit =
@@ -199,6 +228,7 @@ object ClusterStream {
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("batch_id").cast("long").desc)
       raw.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .filter(col("mh").isNotNull)
         .select(col("doc_id"), col("mh"))
     }, keepLatest = true, onDelete = onDelete)
 

@@ -145,7 +145,16 @@ object ScaleCheck {
         "q202_bloom_decontamination",
         // q203 rides q189's full training chain (its scale class);
         // everything past it is source-granular:
-        "q203_doremi_weights")
+        "q203_doremi_weights",
+        // q204 is deliberately absent (q164's reason: the anchor batch
+        // is bounded doc_id < 20 and the negative scan is the
+        // brute-force DEMO arm — the corpus-scale serving path is the
+        // q53 probe join, stated in its doc comment; its corpus-sized
+        // stage, the stub embed pass, is q57's published shape).
+        // q205's benchmark side is pinned ([450,500), replica 0) while
+        // the corpus shingle stream it joins scales — the eval-burn
+        // production question:
+        "q205_eval_burn")
         // q195 is deliberately absent (q153's reason: the scored-pair
         // table is q85's doc_id < 100 all-pairs verification slice —
         // only replica 0 participates; at corpus scale candidates come

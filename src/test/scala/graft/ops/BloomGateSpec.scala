@@ -51,6 +51,21 @@ class BloomGateSpec extends SparkSpec {
     assert(out(3L) == novelHit)
   }
 
+  test("q205 eval-burn invariants: every benchmark item reported, burns bounded, fraction exact") {
+    val rows = Dedup.q205.build(spark, sfDir)
+      .select(col("doc_id"), col("n_sh"), col("n_burned"),
+        col("n_corpus_docs"), col("max_overlap"), col("frac_burned"))
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == 50, s"expected all 50 benchmark items, got ${rows.length}")
+    rows.foreach { case (id, nSh, burned, nDocs, mx, frac) =>
+      assert(id >= 450L && id < 500L)
+      assert(burned <= nSh, s"item $id: burned $burned > shingles $nSh")
+      assert(mx <= burned, s"item $id: single-doc overlap $mx > total burned")
+      assert((burned > 0) == (nDocs > 0))
+      assert(frac == burned.toDouble / nSh.toDouble)
+    }
+  }
+
   test("q202 audit invariants on the fixture: flagged ⊇ exact per doc, benchmark excluded") {
     val rows = Dedup.q202.build(spark, sfDir)
       .select(col("doc_id"), col("n_sh"), col("n_flagged"), col("n_exact"),

@@ -195,7 +195,9 @@ class PlanAuditSpec extends SparkSpec {
       "q195_dedup_threshold_sweep" -> "per-cut one-row aggregate crossJoins (scalar pair counts) over the bounded q85 slice",
       "q197_embedding_cell_drift" -> "q151's shared chiSquareByBucket: 2-window x K-cell spine + scalar N + scalar cell count, all broadcast",
       "q200_retrieval_eval" -> "the audited engines' bounded sides: q115's one-row avgdl broadcast, q31's bounded query batch x corpus (dense arm), and the query-count-sized n_rel/idcg broadcasts onto 15 metric rows",
-      "q201_embedding_drift_cells" -> "K cell rows x one-row broadcast of the two window totals (q171's shape)"
+      "q201_embedding_drift_cells" -> "K cell rows x one-row broadcast of the two window totals (q171's shape)",
+      "q203_doremi_weights" -> "q189's one-row NN broadcast + source rows x two one-row broadcasts (corpus totals, ordered-fold weight normalizer)",
+      "q204_hard_negative_mining" -> "bounded anchor batch (doc_id<20) x text embeddings through bruteForceKnn (q31's shape); corpus path swaps in the IVF/LSH serving"
     )
     val bad = scala.collection.mutable.ListBuffer[String]()
     val observedBnlj = scala.collection.mutable.TreeSet[String]()
