@@ -2894,12 +2894,19 @@ object CurationOps {
        |  SELECT *,
        |    baseline * (${TwinSql.rationalSigmoid("4.0 * excess")}) AS score
        |  FROM sc3),
-       |den AS (SELECT list_sum(list(score ORDER BY source)) AS den FROM sc4)
+       |den AS (SELECT list_sum(list(score ORDER BY source NULLS FIRST))
+       |        AS den FROM sc4)
        |SELECT source, n_docs, n_tokens, n_bigrams, kn_sum_micro, avg_lp,
        |  excess,
        |  score / den AS doremi_weight,
        |  score / den / baseline AS boost
-       |FROM sc4 CROSS JOIN den ORDER BY source""".stripMargin) { (s, dir) =>
+       |FROM sc4 CROSS JOIN den
+       |ORDER BY source NULLS FIRST""".stripMargin) { (s, dir) =>
+    // NULLS FIRST twice above: Spark's array_sort and orderBy both put
+    // a null source FIRST while DuckDB's default ORDER BY puts it
+    // LAST — on a corpus with a null-source junk row (the same junk
+    // class the LEFT join above defends) the fold order and the row
+    // order would silently diverge between engines without the pin
     doremiWeights(Tables.documents(s, dir))
   }
 }

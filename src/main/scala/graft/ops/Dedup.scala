@@ -230,6 +230,35 @@ object Dedup {
       .orderBy(col("s1"), col("s2"))
   }
 
+  /** The q89/q202/q205 shingle stream: distinct word 4-gram shingles
+    * per doc, REPARTITIONED BEFORE THE HEAVY MAP — the fixture's
+    * documents file is one parquet row group = one scan task, and
+    * per-doc shingling is the dominant cost, so a ~10 MB text shuffle
+    * unlocks every core (measured 4.8s -> ~1s at sf0.1; same
+    * reasoning on a cluster whenever input files are fewer than
+    * cores). Callers filter BEFORE shingling so a doubly-referenced
+    * scan never shingles the other side's rows. ONE definition (plus
+    * its twin CTE pair [[duckShingleCtes]]) so the q202 gate, the
+    * q205 burn report, and the q89 exact audit can never screen
+    * different shingle sets.
+    */
+  private def shingleSet4(s: SparkSession, df: DataFrame): DataFrame = df
+    .repartition(s.sparkContext.defaultParallelism)
+    .select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), 4))).as("sh"))
+
+  /** The d/g twin CTE pair of [[shingleSet4]], appended at the head
+    * of the q89/q202/q205 oracle SQL.
+    */
+  private val duckShingleCtes: String =
+    s"""d AS (
+       |  SELECT doc_id, $duckToks AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct(list_filter(
+       |    list_transform(range(0, greatest(len(t) - 4, 0) + 1),
+       |      i -> array_to_string(t[i+1:i+4], ' ')), s -> s <> ''))) AS sh
+       |  FROM d)""".stripMargin
+
   /** Benchmark-contamination report (q89): corpus docs (doc_id < 450)
     * sharing distinct word 4-gram shingles with the held-out slice
     * (doc_id >= 450, standing in for an eval set) and how many. The
@@ -238,30 +267,14 @@ object Dedup {
     */
   val q89: QueryDef = QueryDef.sql(
     "q89_decontamination",
-    s"""WITH d AS (
-       |  SELECT doc_id, $duckToks AS t FROM documents),
-       |g AS (
-       |  SELECT doc_id, unnest(list_distinct(list_filter(
-       |    list_transform(range(0, greatest(len(t) - 4, 0) + 1),
-       |      i -> array_to_string(t[i+1:i+4], ' ')), s -> s <> ''))) AS sh
-       |  FROM d),
+    s"""WITH $duckShingleCtes,
        |bench AS (SELECT DISTINCT sh FROM g WHERE doc_id >= 450)
        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared
        |FROM g JOIN bench USING (sh)
        |WHERE g.doc_id < 450
        |GROUP BY g.doc_id
        |ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
-    // REPARTITION BEFORE THE HEAVY MAP: the fixture's documents file is
-    // one parquet row group = one scan task, and per-doc shingling is
-    // the dominant cost — a ~10 MB text shuffle unlocks every core
-    // (measured 4.8s -> ~1s at sf0.1). The same reasoning holds on a
-    // cluster whenever input files are fewer than cores. Each side
-    // filters BEFORE shingling so the doubly-referenced scan never
-    // shingles the other side's rows.
-    def shingleSet(df: DataFrame) = df
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(col("text"), 4))).as("sh"))
+    def shingleSet(df: DataFrame) = shingleSet4(s, df)
     val docs = Tables.documents(s, dir)
     val bench = shingleSet(docs.filter(col("doc_id") >= 450))
       .select(col("sh")).distinct()
@@ -375,13 +388,7 @@ object Dedup {
     */
   val q202: QueryDef = QueryDef.sql(
     "q202_bloom_decontamination",
-    s"""WITH d AS (
-       |  SELECT doc_id, $duckToks AS t FROM documents),
-       |g AS (
-       |  SELECT doc_id, unnest(list_distinct(list_filter(
-       |    list_transform(range(0, greatest(len(t) - 4, 0) + 1),
-       |      i -> array_to_string(t[i+1:i+4], ' ')), s -> s <> ''))) AS sh
-       |  FROM d),
+    s"""WITH $duckShingleCtes,
        |bench AS (
        |  SELECT DISTINCT sh FROM g WHERE doc_id >= 450 AND doc_id < 500),
        |js AS (SELECT unnest([${(0 until BloomK).mkString(", ")}]) AS j),
@@ -414,11 +421,7 @@ object Dedup {
        |  CAST(sum(ex) AS BIGINT) AS n_exact,
        |  CAST(sum(fl) - sum(ex) AS BIGINT) AS n_fp
        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    // the q89 repartition-before-heavy-map reasoning, verbatim
-    def shingleSet(df: DataFrame) = df
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(col("text"), 4))).as("sh"))
+    def shingleSet(df: DataFrame) = shingleSet4(s, df)
     val docs = Tables.documents(s, dir)
     val isBench = col("doc_id") >= 450 && col("doc_id") < 500
     val bench = shingleSet(docs.filter(isBench)).select(col("sh")).distinct()
@@ -452,13 +455,7 @@ object Dedup {
     */
   val q205: QueryDef = QueryDef.sql(
     "q205_eval_burn",
-    s"""WITH d AS (
-       |  SELECT doc_id, $duckToks AS t FROM documents),
-       |g AS (
-       |  SELECT doc_id, unnest(list_distinct(list_filter(
-       |    list_transform(range(0, greatest(len(t) - 4, 0) + 1),
-       |      i -> array_to_string(t[i+1:i+4], ' ')), s -> s <> ''))) AS sh
-       |  FROM d),
+    s"""WITH $duckShingleCtes,
        |bench AS (
        |  SELECT doc_id AS bdoc, sh FROM g
        |  WHERE doc_id >= 450 AND doc_id < 500),
@@ -488,10 +485,7 @@ object Dedup {
        |FROM tot t LEFT JOIN per p ON p.bdoc = t.bdoc
        |LEFT JOIN mx m ON m.bdoc = t.bdoc
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    def shingleSet(df: DataFrame) = df
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(col("text"), 4))).as("sh"))
+    def shingleSet(df: DataFrame) = shingleSet4(s, df)
     val docs = Tables.documents(s, dir)
     val isBench = col("doc_id") >= 450 && col("doc_id") < 500
     val bench = shingleSet(docs.filter(isBench))

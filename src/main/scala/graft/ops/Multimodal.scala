@@ -329,7 +329,7 @@ object Multimodal {
     */
   def attachTextBytes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), lit("text/plain").as("mime"),
-      encode(col("text"), "UTF-8").cast("binary").as("media"))
+      encode(col("text"), "UTF-8").as("media"))
 
   /** Estimated scan-task count for the frame's file sources, read from
     * the OPTIMIZED LOGICAL plan's leaf metadata (file-index byte totals

@@ -869,11 +869,6 @@ object TextAnalytics {
     knScoreFromCounts(d, bg, knCounts(bg), selfScoring = true)
   }
 
-  /** q189: [[knBigramLogProb]] over the documents table. The twin
-    * re-trains the full KN model in SQL — same discount, same
-    * continuation counts, same two-lnMicro-per-distinct-bigram — so
-    * the hash compare covers training and scoring alike.
-    */
   /** The KN trainer CTE chain in twin SQL — defines d (tokenized
     * docs), bg (bigram instances), c/st/nn (sufficient statistics),
     * and lm (per-distinct-bigram micro-nat log prob, two lnMicro
@@ -904,6 +899,12 @@ object TextAnalytics {
        |      - ${Sampling.duckLnMicro("4 * c1 * nn")} AS lp
        |  FROM st CROSS JOIN nn)""".stripMargin
 
+  /** q189: [[knBigramLogProb]] over the documents table. The twin
+    * re-trains the full KN model in SQL ([[knChainSql]] — same
+    * discount, same continuation counts, same
+    * two-lnMicro-per-distinct-bigram), so the hash compare covers
+    * training and scoring alike.
+    */
   val q189: QueryDef = QueryDef.sql(
     "q189_kneser_ney_score",
     s"""WITH $knChainSql,

@@ -39,8 +39,10 @@ class DoremiSpec extends SparkSpec {
       .as[(String, Long, Double, Double)].collect()
     val totTok = zero.map(_._2).sum
     zero.foreach { case (s, nt, w, b) =>
-      // sigma(0) = 0.5 cancels in the normalization exactly
-      assert(b == 1.0, s"source $s boost $b != 1 at eta=0")
+      // sigma(0) = 0.5 cancels algebraically; in floats the
+      // normalizer is the fold of the ROUNDED shares, which need not
+      // sum to exactly 1.0 on every fixture — so tolerance, not ==
+      assert(math.abs(b - 1.0) < 1e-12, s"source $s boost $b != 1 at eta=0")
       assert(math.abs(w - nt.toDouble / totTok) < 1e-12)
     }
   }

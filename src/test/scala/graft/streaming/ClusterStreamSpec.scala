@@ -108,9 +108,10 @@ class ClusterStreamSpec extends SparkSpec {
     ClusterStream.processBatch(b4.toDF(), 4L, sigD, pairD, compD)
     assert(view(compD) == views.last, "replay after compaction diverged")
     // the taken-down ids are invisible to the signature READ view
-    // after compaction: keepLatest keeps b3's partition (and with it
-    // the tombstones), so the latest-wins fold still shadows 3/5's
-    // pre-takedown signatures out; live signatures survive
+    // after compaction: keepLatest keeps only the MAX partition (b4);
+    // b3 is folded, and the fold's mh-isNotNull filter GC's the 3/5
+    // tombstones together with every older row they shadowed — the
+    // docs are simply absent, not shadowed; live signatures survive
     val liveSigDocs = {
       val raw = spark.read.parquet(sigD)
       val w = org.apache.spark.sql.expressions.Window
