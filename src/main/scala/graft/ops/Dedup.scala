@@ -242,7 +242,7 @@ object Dedup {
     * q205 burn report, and the q89 exact audit can never screen
     * different shingle sets.
     */
-  private def shingleSet4(s: SparkSession, df: DataFrame): DataFrame = df
+  private[graft] def shingleSet4(s: SparkSession, df: DataFrame): DataFrame = df
     .repartition(s.sparkContext.defaultParallelism)
     .select(col("doc_id"),
       explode(array_distinct(shingles(col("text"), 4))).as("sh"))
@@ -297,7 +297,7 @@ object Dedup {
     * degenerate 0. Production sizes m to the benchmark suite
     * (~1e7-1e9 n-grams -> a 1 MB-1 GB broadcast), not to the corpus.
     */
-  private[ops] val BloomBits = 1 << 14
+  private[graft] val BloomBits = 1 << 14
   private val BloomK = 3
 
   /** The j-th Bloom position: Kirsch-Mitzenmacher double hashing
@@ -316,7 +316,7 @@ object Dedup {
     * (positions are mod-m distinct), never by the input's size — the
     * filter is the fixed-size summary that makes the gate broadcast.
     */
-  private[ops] def bloomWords(shingleSet: DataFrame): Array[Long] = {
+  private[graft] def bloomWords(shingleSet: DataFrame): Array[Long] = {
     val ps = shingleSet
       .withColumn("h1", krHash(col("sh"), 31L))
       .withColumn("h2", krHash(col("sh"), 131L))
@@ -336,7 +336,7 @@ object Dedup {
     * Java's arithmetic `>>`; (w >> b) & 1 extracts the bit correctly
     * for negative words too.
     */
-  private[ops] def bloomFlag(shingled: DataFrame, words: Array[Long]): DataFrame = {
+  private[graft] def bloomFlag(shingled: DataFrame, words: Array[Long]): DataFrame = {
     val withBits = (0 until BloomK).foldLeft(
         shingled.withColumn("__h1", krHash(col("sh"), 31L))
           .withColumn("__h2", krHash(col("sh"), 131L))

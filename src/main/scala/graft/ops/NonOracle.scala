@@ -25,7 +25,7 @@ object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
     q45, q46, q47, q51, q52, q53, q57, q102, q105, q106, q128, q130, q153,
-    q160, q170, q173, q177, q188, q196, q200, q204)
+    q160, q170, q173, q177, q188, q196, q200, q204, q206)
 
   // the shared twin cosine fragments (single definition: TwinSql)
   // every twin in this file SCORES vectors, so only the zero-norm
@@ -1382,9 +1382,15 @@ object NonOracle {
     * documents + aux_mm_embed) extended with the TF-IDF arm, the
     * relevance derivation, and the metric arithmetic.
     */
-  def retrievalEval(s: org.apache.spark.sql.SparkSession, dir: String,
-                    nQ: Int = 5, k: Int = 10)
-      : org.apache.spark.sql.DataFrame = {
+  /** The shared eval context of q200/q206: token stream, corpus size,
+    * postings, and the planted query set (top-4 terms of the first nQ
+    * docs). ONE definition so the sweep and the eval grade the same
+    * queries over the same index.
+    */
+  private def evalContext(s: org.apache.spark.sql.SparkSession, dir: String,
+                          nQ: Int)
+      : (org.apache.spark.sql.DataFrame, Long,
+         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
     val tokens = docs.select(col("doc_id"),
@@ -1396,15 +1402,30 @@ object NonOracle {
       .select(col("doc_id").as("qid"), col("term"), col("tf"))
       .withColumn("r", row_number().over(wq)).filter(col("r") <= 4)
       .select(col("qid"), col("term"))
-    // each lexical arm: top-(k+1), drop self, re-rank to contiguous
-    // 1..k (the q188 self-exclusion rule)
+    (tokens, n, tf, queries)
+  }
+
+  /** The q188/q200 arm shaper: top-(k+1), drop self, re-rank to
+    * contiguous 1..k (the self-exclusion rule), tagged with a system
+    * name.
+    */
+  private def armOf(res: org.apache.spark.sql.DataFrame, sys: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wS = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id"))
-    def arm(res: org.apache.spark.sql.DataFrame, sys: String) = res
-      .filter(col("doc_id") =!= col("qid"))
+    res.filter(col("doc_id") =!= col("qid"))
       .withColumn("rk", row_number().over(wS)).filter(col("rk") <= k)
       .select(lit(sys).as("system"), col("qid"),
         col("doc_id").as("cid"), col("rk").cast("bigint").as("rk"))
+  }
+
+  def retrievalEval(s: org.apache.spark.sql.SparkSession, dir: String,
+                    nQ: Int = 5, k: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    val (tokens, n, tf, queries) = evalContext(s, dir, nQ)
+    def arm(res: org.apache.spark.sql.DataFrame, sys: String) =
+      armOf(res, sys, k)
     val tfidfArm = arm(
       graft.index.Retrieval.searchPostings(tf, queries, n, k + 1), "tfidf")
     val bm25Arm = arm(
@@ -1413,20 +1434,47 @@ object NonOracle {
       .select(lit("rrf").as("system"), col("qid"), col("cid"),
         col("rnk").cast("bigint").as("rk"))
     val ranked = tfidfArm.unionByName(bm25Arm).unionByName(rrfArm)
-    // planted graded relevance: exact distinct-token Jaccard deciles,
-    // query side bounded and broadcast
+    gradeRankedArms(s, tokens, ranked, nQ, k)
+  }
+
+  /** The shared grading tail of q200/q206: planted graded relevance
+    * (exact distinct-token Jaccard deciles, query side bounded and
+    * broadcast) + recall@k / nDCG@k of a (system, qid, cid, rk)
+    * frame. ONE metric definition — a sweep graded by a drifted copy
+    * would tune against a different target than the eval reports.
+    */
+  /** (qid, cid, n_common, nq, nc) exact distinct-token overlap stats
+    * of every candidate against every planted query doc — the ONE
+    * sufficient statistic behind the graded relevance (rel) AND the
+    * q206 tau comparisons; a drifted copy would grade and rank-check
+    * against different overlap sets.
+    */
+  private def jaccStats(tokens: org.apache.spark.sql.DataFrame, nQ: Int)
+      : org.apache.spark.sql.DataFrame = {
     val dt = tokens.distinct().localCheckpoint(false)
     val qt = dt.filter(col("doc_id") < nQ).toDF("qid", "term")
     val qsz = qt.groupBy(col("qid")).agg(count(lit(1)).as("nq"))
     val csz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
       .toDF("cid", "nc")
-    val rel = dt.toDF("cid", "term")
+    dt.toDF("cid", "term")
       .join(broadcast(qt), Seq("term"))
       .filter(col("cid") =!= col("qid"))
       .groupBy(col("qid"), col("cid"))
       .agg(count(lit(1)).as("n_common"))
       .join(broadcast(qsz), Seq("qid"))
       .join(csz, Seq("cid"))
+      .select(col("qid"), col("cid"),
+        col("n_common").cast("bigint").as("n_common"),
+        col("nq").cast("bigint").as("nq"), col("nc").cast("bigint").as("nc"))
+  }
+
+  private def gradeRankedArms(s: org.apache.spark.sql.SparkSession,
+                              tokens: org.apache.spark.sql.DataFrame,
+                              ranked: org.apache.spark.sql.DataFrame,
+                              nQ: Int, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rel = jaccStats(tokens, nQ)
       .select(col("qid"), col("cid"),
         least(lit(3L), expr("(10 * n_common) div (nq + nc - n_common)"))
           .cast("bigint").as("grade"))
@@ -1466,9 +1514,17 @@ object NonOracle {
           .otherwise(lit(0.0)).as("ndcg"))
   }
 
-  val q200 = QueryDef.sql(
-    "q200_retrieval_eval",
-    s"""WITH tk AS (
+  /** q200/q206 shared twin fragments — the corpus/query head, the
+    * BM25 sufficient statistics, the parameterized BM25 scoring arm,
+    * and the relevance+metrics tail. Extracted so the q206 sweep's
+    * twin is the SAME chain at other (k1, b) points, not a copy that
+    * could drift (the knChainSql argument). `bm25ArmSql` interpolates
+    * the driver-folded doubles (k1+1, 1-b) exactly as the Scala side
+    * folds them — Double.toString round-trips, so both engines embed
+    * the identical literal.
+    */
+  private val evalHeadSql: String =
+    s"""tk AS (
        |  SELECT doc_id,
        |    unnest(${TwinSql.toksSql}) AS term
        |  FROM documents),
@@ -1482,7 +1538,106 @@ object NonOracle {
        |    FROM tf WHERE doc_id < 5)
        |  WHERE r <= 4),
        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-       |       FROM tk GROUP BY term),
+       |       FROM tk GROUP BY term)""".stripMargin
+
+  private val bm25StatsSql: String =
+    """tfdl AS (SELECT term, doc_id, tf,
+      |         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+      |         FROM tf),
+      |idf AS (
+      |  SELECT term,
+      |    round(ln((CAST(n.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |      / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9) AS idf
+      |  FROM df CROSS JOIN n),
+      |ad AS (
+      |  SELECT CAST(sum(dl0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM (SELECT doc_id, count(*) AS dl0 FROM tk GROUP BY doc_id))""".stripMargin
+
+  /** One BM25 scoring arm at (k1, b): CTEs w$sfx..arm$sfx emitting
+    * (system, qid, cid, rk) rows named `sys`.
+    */
+  private def bm25ArmSql(sys: String, sfx: String, k1: Double,
+                         b: Double): String =
+    s"""w$sfx AS (
+       |  SELECT tfdl.term, tfdl.doc_id,
+       |    idf.idf * (CAST(tf AS DOUBLE) * ${k1 + 1.0}
+       |      / (CAST(tf AS DOUBLE)
+       |         + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE) / avgdl))) AS w
+       |  FROM tfdl JOIN idf USING (term) CROSS JOIN ad),
+       |m$sfx AS (SELECT qs.qid, w$sfx.doc_id, w$sfx.term, w$sfx.w
+       |          FROM w$sfx JOIN qs USING (term)),
+       |agg$sfx AS (
+       |  SELECT qid, doc_id, list_sum(list(w ORDER BY term)) AS score
+       |  FROM m$sfx GROUP BY qid, doc_id),
+       |scut$sfx AS (
+       |  SELECT qid, doc_id, score FROM (
+       |    SELECT qid, doc_id, score,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r0
+       |    FROM agg$sfx)
+       |  WHERE r0 <= 11),
+       |arm$sfx AS (
+       |  SELECT '$sys' AS system, qid, cid, rk FROM (
+       |    SELECT qid, doc_id AS cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+       |    FROM scut$sfx WHERE doc_id <> qid)
+       |  WHERE rk <= 10)""".stripMargin
+
+  private val evalMetricsCtes: String =
+    """dt AS (SELECT DISTINCT doc_id, term FROM tk),
+      |qt AS (SELECT doc_id AS qid, term FROM dt WHERE doc_id < 5),
+      |qsz AS (SELECT qid, CAST(count(*) AS BIGINT) AS nq FROM qt GROUP BY qid),
+      |csz AS (SELECT doc_id AS cid, CAST(count(*) AS BIGINT) AS nc
+      |        FROM dt GROUP BY doc_id),
+      |jstats AS (
+      |  SELECT j.qid, j.cid, j.n_common, qsz.nq, csz.nc
+      |  FROM (
+      |    SELECT qt.qid, dt.doc_id AS cid, CAST(count(*) AS BIGINT) AS n_common
+      |    FROM dt JOIN qt USING (term)
+      |    WHERE dt.doc_id <> qt.qid
+      |    GROUP BY qt.qid, dt.doc_id) j
+      |  JOIN qsz USING (qid) JOIN csz USING (cid)),
+      |rel AS (
+      |  SELECT qid, cid, grade FROM (
+      |    SELECT qid, cid,
+      |      least(3, (10 * n_common) // (nq + nc - n_common)) AS grade
+      |    FROM jstats)
+      |  WHERE grade >= 1),
+      |hits AS (
+      |  SELECT r.system, r.qid,
+      |    CAST(sum(CASE WHEN rel.grade IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_hits,
+      |    CAST(sum(COALESCE(rel.grade, 0)
+      |      * CAST(round(1000000.0 * ln(2.0) / ln(CAST(r.rk AS DOUBLE) + 1.0))
+      |          AS BIGINT)) AS BIGINT) AS dcg_micro
+      |  FROM ranked r LEFT JOIN rel ON rel.qid = r.qid AND rel.cid = r.cid
+      |  GROUP BY r.system, r.qid),
+      |ideal AS (
+      |  SELECT qid,
+      |    CAST(sum(grade
+      |      * CAST(round(1000000.0 * ln(2.0) / ln(CAST(rk AS DOUBLE) + 1.0))
+      |          AS BIGINT)) AS BIGINT) AS idcg_micro
+      |  FROM (
+      |    SELECT qid, grade,
+      |      row_number() OVER (PARTITION BY qid ORDER BY grade DESC, cid) AS rk
+      |    FROM rel)
+      |  WHERE rk <= 10 GROUP BY qid),
+      |nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid),
+      |metrics AS (
+      |  SELECT hits.system, hits.qid,
+      |    CAST(COALESCE(nr.n_rel, 0) AS BIGINT) AS n_rel, hits.n_hits,
+      |    CASE WHEN COALESCE(nr.n_rel, 0) > 0
+      |      THEN CAST(hits.n_hits AS DOUBLE) / CAST(nr.n_rel AS DOUBLE)
+      |      ELSE 0.0 END AS recall,
+      |    hits.dcg_micro,
+      |    CAST(COALESCE(ideal.idcg_micro, 0) AS BIGINT) AS idcg_micro,
+      |    CASE WHEN COALESCE(ideal.idcg_micro, 0) > 0
+      |      THEN CAST(hits.dcg_micro AS DOUBLE) / CAST(ideal.idcg_micro AS DOUBLE)
+      |      ELSE 0.0 END AS ndcg
+      |  FROM hits LEFT JOIN nr USING (qid) LEFT JOIN ideal USING (qid))""".stripMargin
+
+  val q200 = QueryDef.sql(
+    "q200_retrieval_eval",
+    s"""WITH $evalHeadSql,
        |tw AS (
        |  SELECT tf.term, tf.doc_id,
        |    round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 9) AS w
@@ -1503,39 +1658,8 @@ object NonOracle {
        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
        |    FROM tcut WHERE doc_id <> qid)
        |  WHERE rk <= 10),
-       |tfdl AS (SELECT term, doc_id, tf,
-       |         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
-       |         FROM tf),
-       |idf AS (
-       |  SELECT term,
-       |    round(ln((CAST(n.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-       |      / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9) AS idf
-       |  FROM df CROSS JOIN n),
-       |ad AS (
-       |  SELECT CAST(sum(dl0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-       |  FROM (SELECT doc_id, count(*) AS dl0 FROM tk GROUP BY doc_id)),
-       |w AS (
-       |  SELECT tfdl.term, tfdl.doc_id,
-       |    idf.idf * (CAST(tf AS DOUBLE) * 2.2
-       |      / (CAST(tf AS DOUBLE)
-       |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS w
-       |  FROM tfdl JOIN idf USING (term) CROSS JOIN ad),
-       |m AS (SELECT qs.qid, w.doc_id, w.term, w.w FROM w JOIN qs USING (term)),
-       |agg AS (
-       |  SELECT qid, doc_id, list_sum(list(w ORDER BY term)) AS score
-       |  FROM m GROUP BY qid, doc_id),
-       |scut AS (
-       |  SELECT qid, doc_id, score FROM (
-       |    SELECT qid, doc_id, score,
-       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r0
-       |    FROM agg)
-       |  WHERE r0 <= 11),
-       |barm AS (
-       |  SELECT 'bm25' AS system, qid, cid, rk FROM (
-       |    SELECT qid, doc_id AS cid,
-       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
-       |    FROM scut WHERE doc_id <> qid)
-       |  WHERE rk <= 10),
+       |$bm25StatsSql,
+       |${bm25ArmSql("bm25", "b", 1.2, 0.75)},
        |e AS (
        |  SELECT vec_id, list(x ORDER BY pos) AS v
        |  FROM read_parquet('__GRAFT_OUT__/aux_mm_embed/*.parquet')
@@ -1552,7 +1676,7 @@ object NonOracle {
        |    FROM sden)
        |  WHERE rd <= 10),
        |sarm AS (
-       |  SELECT qid, cid, rk AS rs FROM barm),
+       |  SELECT qid, cid, rk AS rs FROM armb),
        |fu AS (
        |  SELECT COALESCE(s.qid, d.qid) AS qid, COALESCE(s.cid, d.cid) AS cid,
        |    COALESCE(1.0 / (60.0 + CAST(s.rs AS DOUBLE)), 0.0)
@@ -1566,58 +1690,129 @@ object NonOracle {
        |    FROM fu)
        |  WHERE rk <= 10),
        |ranked AS (
-       |  SELECT * FROM tarm UNION ALL SELECT * FROM barm
+       |  SELECT * FROM tarm UNION ALL SELECT * FROM armb
        |  UNION ALL SELECT * FROM rarm),
-       |dt AS (SELECT DISTINCT doc_id, term FROM tk),
-       |qt AS (SELECT doc_id AS qid, term FROM dt WHERE doc_id < 5),
-       |qsz AS (SELECT qid, CAST(count(*) AS BIGINT) AS nq FROM qt GROUP BY qid),
-       |csz AS (SELECT doc_id AS cid, CAST(count(*) AS BIGINT) AS nc
-       |        FROM dt GROUP BY doc_id),
-       |rel AS (
-       |  SELECT qid, cid, grade FROM (
-       |    SELECT j.qid, j.cid,
-       |      least(3, (10 * j.n_common) // (qsz.nq + csz.nc - j.n_common))
-       |        AS grade
-       |    FROM (
-       |      SELECT qt.qid, dt.doc_id AS cid, CAST(count(*) AS BIGINT) AS n_common
-       |      FROM dt JOIN qt USING (term)
-       |      WHERE dt.doc_id <> qt.qid
-       |      GROUP BY qt.qid, dt.doc_id) j
-       |    JOIN qsz USING (qid) JOIN csz USING (cid))
-       |  WHERE grade >= 1),
-       |hits AS (
-       |  SELECT r.system, r.qid,
-       |    CAST(sum(CASE WHEN rel.grade IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-       |      AS n_hits,
-       |    CAST(sum(COALESCE(rel.grade, 0)
-       |      * CAST(round(1000000.0 * ln(2.0) / ln(CAST(r.rk AS DOUBLE) + 1.0))
-       |          AS BIGINT)) AS BIGINT) AS dcg_micro
-       |  FROM ranked r LEFT JOIN rel ON rel.qid = r.qid AND rel.cid = r.cid
-       |  GROUP BY r.system, r.qid),
-       |ideal AS (
-       |  SELECT qid,
-       |    CAST(sum(grade
-       |      * CAST(round(1000000.0 * ln(2.0) / ln(CAST(rk AS DOUBLE) + 1.0))
-       |          AS BIGINT)) AS BIGINT) AS idcg_micro
-       |  FROM (
-       |    SELECT qid, grade,
-       |      row_number() OVER (PARTITION BY qid ORDER BY grade DESC, cid) AS rk
-       |    FROM rel)
-       |  WHERE rk <= 10 GROUP BY qid),
-       |nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid)
-       |SELECT hits.system, hits.qid,
-       |  CAST(COALESCE(nr.n_rel, 0) AS BIGINT) AS n_rel, hits.n_hits,
-       |  CASE WHEN COALESCE(nr.n_rel, 0) > 0
-       |    THEN CAST(hits.n_hits AS DOUBLE) / CAST(nr.n_rel AS DOUBLE)
-       |    ELSE 0.0 END AS recall,
-       |  hits.dcg_micro,
-       |  CAST(COALESCE(ideal.idcg_micro, 0) AS BIGINT) AS idcg_micro,
-       |  CASE WHEN COALESCE(ideal.idcg_micro, 0) > 0
-       |    THEN CAST(hits.dcg_micro AS DOUBLE) / CAST(ideal.idcg_micro AS DOUBLE)
-       |    ELSE 0.0 END AS ndcg
-       |FROM hits LEFT JOIN nr USING (qid) LEFT JOIN ideal USING (qid)
-       |ORDER BY system, qid""".stripMargin) { (s, dir) =>
+       |$evalMetricsCtes
+       |SELECT system, qid, n_rel, n_hits, recall, dcg_micro, idcg_micro,
+       |  ndcg
+       |FROM metrics ORDER BY system, qid""".stripMargin) { (s, dir) =>
     retrievalEval(s, dir).orderBy(col("system"), col("qid"))
+  }
+
+  /** The q206 sweep grid: k1 varied at the shipped b and b varied at
+    * the shipped k1, bracketing the (1.2, 0.75) default the engine
+    * serves (q115/q188/q200). One axis at a time so a win is
+    * attributable; the default point itself is in the grid, so the
+    * sweep row for it must EQUAL q200's bm25 row — the cross-query
+    * consistency the spec pins.
+    */
+  private[ops] val bm25Grid: Seq[(Double, Double)] = Seq(
+    (0.6, 0.75), (1.2, 0.75), (2.0, 0.75),
+    (1.2, 0.0), (1.2, 0.4), (1.2, 1.0))
+
+  private def bm25SysName(k1: Double, b: Double): String =
+    s"bm25_k1=${k1}_b=$b"
+
+  /** BM25 operating-point sweep (q206): recall@10 / nDCG@10 of every
+    * grid point against the SAME planted graded relevance q200 grades
+    * with — the q172/q191 tuning-curve discipline applied to the
+    * retrieval ranker, so the shipped (k1=1.2, b=0.75) default is
+    * defended by a measured curve rather than Lucene's word. The
+    * postings/doc-length/idf statistics are computed ONCE and shared
+    * by all grid points (only the saturation arithmetic differs per
+    * point — a narrow reweight, not a re-index), matching how a real
+    * tuning run amortizes the index build.
+    *
+    * Scale: q200's corpus-side shape once (postings build), then per
+    * grid point one posting-sized reweight + the query-bounded
+    * broadcast join — the grid multiplies only the cheap arm, never
+    * the index build. FULL-REPLAY ORACLE: the shared twin fragments
+    * (evalHeadSql / bm25StatsSql / bm25ArmSql / evalMetricsSql — the
+    * exact q200 chain) instantiated at every grid point.
+    */
+  def bm25TuningCurve(s: org.apache.spark.sql.SparkSession, dir: String,
+                      nQ: Int = 5, k: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    val (tokens, n, tf, queries) = evalContext(s, dir, nQ)
+    // NOT localCheckpointed: the arm plans (and their whitelisted
+    // avgdl broadcast joins) must stay visible to PlanAuditSpec; the
+    // double traversal (metrics + tau) re-runs only posting-sized
+    // reweights over the checkpointed tf
+    val ranked = bm25Grid.map { case (k1, b) =>
+      armOf(graft.index.Retrieval.searchBm25Postings(tf, queries, n, k + 1,
+        k1, b), bm25SysName(k1, b), k)
+    }.reduce(_ unionByName _)
+    val metrics = gradeRankedArms(s, tokens, ranked, nQ, k)
+    // Kendall-tau agreement of each arm's top-k ORDER with the exact
+    // Jaccard order — the metric that still discriminates when the
+    // fixture's relevant set dwarfs k and nDCG saturates at 1.0:
+    // every comparison is an integer cross-multiplication (j1 > j2
+    // iff c1*u2 > c2*u1), so tau is exact on both engines
+    val js = jaccStats(tokens, nQ)
+    val rkj = ranked.join(js, Seq("qid", "cid"), "left")
+      .select(col("system"), col("qid"), col("rk"),
+        coalesce(col("n_common"), lit(0L)).as("c"),
+        coalesce(col("nq") + col("nc") - col("n_common"), lit(1L)).as("u"))
+      .localCheckpoint(false) // self-joined below
+    val tpairs = rkj.toDF("system", "qid", "r1", "c1", "u1")
+      .join(rkj.toDF("system", "qid", "r2", "c2", "u2"),
+        Seq("system", "qid"))
+      .filter(col("r1") < col("r2"))
+      .select(col("system"), col("qid"),
+        when(col("c1") * col("u2") > col("c2") * col("u1"), 1L)
+          .otherwise(0L).as("conc"),
+        when(col("c1") * col("u2") < col("c2") * col("u1"), 1L)
+          .otherwise(0L).as("disc"))
+    val tau = tpairs.groupBy(col("system"), col("qid"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(col("conc")).cast("bigint").as("n_conc"),
+        sum(col("disc")).cast("bigint").as("n_disc"))
+      .withColumn("tau", when(col("n_pairs") > 0,
+          (col("n_conc") - col("n_disc")).cast("double")
+            / col("n_pairs").cast("double"))
+        .otherwise(lit(0.0)))
+    metrics.join(tau, Seq("system", "qid"))
+  }
+
+  val q206 = QueryDef.sql(
+    "q206_bm25_tuning_curve",
+    s"""WITH $evalHeadSql,
+       |$bm25StatsSql,
+       |${bm25Grid.zipWithIndex.map { case ((k1, b), i) =>
+           bm25ArmSql(bm25SysName(k1, b), s"g$i", k1, b)
+         }.mkString(",\n")},
+       |ranked AS (
+       |  ${bm25Grid.indices.map(i => s"SELECT * FROM armg$i")
+           .mkString("\n  UNION ALL ")}),
+       |$evalMetricsCtes,
+       |rkj AS (
+       |  SELECT r.system, r.qid, r.rk,
+       |    CAST(COALESCE(js.n_common, 0) AS BIGINT) AS c,
+       |    CAST(COALESCE(js.nq + js.nc - js.n_common, 1) AS BIGINT) AS u
+       |  FROM ranked r LEFT JOIN jstats js
+       |    ON js.qid = r.qid AND js.cid = r.cid),
+       |tpairs AS (
+       |  SELECT a.system, a.qid,
+       |    CASE WHEN a.c * b.u > b.c * a.u THEN 1 ELSE 0 END AS conc,
+       |    CASE WHEN a.c * b.u < b.c * a.u THEN 1 ELSE 0 END AS disc
+       |  FROM rkj a JOIN rkj b
+       |    ON a.system = b.system AND a.qid = b.qid AND a.rk < b.rk),
+       |tau AS (
+       |  SELECT system, qid,
+       |    CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(conc) AS BIGINT) AS n_conc,
+       |    CAST(sum(disc) AS BIGINT) AS n_disc,
+       |    CASE WHEN count(*) > 0
+       |      THEN CAST(sum(conc) - sum(disc) AS DOUBLE)
+       |           / CAST(count(*) AS DOUBLE)
+       |      ELSE 0.0 END AS tau
+       |  FROM tpairs GROUP BY system, qid)
+       |SELECT m.system, m.qid, m.n_rel, m.n_hits, m.recall, m.dcg_micro,
+       |  m.idcg_micro, m.ndcg,
+       |  tau.n_pairs, tau.n_conc, tau.n_disc, tau.tau
+       |FROM metrics m JOIN tau USING (system, qid)
+       |ORDER BY system, qid""".stripMargin) { (s, dir) =>
+    bm25TuningCurve(s, dir).orderBy(col("system"), col("qid"))
   }
 
   /** CLIP-style hard-negative mining over the paired image/text

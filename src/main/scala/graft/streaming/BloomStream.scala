@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.ops.Dedup
+
+/** Streaming maintenance of the q202 decontamination Bloom filter —
+  * benchmark documents arrive continuously (a new eval suite version,
+  * a freshly-registered benchmark) and the gate's broadcast bitmap
+  * must stay current without re-shingling history.
+  *
+  * The state is the filter's packed words: a FIXED-SIZE
+  * (BloomBits/64 rows) frame, merged by bitwise OR — a MONOTONE
+  * merge, the one state class the streaming family did not yet have
+  * (DeltaStore stores so far fold by latest-wins or additive counts).
+  * Monotonicity is also the filter's honest limitation, stated here
+  * once: bits are only ever SET — removing a benchmark doc requires a
+  * rebuild (q202's batch path), exactly as for any production Bloom
+  * filter. Takedown events therefore have no streaming form on this
+  * store by design.
+  *
+  * Per micro-batch: shingle the batch docs with the batch kernel's
+  * own [[Dedup.shingleSet4]], fold them into packed words with
+  * [[Dedup.bloomWords]] (driver-side, bounded by the filter size —
+  * never by the batch), OR into the previous snapshot, write the new
+  * snapshot as the batch's partition. State is cumulative-snapshot
+  * per batch (the DriftStream shape): the newest partition IS the
+  * filter, any crashed-compaction leftover is a valid older filter,
+  * and replay overwrites the batch's own partition deterministically
+  * (the OR of a replayed batch into the PREVIOUS snapshot is
+  * byte-identical because the scoped read excludes the batch's own
+  * partition).
+  *
+  * PARITY (spec-pinned, bit-exact): after every batch,
+  * [[readWords]] == [[Dedup.bloomWords]] over the UNION of all
+  * delivered batches' shingles — and therefore [[flagFromStream]]
+  * == the batch gate [[Dedup.bloomFlag]] under that filter.
+  */
+object BloomStream {
+
+  private val wordSchema = StructType(Seq(
+    StructField("word_idx", IntegerType),
+    StructField("bits", LongType),
+    StructField("batch_id", LongType)))
+
+  /** Maintain the filter over a streaming (doc_id, text) frame of
+    * BENCHMARK documents.
+    */
+  def maintain(benchDocs: DataFrame, wordsDir: String,
+               checkpointDir: String): StreamingQuery =
+    benchDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, wordsDir)
+      }
+      .outputMode("update")
+      .start()
+
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+                                      wordsDir: String): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val batchWords = Dedup.bloomWords(
+      Dedup.shingleSet4(spark, batch.select(col("doc_id"), col("text")))
+        .select(col("sh")).distinct())
+    val prev = readWords(spark, wordsDir, beforeBatch = Some(batchId))
+    val merged = prev.zip(batchWords).map { case (a, b) => a | b }
+    import spark.implicits._
+    merged.toSeq.zipWithIndex.map { case (w, i) => (i, w) }
+      .toDF("word_idx", "bits")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$wordsDir/batch_id=$batchId")
+  }
+
+  /** The current packed filter (all-zero when the store is absent —
+    * the empty filter flags nothing, Bloom's no-false-negative vacuous
+    * case).
+    */
+  def readWords(spark: SparkSession, wordsDir: String,
+                beforeBatch: Option[Long] = None): Array[Long] = {
+    val rows = DeltaStore.readLatestSnapshot(spark, wordsDir, beforeBatch,
+        wordSchema, Seq("word_idx", "bits"))
+      .collect()
+    val words = new Array[Long](Dedup.BloomBits / 64)
+    rows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** The q202 gate against the streamed filter: adds `bloom_hit` to a
+    * (doc_id, sh) shingle frame through the ONE batch kernel.
+    */
+  def flagFromStream(spark: SparkSession, shingled: DataFrame,
+                     wordsDir: String): DataFrame =
+    Dedup.bloomFlag(shingled, readWords(spark, wordsDir))
+
+  /** Fold the store to one snapshot: the newest partition already IS
+    * the state (cumulative snapshots), so the fold is latest-wins.
+    */
+  def compactWords(spark: SparkSession, wordsDir: String,
+                   onDelete: org.apache.hadoop.fs.Path => Unit = _ => ()): Unit =
+    DeltaStore.compact(spark, wordsDir,
+      DeltaStore.latestSnapshot(_, Seq("word_idx", "bits")),
+      keepLatest = true, onDelete = onDelete)
+}

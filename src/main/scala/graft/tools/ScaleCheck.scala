@@ -154,7 +154,11 @@ object ScaleCheck {
         // q205's benchmark side is pinned ([450,500), replica 0) while
         // the corpus shingle stream it joins scales — the eval-burn
         // production question:
-        "q205_eval_burn")
+        "q205_eval_burn",
+        // q206: ONE scaling postings build feeds all six grid arms
+        // (each a posting-sized reweight) — the sweep must scale like
+        // q200's lexical side, not six times it:
+        "q206_bm25_tuning_curve")
         // q195 is deliberately absent (q153's reason: the scored-pair
         // table is q85's doc_id < 100 all-pairs verification slice —
         // only replica 0 participates; at corpus scale candidates come
