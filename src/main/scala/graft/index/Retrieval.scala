@@ -89,33 +89,51 @@ object Retrieval {
                  k1: Double = 1.2, b: Double = 0.75): DataFrame =
     searchBm25Postings(postings(tokens), queries, nDocs, k, k1, b)
 
-  /** [[searchBm25]] from a prebuilt [[postings]] table. */
-  def searchBm25Postings(tf: DataFrame, queries: DataFrame, nDocs: Long,
-                         k: Int, k1: Double = 1.2,
-                         b: Double = 0.75): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    // doc lengths computed ONCE: dl = per-doc sum of term frequencies
-    // (a posting-table-sized aggregate), reused for BOTH the per-doc
-    // normalization (joined back on doc_id) and avgdl (a scalar
-    // second-stage agg over the doc-count-sized frame). The previous
-    // shape paid a corpus-wide window SORT for dl plus a separate
-    // duplicate aggregation pass for avgdl on every search.
+  /** The BM25 sufficient statistics of a postings table — per-posting
+    * doc length, per-term rounded idf, the scalar avgdl — computed
+    * ONCE and shared across every (k1, b) operating point (the q206
+    * sweep's shape, mirroring its twin's single tfdl/idf/ad CTE set;
+    * before the extraction each grid arm re-aggregated all three).
+    * dl is a posting-table-sized aggregate reused for BOTH the
+    * per-doc normalization and avgdl (the previous per-search shape
+    * paid a corpus-wide window SORT for dl plus a duplicate
+    * aggregation pass for avgdl).
+    */
+  case class Bm25Stats(tfdl: DataFrame, idf: DataFrame, avgdl: DataFrame)
+
+  def bm25Stats(tf: DataFrame, nDocs: Long): Bm25Stats = {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val tfdl = tf.join(dl, "doc_id")
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("idf",
         round(log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
           (col("df") + lit(0.5)) + lit(1.0)), 9))
+      .select(col("term"), col("idf"))
     val avgdl = dl.agg((sum(col("dl")).cast("double") /
       count(lit(1)).cast("double")).as("avgdl"))
+    Bm25Stats(tfdl, idf, avgdl)
+  }
+
+  /** [[searchBm25]] from a prebuilt [[postings]] table. */
+  def searchBm25Postings(tf: DataFrame, queries: DataFrame, nDocs: Long,
+                         k: Int, k1: Double = 1.2,
+                         b: Double = 0.75): DataFrame =
+    searchBm25FromStats(bm25Stats(tf, nDocs), queries, k, k1, b)
+
+  /** [[searchBm25Postings]] at one (k1, b) point over precomputed
+    * [[Bm25Stats]].
+    */
+  def searchBm25FromStats(stats: Bm25Stats, queries: DataFrame, k: Int,
+                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     // scalar constants folded driver-side: ONE double each, so the
     // twin can embed the same literal value (k1+1 and 1-b are single
     // correctly-rounded ops — reproducible from the same inputs)
     val tfD = col("tf").cast("double")
     val sat = tfD * lit(k1 + 1.0) /
       (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
-    val weighted = tfdl.join(df.select(col("term"), col("idf")), "term")
-      .crossJoin(broadcast(avgdl))
+    val weighted = stats.tfdl.join(stats.idf, "term")
+      .crossJoin(broadcast(stats.avgdl))
       .withColumn("w", col("idf") * sat)
     topK(weighted.join(broadcast(queries), "term"), k)
   }

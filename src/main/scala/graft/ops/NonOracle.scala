@@ -1738,8 +1738,15 @@ object NonOracle {
     // avgdl broadcast joins) must stay visible to PlanAuditSpec; the
     // double traversal (metrics + tau) re-runs only posting-sized
     // reweights over the checkpointed tf
+    // ONE stats build (tfdl/idf/avgdl) shared by every grid arm — the
+    // twin's single CTE set, mirrored; each localCheckpoint'd frame is
+    // consumed by all six arms
+    val st0 = graft.index.Retrieval.bm25Stats(tf, n)
+    val stats = graft.index.Retrieval.Bm25Stats(
+      st0.tfdl.localCheckpoint(false), st0.idf.localCheckpoint(false),
+      st0.avgdl.localCheckpoint(false))
     val ranked = bm25Grid.map { case (k1, b) =>
-      armOf(graft.index.Retrieval.searchBm25Postings(tf, queries, n, k + 1,
+      armOf(graft.index.Retrieval.searchBm25FromStats(stats, queries, k + 1,
         k1, b), bm25SysName(k1, b), k)
     }.reduce(_ unionByName _)
     val metrics = gradeRankedArms(s, tokens, ranked, nQ, k)
