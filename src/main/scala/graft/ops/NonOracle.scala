@@ -1350,38 +1350,6 @@ object NonOracle {
       .orderBy(col("cls"))
   }
 
-  /** Retrieval-quality eval harness (q200): recall@10 and nDCG@10 of
-    * the THREE shipped retrieval systems — TF-IDF (the q114 engine),
-    * Okapi BM25 (q115), and hybrid RRF (the q188 fusion) — against a
-    * PLANTED graded relevance set, per query. The q57 planted-pair
-    * discipline applied to retrieval: q188's RRF is defended by a
-    * measured number, not by shape.
-    *
-    * Relevance is defined INDEPENDENTLY of every system's score:
-    * graded rel(q, c) = min(3, (10·|Tq ∩ Tc|) div |Tq ∪ Tc|) over
-    * exact DISTINCT-token sets — integer Jaccard deciles capped at 3
-    * (q195's exact-rational discipline; no float threshold), relevant
-    * iff grade ≥ 1. Lexical overlap favors no arm a priori: BM25/TFIDF
-    * see only the 4-term query, not the full token set, and the dense
-    * arm sees stub embeddings.
-    *
-    * Float discipline: ranks, grades, and DCG sums are exact integers
-    * — the per-rank weight w_r = round(10⁶·ln 2 / ln(r+1)) is the
-    * lnMicro single-rounding rule applied to the nDCG discount (one
-    * libm expression, one rounding, identical formula both engines),
-    * so DCG_micro = Σ grade·w_r is order-free; recall and ndcg are
-    * final literal divisions. IDCG ranks the relevance set itself
-    * (grade desc — ties irrelevant to the sum). n_rel counts the
-    * query's full relevant set; a query with none reports 0.0 metrics.
-    *
-    * Scale: ONE postings build feeds both lexical arms; the relevance
-    * join is query-side-bounded (5 query token sets broadcast against
-    * the corpus token stream — linear, never all-pairs); metrics are
-    * shortlist-sized. The dense arm is the q57/q188 engine. ORACLE:
-    * full replay — the q188 twin chain (both arms + fusion from raw
-    * documents + aux_mm_embed) extended with the TF-IDF arm, the
-    * relevance derivation, and the metric arithmetic.
-    */
   /** The shared eval context of q200/q206: token stream, corpus size,
     * postings, and the planted query set (top-4 terms of the first nQ
     * docs). ONE definition so the sweep and the eval grade the same
@@ -1420,6 +1388,38 @@ object NonOracle {
         col("doc_id").as("cid"), col("rk").cast("bigint").as("rk"))
   }
 
+  /** Retrieval-quality eval harness (q200): recall@10 and nDCG@10 of
+    * the THREE shipped retrieval systems — TF-IDF (the q114 engine),
+    * Okapi BM25 (q115), and hybrid RRF (the q188 fusion) — against a
+    * PLANTED graded relevance set, per query. The q57 planted-pair
+    * discipline applied to retrieval: q188's RRF is defended by a
+    * measured number, not by shape.
+    *
+    * Relevance is defined INDEPENDENTLY of every system's score:
+    * graded rel(q, c) = min(3, (10·|Tq ∩ Tc|) div |Tq ∪ Tc|) over
+    * exact DISTINCT-token sets — integer Jaccard deciles capped at 3
+    * (q195's exact-rational discipline; no float threshold), relevant
+    * iff grade ≥ 1. Lexical overlap favors no arm a priori: BM25/TFIDF
+    * see only the 4-term query, not the full token set, and the dense
+    * arm sees stub embeddings.
+    *
+    * Float discipline: ranks, grades, and DCG sums are exact integers
+    * — the per-rank weight w_r = round(10⁶·ln 2 / ln(r+1)) is the
+    * lnMicro single-rounding rule applied to the nDCG discount (one
+    * libm expression, one rounding, identical formula both engines),
+    * so DCG_micro = Σ grade·w_r is order-free; recall and ndcg are
+    * final literal divisions. IDCG ranks the relevance set itself
+    * (grade desc — ties irrelevant to the sum). n_rel counts the
+    * query's full relevant set; a query with none reports 0.0 metrics.
+    *
+    * Scale: ONE postings build feeds both lexical arms; the relevance
+    * join is query-side-bounded (5 query token sets broadcast against
+    * the corpus token stream — linear, never all-pairs); metrics are
+    * shortlist-sized. The dense arm is the q57/q188 engine. ORACLE:
+    * full replay — the q188 twin chain (both arms + fusion from raw
+    * documents + aux_mm_embed) extended with the TF-IDF arm, the
+    * relevance derivation, and the metric arithmetic.
+    */
   def retrievalEval(s: org.apache.spark.sql.SparkSession, dir: String,
                     nQ: Int = 5, k: Int = 10)
       : org.apache.spark.sql.DataFrame = {
@@ -1434,15 +1434,9 @@ object NonOracle {
       .select(lit("rrf").as("system"), col("qid"), col("cid"),
         col("rnk").cast("bigint").as("rk"))
     val ranked = tfidfArm.unionByName(bm25Arm).unionByName(rrfArm)
-    gradeRankedArms(s, tokens, ranked, nQ, k)
+    gradeRankedArms(tokens, ranked, nQ, k)
   }
 
-  /** The shared grading tail of q200/q206: planted graded relevance
-    * (exact distinct-token Jaccard deciles, query side bounded and
-    * broadcast) + recall@k / nDCG@k of a (system, qid, cid, rk)
-    * frame. ONE metric definition — a sweep graded by a drifted copy
-    * would tune against a different target than the eval reports.
-    */
   /** (qid, cid, n_common, nq, nc) exact distinct-token overlap stats
     * of every candidate against every planted query doc — the ONE
     * sufficient statistic behind the graded relevance (rel) AND the
@@ -1468,8 +1462,13 @@ object NonOracle {
         col("nq").cast("bigint").as("nq"), col("nc").cast("bigint").as("nc"))
   }
 
-  private def gradeRankedArms(s: org.apache.spark.sql.SparkSession,
-                              tokens: org.apache.spark.sql.DataFrame,
+  /** The shared grading tail of q200/q206: planted graded relevance
+    * (exact distinct-token Jaccard deciles, query side bounded and
+    * broadcast) + recall@k / nDCG@k of a (system, qid, cid, rk)
+    * frame. ONE metric definition — a sweep graded by a drifted copy
+    * would tune against a different target than the eval reports.
+    */
+  private def gradeRankedArms(tokens: org.apache.spark.sql.DataFrame,
                               ranked: org.apache.spark.sql.DataFrame,
                               nQ: Int, k: Int,
                               // precomputed jaccStats (q206 shares one
@@ -1756,7 +1755,7 @@ object NonOracle {
         k1, b), bm25SysName(k1, b), k)
     }.reduce(_ unionByName _).localCheckpoint()
     val js = jaccStats(tokens, nQ).localCheckpoint(false)
-    val metrics = gradeRankedArms(s, tokens, ranked, nQ, k, Some(js))
+    val metrics = gradeRankedArms(tokens, ranked, nQ, k, Some(js))
     // Kendall-tau agreement of each arm's top-k ORDER with the exact
     // Jaccard order — the metric that still discriminates when the
     // fixture's relevant set dwarfs k and nDCG saturates at 1.0:
@@ -1784,7 +1783,17 @@ object NonOracle {
           (col("n_conc") - col("n_disc")).cast("double")
             / col("n_pairs").cast("double"))
         .otherwise(lit(0.0)))
-    metrics.join(tau, Seq("system", "qid"))
+    // LEFT join with empty-tau defaults: a query with < 2 ranked
+    // candidates has no pairs — it must stay IN the sweep with
+    // n_pairs = 0 (dropping it would silently shrink the query set
+    // vs q200)
+    metrics.join(tau, Seq("system", "qid"), "left")
+      .select(col("system"), col("qid"), col("n_rel"), col("n_hits"),
+        col("recall"), col("dcg_micro"), col("idcg_micro"), col("ndcg"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_conc"), lit(0L)).as("n_conc"),
+        coalesce(col("n_disc"), lit(0L)).as("n_disc"),
+        coalesce(col("tau"), lit(0.0)).as("tau"))
   }
 
   val q206 = QueryDef.sql(
@@ -1822,8 +1831,11 @@ object NonOracle {
        |  FROM tpairs GROUP BY system, qid)
        |SELECT m.system, m.qid, m.n_rel, m.n_hits, m.recall, m.dcg_micro,
        |  m.idcg_micro, m.ndcg,
-       |  tau.n_pairs, tau.n_conc, tau.n_disc, tau.tau
-       |FROM metrics m JOIN tau USING (system, qid)
+       |  CAST(COALESCE(tau.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(tau.n_conc, 0) AS BIGINT) AS n_conc,
+       |  CAST(COALESCE(tau.n_disc, 0) AS BIGINT) AS n_disc,
+       |  COALESCE(tau.tau, 0.0) AS tau
+       |FROM metrics m LEFT JOIN tau USING (system, qid)
        |ORDER BY system, qid""".stripMargin) { (s, dir) =>
     bm25TuningCurve(s, dir).orderBy(col("system"), col("qid"))
   }
