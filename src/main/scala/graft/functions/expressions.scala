@@ -38,6 +38,33 @@ case class PorterStemExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode case/diacritic fold of a string column (NFC → lowercase →
+  * strip non-spacing marks → NFC; kernel and cross-engine contract in
+  * [[graft.text.Fold]]) — the normalization-ahead-of-shingling step
+  * of the q207 near-dup variant. A unary codegen expression so the
+  * fold fuses into the SAME whole-stage-generated narrow map as the
+  * shingle/MinHash kernel downstream of it: at 100 TB the normalized
+  * dedup path costs zero extra passes or exchanges over the raw one.
+  */
+case class FoldTextExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "fold_text"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.text.Fold.fold(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.text.Fold.fold($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): FoldTextExpr =
+    copy(child = newChild)
+}
+
 /** Karp-Rabin fingerprint of a string column — the q39 content
   * fingerprint ((h*31 + codepoint) mod 1e9+7 over non-newline code
   * points, see VectorOps.karpRabin). Codegen over the raw UTF-8
@@ -640,6 +667,9 @@ object functions {
 
   def karp_rabin_fingerprint(c: Column): Column =
     Shim.column(KarpRabinExpr(Shim.expression(c)))
+
+  def fold_text(c: Column): Column =
+    Shim.column(FoldTextExpr(Shim.expression(c)))
 
   def cosine_similarity(a: Column, b: Column): Column =
     Shim.column(

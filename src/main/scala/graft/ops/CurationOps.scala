@@ -2842,7 +2842,13 @@ object CurationOps {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("n_bigrams"), col("kn_sum_micro"), col("avg_lp"), col("excess"),
         (col("score") / col("den")).as("doremi_weight"),
-        (col("score") / col("den") / col("baseline")).as("boost"))
+        // baseline = 0 when a source's docs are all null/empty text
+        // (n_tokens 0): its weight is an honest 0, but the boost ratio
+        // would be 0/0 = NaN (and engine-dependent in the twin) — the
+        // same junk class the LEFT join and NULLS FIRST pins defend
+        when(col("baseline") > 0,
+          col("score") / col("den") / col("baseline"))
+          .otherwise(lit(0.0)).as("boost"))
       .orderBy(col("source"))
   }
 
@@ -2899,7 +2905,8 @@ object CurationOps {
        |SELECT source, n_docs, n_tokens, n_bigrams, kn_sum_micro, avg_lp,
        |  excess,
        |  score / den AS doremi_weight,
-       |  score / den / baseline AS boost
+       |  CASE WHEN baseline > 0 THEN score / den / baseline
+       |       ELSE 0.0 END AS boost
        |FROM sc4 CROSS JOIN den
        |ORDER BY source NULLS FIRST""".stripMargin) { (s, dir) =>
     // NULLS FIRST twice above: Spark's array_sort and orderBy both put

@@ -28,7 +28,7 @@ object Dedup {
 
   def all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89, q112, q135, q139, q162,
-      q172, q185, q195, q198, q202, q205)
+      q172, q185, q195, q198, q202, q205, q207)
 
   /** Exact dedup on a normalized key: keep the lowest doc_id per group.
     * Scale: one hash exchange on the key; with pre-partitioned/bucketed
@@ -1402,20 +1402,7 @@ object Dedup {
     */
   val q85: QueryDef = QueryDef.sql(
     "q85_dedup_clusters",
-    s"""WITH RECURSIVE t AS (
-       |  SELECT DISTINCT doc_id, term FROM (
-       |    SELECT doc_id, unnest($duckToks) AS term
-       |    FROM documents WHERE doc_id < 100)),
-       |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
-       |  FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
-       |  GROUP BY d1, d2),
-       |pairs AS (
-       |  SELECT d1, d2 FROM inter
-       |  JOIN sz s1 ON s1.doc_id = d1
-       |  JOIN sz s2 ON s2.doc_id = d2
-       |  WHERE n_common / (s1.n + s2.n - n_common) >= 0.7),
+    s"""WITH RECURSIVE ${jaccPairChainSql("documents WHERE doc_id < 100")},
        |edges AS (
        |  SELECT d1 AS a, d2 AS b FROM pairs
        |  UNION SELECT d2 AS a, d1 AS b FROM pairs),
@@ -1553,20 +1540,7 @@ object Dedup {
     */
   val q135: QueryDef = QueryDef.sql(
     "q135_cluster_representative",
-    s"""WITH RECURSIVE t AS (
-       |  SELECT DISTINCT doc_id, term FROM (
-       |    SELECT doc_id, unnest($duckToks) AS term
-       |    FROM documents WHERE doc_id < 100)),
-       |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
-       |  FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
-       |  GROUP BY d1, d2),
-       |pairs AS (
-       |  SELECT d1, d2 FROM inter
-       |  JOIN sz s1 ON s1.doc_id = d1
-       |  JOIN sz s2 ON s2.doc_id = d2
-       |  WHERE n_common / (s1.n + s2.n - n_common) >= 0.7),
+    s"""WITH RECURSIVE ${jaccPairChainSql("documents WHERE doc_id < 100")},
        |edges AS (
        |  SELECT d1 AS a, d2 AS b FROM pairs
        |  UNION SELECT d2 AS a, d1 AS b FROM pairs),
@@ -1668,20 +1642,7 @@ object Dedup {
   /** q162: [[dedupImpact]] over q85's doc_id < 100 slice. */
   val q162: QueryDef = QueryDef.sql(
     "q162_dedup_impact",
-    s"""WITH RECURSIVE t AS (
-       |  SELECT DISTINCT doc_id, term FROM (
-       |    SELECT doc_id, unnest($duckToks) AS term
-       |    FROM documents WHERE doc_id < 100)),
-       |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
-       |  FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
-       |  GROUP BY d1, d2),
-       |pairs AS (
-       |  SELECT d1, d2 FROM inter
-       |  JOIN sz s1 ON s1.doc_id = d1
-       |  JOIN sz s2 ON s2.doc_id = d2
-       |  WHERE n_common / (s1.n + s2.n - n_common) >= 0.7),
+    s"""WITH RECURSIVE ${jaccPairChainSql("documents WHERE doc_id < 100")},
        |edges AS (
        |  SELECT d1 AS a, d2 AS b FROM pairs
        |  UNION SELECT d2 AS a, d1 AS b FROM pairs),
@@ -1714,6 +1675,130 @@ object Dedup {
        |FROM g
        |ORDER BY source""".stripMargin) { (s, dir) =>
     dedupImpact(Tables.documents(s, dir).filter(col("doc_id") < 100))
+      .orderBy(col("source"))
+  }
+
+  /** The exact-Jaccard-0.7 pair chain in twin SQL (t → sz → inter →
+    * pairs), parameterized by the doc relation and a CTE-name suffix —
+    * ONE generator shared by the q85/q162 cluster oracles and BOTH
+    * arms of the q207 raw-vs-normalized comparison (a drifted copy of
+    * the threshold or the distinct-token sets in any of them would
+    * verify different pairs than the engine strikes).
+    */
+  private def jaccPairChainSql(from: String, sfx: String = ""): String =
+    s"""t$sfx AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest(${TwinSql.toksOf("text")}) AS term
+       |    FROM $from)),
+       |sz$sfx AS (SELECT doc_id, count(*) AS n FROM t$sfx GROUP BY doc_id),
+       |inter$sfx AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+       |  FROM t$sfx a JOIN t$sfx b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY d1, d2),
+       |pairs$sfx AS (
+       |  SELECT d1, d2 FROM inter$sfx
+       |  JOIN sz$sfx s1 ON s1.doc_id = d1
+       |  JOIN sz$sfx s2 ON s2.doc_id = d2
+       |  WHERE n_common / (s1.n + s2.n - n_common) >= 0.7)""".stripMargin
+
+  /** Normalization-ahead-of-shingling MinHash signatures — the 100 TB
+    * production form of the q207 normalized near-dup: [[graft.text
+    * .Fold]] applied by the codegen `fold_text` expression INSIDE the
+    * same whole-stage-generated narrow map as the shingle/MinHash
+    * kernel, so catching case/diacritic-disguised duplicates costs
+    * zero extra passes or exchanges over [[minhashSignatures]]. Feed
+    * the result to the unchanged band/verify chain
+    * ([[verifiedPairs]]); NormalizedDedupSpec plants a disguised
+    * duplicate the raw chain misses and this one strikes.
+    */
+  def foldedMinhashSignatures(docs: DataFrame, nHashes: Int = 32,
+                              shingleSize: Int = 3): DataFrame =
+    minhashSignatures(
+      docs.withColumn("text", graft.functions.functions.fold_text(col("text"))),
+      nHashes, shingleSize)
+
+  /** Normalization impact on near-dup yield (q207): per source, the
+    * exact-Jaccard-0.7 pair counts over RAW tokens vs over
+    * [[graft.text.Fold]]-normalized tokens, with the gained (caught
+    * only after folding — the trivially-disguised duplicates
+    * multilingual corpora carry) and lost (raw-only — folding merged
+    * distinct tokens enough to move a borderline Jaccard under the
+    * threshold) deltas. The q162 budgeting shape applied to the
+    * SHOULD-WE-NORMALIZE decision: run before committing the folded
+    * chain corpus-wide. A pair is charged to the source of its
+    * SMALLER doc id (d1 — the canonical representative side);
+    * sources with no pairs stay in the report as zero rows.
+    *
+    * Scale: this readout is slice-bounded (the q85/q162 doc_id < 100
+    * scope — exact all-pairs exists for the recursive-free oracle
+    * and the impact decision, not for the corpus); the corpus-scale
+    * path is [[foldedMinhashSignatures]] through the banded chain.
+    * FULL-REPLAY ORACLE: both pair chains re-derived from raw
+    * documents (the shared [[jaccPairChainSql]] generator, the
+    * normalized arm over [[TwinSql.foldTextOf]]), full-outer-joined
+    * and rolled up per source.
+    */
+  def normalizedPairImpact(docs: DataFrame): DataFrame = {
+    val raw = jaccardPairs(docs).withColumn("in_raw", lit(1L))
+    val norm = jaccardPairs(
+        docs.withColumn("text", graft.functions.functions.fold_text(col("text"))))
+      .withColumn("in_norm", lit(1L))
+    val src = docs.select(col("doc_id").as("d1"), col("source"))
+    val tallies = raw.join(norm, Seq("d1", "d2"), "full_outer")
+      .join(src, Seq("d1"))
+      .groupBy(col("source"))
+      .agg(
+        coalesce(sum(col("in_raw")), lit(0L)).cast("bigint").as("n_pairs_raw"),
+        coalesce(sum(col("in_norm")), lit(0L)).cast("bigint").as("n_pairs_norm"),
+        coalesce(sum(when(col("in_norm").isNotNull && col("in_raw").isNull, 1L)
+          .otherwise(0L)), lit(0L)).cast("bigint").as("n_gained"),
+        coalesce(sum(when(col("in_raw").isNotNull && col("in_norm").isNull, 1L)
+          .otherwise(0L)), lit(0L)).cast("bigint").as("n_lost"))
+    docs.select(col("source")).distinct()
+      .join(tallies, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_pairs_raw"), lit(0L)).as("n_pairs_raw"),
+        coalesce(col("n_pairs_norm"), lit(0L)).as("n_pairs_norm"),
+        coalesce(col("n_gained"), lit(0L)).as("n_gained"),
+        coalesce(col("n_lost"), lit(0L)).as("n_lost"))
+  }
+
+  /** q207: [[normalizedPairImpact]] over q85's doc_id < 100 slice. */
+  val q207: QueryDef = QueryDef.sql(
+    "q207_normalized_dedup_impact",
+    s"""WITH d100 AS (
+       |  SELECT doc_id, source, text FROM documents WHERE doc_id < 100),
+       |nrm AS (
+       |  SELECT doc_id, ${TwinSql.foldTextOf("text")} AS text FROM d100),
+       |${jaccPairChainSql("d100", "r")},
+       |${jaccPairChainSql("nrm", "n")},
+       |fj AS (
+       |  SELECT COALESCE(r.d1, n.d1) AS d1,
+       |    CASE WHEN r.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_raw,
+       |    CASE WHEN n.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_norm
+       |  FROM pairsr r FULL OUTER JOIN pairsn n
+       |    ON r.d1 = n.d1 AND r.d2 = n.d2),
+       |g AS (
+       |  SELECT s.source,
+       |    CAST(sum(in_raw) AS BIGINT) AS n_pairs_raw,
+       |    CAST(sum(in_norm) AS BIGINT) AS n_pairs_norm,
+       |    CAST(sum(CASE WHEN in_norm = 1 AND in_raw = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_gained,
+       |    CAST(sum(CASE WHEN in_raw = 1 AND in_norm = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_lost
+       |  FROM fj JOIN d100 s ON s.doc_id = fj.d1
+       |  GROUP BY s.source)
+       |SELECT src.source,
+       |  CAST(COALESCE(g.n_pairs_raw, 0) AS BIGINT) AS n_pairs_raw,
+       |  CAST(COALESCE(g.n_pairs_norm, 0) AS BIGINT) AS n_pairs_norm,
+       |  CAST(COALESCE(g.n_gained, 0) AS BIGINT) AS n_gained,
+       |  CAST(COALESCE(g.n_lost, 0) AS BIGINT) AS n_lost
+       |FROM (SELECT DISTINCT source FROM d100) src
+       |LEFT JOIN g USING (source)
+       |ORDER BY source NULLS FIRST""".stripMargin) { (s, dir) =>
+    // NULLS FIRST: Spark's orderBy puts a null source first, DuckDB's
+    // default last (the q203 pin)
+    normalizedPairImpact(Tables.documents(s, dir).filter(col("doc_id") < 100))
       .orderBy(col("source"))
   }
 

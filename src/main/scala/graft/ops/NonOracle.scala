@@ -33,6 +33,16 @@ object NonOracle {
   // divide-by-zero pick-up by mistake)
   private def cosSqlZ(a: String, b: String): String = TwinSql.cosZ(a, b)
 
+  /** The q188/q200/q206 planted-eval operating point the REGISTERED oracle
+    * twins are instantiated at; the Scala entry points default to the
+    * same values, and the twin fragments interpolate whatever they
+    * are handed — so a non-default call site gets a matching chain
+    * instead of silently diverging from a hardcoded 5/10.
+    */
+  private[ops] val EvalNQ = 5
+  private[ops] val EvalK = 10
+
+
   /** Production MinHash-LSH near-dup candidates (xxhash64 path).
     * TWO-STAGE ORACLE: Verify dumps the signature matrix
     * (aux_minhash_sig32); DuckDB re-derives the 8 band slices and the
@@ -1108,7 +1118,7 @@ object NonOracle {
     * deterministic embeddings (the q57 chain), then the fusion.
     */
   def hybridRetrieval(s: org.apache.spark.sql.SparkSession, dir: String,
-                      nQ: Int = 5, k: Int = 10)
+                      nQ: Int = EvalNQ, k: Int = EvalK)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
@@ -1135,7 +1145,7 @@ object NonOracle {
                                       tf: org.apache.spark.sql.DataFrame,
                                       n: Long,
                                       queries: org.apache.spark.sql.DataFrame,
-                                      nQ: Int = 5, k: Int = 10)
+                                      nQ: Int = EvalNQ, k: Int = EvalK)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
@@ -1175,7 +1185,7 @@ object NonOracle {
        |  SELECT qid, term FROM (
        |    SELECT doc_id AS qid, term,
        |      row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS r
-       |    FROM tf WHERE doc_id < 5)
+       |    FROM tf WHERE doc_id < $EvalNQ)
        |  WHERE r <= 4),
        |tfdl AS (SELECT term, doc_id, tf,
        |         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
@@ -1206,18 +1216,18 @@ object NonOracle {
        |    SELECT qid, doc_id, score,
        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r0
        |    FROM agg)
-       |  WHERE r0 <= 11),
+       |  WHERE r0 <= ${EvalK + 1}),
        |sarm AS (
        |  SELECT qid, cid, rs FROM (
        |    SELECT qid, doc_id AS cid,
        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rs
        |    FROM scut WHERE doc_id <> qid)
-       |  WHERE rs <= 10),
+       |  WHERE rs <= $EvalK),
        |e AS (
        |  SELECT vec_id, list(x ORDER BY pos) AS v
        |  FROM read_parquet('__GRAFT_OUT__/aux_mm_embed/*.parquet')
        |  GROUP BY vec_id),
-       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $EvalNQ),
        |sden AS (
        |  SELECT qid, e.vec_id AS cid,
        |    ${cosSqlZ("qv", "v")} AS score
@@ -1227,7 +1237,7 @@ object NonOracle {
        |    SELECT qid, cid,
        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rd
        |    FROM sden)
-       |  WHERE rd <= 10),
+       |  WHERE rd <= $EvalK),
        |fu AS (
        |  SELECT COALESCE(s.qid, d.qid) AS qid, COALESCE(s.cid, d.cid) AS cid,
        |    s.rs, d.rd,
@@ -1239,7 +1249,7 @@ object NonOracle {
        |  SELECT qid, cid, rs, rd, rrf,
        |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rnk
        |  FROM fu)
-       |WHERE rnk <= 10
+       |WHERE rnk <= $EvalK
        |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
     hybridRetrieval(s, dir).orderBy(col("qid"), col("rnk"))
   }
@@ -1421,7 +1431,7 @@ object NonOracle {
     * relevance derivation, and the metric arithmetic.
     */
   def retrievalEval(s: org.apache.spark.sql.SparkSession, dir: String,
-                    nQ: Int = 5, k: Int = 10)
+                    nQ: Int = EvalNQ, k: Int = EvalK)
       : org.apache.spark.sql.DataFrame = {
     val (tokens, n, tf, queries) = evalContext(s, dir, nQ)
     def arm(res: org.apache.spark.sql.DataFrame, sys: String) =
@@ -1526,7 +1536,7 @@ object NonOracle {
     * folds them — Double.toString round-trips, so both engines embed
     * the identical literal.
     */
-  private val evalHeadSql: String =
+  private def evalHeadSql(nQ: Int): String =
     s"""tk AS (
        |  SELECT doc_id,
        |    unnest(${TwinSql.toksSql}) AS term
@@ -1538,7 +1548,7 @@ object NonOracle {
        |  SELECT qid, term FROM (
        |    SELECT doc_id AS qid, term,
        |      row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS r
-       |    FROM tf WHERE doc_id < 5)
+       |    FROM tf WHERE doc_id < $nQ)
        |  WHERE r <= 4),
        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
        |       FROM tk GROUP BY term)""".stripMargin
@@ -1560,7 +1570,7 @@ object NonOracle {
     * (system, qid, cid, rk) rows named `sys`.
     */
   private def bm25ArmSql(sys: String, sfx: String, k1: Double,
-                         b: Double): String =
+                         b: Double, k: Int = EvalK): String =
     s"""w$sfx AS (
        |  SELECT tfdl.term, tfdl.doc_id,
        |    idf.idf * (CAST(tf AS DOUBLE) * ${k1 + 1.0}
@@ -1577,17 +1587,17 @@ object NonOracle {
        |    SELECT qid, doc_id, score,
        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r0
        |    FROM agg$sfx)
-       |  WHERE r0 <= 11),
+       |  WHERE r0 <= ${k + 1}),
        |arm$sfx AS (
        |  SELECT '$sys' AS system, qid, cid, rk FROM (
        |    SELECT qid, doc_id AS cid,
        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
        |    FROM scut$sfx WHERE doc_id <> qid)
-       |  WHERE rk <= 10)""".stripMargin
+       |  WHERE rk <= $k)""".stripMargin
 
-  private val evalMetricsCtes: String =
-    """dt AS (SELECT DISTINCT doc_id, term FROM tk),
-      |qt AS (SELECT doc_id AS qid, term FROM dt WHERE doc_id < 5),
+  private def evalMetricsCtes(nQ: Int, k: Int): String =
+    s"""dt AS (SELECT DISTINCT doc_id, term FROM tk),
+      |qt AS (SELECT doc_id AS qid, term FROM dt WHERE doc_id < $nQ),
       |qsz AS (SELECT qid, CAST(count(*) AS BIGINT) AS nq FROM qt GROUP BY qid),
       |csz AS (SELECT doc_id AS cid, CAST(count(*) AS BIGINT) AS nc
       |        FROM dt GROUP BY doc_id),
@@ -1623,7 +1633,7 @@ object NonOracle {
       |    SELECT qid, grade,
       |      row_number() OVER (PARTITION BY qid ORDER BY grade DESC, cid) AS rk
       |    FROM rel)
-      |  WHERE rk <= 10 GROUP BY qid),
+      |  WHERE rk <= $k GROUP BY qid),
       |nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid),
       |metrics AS (
       |  SELECT hits.system, hits.qid,
@@ -1640,7 +1650,7 @@ object NonOracle {
 
   val q200 = QueryDef.sql(
     "q200_retrieval_eval",
-    s"""WITH $evalHeadSql,
+    s"""WITH ${evalHeadSql(EvalNQ)},
        |tw AS (
        |  SELECT tf.term, tf.doc_id,
        |    round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 9) AS w
@@ -1654,20 +1664,20 @@ object NonOracle {
        |    SELECT qid, doc_id, score,
        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r0
        |    FROM tagg)
-       |  WHERE r0 <= 11),
+       |  WHERE r0 <= ${EvalK + 1}),
        |tarm AS (
        |  SELECT 'tfidf' AS system, qid, cid, rk FROM (
        |    SELECT qid, doc_id AS cid,
        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
        |    FROM tcut WHERE doc_id <> qid)
-       |  WHERE rk <= 10),
+       |  WHERE rk <= $EvalK),
        |$bm25StatsSql,
-       |${bm25ArmSql("bm25", "b", 1.2, 0.75)},
+       |${bm25ArmSql("bm25", "b", 1.2, 0.75, EvalK)},
        |e AS (
        |  SELECT vec_id, list(x ORDER BY pos) AS v
        |  FROM read_parquet('__GRAFT_OUT__/aux_mm_embed/*.parquet')
        |  GROUP BY vec_id),
-       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $EvalNQ),
        |sden AS (
        |  SELECT qid, e.vec_id AS cid,
        |    ${cosSqlZ("qv", "v")} AS score
@@ -1677,7 +1687,7 @@ object NonOracle {
        |    SELECT qid, cid,
        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rd
        |    FROM sden)
-       |  WHERE rd <= 10),
+       |  WHERE rd <= $EvalK),
        |sarm AS (
        |  SELECT qid, cid, rk AS rs FROM armb),
        |fu AS (
@@ -1691,11 +1701,11 @@ object NonOracle {
        |    SELECT qid, cid,
        |      row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rk
        |    FROM fu)
-       |  WHERE rk <= 10),
+       |  WHERE rk <= $EvalK),
        |ranked AS (
        |  SELECT * FROM tarm UNION ALL SELECT * FROM armb
        |  UNION ALL SELECT * FROM rarm),
-       |$evalMetricsCtes
+       |${evalMetricsCtes(EvalNQ, EvalK)}
        |SELECT system, qid, n_rel, n_hits, recall, dcg_micro, idcg_micro,
        |  ndcg
        |FROM metrics ORDER BY system, qid""".stripMargin) { (s, dir) =>
@@ -1734,7 +1744,7 @@ object NonOracle {
     * exact q200 chain) instantiated at every grid point.
     */
   def bm25TuningCurve(s: org.apache.spark.sql.SparkSession, dir: String,
-                      nQ: Int = 5, k: Int = 10)
+                      nQ: Int = EvalNQ, k: Int = EvalK)
       : org.apache.spark.sql.DataFrame = {
     val (tokens, n, tf, queries) = evalContext(s, dir, nQ)
     // ONE stats build (tfdl/idf/avgdl) shared by every grid arm — the
@@ -1798,7 +1808,7 @@ object NonOracle {
 
   val q206 = QueryDef.sql(
     "q206_bm25_tuning_curve",
-    s"""WITH $evalHeadSql,
+    s"""WITH ${evalHeadSql(EvalNQ)},
        |$bm25StatsSql,
        |${bm25Grid.zipWithIndex.map { case ((k1, b), i) =>
            bm25ArmSql(bm25SysName(k1, b), s"g$i", k1, b)
@@ -1806,7 +1816,7 @@ object NonOracle {
        |ranked AS (
        |  ${bm25Grid.indices.map(i => s"SELECT * FROM armg$i")
            .mkString("\n  UNION ALL ")}),
-       |$evalMetricsCtes,
+       |${evalMetricsCtes(EvalNQ, EvalK)},
        |rkj AS (
        |  SELECT r.system, r.qid, r.rk,
        |    CAST(COALESCE(js.n_common, 0) AS BIGINT) AS c,

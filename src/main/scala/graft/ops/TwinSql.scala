@@ -97,6 +97,15 @@ private[ops] object TwinSql {
   def toksOf(expr: String): String =
     s"""list_filter(string_split_regex($expr, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"""
 
+  /** The q207 Unicode case/diacritic fold in twin SQL — the SQL face
+    * of [[graft.text.Fold.fold]] (NFC → lower → strip marks → NFC;
+    * the engines' agreement envelope is documented there). ONE
+    * definition: a twin hand-spelling a different normalization order
+    * would screen a different shingle stream than the engine folds.
+    */
+  def foldTextOf(expr: String): String =
+    s"nfc_normalize(strip_accents(lower(nfc_normalize($expr))))"
+
   /** The tie-corrected per-source Mann-Whitney AUC in twin SQL — the
     * SQL face of TextAnalytics.aucBySource (average ranks over
     * (source, score) group counts, doubled rank-sum in DECIMAL(38,0),

@@ -256,6 +256,15 @@ object UnigramLm {
     * (a drifted copy of the DP would grade a different segmentation
     * than the engine ships). Candidates ranked by the struct order
     * (score desc, piece-length desc) mirroring the kernel's tie rule.
+    *
+    * `$seg` is MATERIALIZED: DuckDB 1.0 inlines CTEs per reference,
+    * so a downstream CTE that consumes the DP result from inside its
+    * own recursion (q199's backtrack) would otherwise re-run the
+    * ENTIRE forward recursion once per reference per iteration — the
+    * multiplicative re-evaluation that made r12's q199 oracle cost
+    * 782 s of DuckDB (measured; 0.7 s materialized) and zeroed the
+    * driver's compare artifact. Same data, same plan semantics — the
+    * hint only pins evaluate-once.
     */
   private def viterbiSql(lp: String, v: String, seg: String): String =
     s"""$v AS (
@@ -282,20 +291,20 @@ object UnigramLm {
        |    LEFT JOIN $lp p3 ON vv.i >= 2 AND p3.piece = substr(vv.word, vv.i - 1, 3)
        |    LEFT JOIN $lp p4 ON vv.i >= 3 AND p4.piece = substr(vv.word, vv.i - 2, 4)
        |    WHERE vv.i < length(vv.word))),
-       |$seg AS (
+       |$seg AS MATERIALIZED (
        |  SELECT word, n0 AS np, s0 AS sc
        |  FROM $v WHERE i = length(word))""".stripMargin
 
   private[ops] def unigramChainSql(docWhere: String): String =
     s"""d AS (SELECT source, unnest($duckToks) AS word
        |      FROM documents $docWhere),
-       |sw AS (
+       |sw AS MATERIALIZED (
        |  SELECT source, word, CAST(count(*) AS BIGINT) AS swn
        |  FROM d GROUP BY source, word),
-       |wf AS (
+       |wf AS MATERIALIZED (
        |  SELECT word, CAST(sum(swn) AS BIGINT) AS wn
        |  FROM sw GROUP BY word),
-       |sub AS (
+       |sub AS MATERIALIZED (
        |  SELECT substr(word, s, l) AS piece, CAST(sum(wn) AS BIGINT) AS freq
        |  FROM (
        |    SELECT word, wn, s, unnest(range(1, ${MaxPiece + 1})) AS l
@@ -303,16 +312,16 @@ object UnigramLm {
        |          FROM wf))
        |  WHERE s + l <= length(word) + 1
        |  GROUP BY piece),
-       |chars AS (SELECT piece, freq FROM sub WHERE length(piece) = 1),
+       |chars AS MATERIALIZED (SELECT piece, freq FROM sub WHERE length(piece) = 1),
        |multi AS (
        |  SELECT piece, freq FROM (
        |    SELECT piece, freq,
        |      row_number() OVER (ORDER BY freq DESC, piece) AS rk
        |    FROM sub WHERE length(piece) >= 2)
        |  WHERE rk <= $TopMulti),
-       |vocab AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+       |vocab AS MATERIALIZED (SELECT * FROM chars UNION ALL SELECT * FROM multi),
        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM vocab),
-       |lp AS (
+       |lp AS MATERIALIZED (
        |  SELECT piece,
        |    ${Sampling.duckLnMicro("freq")} - ${Sampling.duckLnMicro("tot")}
        |      AS lp
@@ -463,10 +472,27 @@ object UnigramLm {
     * position the longest piece whose source state + piece score
     * exactly reproduces the DP value — provably the forward tie
     * rule's choice), recounts, re-estimates, and re-runs the ENTIRE
-    * second Viterbi under the EM table.
+    * second Viterbi under the EM table. Verification economics: the
+    * chain's shared CTEs are MATERIALIZED because DuckDB 1.0 inlines
+    * CTEs per reference — the backtrack referencing the forward DP 5×
+    * per iteration, and the second Viterbi referencing the EM lp map
+    * (whose lineage includes the whole backtrack) 4× per iteration,
+    * multiplied into the 782 s replay that zeroed the r12 driver
+    * compare. Materialized, the identical full replay runs in 0.7 s
+    * (both measured on the driver's DuckDB at sf0.01).
     */
-  def emSegmentation(docs: DataFrame): DataFrame = {
-    val sw = sourceWordCounts(docs)
+  def emSegmentation(docs: DataFrame): DataFrame =
+    emFromCounts(sourceWordCounts(docs))
+
+  /** [[emSegmentation]] given the trainer state (`sw` from
+    * [[sourceWordCounts]] or the streaming store) — the EM round's
+    * whole derivation from the unigram pipeline's one sufficient
+    * statistic, shared verbatim by the batch query and
+    * [[graft.streaming.UnigramStream.currentEmSegmentation]] (their
+    * bit-exact parity holds only because both sides run this exact
+    * chain).
+    */
+  private[graft] def emFromCounts(sw: DataFrame): DataFrame = {
     val wf = sw.groupBy(col("word"))
       .agg(sum(col("swn")).cast("bigint").as("wn"))
       .localCheckpoint(false)
@@ -520,7 +546,7 @@ object UnigramLm {
     "q199_unigram_em_round",
     s"""WITH RECURSIVE
        |${unigramChainSql("")},
-       |dp AS (SELECT word, i, s0 FROM v),
+       |dp AS MATERIALIZED (SELECT word, i, s0 FROM v),
        |bt AS (
        |  SELECT word, CAST(length(word) AS BIGINT) AS pos,
        |    CAST(NULL AS VARCHAR) AS piece
@@ -553,17 +579,17 @@ object UnigramLm {
        |    LEFT JOIN dp d4 ON d4.word = b.word AND d4.i = b.pos - 4
        |    LEFT JOIN lp p4 ON b.pos >= 4 AND p4.piece = substr(b.word, b.pos - 3, 4)
        |    WHERE b.pos > 0)),
-       |bp AS (SELECT word, piece FROM bt WHERE piece IS NOT NULL),
-       |pcnt AS (
+       |bp AS MATERIALIZED (SELECT word, piece FROM bt WHERE piece IS NOT NULL),
+       |pcnt AS MATERIALIZED (
        |  SELECT piece, CAST(sum(wf.wn) AS BIGINT) AS cnt
        |  FROM bp JOIN wf USING (word) GROUP BY piece),
-       |emv AS (
+       |emv AS MATERIALIZED (
        |  SELECT c.piece, CAST(COALESCE(p.cnt, 0) + 1 AS BIGINT) AS freq
        |  FROM chars c LEFT JOIN pcnt p USING (piece)
        |  UNION ALL
        |  SELECT piece, cnt AS freq FROM pcnt WHERE length(piece) >= 2),
        |emtot AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM emv),
-       |emlp AS (
+       |emlp AS MATERIALIZED (
        |  SELECT piece,
        |    ${Sampling.duckLnMicro("freq")} - ${Sampling.duckLnMicro("tot")}
        |      AS lp

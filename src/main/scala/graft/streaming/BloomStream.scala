@@ -94,14 +94,33 @@ object BloomStream {
   /** The current packed filter (all-zero when the store is absent —
     * the empty filter flags nothing, Bloom's no-false-negative vacuous
     * case).
+    *
+    * Serving reads OR the TWO newest snapshots, not just the newest:
+    * a maintainer crash mid-write can leave a TORN newest partition
+    * whose missing word rows would read as zero bits — false
+    * negatives through the gate, violating the filter's
+    * no-false-negative contract for already-committed benchmarks
+    * until stream replay rewrites the partition. Snapshots are
+    * cumulative and the merge is monotone OR (snapshot N ⊇ N−1
+    * bitwise), so in the healthy case the OR is bit-identical to the
+    * newest snapshot alone (the parity spec still holds exactly), and
+    * under a torn newest it restores every bit committed through
+    * N−1 — the torn rows contribute only valid extra bits from the
+    * unacknowledged batch.
     */
   def readWords(spark: SparkSession, wordsDir: String,
                 beforeBatch: Option[Long] = None): Array[Long] = {
-    val rows = DeltaStore.readLatestSnapshot(spark, wordsDir, beforeBatch,
-        wordSchema, Seq("word_idx", "bits"))
-      .collect()
+    val raw = DeltaStore.readScopedOr(spark, wordsDir, beforeBatch, wordSchema)
+      .select(col("batch_id").cast("long").as("batch_id"),
+        col("word_idx"), col("bits"))
+    val ids = raw.select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.takeRight(2)
     val words = new Array[Long](Dedup.BloomBits / 64)
-    rows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    if (ids.nonEmpty) {
+      raw.filter(col("batch_id").isin(ids: _*))
+        .select(col("word_idx"), col("bits")).collect()
+        .foreach(r => words(r.getInt(0)) |= r.getLong(1))
+    }
     words
   }
 

@@ -104,7 +104,27 @@ object UnigramStream {
     * kernel's own derivation chain over the streamed counts.
     */
   def currentSegmentation(spark: SparkSession, swDir: String): DataFrame =
-    UnigramLm.segmentationFromCounts(readCounts(spark, swDir))
+    UnigramStream.rebuild(spark, swDir, UnigramLm.segmentationFromCounts)
+
+  /** The q199 hard-EM round rebuilt from accumulated state — the
+    * streaming twin of [[UnigramLm.emSegmentation]], through the ONE
+    * shared derivation ([[UnigramLm.emFromCounts]]). The (source,
+    * word) count store is the EM round's complete sufficient
+    * statistic too: the E-step runs over word TYPES (vocabulary-
+    * bounded — never the accumulated corpus), so deriving it at read
+    * time costs a type-table pass, not a rescan; folding per-batch
+    * E-step counts instead would pin the store to ONE vocabulary
+    * epoch, breaking the retrain-from-current-counts semantics q199
+    * ships. Bit-exact parity with the batch kernel over the
+    * concatenated prefix is spec-pinned through replay, compaction,
+    * and the crash-backup window (UnigramStreamSpec).
+    */
+  def currentEmSegmentation(spark: SparkSession, swDir: String): DataFrame =
+    UnigramStream.rebuild(spark, swDir, UnigramLm.emFromCounts)
+
+  private def rebuild(spark: SparkSession, swDir: String,
+                      chain: DataFrame => DataFrame): DataFrame =
+    chain(readCounts(spark, swDir))
 
   /** Fold the store into `batch_id=0`: latest-wins PER KEY. */
   def compact(spark: SparkSession, swDir: String,

@@ -37,11 +37,39 @@ class Bm25TuningSpec extends SparkSpec {
   }
 
   test("tau invariants: |tau| <= 1, pairs = C(k,2), conc+disc <= pairs") {
+    // Expected pairs per query derived from the DATA, not the fixture
+    // literal 45: an arm ranks m = min(k, nScored - 1) candidates
+    // (every doc sharing >= 1 query term is scored; self is always
+    // scored — the query's terms are its own — and always dropped), so
+    // n_pairs = C(m, 2). On a corpus where a query has fewer than k+1
+    // scored candidates the arm is legitimately short and the code's
+    // LEFT-join defaults handle it; the assertion must follow.
+    import org.apache.spark.sql.expressions.Window
+    val tokens = Tables.documents(spark, sfDir).select(col("doc_id"),
+      explode(TextAnalytics.toks(col("text"))).as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("tf").desc, col("term"))
+    val queries = tf.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("term"), col("tf"))
+      .withColumn("r", row_number().over(wq)).filter(col("r") <= 4)
+      .select(col("qid"), col("term"))
+    val expPairs = tokens.select(col("doc_id"), col("term")).distinct()
+      .join(queries, "term")
+      .select(col("qid"), col("doc_id")).distinct()
+      .groupBy(col("qid")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+      .map { case (q, nScored) =>
+        val m = math.min(10L, nScored - 1); q -> m * (m - 1) / 2
+      }.toMap
     sweep.foreach { case (sys, qid, _, _, _, _, _, _, np, nc, nd, tau) =>
-      assert(np == 45L, s"$sys/$qid: n_pairs $np != C(10,2)")
+      assert(np == expPairs(qid),
+        s"$sys/$qid: n_pairs $np != C(min(10, nScored-1), 2) = ${expPairs(qid)}")
       assert(nc + nd <= np, s"$sys/$qid: conc $nc + disc $nd > pairs $np")
       assert(math.abs(tau) <= 1.0)
-      assert(tau == (nc - nd).toDouble / np.toDouble)
+      if (np > 0) assert(tau == (nc - nd).toDouble / np.toDouble)
+      else assert(tau == 0.0)
     }
     // the sweep must actually discriminate somewhere on this fixture
     // (tau varies across grid points — the reason the column exists)

@@ -67,6 +67,22 @@ class UnigramStreamSpec extends SparkSpec {
     assert(repStream == repKernel, "report from streamed state diverged")
     assert(repKernel.nonEmpty)
 
+    // EM-round parity: the q199 trainer (E-step piece counts, M-step
+    // prune + re-estimate, second Viterbi) re-derives from the SAME
+    // streamed store bit-exactly — the stream==batch invariant every
+    // trainer in the family meets
+    def emSet(df: DataFrame) = df
+      .select(col("source"), col("n_words"), col("n_pieces_v1"),
+        col("n_pieces_em"), col("fertility_v1"), col("fertility_em"),
+        col("sum_lp_em_micro"), col("mean_lp_em"), col("n_vocab_v1"),
+        col("n_vocab_em"))
+      .as[(String, Long, Long, Long, Double, Double, Long, Double,
+           Long, Long)].collect().toSet
+    val emStream = emSet(UnigramStream.currentEmSegmentation(spark, cnt))
+    val emKernel = emSet(UnigramLm.emSegmentation(prefix(2)))
+    assert(emStream == emKernel, "EM round from streamed state diverged")
+    assert(emKernel.nonEmpty)
+
     val before = streamed(cnt)
     UnigramStream.updateBatch(batches(2).toDF(), 2L, cnt)
     assert(streamed(cnt) == before, "replay diverged")
