@@ -23,7 +23,7 @@ import graft.functions.VectorOps
 object Similarity {
 
   def all: Seq[QueryDef] = Seq(q30, q31, q117, q120, q149, q150, q164, q165,
-    q171, q174, q180, q181, q190)
+    q171, q174, q180, q181, q190, q208, q209)
 
   // the shared twin cosine fragments (single definition: TwinSql)
   private def cosSqlZ(a: String, b: String): String = TwinSql.cosZ(a, b)
@@ -1351,6 +1351,433 @@ object Similarity {
     ivfRecallCurve(s, emb, emb.filter(col("vec_id") < 10), k = 10,
       nCells = 8, lloydIters = 1)
       .orderBy(col("nprobe"))
+  }
+
+  /** Graph-based ANN (q208): greedy beam search over a navigable
+    * k-NN graph — the HNSW/NSW serving shape, re-expressed as bounded
+    * relational passes so it runs AS a Spark plan instead of a
+    * pointer-chasing in-memory structure.
+    *
+    * GRAPH BUILD (deterministic, index-time): every node links to its
+    * `m` nearest neighbors among the nodes whose PRIMARY IVF cell is
+    * one of the node's own TWO nearest cells — same-cell edges give
+    * local navigability, the second-cell edges give the cross-cell
+    * long-range links a pure cell-local graph lacks (the small-world
+    * ingredient; without them a beam entering the wrong cell could
+    * never leave it). One exchange on cell id; candidate work per
+    * node is bounded by ~2 cell sizes, and nCells grows with the
+    * corpus so cells stay bounded — the standard kNN-graph build
+    * cost, NOT an all-pairs join. Edge table: N x m rows.
+    *
+    * SEARCH (serve-time): enter at the HUB (centroid-nearest member,
+    * ties to min id) of the query's nearest cell, then `hops` rounds
+    * of expand-frontier-by-edges → score → keep the best `beam`
+    * VISITED nodes (the frontier always re-includes itself, so the
+    * best-so-far set is monotone and the walk can never lose a hit it
+    * already found). Per query per hop the work is <= beam x m edge
+    * lookups + scoring — independent of corpus size given the graph,
+    * which is the property that makes graph ANN the latency winner
+    * over IVF probing when cells are large. All ties pinned
+    * (score desc, id asc), so both engines walk the identical path.
+    *
+    * Output: per query, recall@k of the walk against the exact
+    * brute-force top-k — the q180 discipline, so the serving families
+    * (IVF probe depths vs graph walk) are graded against the same
+    * reference on the same corpus and the "which index shape" call is
+    * a measured one.
+    *
+    * TWO-STAGE ORACLE (the q180 shape): seeds re-derived from raw
+    * parquet (first-`nCells` non-null embeddings in vec_id order),
+    * only the float centroid means are consumed (aux_ivf_centroids);
+    * DuckDB re-derives the 2-cell assignment, the full edge table,
+    * hubs, every beam hop (unrolled CTEs, shared-prefix scores), the
+    * final top-k, and the brute reference. Multiply-referenced CTEs
+    * are MATERIALIZED (the q199 lesson — DuckDB inlines per
+    * reference, and each hop references the edge table and scores).
+    */
+  /** The q208/q209 operating point the REGISTERED oracle is instantiated
+    * at (out-degree / beam width / hop count); the SQL interpolates
+    * these and the build call passes the same values, so they cannot
+    * silently diverge (the q206 lesson).
+    */
+  private val GraphM = 8
+  private val GraphBeam = 32
+  private val GraphHops = 4
+
+  /** Two nearest SEED cells per node (the q180 assignment rule with
+    * the window kept to depth 2 instead of argmin-only) — the q208
+    * graph's node state, shared by the from-scratch build and the
+    * incremental [[upsertGraphEdges]] so merge == rebuild is a
+    * theorem about ONE assignment rule, not two. Input (id, vec)
+    * under any column names; null vectors are not graph members.
+    */
+  private[ops] def twoCellAssign(spark: SparkSession, vecs: DataFrame,
+                                 centers: Array[Array[Double]]): DataFrame = {
+    import graft.functions.functions.cosine_distance
+    import spark.implicits._
+    val seeds = centers.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toDF("center_id", "sv")
+    val wA = Window.partitionBy(col("vid"))
+      .orderBy(col("sdist"), col("center_id"))
+    vecs.toDF("vid", "vv").filter(col("vv").isNotNull)
+      .crossJoin(broadcast(seeds))
+      .select(col("vid"), col("vv"), col("center_id"),
+        cosine_distance(col("vv"), col("sv")).as("sdist"))
+      .withColumn("arn", row_number().over(wA)).filter(col("arn") <= 2)
+      .select(col("vid"), col("vv"), col("center_id"), col("arn"))
+  }
+
+  /** The q208 edge rule: every u-side node links to its `m` nearest
+    * (cosine desc, id asc) among the PRIMARY members of u's two cells.
+    * `uAsg` is the (possibly scoped) asg2 frame of the nodes whose
+    * edges are being (re)computed; `prim` is the FULL primary-member
+    * frame candidates come from — the incremental path scopes the
+    * former to touched consumers and never the latter. Emits
+    * (src, dst, ern).
+    */
+  private[ops] def graphEdges(uAsg: DataFrame, prim: DataFrame,
+                              m: Int): DataFrame = {
+    import graft.functions.functions.cosine_similarity
+    val wE = Window.partitionBy(col("uid")).orderBy(col("esim").desc, col("vid"))
+    uAsg.select(col("vid").as("uid"), col("vv").as("uv"), col("center_id"))
+      .join(prim, Seq("center_id"))
+      .filter(col("uid") =!= col("vid"))
+      .select(col("uid"), col("vid"),
+        cosine_similarity(col("uv"), col("vv")).as("esim"))
+      .withColumn("ern", row_number().over(wE)).filter(col("ern") <= m)
+      .select(col("uid").as("src"), col("vid").as("dst"),
+        col("ern").cast("bigint").as("ern"))
+  }
+
+  /** Incremental kNN-graph maintenance (the q209 kernel): merge a
+    * delta of vectors into an existing graph — nodes (the asg2 state)
+    * and edges — WITHOUT rebuilding untouched regions; the graph-ANN
+    * lifecycle twin of [[upsertIvfCells]] (IVF) and
+    * [[Dedup.upsertComponents]] (clusters). The quantizer is FROZEN
+    * (the q174 serving contract), so a node's two cells are a pure
+    * function of (vector, seeds) and locality is provable: an edge of
+    * node u depends only on u's own row and the PRIMARY membership of
+    * u's two cells, so the only edges that can change are those of
+    * CONSUMERS of a touched cell — a cell that gained a delta node,
+    * or held (as primary) a replaced id's old version. Everyone
+    * else's edge rows carry over byte-identical; merge == rebuild is
+    * fuzz-proven (GraphUpsertSpec) and cross-engine-checked (q209's
+    * oracle IS the from-scratch rebuild).
+    *
+    * Re-ingested ids are REPLACED (delta wins; an at-least-once batch
+    * delivering one id twice resolves to the row-min vector — the
+    * upsertBandIndex winner rule); null-vector junk rows are not
+    * graph members.
+    *
+    * Scale: the delta pays the narrow broadcast assignment; touched
+    * consumers are found by ONE semi-join on cell id; the edge
+    * recompute joins only the consumers' asg2 rows against the
+    * touched region's candidate cells (bounded by consumer count x
+    * cell size, never corpus x cell); carried-over nodes and edges
+    * move through anti-joins on id — history is never rescored.
+    */
+  def upsertGraphEdges(spark: SparkSession, nodes: DataFrame,
+                       edges: DataFrame, delta: DataFrame,
+                       centers: Array[Array[Double]],
+                       m: Int = GraphM): (DataFrame, DataFrame) = {
+    val winner = delta.toDF("vec_id", "v")
+      .filter(col("v").isNotNull)
+      .groupBy(col("vec_id")).agg(min(col("v")).as("v"))
+    val deltaAsg = twoCellAssign(spark, winner, centers)
+      .localCheckpoint(false) // read for nodes2, touched, and ids
+    val deltaIds = deltaAsg.select(col("vid")).distinct()
+    val nodes2 = nodes.join(deltaIds, Seq("vid"), "left_anti")
+      .unionByName(deltaAsg)
+      .localCheckpoint(false) // consumers + prim + carried all read it
+    // touched PRIMARY cells: gained a delta node, or held a replaced
+    // id's old version (candidates come from primary membership only)
+    val touched = deltaAsg.filter(col("arn") === 1).select(col("center_id"))
+      .unionByName(nodes.join(deltaIds, Seq("vid"), "left_semi")
+        .filter(col("arn") === 1).select(col("center_id")))
+      .distinct()
+    // consumers: any node one of whose two cells is touched (their
+    // candidate sets changed); delta nodes are consumers by
+    // construction (their primary cell is touched)
+    val consumers = nodes2.join(touched, Seq("center_id"), "left_semi")
+      .select(col("vid")).distinct()
+    val prim2 = nodes2.filter(col("arn") === 1)
+      .select(col("vid"), col("vv"), col("center_id"))
+    val rebuilt = graphEdges(
+      nodes2.join(consumers, Seq("vid"), "left_semi"), prim2, m)
+    val carried = edges.join(consumers.toDF("src"), Seq("src"), "left_anti")
+    (nodes2, carried.unionByName(rebuilt))
+  }
+
+  /** q209: [[upsertGraphEdges]] over the q174 delta (ids < 10
+    * re-ingested with dim 0 nudged + 5 brand-new ids) against the
+    * graph built from the raw embeddings — output is the merged EDGE
+    * table. FROM-SCRATCH ORACLE (the q198 discipline): DuckDB knows
+    * nothing of the incremental path — it rebuilds the merged corpus
+    * and derives the whole edge table from it (the q208 chain over
+    * the q174 merged CTE), so the hash-match IS a cross-engine
+    * merge == rebuild proof.
+    */
+  val q209: QueryDef = QueryDef.sql(
+    "q209_graph_upsert",
+    s"""WITH ctr AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS center_id, embedding AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)),
+       |base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |delta AS (
+       |  SELECT vec_id,
+       |    list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.5
+       |                                     ELSE x END) AS v
+       |  FROM base WHERE vec_id < 10
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, v
+       |  FROM base WHERE vec_id < 5),
+       |merged AS MATERIALIZED (
+       |  SELECT vec_id, v FROM base
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM delta)
+       |  UNION ALL
+       |  SELECT vec_id, v FROM delta),
+       |ad AS (
+       |  SELECT m.vec_id, ctr.center_id,
+       |    ${TwinSql.distZ("m.v", "ctr.cv")} AS sdist
+       |  FROM merged m CROSS JOIN ctr),
+       |asg2 AS MATERIALIZED (
+       |  SELECT vec_id, center_id, arn FROM (
+       |    SELECT vec_id, center_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sdist, center_id) AS arn
+       |    FROM ad) WHERE arn <= 2),
+       |prim AS MATERIALIZED (
+       |  SELECT vec_id, center_id FROM asg2 WHERE arn = 1)
+       |SELECT src, dst, ern FROM (
+       |  SELECT u.vec_id AS src, v.vec_id AS dst,
+       |    row_number() OVER (PARTITION BY u.vec_id
+       |      ORDER BY ${TwinSql.cosZ("ue.v", "ve.v")} DESC,
+       |        v.vec_id) AS ern
+       |  FROM asg2 u
+       |  JOIN prim v ON v.center_id = u.center_id
+       |    AND v.vec_id <> u.vec_id
+       |  JOIN merged ue ON ue.vec_id = u.vec_id
+       |  JOIN merged ve ON ve.vec_id = v.vec_id)
+       |WHERE ern <= $GraphM
+       |ORDER BY src, ern""".stripMargin) { (s, dir) =>
+    import graft.cluster.KMeansAssign
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    val centers = KMeansAssign.lloydCenters(emb, 8, iters = 1, "vec_id", "v")
+    val nodes = twoCellAssign(s, emb, centers).localCheckpoint(false)
+    val edges = graphEdges(nodes,
+      nodes.filter(col("arn") === 1).select(col("vid"), col("vv"), col("center_id")),
+      GraphM).localCheckpoint(false)
+    // the q174 delta, replayed by the oracle literal-for-literal
+    val delta = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.5).otherwise(x))
+          .as("v"))
+      .unionByName(emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("v")))
+    val (_, merged) = upsertGraphEdges(s, nodes, edges, delta, centers, GraphM)
+    merged.orderBy(col("src"), col("ern"))
+  }
+
+  def graphAnnRecall(spark: SparkSession, corpus: DataFrame,
+                     queries: DataFrame, k: Int, nCells: Int = 8,
+                     m: Int = 6, beam: Int = 16, hops: Int = 3): DataFrame = {
+    import graft.cluster.KMeansAssign
+    import graft.functions.functions.{cosine_distance, cosine_similarity}
+    val c = corpus.toDF("cid", "cv").filter(col("cv").isNotNull)
+    val centers = KMeansAssign.lloydCenters(c, nCells, 1, "cid", "cv")
+    val asg2 = twoCellAssign(spark, c, centers)
+      .localCheckpoint(false) // both edge sides + hubs read it
+    val prim = asg2.filter(col("arn") === 1)
+      .select(col("vid"), col("vv"), col("center_id"))
+    val edges = graphEdges(asg2, prim, m)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(false) // read once per hop
+    // probe targets: the float centroid means over the argmin cells —
+    // the exact q180/aux_ivf_centroids frame
+    val cells = KMeansAssign.assignMap(c, centers, "cv").drop("dist")
+      .withColumnRenamed("cid", "vid")
+    val centroids = KMeansAssign.centroidMeans(cells, "cv")
+      .withColumnRenamed("cvec", "repr")
+    val wH = Window.partitionBy(col("center_id"))
+      .orderBy(col("hdist"), col("vid"))
+    val hubs = prim.join(broadcast(centroids), Seq("center_id"))
+      .select(col("center_id"), col("vid"),
+        cosine_distance(col("vv"), col("repr")).as("hdist"))
+      .withColumn("hrn", row_number().over(wH)).filter(col("hrn") === 1)
+      .select(col("center_id"), col("vid").as("hub"))
+    val q = queries.toDF("qid", "qv").filter(col("qv").isNotNull)
+    val wQ = Window.partitionBy(col("qid"))
+      .orderBy(col("qdist"), col("center_id"))
+    val entry = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("center_id"),
+        cosine_distance(col("qv"), col("repr")).as("qdist"))
+      .withColumn("qrn", row_number().over(wQ)).filter(col("qrn") === 1)
+      .join(hubs, Seq("center_id"))
+      .select(col("qid"), col("hub").as("cid"))
+    val node = prim.select(col("vid").as("cid"), col("vv").as("nv"))
+    def scored(fr: DataFrame): DataFrame = fr
+      .join(q, Seq("qid"))
+      .join(node, Seq("cid"))
+      .select(col("qid"), col("cid"),
+        cosine_similarity(col("qv"), col("nv")).as("score"))
+    val wB = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    var frontier = entry
+    (1 to hops).foreach { _ =>
+      val nbr = frontier.join(edges, col("cid") === col("src"))
+        .select(col("qid"), col("dst").as("cid"))
+      frontier = scored(frontier.unionByName(nbr).distinct())
+        .withColumn("brn", row_number().over(wB)).filter(col("brn") <= beam)
+        .select(col("qid"), col("cid"))
+        .localCheckpoint(false) // next hop reads it twice (self + nbrs)
+    }
+    // the walk keeps self in the beam (navigability) but never
+    // RETURNS it — same exclusion as every other serving engine
+    val res = scored(frontier).filter(col("cid") =!= col("qid"))
+      .withColumn("rnk", row_number().over(wB)).filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"))
+    val brute = bruteForceKnn(q, c, k).select(col("qid"), col("cid"))
+    val nb = brute.groupBy(col("qid"))
+      .agg(count(lit(1)).cast("bigint").as("n_brute"))
+    val hits = res.join(brute, Seq("qid", "cid"))
+      .groupBy(col("qid")).agg(count(lit(1)).cast("bigint").as("n_hits"))
+    q.select(col("qid"))
+      .join(nb, Seq("qid"), "left").join(hits, Seq("qid"), "left")
+      .select(col("qid"), lit(k.toLong).as("k"),
+        coalesce(col("n_brute"), lit(0L)).as("n_brute"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_brute"), lit(0L)) > 0L,
+          coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_brute").cast("double"))
+          .otherwise(lit(0.0)).as("recall"))
+  }
+
+  /** The q208 beam-hop CTE pair: neighbors of `$prev` through the
+    * edge table, unioned with `$prev` itself (best-so-far monotone),
+    * scored against the shared per-(qid, cid) score table, top-`beam`
+    * kept. MATERIALIZED: the next hop reads `$out` twice.
+    */
+  private def hopSql(prev: String, out: String, beam: Int): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT qid, cid FROM (
+       |    SELECT s.qid, s.cid,
+       |      row_number() OVER (PARTITION BY s.qid
+       |        ORDER BY s.score DESC, s.cid) AS brn
+       |    FROM (
+       |      SELECT DISTINCT qid, cid FROM (
+       |        SELECT qid, cid FROM $prev
+       |        UNION ALL
+       |        SELECT p.qid, ed.dst AS cid
+       |        FROM $prev p JOIN ed ON ed.src = p.cid)) f
+       |    JOIN qsc s ON s.qid = f.qid AND s.cid = f.cid)
+       |  WHERE brn <= $beam)""".stripMargin
+
+  val q208: QueryDef = QueryDef.sql(
+    "q208_graph_ann_recall",
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |ctr AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS center_id, embedding AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)),
+       |ad AS (
+       |  SELECT e.vec_id, ctr.center_id,
+       |    ${TwinSql.distZ("e.embedding", "ctr.cv")} AS sdist
+       |  FROM e CROSS JOIN ctr),
+       |asg2 AS MATERIALIZED (
+       |  SELECT vec_id, center_id, arn FROM (
+       |    SELECT vec_id, center_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sdist, center_id) AS arn
+       |    FROM ad) WHERE arn <= 2),
+       |prim AS MATERIALIZED (
+       |  SELECT vec_id, center_id FROM asg2 WHERE arn = 1),
+       |cen AS MATERIALIZED (
+       |  SELECT center_id, list(x ORDER BY pos) AS cvec
+       |  FROM read_parquet('__GRAFT_OUT__/aux_ivf_centroids/*.parquet')
+       |  GROUP BY center_id),
+       |ed AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT u.vec_id AS src, v.vec_id AS dst,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY ${TwinSql.cosZ("ue.embedding", "ve.embedding")} DESC,
+       |          v.vec_id) AS ern
+       |    FROM asg2 u
+       |    JOIN prim v ON v.center_id = u.center_id
+       |      AND v.vec_id <> u.vec_id
+       |    JOIN e ue ON ue.vec_id = u.vec_id
+       |    JOIN e ve ON ve.vec_id = v.vec_id)
+       |  WHERE ern <= $GraphM),
+       |hub AS MATERIALIZED (
+       |  SELECT center_id, vec_id AS hub FROM (
+       |    SELECT p.center_id, p.vec_id,
+       |      row_number() OVER (PARTITION BY p.center_id
+       |        ORDER BY ${TwinSql.distZ("pe.embedding", "cen.cvec")},
+       |          p.vec_id) AS hrn
+       |    FROM prim p
+       |    JOIN e pe ON pe.vec_id = p.vec_id
+       |    JOIN cen ON cen.center_id = p.center_id)
+       |  WHERE hrn = 1),
+       |qv AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 10),
+       |qsc AS MATERIALIZED (
+       |  SELECT q.qid, e.vec_id AS cid,
+       |    ${TwinSql.cosZ("q.qe", "e.embedding")} AS score
+       |  FROM qv q CROSS JOIN e),
+       |s0 AS MATERIALIZED (
+       |  SELECT qid, hub AS cid FROM (
+       |    SELECT q.qid, cen.center_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${TwinSql.distZ("q.qe", "cen.cvec")},
+       |          cen.center_id) AS qrn
+       |    FROM qv q CROSS JOIN cen) x
+       |  JOIN hub USING (center_id)
+       |  WHERE qrn = 1),
+       |${(1 to GraphHops).map(h => hopSql(s"s${h - 1}", s"s$h", GraphBeam))
+           .mkString(",\n")},
+       |res AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT s.qid, s.cid,
+       |      row_number() OVER (PARTITION BY s.qid
+       |        ORDER BY s.score DESC, s.cid) AS rnk
+       |    FROM s$GraphHops JOIN qsc s USING (qid, cid)
+       |    WHERE s.cid <> s.qid)
+       |  WHERE rnk <= 10),
+       |bs AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+       |    FROM qsc WHERE cid <> qid)
+       |  WHERE rnk <= 10),
+       |nb AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_brute
+       |       FROM bs GROUP BY qid),
+       |h AS (
+       |  SELECT qid, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM res JOIN bs USING (qid, cid) GROUP BY qid)
+       |SELECT q.qid, CAST(10 AS BIGINT) AS k,
+       |  CAST(COALESCE(nb.n_brute, 0) AS BIGINT) AS n_brute,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CASE WHEN COALESCE(nb.n_brute, 0) > 0
+       |    THEN CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+       |         / CAST(nb.n_brute AS DOUBLE)
+       |    ELSE 0.0 END AS recall
+       |FROM qv q
+       |LEFT JOIN nb USING (qid) LEFT JOIN h USING (qid)
+       |ORDER BY q.qid""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graphAnnRecall(s, emb, emb.filter(col("vec_id") < 10), k = 10,
+      nCells = 8, m = GraphM, beam = GraphBeam, hops = GraphHops)
+      .orderBy(col("qid"))
   }
 
   /** The 31-plane JL projection set — 31 because that is sign-LSH's

@@ -159,6 +159,28 @@ object ScaleCheck {
         // (each a posting-sized reweight) — the sweep must scale like
         // q200's lexical side, not six times it:
         "q206_bm25_tuning_curve")
+        // q207 is deliberately absent (q85/q162's reason: both pair
+        // arms are the doc_id < 100 exact all-pairs impact slice —
+        // only replica 0 participates; the corpus-scale normalized
+        // path is foldedMinhashSignatures, one more codegen expression
+        // inside the SAME narrow signature map as q45's published
+        // shape — zero extra passes or exchanges by construction).
+        // q208 is deliberately absent (q177's reason, on the build
+        // side: the fixture quantizer is pinned at nCells = 8, so
+        // id-shifted embedding replicas inflate CELL SIZES instead of
+        // cell COUNTS and the 2-cell edge-candidate join grows
+        // quadratically in the replica count by construction — the
+        // probe would measure the fixture's frozen cell layout, not
+        // the op (in production nCells scales with N keeping cells
+        // bounded, the standard kNN-graph build; stated in the doc
+        // comment). The serve side is q180's reason (bounded
+        // vec_id < 10 batch; per-hop work <= beam x m edge lookups,
+        // corpus-size-independent given the graph).
+        // q209 is deliberately absent (q208's reason on the build
+        // side — its base graph pays the same frozen-nCells fixture
+        // quadratic under replication; the incremental claim itself
+        // (touched-consumer-only recompute, carry-overs by anti-join)
+        // is structural and fuzz-proven in GraphUpsertSpec).
         // q195 is deliberately absent (q153's reason: the scored-pair
         // table is q85's doc_id < 100 all-pairs verification slice —
         // only replica 0 participates; at corpus scale candidates come
