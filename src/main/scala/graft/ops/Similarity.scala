@@ -23,7 +23,7 @@ import graft.functions.VectorOps
 object Similarity {
 
   def all: Seq[QueryDef] = Seq(q30, q31, q117, q120, q149, q150, q164, q165,
-    q171, q174, q180, q181, q190, q208, q209)
+    q171, q174, q180, q181, q190, q208, q209, q210)
 
   // the shared twin cosine fragments (single definition: TwinSql)
   private def cosSqlZ(a: String, b: String): String = TwinSql.cosZ(a, b)
@@ -1411,7 +1411,7 @@ object Similarity {
     * theorem about ONE assignment rule, not two. Input (id, vec)
     * under any column names; null vectors are not graph members.
     */
-  private[ops] def twoCellAssign(spark: SparkSession, vecs: DataFrame,
+  private[graft] def twoCellAssign(spark: SparkSession, vecs: DataFrame,
                                  centers: Array[Array[Double]]): DataFrame = {
     import graft.functions.functions.cosine_distance
     import spark.implicits._
@@ -1435,7 +1435,7 @@ object Similarity {
     * former to touched consumers and never the latter. Emits
     * (src, dst, ern).
     */
-  private[ops] def graphEdges(uAsg: DataFrame, prim: DataFrame,
+  private[graft] def graphEdges(uAsg: DataFrame, prim: DataFrame,
                               m: Int): DataFrame = {
     import graft.functions.functions.cosine_similarity
     val wE = Window.partitionBy(col("uid")).orderBy(col("esim").desc, col("vid"))
@@ -1585,26 +1585,167 @@ object Similarity {
     merged.orderBy(col("src"), col("ern"))
   }
 
-  def graphAnnRecall(spark: SparkSession, corpus: DataFrame,
-                     queries: DataFrame, k: Int, nCells: Int = 8,
-                     m: Int = 6, beam: Int = 16, hops: Int = 3): DataFrame = {
-    import graft.cluster.KMeansAssign
-    import graft.functions.functions.{cosine_distance, cosine_similarity}
-    val c = corpus.toDF("cid", "cv").filter(col("cv").isNotNull)
-    val centers = KMeansAssign.lloydCenters(c, nCells, 1, "cid", "cv")
-    val asg2 = twoCellAssign(spark, c, centers)
-      .localCheckpoint(false) // both edge sides + hubs read it
-    val prim = asg2.filter(col("arn") === 1)
+  /** Takedown maintenance for the q208 graph (the q209 kernel's
+    * delete half, the deleteFromIvfIndex analog): strike a set of ids
+    * from the (nodes, edges) state without rebuilding untouched
+    * regions. Locality is q209's argument run in reverse: a deleted
+    * node's PRIMARY cell loses a candidate, so exactly the CONSUMERS
+    * of those cells recompute (one semi-join on cell id); every other
+    * node's edge rows carry over byte-identical; the struck ids' own
+    * edge rows are dropped outright. A takedown must vanish from
+    * every neighbor list — an edge leak here is a compliance bug (the
+    * q181/ClusterStream contract), which is why q210 oracle-checks
+    * the post-delete SERVE, not just the edge table.
+    */
+  def deleteFromGraphEdges(nodes: DataFrame, edges: DataFrame,
+                           ids: DataFrame, m: Int = GraphM)
+      : (DataFrame, DataFrame) = {
+    val struck = ids.toDF("vid").distinct()
+    val touched = nodes.join(struck, Seq("vid"), "left_semi")
+      .filter(col("arn") === 1).select(col("center_id")).distinct()
+    val nodes2 = nodes.join(struck, Seq("vid"), "left_anti")
+      .localCheckpoint(false) // consumers + prim + carried all read it
+    val consumers = nodes2.join(touched, Seq("center_id"), "left_semi")
+      .select(col("vid")).distinct()
+    val prim2 = nodes2.filter(col("arn") === 1)
       .select(col("vid"), col("vv"), col("center_id"))
-    val edges = graphEdges(asg2, prim, m)
-      .select(col("src"), col("dst"))
-      .localCheckpoint(false) // read once per hop
-    // probe targets: the float centroid means over the argmin cells —
-    // the exact q180/aux_ivf_centroids frame
-    val cells = KMeansAssign.assignMap(c, centers, "cv").drop("dist")
-      .withColumnRenamed("cid", "vid")
-    val centroids = KMeansAssign.centroidMeans(cells, "cv")
+    val rebuilt = graphEdges(
+      nodes2.join(consumers, Seq("vid"), "left_semi"), prim2, m)
+    val carried = edges
+      .join(consumers.toDF("src"), Seq("src"), "left_anti")
+      .join(struck.toDF("src"), Seq("src"), "left_anti")
+    (nodes2, carried.unionByName(rebuilt))
+  }
+
+  /** q210: serve a query batch from the q208 graph AFTER a takedown
+    * batch (vec_id % 7 — the q181 strike pattern) — the graph-family
+    * delete+serve face, completing the lifecycle (build q208 /
+    * upsert q209 / delete+serve here) the IVF family already has
+    * (q174/q181). Probe centroids stay FROZEN at the pre-delete means
+    * (the serving contract: takedowns must not re-quantize), hubs
+    * re-rank among survivors. Every struck id must vanish from every
+    * result list and the walk must behave exactly as a fresh graph
+    * over the survivors — the oracle IS that fresh graph: DuckDB
+    * re-derives assignment, the strike, the SURVIVOR edge table, hubs,
+    * every beam hop, and the final ranking (seeds from raw parquet,
+    * frozen means from aux_ivf_centroids — the q208 two-stage shape),
+    * so the hash-match proves delete+serve == rebuild-without-deleted
+    * cross-engine, scores and all.
+    */
+  val q210: QueryDef = QueryDef.sql(
+    "q210_graph_delete_serve",
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |ctr AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS center_id, embedding AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)),
+       |ad AS (
+       |  SELECT e.vec_id, ctr.center_id,
+       |    ${TwinSql.distZ("e.embedding", "ctr.cv")} AS sdist
+       |  FROM e CROSS JOIN ctr),
+       |asg2 AS MATERIALIZED (
+       |  SELECT vec_id, center_id, arn FROM (
+       |    SELECT vec_id, center_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sdist, center_id) AS arn
+       |    FROM ad)
+       |  WHERE arn <= 2 AND vec_id % 7 <> 0),
+       |prim AS MATERIALIZED (
+       |  SELECT vec_id, center_id FROM asg2 WHERE arn = 1),
+       |cen AS MATERIALIZED (
+       |  SELECT center_id, list(x ORDER BY pos) AS cvec
+       |  FROM read_parquet('__GRAFT_OUT__/aux_ivf_centroids/*.parquet')
+       |  GROUP BY center_id),
+       |ed AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT u.vec_id AS src, v.vec_id AS dst,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY ${TwinSql.cosZ("ue.embedding", "ve.embedding")} DESC,
+       |          v.vec_id) AS ern
+       |    FROM asg2 u
+       |    JOIN prim v ON v.center_id = u.center_id
+       |      AND v.vec_id <> u.vec_id
+       |    JOIN e ue ON ue.vec_id = u.vec_id
+       |    JOIN e ve ON ve.vec_id = v.vec_id)
+       |  WHERE ern <= $GraphM),
+       |hub AS MATERIALIZED (
+       |  SELECT center_id, vec_id AS hub FROM (
+       |    SELECT p.center_id, p.vec_id,
+       |      row_number() OVER (PARTITION BY p.center_id
+       |        ORDER BY ${TwinSql.distZ("pe.embedding", "cen.cvec")},
+       |          p.vec_id) AS hrn
+       |    FROM prim p
+       |    JOIN e pe ON pe.vec_id = p.vec_id
+       |    JOIN cen ON cen.center_id = p.center_id)
+       |  WHERE hrn = 1),
+       |qv AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 10),
+       |qsc AS MATERIALIZED (
+       |  SELECT q.qid, p.vec_id AS cid,
+       |    ${TwinSql.cosZ("q.qe", "pe.embedding")} AS score
+       |  FROM qv q
+       |  CROSS JOIN prim p
+       |  JOIN e pe ON pe.vec_id = p.vec_id),
+       |s0 AS MATERIALIZED (
+       |  SELECT qid, hub AS cid FROM (
+       |    SELECT q.qid, cen.center_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${TwinSql.distZ("q.qe", "cen.cvec")},
+       |          cen.center_id) AS qrn
+       |    FROM qv q CROSS JOIN cen) x
+       |  JOIN hub USING (center_id)
+       |  WHERE qrn = 1),
+       |${(1 to GraphHops).map(h => hopSql(s"s${h - 1}", s"s$h", GraphBeam))
+           .mkString(",\n")}
+       |SELECT qid, cid, score, rnk FROM (
+       |  SELECT s.qid, s.cid, s.score,
+       |    row_number() OVER (PARTITION BY s.qid
+       |      ORDER BY s.score DESC, s.cid) AS rnk
+       |  FROM s$GraphHops JOIN qsc s USING (qid, cid)
+       |  WHERE s.cid <> s.qid)
+       |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+    import graft.cluster.KMeansAssign
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    val centers = KMeansAssign.lloydCenters(emb, 8, iters = 1, "vec_id", "v")
+    val nodes = twoCellAssign(s, emb, centers).localCheckpoint(false)
+    val edges = graphEdges(nodes,
+      nodes.filter(col("arn") === 1)
+        .select(col("vid"), col("vv"), col("center_id")),
+      GraphM).localCheckpoint(false)
+    // frozen pre-delete probe means (the aux_ivf_centroids frame)
+    val cells = KMeansAssign.assignMap(emb.toDF("vid", "vv"), centers, "vv")
+      .drop("dist")
+    val centroids = KMeansAssign.centroidMeans(cells, "vv")
       .withColumnRenamed("cvec", "repr")
+    val (nodes2, edges2) = deleteFromGraphEdges(nodes, edges,
+      emb.filter(pmod(col("vec_id"), lit(7)) === 0).select(col("vec_id")),
+      GraphM)
+    val prim2 = nodes2.filter(col("arn") === 1)
+      .select(col("vid"), col("vv"), col("center_id"))
+    graphServe(emb.filter(col("vec_id") < 10).toDF("qid", "qv"),
+      prim2, edges2.select(col("src"), col("dst")), centroids,
+      k = 10, beam = GraphBeam, hops = GraphHops)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** The q208 beam walk as the SERVE face (the searchIvfIndex analog):
+    * ranked results per query from a caller-held graph state — `prim`
+    * (the argmin node rows: vid, vv, center_id), the edge table, and
+    * the FROZEN probe centroids. ONE walk definition shared by the
+    * q208 recall audit, the q210 delete+serve face, and the streaming
+    * store's serve parity — a drifted copy of the entry rule or the
+    * beam fold in any of them would walk a different graph than the
+    * audit grades. Emits (qid, cid, score, rnk), self excluded.
+    */
+  def graphServe(queries: DataFrame, prim: DataFrame, edges: DataFrame,
+                 centroids: DataFrame, k: Int,
+                 beam: Int = GraphBeam, hops: Int = GraphHops): DataFrame = {
+    import graft.functions.functions.{cosine_distance, cosine_similarity}
     val wH = Window.partitionBy(col("center_id"))
       .orderBy(col("hdist"), col("vid"))
     val hubs = prim.join(broadcast(centroids), Seq("center_id"))
@@ -1640,8 +1781,33 @@ object Similarity {
     }
     // the walk keeps self in the beam (navigability) but never
     // RETURNS it — same exclusion as every other serving engine
-    val res = scored(frontier).filter(col("cid") =!= col("qid"))
+    scored(frontier).filter(col("cid") =!= col("qid"))
       .withColumn("rnk", row_number().over(wB)).filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("score"),
+        col("rnk").cast("bigint").as("rnk"))
+  }
+
+  def graphAnnRecall(spark: SparkSession, corpus: DataFrame,
+                     queries: DataFrame, k: Int, nCells: Int = 8,
+                     m: Int = 6, beam: Int = 16, hops: Int = 3): DataFrame = {
+    import graft.cluster.KMeansAssign
+    val c = corpus.toDF("cid", "cv").filter(col("cv").isNotNull)
+    val centers = KMeansAssign.lloydCenters(c, nCells, 1, "cid", "cv")
+    val asg2 = twoCellAssign(spark, c, centers)
+      .localCheckpoint(false) // both edge sides + hubs read it
+    val prim = asg2.filter(col("arn") === 1)
+      .select(col("vid"), col("vv"), col("center_id"))
+    val edges = graphEdges(asg2, prim, m)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(false) // read once per hop
+    // probe targets: the float centroid means over the argmin cells —
+    // the exact q180/aux_ivf_centroids frame
+    val cells = KMeansAssign.assignMap(c, centers, "cv").drop("dist")
+      .withColumnRenamed("cid", "vid")
+    val centroids = KMeansAssign.centroidMeans(cells, "cv")
+      .withColumnRenamed("cvec", "repr")
+    val q = queries.toDF("qid", "qv").filter(col("qv").isNotNull)
+    val res = graphServe(q, prim, edges, centroids, k, beam, hops)
       .select(col("qid"), col("cid"))
     val brute = bruteForceKnn(q, c, k).select(col("qid"), col("cid"))
     val nb = brute.groupBy(col("qid"))

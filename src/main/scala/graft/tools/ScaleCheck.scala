@@ -181,6 +181,10 @@ object ScaleCheck {
         // quadratic under replication; the incremental claim itself
         // (touched-consumer-only recompute, carry-overs by anti-join)
         // is structural and fuzz-proven in GraphUpsertSpec).
+        // q210 is deliberately absent (q208's reason: same frozen-
+        // nCells fixture quadratic on the build side; the delete
+        // itself is anti/semi joins and the serve is q208's bounded
+        // walk).
         // q195 is deliberately absent (q153's reason: the scored-pair
         // table is q85's doc_id < 100 all-pairs verification slice —
         // only replica 0 participates; at corpus scale candidates come

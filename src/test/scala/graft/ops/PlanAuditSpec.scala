@@ -191,7 +191,10 @@ class PlanAuditSpec extends SparkSpec {
       "q188_hybrid_rrf_retrieval" -> "the audited arms' bounded sides: q115's one-row corpus-mean doc-length broadcast (sparse) + q31's bounded query batch x corpus (dense)",
       "q189_kneser_ney_score" -> "one-row broadcast holding the scalar distinct-bigram total NN",
       "q190_jl_recall_curve" -> "bounded audit: query batch x corpus (q31's shape, twice), 4-row dim spine, one-row totals",
-      "q209_graph_upsert" -> "delta + corpus x K-seed broadcast (the frozen-quantizer 2-cell assignment); the touched-consumer recompute and carry-overs are equi/semi/anti joins on cell and id",
+      // q209/q210 need no entries: their K-seed/K-centroid broadcast
+      // stages sit behind localCheckpoint boundaries, so the executed
+      // final plans contain no nested-loop join (the anti-rot check
+      // enforces exactness, not generosity)
       "q208_graph_ann_recall" -> "bounded audit: corpus x K-seed broadcast (2-cell assignment), query batch x K centroids (entry), brute reference x corpus (q31's shape); the walk itself is equi-joins on the edge table",
       "q191_gate_operating_points" -> "19-row threshold spine x doc rows (pre-aggregation) + q178's NB scalar broadcasts",
       "q195_dedup_threshold_sweep" -> "per-cut one-row aggregate crossJoins (scalar pair counts) over the bounded q85 slice",
