@@ -1754,8 +1754,14 @@ object Dedup {
           .otherwise(0L)), lit(0L)).cast("bigint").as("n_gained"),
         coalesce(sum(when(col("in_raw").isNotNull && col("in_norm").isNull, 1L)
           .otherwise(0L)), lit(0L)).cast("bigint").as("n_lost"))
+    // null-safe spine join: a null-source junk group's tallies must
+    // land on the null spine row, not silently zero out (a USING-style
+    // EqualTo never matches NULL = NULL; q162's plain groupBy reports
+    // the null group, so this report must too) — mirrored by the
+    // twin's IS NOT DISTINCT FROM
     docs.select(col("source")).distinct()
-      .join(tallies, Seq("source"), "left")
+      .join(tallies.withColumnRenamed("source", "t_source"),
+        col("source") <=> col("t_source"), "left")
       .select(col("source"),
         coalesce(col("n_pairs_raw"), lit(0L)).as("n_pairs_raw"),
         coalesce(col("n_pairs_norm"), lit(0L)).as("n_pairs_norm"),
@@ -1794,8 +1800,8 @@ object Dedup {
        |  CAST(COALESCE(g.n_gained, 0) AS BIGINT) AS n_gained,
        |  CAST(COALESCE(g.n_lost, 0) AS BIGINT) AS n_lost
        |FROM (SELECT DISTINCT source FROM d100) src
-       |LEFT JOIN g USING (source)
-       |ORDER BY source NULLS FIRST""".stripMargin) { (s, dir) =>
+       |LEFT JOIN g ON src.source IS NOT DISTINCT FROM g.source
+       |ORDER BY src.source NULLS FIRST""".stripMargin) { (s, dir) =>
     // NULLS FIRST: Spark's orderBy puts a null source first, DuckDB's
     // default last (the q203 pin)
     normalizedPairImpact(Tables.documents(s, dir).filter(col("doc_id") < 100))

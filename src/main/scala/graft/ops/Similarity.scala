@@ -1634,72 +1634,7 @@ object Similarity {
     */
   val q210: QueryDef = QueryDef.sql(
     "q210_graph_delete_serve",
-    s"""WITH e AS MATERIALIZED (
-       |  SELECT vec_id, embedding FROM embeddings
-       |  WHERE embedding IS NOT NULL),
-       |ctr AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
-       |    AS center_id, embedding AS cv
-       |  FROM (SELECT vec_id, embedding FROM embeddings
-       |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)),
-       |ad AS (
-       |  SELECT e.vec_id, ctr.center_id,
-       |    ${TwinSql.distZ("e.embedding", "ctr.cv")} AS sdist
-       |  FROM e CROSS JOIN ctr),
-       |asg2 AS MATERIALIZED (
-       |  SELECT vec_id, center_id, arn FROM (
-       |    SELECT vec_id, center_id,
-       |      row_number() OVER (PARTITION BY vec_id
-       |        ORDER BY sdist, center_id) AS arn
-       |    FROM ad)
-       |  WHERE arn <= 2 AND vec_id % 7 <> 0),
-       |prim AS MATERIALIZED (
-       |  SELECT vec_id, center_id FROM asg2 WHERE arn = 1),
-       |cen AS MATERIALIZED (
-       |  SELECT center_id, list(x ORDER BY pos) AS cvec
-       |  FROM read_parquet('__GRAFT_OUT__/aux_ivf_centroids/*.parquet')
-       |  GROUP BY center_id),
-       |ed AS MATERIALIZED (
-       |  SELECT src, dst FROM (
-       |    SELECT u.vec_id AS src, v.vec_id AS dst,
-       |      row_number() OVER (PARTITION BY u.vec_id
-       |        ORDER BY ${TwinSql.cosZ("ue.embedding", "ve.embedding")} DESC,
-       |          v.vec_id) AS ern
-       |    FROM asg2 u
-       |    JOIN prim v ON v.center_id = u.center_id
-       |      AND v.vec_id <> u.vec_id
-       |    JOIN e ue ON ue.vec_id = u.vec_id
-       |    JOIN e ve ON ve.vec_id = v.vec_id)
-       |  WHERE ern <= $GraphM),
-       |hub AS MATERIALIZED (
-       |  SELECT center_id, vec_id AS hub FROM (
-       |    SELECT p.center_id, p.vec_id,
-       |      row_number() OVER (PARTITION BY p.center_id
-       |        ORDER BY ${TwinSql.distZ("pe.embedding", "cen.cvec")},
-       |          p.vec_id) AS hrn
-       |    FROM prim p
-       |    JOIN e pe ON pe.vec_id = p.vec_id
-       |    JOIN cen ON cen.center_id = p.center_id)
-       |  WHERE hrn = 1),
-       |qv AS MATERIALIZED (
-       |  SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 10),
-       |qsc AS MATERIALIZED (
-       |  SELECT q.qid, p.vec_id AS cid,
-       |    ${TwinSql.cosZ("q.qe", "pe.embedding")} AS score
-       |  FROM qv q
-       |  CROSS JOIN prim p
-       |  JOIN e pe ON pe.vec_id = p.vec_id),
-       |s0 AS MATERIALIZED (
-       |  SELECT qid, hub AS cid FROM (
-       |    SELECT q.qid, cen.center_id,
-       |      row_number() OVER (PARTITION BY q.qid
-       |        ORDER BY ${TwinSql.distZ("q.qe", "cen.cvec")},
-       |          cen.center_id) AS qrn
-       |    FROM qv q CROSS JOIN cen) x
-       |  JOIN hub USING (center_id)
-       |  WHERE qrn = 1),
-       |${(1 to GraphHops).map(h => hopSql(s"s${h - 1}", s"s$h", GraphBeam))
-           .mkString(",\n")}
+    s"""WITH ${graphChainSql(" AND vec_id % 7 <> 0")}
        |SELECT qid, cid, score, rnk FROM (
        |  SELECT s.qid, s.cid, s.score,
        |    row_number() OVER (PARTITION BY s.qid
@@ -1789,7 +1724,8 @@ object Similarity {
 
   def graphAnnRecall(spark: SparkSession, corpus: DataFrame,
                      queries: DataFrame, k: Int, nCells: Int = 8,
-                     m: Int = 6, beam: Int = 16, hops: Int = 3): DataFrame = {
+                     m: Int = GraphM, beam: Int = GraphBeam,
+                     hops: Int = GraphHops): DataFrame = {
     import graft.cluster.KMeansAssign
     val c = corpus.toDF("cid", "cv").filter(col("cv").isNotNull)
     val centers = KMeansAssign.lloydCenters(c, nCells, 1, "cid", "cv")
@@ -1825,29 +1761,18 @@ object Similarity {
           .otherwise(lit(0.0)).as("recall"))
   }
 
-  /** The q208 beam-hop CTE pair: neighbors of `$prev` through the
-    * edge table, unioned with `$prev` itself (best-so-far monotone),
-    * scored against the shared per-(qid, cid) score table, top-`beam`
-    * kept. MATERIALIZED: the next hop reads `$out` twice.
+  /** The shared q208/q210 twin-chain generator: e -> first-8 seeds ->
+    * 2-cell assignment (with an optional survivor strike ANDed in) ->
+    * the edge table -> hubs -> per-(query, survivor) scores -> entry
+    * -> the unrolled beam hops, ending after s$GraphHops. ONE text
+    * for the recall audit and the delete+serve face (the
+    * jaccPairChainSql argument: a drifted copy of the edge rule or
+    * the hub tie-break in either would verify a different graph than
+    * the engine walks). With an empty strike, scoring queries against
+    * the surviving primaries is scoring against every node.
     */
-  private def hopSql(prev: String, out: String, beam: Int): String =
-    s"""$out AS MATERIALIZED (
-       |  SELECT qid, cid FROM (
-       |    SELECT s.qid, s.cid,
-       |      row_number() OVER (PARTITION BY s.qid
-       |        ORDER BY s.score DESC, s.cid) AS brn
-       |    FROM (
-       |      SELECT DISTINCT qid, cid FROM (
-       |        SELECT qid, cid FROM $prev
-       |        UNION ALL
-       |        SELECT p.qid, ed.dst AS cid
-       |        FROM $prev p JOIN ed ON ed.src = p.cid)) f
-       |    JOIN qsc s ON s.qid = f.qid AND s.cid = f.cid)
-       |  WHERE brn <= $beam)""".stripMargin
-
-  val q208: QueryDef = QueryDef.sql(
-    "q208_graph_ann_recall",
-    s"""WITH e AS MATERIALIZED (
+  private def graphChainSql(strike: String): String =
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings
        |  WHERE embedding IS NOT NULL),
        |ctr AS (
@@ -1864,7 +1789,8 @@ object Similarity {
        |    SELECT vec_id, center_id,
        |      row_number() OVER (PARTITION BY vec_id
        |        ORDER BY sdist, center_id) AS arn
-       |    FROM ad) WHERE arn <= 2),
+       |    FROM ad)
+       |  WHERE arn <= 2$strike),
        |prim AS MATERIALIZED (
        |  SELECT vec_id, center_id FROM asg2 WHERE arn = 1),
        |cen AS MATERIALIZED (
@@ -1896,9 +1822,11 @@ object Similarity {
        |qv AS MATERIALIZED (
        |  SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 10),
        |qsc AS MATERIALIZED (
-       |  SELECT q.qid, e.vec_id AS cid,
-       |    ${TwinSql.cosZ("q.qe", "e.embedding")} AS score
-       |  FROM qv q CROSS JOIN e),
+       |  SELECT q.qid, p.vec_id AS cid,
+       |    ${TwinSql.cosZ("q.qe", "pe.embedding")} AS score
+       |  FROM qv q
+       |  CROSS JOIN prim p
+       |  JOIN e pe ON pe.vec_id = p.vec_id),
        |s0 AS MATERIALIZED (
        |  SELECT qid, hub AS cid FROM (
        |    SELECT q.qid, cen.center_id,
@@ -1909,7 +1837,31 @@ object Similarity {
        |  JOIN hub USING (center_id)
        |  WHERE qrn = 1),
        |${(1 to GraphHops).map(h => hopSql(s"s${h - 1}", s"s$h", GraphBeam))
-           .mkString(",\n")},
+           .mkString(",\n")}""".stripMargin
+
+  /** The q208 beam-hop CTE pair: neighbors of `$prev` through the
+    * edge table, unioned with `$prev` itself (best-so-far monotone),
+    * scored against the shared per-(qid, cid) score table, top-`beam`
+    * kept. MATERIALIZED: the next hop reads `$out` twice.
+    */
+  private def hopSql(prev: String, out: String, beam: Int): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT qid, cid FROM (
+       |    SELECT s.qid, s.cid,
+       |      row_number() OVER (PARTITION BY s.qid
+       |        ORDER BY s.score DESC, s.cid) AS brn
+       |    FROM (
+       |      SELECT DISTINCT qid, cid FROM (
+       |        SELECT qid, cid FROM $prev
+       |        UNION ALL
+       |        SELECT p.qid, ed.dst AS cid
+       |        FROM $prev p JOIN ed ON ed.src = p.cid)) f
+       |    JOIN qsc s ON s.qid = f.qid AND s.cid = f.cid)
+       |  WHERE brn <= $beam)""".stripMargin
+
+  val q208: QueryDef = QueryDef.sql(
+    "q208_graph_ann_recall",
+    s"""WITH ${graphChainSql("")},
        |res AS (
        |  SELECT qid, cid FROM (
        |    SELECT s.qid, s.cid,

@@ -104,7 +104,8 @@ private[ops] object TwinSql {
     * would screen a different shingle stream than the engine folds.
     */
   def foldTextOf(expr: String): String =
-    s"nfc_normalize(strip_accents(lower(nfc_normalize($expr))))"
+    s"replace(nfc_normalize(strip_accents(lower(nfc_normalize($expr)))), " +
+      "'ς', 'σ')"
 
   /** The tie-corrected per-source Mann-Whitney AUC in twin SQL — the
     * SQL face of TextAnalytics.aucBySource (average ranks over

@@ -136,8 +136,14 @@ object GraphStream {
         Seq("vid"), "left_anti")
       .select(col("vid").as("src"), lit(null).cast(LongType).as("dst"),
         lit(0L).as("ern"))
-    rebuilt.unionByName(sentinels).repartition(1)
-      .write.mode("overwrite").parquet(s"$edgesDir/batch_id=$batchId")
+    // NODES FIRST, edges second — the crash-window direction matters:
+    // with the tombstone committed, a crash before the edges write
+    // leaves a taken-down id out of prim, and graphServe filters every
+    // stale edge row naming it (entry comes from prim, neighbors are
+    // scored through an inner join against the node frame), so the
+    // takedown is already unservable. The reverse order would leave
+    // the struck id live and hub-electable until replay — serving a
+    // right-to-be-forgotten vector through the compliance window.
     val nodeRows = deltaNodes.withColumn("deleted", lit(false))
       .unionByName(dels
         .select(col("vid"), lit(null).cast(ArrayType(DoubleType)).as("vv"),
@@ -146,6 +152,8 @@ object GraphStream {
           lit(true).as("deleted")))
     nodeRows.repartition(1)
       .write.mode("overwrite").parquet(s"$nodesDir/batch_id=$batchId")
+    rebuilt.unionByName(sentinels).repartition(1)
+      .write.mode("overwrite").parquet(s"$edgesDir/batch_id=$batchId")
   }
 
   /** Current live nodes (vid, vv, c1, c2): per-key latest-wins,

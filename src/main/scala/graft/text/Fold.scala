@@ -19,6 +19,14 @@ package graft.text
   * alphanumerics, a content-altering step a dedup gate must not
   * take), and non-BMP code points (verified empirically per class;
   * FoldSpec pins the JVM side including non-BMP).
+  *
+  * Final sigma: the one place the engines' `lower` disagree — the JVM
+  * applies Unicode's contextual Final_Sigma rule (ΟΔΟΣ → οδος, word-
+  * final ς U+03C2) while DuckDB's lower does not (…σ U+03C3), and a
+  * literal typed ς passes through both lowers untouched. Both chains
+  * therefore end by folding ς → σ (exactly what full Unicode casefold
+  * does with final sigma), which also makes 'ΟΔΟΣ' and 'οδός' one
+  * dedup key — the point of the fold.
   */
 object Fold {
 
@@ -38,5 +46,6 @@ object Fold {
     }
     java.text.Normalizer
       .normalize(sb.toString, java.text.Normalizer.Form.NFC)
+      .replace('ς', 'σ') // final sigma (see scaladoc)
   }
 }

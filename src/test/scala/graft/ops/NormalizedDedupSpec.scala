@@ -18,10 +18,17 @@ class NormalizedDedupSpec extends SparkSpec {
   private val disguised = // same words, case + accent disguise
     "The Quick Brown Fox jumps over the lazy dog near the rivér bank today"
 
+  // ids 4/5: an exact dup pair in a NULL-source junk group — its
+  // tallies must land on the null spine row (null-safe join), not
+  // silently zero out
+  private val junk =
+    "some orphaned ingestion record with no source attribution at all here"
   private val docs = Seq(
     (1L, base, "srcA"),
     (2L, disguised, "srcA"),
-    (3L, "completely different content about spark catalyst optimizer rules and codegen stages", "srcB"))
+    (3L, "completely different content about spark catalyst optimizer rules and codegen stages", "srcB"),
+    (4L, junk, null),
+    (5L, junk, null))
     .toDF("doc_id", "text", "source")
 
   test("folded MinHash strikes the disguised duplicate; raw chain misses it") {
@@ -32,15 +39,17 @@ class NormalizedDedupSpec extends SparkSpec {
     val folded = pairs(Dedup.foldedMinhashSignatures(docs))
     assert(!raw.contains((1L, 2L)),
       s"raw chain unexpectedly paired the disguised dup: $raw")
-    assert(folded == Set((1L, 2L)),
-      s"folded chain must pair exactly the disguised dup, got $folded")
+    assert(folded == Set((1L, 2L), (4L, 5L)),
+      s"folded chain must pair the disguised dup + the exact junk dup, got $folded")
+    assert(raw.contains((4L, 5L)), "exact dup must pair in the raw chain too")
   }
 
-  test("impact report: gain charged to the pair's d1 source, zero rows kept") {
+  test("impact report: gain charged to the pair's d1 source, zero rows kept, null source reported") {
     val rep = Dedup.normalizedPairImpact(docs)
       .orderBy(col("source"))
       .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(rep == Seq(
+      (null, 1L, 1L, 0L, 0L),
       ("srcA", 0L, 1L, 1L, 0L),
       ("srcB", 0L, 0L, 0L, 0L)), s"impact report: $rep")
   }
