@@ -41,6 +41,11 @@ object NonOracle {
     */
   private[ops] val EvalNQ = 5
   private[ops] val EvalK = 10
+  /** Query terms per eval query: each planted query is its doc's
+    * top-EvalNTerms terms by (tf desc, term) — the third leg of the
+    * shared eval operating point next to EvalNQ/EvalK.
+    */
+  private[ops] val EvalNTerms = 4
 
 
   /** Production MinHash-LSH near-dup candidates (xxhash64 path).
@@ -1130,7 +1135,7 @@ object NonOracle {
     val wq = Window.partitionBy(col("qid")).orderBy(col("tf").desc, col("term"))
     val queries = tf.filter(col("doc_id") < nQ)
       .select(col("doc_id").as("qid"), col("term"), col("tf"))
-      .withColumn("r", row_number().over(wq)).filter(col("r") <= 4)
+      .withColumn("r", row_number().over(wq)).filter(col("r") <= EvalNTerms)
       .select(col("qid"), col("term"))
     hybridFromPostings(s, dir, tf, n, queries, nQ, k)
   }
@@ -1186,7 +1191,7 @@ object NonOracle {
        |    SELECT doc_id AS qid, term,
        |      row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS r
        |    FROM tf WHERE doc_id < $EvalNQ)
-       |  WHERE r <= 4),
+       |  WHERE r <= $EvalNTerms),
        |tfdl AS (SELECT term, doc_id, tf,
        |         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
        |         FROM tf),
@@ -1378,7 +1383,7 @@ object NonOracle {
     val wq = Window.partitionBy(col("qid")).orderBy(col("tf").desc, col("term"))
     val queries = tf.filter(col("doc_id") < nQ)
       .select(col("doc_id").as("qid"), col("term"), col("tf"))
-      .withColumn("r", row_number().over(wq)).filter(col("r") <= 4)
+      .withColumn("r", row_number().over(wq)).filter(col("r") <= EvalNTerms)
       .select(col("qid"), col("term"))
     (tokens, n, tf, queries)
   }
@@ -1549,7 +1554,7 @@ object NonOracle {
        |    SELECT doc_id AS qid, term,
        |      row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS r
        |    FROM tf WHERE doc_id < $nQ)
-       |  WHERE r <= 4),
+       |  WHERE r <= $EvalNTerms),
        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
        |       FROM tk GROUP BY term)""".stripMargin
 

@@ -1618,23 +1618,44 @@ object Similarity {
   }
 
   /** q210: serve a query batch from the q208 graph AFTER a takedown
-    * batch (vec_id % 7 — the q181 strike pattern) — the graph-family
-    * delete+serve face, completing the lifecycle (build q208 /
-    * upsert q209 / delete+serve here) the IVF family already has
-    * (q174/q181). Probe centroids stay FROZEN at the pre-delete means
-    * (the serving contract: takedowns must not re-quantize), hubs
-    * re-rank among survivors. Every struck id must vanish from every
-    * result list and the walk must behave exactly as a fresh graph
-    * over the survivors — the oracle IS that fresh graph: DuckDB
-    * re-derives assignment, the strike, the SURVIVOR edge table, hubs,
-    * every beam hop, and the final ranking (seeds from raw parquet,
-    * frozen means from aux_ivf_centroids — the q208 two-stage shape),
-    * so the hash-match proves delete+serve == rebuild-without-deleted
-    * cross-engine, scores and all.
+    * batch — the graph-family delete+serve face, completing the
+    * lifecycle (build q208 / upsert q209 / delete+serve here) the IVF
+    * family already has (q174/q181). Probe centroids stay FROZEN at
+    * the pre-delete means (the serving contract: takedowns must not
+    * re-quantize), hubs re-rank among survivors. Every struck id must
+    * vanish from every result list and the walk must behave exactly
+    * as a fresh graph over the survivors — the oracle IS that fresh
+    * graph: DuckDB re-derives assignment, the strike, the SURVIVOR
+    * edge table, hubs, every beam hop, and the final ranking (seeds
+    * from raw parquet, frozen means from aux_ivf_centroids — the q208
+    * two-stage shape), so the hash-match proves delete+serve ==
+    * rebuild-without-deleted cross-engine, scores and all.
+    *
+    * The strike is LOCALIZED — even-id PRIMARY members of one cell
+    * (center 3) — so the registered face prices the delete path's
+    * actual locality claim: one touched cell, consumers (nodes with
+    * cell 3 among their two) recompute, every other survivor's edge
+    * rows CARRY OVER from the pre-delete build (carried edges can
+    * never point at a struck id: a struck node is candidate-visible
+    * only through its primary cell, which every carrier lacks — the
+    * compliance argument is structural, and the serve oracle checks
+    * it cross-engine). The earlier vec_id % 7 strike touched all 8
+    * cells, making consumers = everyone and the face two full edge
+    * builds (9.1 s quiet at sf0.1); the all-cells worst case stays
+    * covered by GraphStreamSpec's takedown == rebuild parity.
     */
+  private[ops] val GraphStruckCell = 3
   val q210: QueryDef = QueryDef.sql(
     "q210_graph_delete_serve",
-    s"""WITH ${graphChainSql(" AND vec_id % 7 <> 0")}
+    s"""WITH ${graphChainSql(
+         s""" AND vec_id NOT IN (
+            |    SELECT vec_id FROM (
+            |      SELECT vec_id, center_id,
+            |        row_number() OVER (PARTITION BY vec_id
+            |          ORDER BY sdist, center_id) AS arn
+            |      FROM ad)
+            |    WHERE arn = 1 AND center_id = $GraphStruckCell
+            |      AND vec_id % 2 = 0)""".stripMargin)}
        |SELECT qid, cid, score, rnk FROM (
        |  SELECT s.qid, s.cid, s.score,
        |    row_number() OVER (PARTITION BY s.qid
@@ -1657,8 +1678,13 @@ object Similarity {
       .drop("dist")
     val centroids = KMeansAssign.centroidMeans(cells, "vv")
       .withColumnRenamed("cvec", "repr")
+    // the localized strike: even-id primaries of cell GraphStruckCell
+    // (the oracle replays it literal-for-literal inside asg2's WHERE)
     val (nodes2, edges2) = deleteFromGraphEdges(nodes, edges,
-      emb.filter(pmod(col("vec_id"), lit(7)) === 0).select(col("vec_id")),
+      nodes.filter(col("arn") === 1 &&
+          col("center_id") === GraphStruckCell &&
+          pmod(col("vid"), lit(2)) === 0)
+        .select(col("vid").as("vec_id")),
       GraphM)
     val prim2 = nodes2.filter(col("arn") === 1)
       .select(col("vid"), col("vv"), col("center_id"))
@@ -1780,7 +1806,7 @@ object Similarity {
        |    AS center_id, embedding AS cv
        |  FROM (SELECT vec_id, embedding FROM embeddings
        |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)),
-       |ad AS (
+       |ad AS MATERIALIZED (
        |  SELECT e.vec_id, ctr.center_id,
        |    ${TwinSql.distZ("e.embedding", "ctr.cv")} AS sdist
        |  FROM e CROSS JOIN ctr),

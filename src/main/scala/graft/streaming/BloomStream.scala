@@ -110,17 +110,19 @@ object BloomStream {
     */
   def readWords(spark: SparkSession, wordsDir: String,
                 beforeBatch: Option[Long] = None): Array[Long] = {
-    val raw = DeltaStore.readScopedOr(spark, wordsDir, beforeBatch, wordSchema)
+    // ONE collect, winners picked driver-side (the processBatch
+    // hot-path read's pattern): the filter is BloomBits/64 longs per
+    // snapshot by construction, so even the full store is a bounded
+    // driver read, and a distinct-then-filter pair of Spark actions
+    // doubled the read cost for no added safety
+    val rows = DeltaStore.readScopedOr(spark, wordsDir, beforeBatch, wordSchema)
       .select(col("batch_id").cast("long").as("batch_id"),
         col("word_idx"), col("bits"))
-    val ids = raw.select(col("batch_id")).distinct()
-      .collect().map(_.getLong(0)).sorted.takeRight(2)
+      .collect()
+    val ids = rows.map(_.getLong(0)).distinct.sorted.takeRight(2).toSet
     val words = new Array[Long](Dedup.BloomBits / 64)
-    if (ids.nonEmpty) {
-      raw.filter(col("batch_id").isin(ids: _*))
-        .select(col("word_idx"), col("bits")).collect()
-        .foreach(r => words(r.getInt(0)) |= r.getLong(1))
-    }
+    rows.filter(r => ids.contains(r.getLong(0)))
+      .foreach(r => words(r.getInt(1)) |= r.getLong(2))
     words
   }
 

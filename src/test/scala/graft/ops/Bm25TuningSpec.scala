@@ -51,9 +51,13 @@ class Bm25TuningSpec extends SparkSpec {
       .agg(count(lit(1)).as("tf"))
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("tf").desc, col("term"))
-    val queries = tf.filter(col("doc_id") < 5)
+    // the shared eval operating point (NonOracle.EvalNQ/EvalNTerms/
+    // EvalK), not re-hardcoded literals: if the constants move, this
+    // spec must keep testing the operating point the oracles run
+    val queries = tf.filter(col("doc_id") < NonOracle.EvalNQ)
       .select(col("doc_id").as("qid"), col("term"), col("tf"))
-      .withColumn("r", row_number().over(wq)).filter(col("r") <= 4)
+      .withColumn("r", row_number().over(wq))
+      .filter(col("r") <= NonOracle.EvalNTerms)
       .select(col("qid"), col("term"))
     val expPairs = tokens.select(col("doc_id"), col("term")).distinct()
       .join(queries, "term")
@@ -61,11 +65,12 @@ class Bm25TuningSpec extends SparkSpec {
       .groupBy(col("qid")).agg(count(lit(1)).as("n"))
       .as[(Long, Long)].collect()
       .map { case (q, nScored) =>
-        val m = math.min(10L, nScored - 1); q -> m * (m - 1) / 2
+        val m = math.min(NonOracle.EvalK.toLong, nScored - 1)
+        q -> m * (m - 1) / 2
       }.toMap
     sweep.foreach { case (sys, qid, _, _, _, _, _, _, np, nc, nd, tau) =>
       assert(np == expPairs(qid),
-        s"$sys/$qid: n_pairs $np != C(min(10, nScored-1), 2) = ${expPairs(qid)}")
+        s"$sys/$qid: n_pairs $np != C(min(EvalK, nScored-1), 2) = ${expPairs(qid)}")
       assert(nc + nd <= np, s"$sys/$qid: conc $nc + disc $nd > pairs $np")
       assert(math.abs(tau) <= 1.0)
       if (np > 0) assert(tau == (nc - nd).toDouble / np.toDouble)

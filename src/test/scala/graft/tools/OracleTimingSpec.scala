@@ -12,26 +12,40 @@ import org.scalatest.funsuite.AnyFunSuite
   * sidecar exists to prevent. Failing here means: run the full
   * `graft.Verify` + `tools/check_oracle.py` gate and commit the
   * refreshed sidecar.
+  *
+  * Parsed with a real JSON parser (json4s, on Spark's classpath) —
+  * the earlier regex probe depended on check_oracle.py's exact
+  * json.dump formatting, so a harmless serializer change could flip
+  * the guard either way.
   */
 class OracleTimingSpec extends AnyFunSuite {
 
-  private lazy val txt = new String(
-    java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("tools/ORACLE_TIMING.json")), "UTF-8")
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
 
-  test("sidecar covers every registered oracle (freshness)") {
-    val n = """"n_oracles":\s*(\d+)""".r
-      .findFirstMatchIn(txt).map(_.group(1).toInt)
-    assert(n.contains(graft.SparkEntry.oracleSql.size),
-      s"sidecar records $n oracles but the registry has " +
-        s"${graft.SparkEntry.oracleSql.size} — re-run the full " +
+  private lazy val root: JValue = JsonMethods.parse(new String(
+    java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/ORACLE_TIMING.json")), "UTF-8"))
+
+  test("sidecar covers every registered oracle by name (freshness)") {
+    val timed = root \ "per_query_s" match {
+      case JObject(fields) => fields.map(_._1).toSet
+      case other => fail(s"per_query_s is not an object: $other")
+    }
+    val missing = graft.SparkEntry.oracleSql.keySet -- timed
+    assert(missing.isEmpty,
+      s"oracles missing from the committed sidecar: " +
+        s"${missing.toSeq.sorted.mkString(", ")} — re-run the full " +
         "check_oracle.py gate and commit tools/ORACLE_TIMING.json")
   }
 
   test("no oracle over the DuckDB budget") {
-    val over = """"over_budget":\s*\[([^\]]*)\]""".r
-      .findFirstMatchIn(txt).map(_.group(1).trim)
-    assert(over.contains(""),
-      s"oracles over budget in the committed sidecar: $over")
+    val over = root \ "over_budget" match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case other => fail(s"over_budget is not an array: $other")
+    }
+    assert(over.isEmpty,
+      s"oracles over budget in the committed sidecar: " +
+        over.sorted.mkString(", "))
   }
 }

@@ -57,14 +57,20 @@ for name, sql in sorted(oracle.items()):
     t0 = time.time()
     try:
         duck_df = canon(con.sql(sql).df())
+        duck_err = None
     except Exception as e:
-        print(f"FAIL {name}: duckdb error: {e}")
-        fail += 1
-        continue
+        duck_err = e
     finally:
         timing[name] = round(time.time() - t0, 3)
+    # budget check BEFORE the error continue: a slow-then-failing
+    # oracle is an economics regression paired with a failure and must
+    # land in over_budget, not hide behind the plain FAIL
     if timing[name] > BUDGET_S:
         over_budget.append(name)
+    if duck_err is not None:
+        print(f"FAIL {name}: duckdb error: {duck_err}")
+        fail += 1
+        continue
     if list(spark_df.columns) != list(duck_df.columns):
         print(f"FAIL {name}: columns spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
         fail += 1
