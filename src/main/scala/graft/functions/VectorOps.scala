@@ -168,6 +168,66 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Fused text -> CODEPOINT n-gram -> MinHash kernel: the char-level
+    * twin of [[shingleMinhashSig]] for space-free scripts (CJK, Thai),
+    * where whitespace tokenization degenerates every document to one
+    * token and the word-shingle dedup gates go blind. One UTF-8 scan
+    * records each code point's byte offset; every n-codepoint window
+    * is hashed ZERO-COPY off the UTF8String's own bytes (no substring
+    * materialization, no intermediate array), permutations by the same
+    * bit mixing as every other MinHash kernel here — so the output
+    * feeds the unchanged band/verify chain (Dedup.bandsFromSignatures)
+    * interchangeably with the word kernel's.
+    *
+    * Same min-1-window contract as the word kernel: a doc shorter
+    * than n code points yields ONE gram (the whole doc); empty text
+    * yields the all-MaxValue signature (= MinHash of the empty set),
+    * exactly [[minhashSig]] over the empty gram array. Gram identity
+    * matches the Column formulation (substr over codepoint indexes):
+    * same bytes, same XXH64 seed 42 — spec-pinned equal to
+    * minhash_sig(char_shingles(text)) in CharShingleSpec. Malformed
+    * UTF-8 follows the karpRabin contract: an invalid lead byte
+    * advances one byte and never swallows following characters.
+    */
+  def charShingleMinhashSig(text: org.apache.spark.unsafe.types.UTF8String,
+                            nHashes: Int, n: Int): ArrayData = {
+    val out = new Array[Long](nHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val nb = text.numBytes
+    if (nb > 0) {
+      // byte offset of each code point + terminal, one pass; sized to
+      // the byte count (>= the code point count)
+      val offs = new Array[Int](nb + 1)
+      var cp = 0
+      var i = 0
+      while (i < nb) {
+        offs(cp) = i
+        i += org.apache.spark.unsafe.types.UTF8String
+          .numBytesForFirstByte(text.getByte(i))
+        cp += 1
+      }
+      offs(cp) = nb
+      val m = math.max(cp - n + 1, 1)
+      val perm = permConsts(nHashes)
+      val base = text.getBaseObject
+      val baseOff = text.getBaseOffset
+      var s = 0
+      while (s < m) {
+        val e = math.min(s + n, cp)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          base, baseOff + offs(s), offs(e) - offs(s), 42L)
+        var j = 0
+        while (j < nHashes) {
+          val hj = mix64(h ^ perm(j))
+          if (hj < out(j)) out(j) = hj
+          j += 1
+        }
+        s += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Karp-Rabin document fingerprint (q39): fold (h*31 + codepoint)
     * mod 1e9+7 over the text's code points, SKIPPING '\n' — the exact
     * value of the q39 DuckDB twin's

@@ -192,6 +192,29 @@ case class ShingleMinHashExpr(child: Expression, nHashes: Int, shingleSize: Int)
     copy(child = newChild)
 }
 
+/** Fused text -> codepoint n-gram -> MinHash signature (see
+  * VectorOps.charShingleMinhashSig): the space-free-script dedup map
+  * side in one codegen'd expression over the raw text column; output
+  * is band/verify-chain-compatible with ShingleMinHashExpr's.
+  */
+case class CharShingleMinHashExpr(child: Expression, nHashes: Int, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"char_shingle_minhash needs n >= 1, got $n")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_shingle_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.charShingleMinhashSig(input.asInstanceOf[UTF8String], nHashes, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorOps.charShingleMinhashSig($c, $nHashes, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingleMinHashExpr =
+    copy(child = newChild)
+}
+
 /** All `len`-token-window rolling hashes of an ARRAY<STRING> column
   * (see VectorOps.rollingWindowHashes): ARRAY<BIGINT> of length
   * n-len+1 (empty when n < len). O(token bytes + n) per row — each
@@ -687,6 +710,9 @@ object functions {
 
   def shingle_minhash(c: Column, nHashes: Int, shingleSize: Int): Column =
     Shim.column(ShingleMinHashExpr(Shim.expression(c), nHashes, shingleSize))
+
+  def char_shingle_minhash(c: Column, nHashes: Int, n: Int): Column =
+    Shim.column(CharShingleMinHashExpr(Shim.expression(c), nHashes, n))
 
   def rolling_window_hashes(c: Column, len: Int): Column =
     Shim.column(RollingWindowHashExpr(Shim.expression(c), len))

@@ -28,7 +28,7 @@ object Dedup {
 
   def all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89, q112, q135, q139, q162,
-      q172, q185, q195, q198, q202, q205, q207)
+      q172, q185, q195, q198, q202, q205, q207, q211)
 
   /** Exact dedup on a normalized key: keep the lowest doc_id per group.
     * Scale: one hash exchange on the key; with pre-partitioned/bucketed
@@ -1007,6 +1007,74 @@ object Dedup {
           s => length(s) > 0)),
       1)
 
+  /** Codepoint n-gram shingles of a text column — the char-level twin
+    * of [[shingles]] for space-free scripts, where whitespace tokens
+    * degenerate to one per document. Same min-1-window semantics (a
+    * doc shorter than n code points yields ONE gram: the whole doc;
+    * empty text yields none) and the same let-binding defense: the
+    * text expression evaluates ONCE per row, not once per gram index
+    * (callers hand computed columns — replace/fold chains — whose
+    * re-evaluation per gram would be O(len^2) in interpreted HOF
+    * eval). Null text yields an EMPTY gram list (the row contributes
+    * nothing once exploded), where the fused kernel is null-on-null
+    * (the band chain's null-signature guard) — both mean "never
+    * pairs", spec-pinned in CharShingleSpec. This exact column form
+    * exists for bounded slices and the oracle chain; the 100 TB path
+    * is the fused codegen kernel [[charMinhashSignatures]], exactly
+    * as [[jaccardPairs]] vs [[minhashSignatures]].
+    */
+  def charShingles(text: Column, n: Int): Column =
+    element_at(
+      transform(array(text), t =>
+        filter(
+          transform(sequence(lit(0), greatest(length(t) - n, lit(0))),
+            i => t.substr(i + 1, lit(n))),
+          g => length(g) > 0)),
+      1)
+
+  /** Per-document MinHash signatures over CODEPOINT n-grams, computed
+    * map-side by the codegen'd
+    * [[graft.functions.CharShingleMinHashExpr]] kernel — the
+    * space-free-script production path ([[minhashSignatures]]'s twin;
+    * a zh/th document is one whitespace token, so the word kernel
+    * hands the band join a single whole-doc shingle and near-dup
+    * recall collapses to exact match). The output feeds the UNCHANGED
+    * [[bandsFromSignatures]]/[[verifiedPairs]] chain. Compose with
+    * [[graft.text.Fold]] by folding the text column first (the q207
+    * normalized form): both are narrow codegen expressions in the
+    * same map, zero extra passes.
+    */
+  def charMinhashSignatures(docs: DataFrame, nHashes: Int = 32,
+                            n: Int = 4): DataFrame =
+    docs.select(
+      col("doc_id"),
+      graft.functions.functions.char_shingle_minhash(
+        col("text"), nHashes, n).as("mh"))
+
+  /** Exact codepoint-n-gram Jaccard pairs at `threshold` — the
+    * char-level twin of [[jaccardPairs]] (distinct (doc, gram), size
+    * table, gram self-join, threshold compare, same division form).
+    * The verifier that runs on [[charMinhashSignatures]] candidates
+    * at scale; exact all-pairs only on bounded slices (q211).
+    */
+  def charJaccardPairs(docs: DataFrame, n: Int = 4,
+                       threshold: Double = 0.7): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), explode(charShingles(col("text"), n)).as("gram"))
+      .distinct()
+    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    t.toDF("d1", "gram")
+      .join(t.toDF("d2", "gram2"),
+        col("gram") === col("gram2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sz.toDF("dk1", "n1"), col("dk1") === col("d1"))
+      .join(sz.toDF("dk2", "n2"), col("dk2") === col("d2"))
+      .filter(col("n_common") /
+        (col("n1") + col("n2") - col("n_common")) >= threshold)
+      .select(col("d1"), col("d2"))
+  }
+
   /** SimHash near-dup pairs via the codegen'd simhash64 expression over
     * xxhash64 term ids; pairs within `maxHamming` bits.
     *
@@ -1780,21 +1848,35 @@ object Dedup {
     * normalized arm over [[TwinSql.foldTextOf]]), full-outer-joined
     * and rolled up per source.
     */
-  def normalizedPairImpact(docs: DataFrame): DataFrame = {
-    val raw = jaccardPairs(docs).withColumn("in_raw", lit(1L))
-    val norm = jaccardPairs(
-        docs.withColumn("text", graft.functions.functions.fold_text(col("text"))))
-      .withColumn("in_norm", lit(1L))
+  def normalizedPairImpact(docs: DataFrame): DataFrame =
+    pairImpactBySource(docs,
+      jaccardPairs(docs),
+      jaccardPairs(
+        docs.withColumn("text", graft.functions.functions.fold_text(col("text")))),
+      "raw", "norm")
+
+  /** The shared A-vs-B pair-yield report (the q207/q211 shape): two
+    * pair frames (d1, d2) over the same corpus, full-outer-joined and
+    * rolled up per source — n_pairs_$a, n_pairs_$b, n_gained (B-only:
+    * what switching to chain B newly catches), n_lost (A-only). A
+    * pair is charged to the source of its SMALLER doc id (d1, the
+    * canonical representative side).
+    */
+  private def pairImpactBySource(docs: DataFrame, aPairs: DataFrame,
+                                 bPairs: DataFrame, a: String, b: String)
+      : DataFrame = {
+    val pa = aPairs.withColumn("in_a", lit(1L))
+    val pb = bPairs.withColumn("in_b", lit(1L))
     val src = docs.select(col("doc_id").as("d1"), col("source"))
-    val tallies = raw.join(norm, Seq("d1", "d2"), "full_outer")
+    val tallies = pa.join(pb, Seq("d1", "d2"), "full_outer")
       .join(src, Seq("d1"))
       .groupBy(col("source"))
       .agg(
-        coalesce(sum(col("in_raw")), lit(0L)).cast("bigint").as("n_pairs_raw"),
-        coalesce(sum(col("in_norm")), lit(0L)).cast("bigint").as("n_pairs_norm"),
-        coalesce(sum(when(col("in_norm").isNotNull && col("in_raw").isNull, 1L)
+        coalesce(sum(col("in_a")), lit(0L)).cast("bigint").as(s"n_pairs_$a"),
+        coalesce(sum(col("in_b")), lit(0L)).cast("bigint").as(s"n_pairs_$b"),
+        coalesce(sum(when(col("in_b").isNotNull && col("in_a").isNull, 1L)
           .otherwise(0L)), lit(0L)).cast("bigint").as("n_gained"),
-        coalesce(sum(when(col("in_raw").isNotNull && col("in_norm").isNull, 1L)
+        coalesce(sum(when(col("in_a").isNotNull && col("in_b").isNull, 1L)
           .otherwise(0L)), lit(0L)).cast("bigint").as("n_lost"))
     // null-safe spine join: a null-source junk group's tallies must
     // land on the null spine row, not silently zero out (a USING-style
@@ -1805,11 +1887,24 @@ object Dedup {
       .join(tallies.withColumnRenamed("source", "t_source"),
         col("source") <=> col("t_source"), "left")
       .select(col("source"),
-        coalesce(col("n_pairs_raw"), lit(0L)).as("n_pairs_raw"),
-        coalesce(col("n_pairs_norm"), lit(0L)).as("n_pairs_norm"),
+        coalesce(col(s"n_pairs_$a"), lit(0L)).as(s"n_pairs_$a"),
+        coalesce(col(s"n_pairs_$b"), lit(0L)).as(s"n_pairs_$b"),
         coalesce(col("n_gained"), lit(0L)).as("n_gained"),
         coalesce(col("n_lost"), lit(0L)).as("n_lost"))
   }
+
+  /** Word-vs-char shingling impact on near-dup yield over a corpus
+    * (the q211 kernel): per source, exact-Jaccard-0.7 pair counts
+    * from whitespace-token sets vs from codepoint-n-gram sets, with
+    * the gained/lost deltas — [[pairImpactBySource]] over the OTHER
+    * big multilingual dedup decision (q207 prices normalization;
+    * this prices the shingle unit). On space-free scripts the word
+    * arm degenerates to exact whole-text match, so n_gained is the
+    * recall a char-gram chain restores.
+    */
+  def charShingleImpact(docs: DataFrame, n: Int = 4): DataFrame =
+    pairImpactBySource(docs, jaccardPairs(docs), charJaccardPairs(docs, n),
+      "word", "char")
 
   /** q207: [[normalizedPairImpact]] over q85's doc_id < 100 slice. */
   val q207: QueryDef = QueryDef.sql(
@@ -1848,6 +1943,105 @@ object Dedup {
     // default last (the q203 pin)
     normalizedPairImpact(Tables.documents(s, dir).filter(col("doc_id") < 100))
       .orderBy(col("source"))
+  }
+
+  /** The exact codepoint-n-gram Jaccard pair chain in twin SQL — the
+    * char-level [[jaccPairChainSql]] (same distinct/size/inter/pairs
+    * shape over substring grams; DuckDB's substring and length count
+    * characters, matching the engine's codepoint semantics). Shared
+    * by both arms a char-gram oracle needs; the gram <> '' filter is
+    * the engine column's empty-gram drop (only empty text produces
+    * one).
+    */
+  private def charPairChainSql(from: String, sfx: String, n: Int): String =
+    s"""t$sfx AS (
+       |  SELECT DISTINCT doc_id, gram FROM (
+       |    SELECT doc_id, substring(text, i + 1, $n) AS gram FROM (
+       |      SELECT doc_id, text,
+       |        unnest(range(0, greatest(length(text) - $n, 0) + 1)) AS i
+       |      FROM $from))
+       |  WHERE gram <> ''),
+       |sz$sfx AS (SELECT doc_id, count(*) AS n FROM t$sfx GROUP BY doc_id),
+       |inter$sfx AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+       |  FROM t$sfx a JOIN t$sfx b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY d1, d2),
+       |pairs$sfx AS (
+       |  SELECT d1, d2 FROM inter$sfx
+       |  JOIN sz$sfx s1 ON s1.doc_id = d1
+       |  JOIN sz$sfx s2 ON s2.doc_id = d2
+       |  WHERE n_common / (s1.n + s2.n - n_common) >= 0.7)""".stripMargin
+
+  /** q211: [[charShingleImpact]] over a SPACE-FREE corpus — the zh
+    * slice (doc_id < 400) with whitespace removed, standing in for
+    * the CJK/Thai documents a multilingual 100 TB corpus carries
+    * (the fixture's zh rows are synthetic English tokens, so the
+    * space-free form is synthesized literal-for-literal on both
+    * engines), plus planted near-dups: every 10th doc re-appears
+    * (id + 100000) with its last 10 characters dropped. The word arm
+    * sees each doc as ONE token, so it catches only byte-identical
+    * blobs and misses every planted pair; the char arm's 4-gram sets
+    * recover them — n_gained is the recall a char-gram chain restores
+    * on space-free scripts, the q207-style decision table for the
+    * shingle-unit knob. FULL-REPLAY ORACLE: DuckDB re-synthesizes the
+    * corpus and re-derives BOTH pair chains from raw documents.
+    *
+    * Scale: slice-bounded exact all-pairs (the q85/q207 reasoning);
+    * the corpus-scale path is [[charMinhashSignatures]] through the
+    * unchanged banded chain (spec-proven on real CJK text in
+    * CharShingleSpec).
+    */
+  val q211: QueryDef = QueryDef.sql(
+    "q211_char_shingle_impact",
+    s"""WITH zh AS (
+       |  SELECT doc_id, source, replace(text, ' ', '') AS text
+       |  FROM documents WHERE lang = 'zh' AND doc_id < 400),
+       |c AS MATERIALIZED (
+       |  SELECT doc_id, source, text FROM zh
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, source,
+       |    substring(text, 1, greatest(length(text) - 10, 1)) AS text
+       |  FROM zh WHERE doc_id % 10 = 0),
+       |${jaccPairChainSql("c", "w")},
+       |${charPairChainSql("c", "g", 4)},
+       |fj AS (
+       |  SELECT COALESCE(w.d1, g.d1) AS d1,
+       |    CASE WHEN w.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_word,
+       |    CASE WHEN g.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_char
+       |  FROM pairsw w FULL OUTER JOIN pairsg g
+       |    ON w.d1 = g.d1 AND w.d2 = g.d2),
+       |tal AS (
+       |  SELECT s.source,
+       |    CAST(sum(in_word) AS BIGINT) AS n_pairs_word,
+       |    CAST(sum(in_char) AS BIGINT) AS n_pairs_char,
+       |    CAST(sum(CASE WHEN in_char = 1 AND in_word = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_gained,
+       |    CAST(sum(CASE WHEN in_word = 1 AND in_char = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_lost
+       |  FROM fj JOIN c s ON s.doc_id = fj.d1
+       |  GROUP BY s.source)
+       |SELECT src.source,
+       |  CAST(COALESCE(tal.n_pairs_word, 0) AS BIGINT) AS n_pairs_word,
+       |  CAST(COALESCE(tal.n_pairs_char, 0) AS BIGINT) AS n_pairs_char,
+       |  CAST(COALESCE(tal.n_gained, 0) AS BIGINT) AS n_gained,
+       |  CAST(COALESCE(tal.n_lost, 0) AS BIGINT) AS n_lost
+       |FROM (SELECT DISTINCT source FROM c) src
+       |LEFT JOIN tal ON src.source IS NOT DISTINCT FROM tal.source
+       |ORDER BY src.source NULLS FIRST""".stripMargin) { (s, dir) =>
+    val zh = Tables.documents(s, dir)
+      .filter(col("lang") === "zh" && col("doc_id") < 400)
+      .select(col("doc_id"), col("source"),
+        expr("replace(text, ' ', '')").as("text"))
+    // checkpointed: both pair arms, the source map, and the spine all
+    // read the synthesized corpus
+    val corpus = zh.unionByName(
+        zh.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+            expr("substring(text, 1, greatest(length(text) - 10, 1))")
+              .as("text")))
+      .localCheckpoint(false)
+    // NULLS FIRST: the q207/q203 ordering pin
+    charShingleImpact(corpus).orderBy(col("source"))
   }
 
   /** Shingle containment pairs (q139): asymmetric near-dup —
