@@ -1821,11 +1821,18 @@ object Dedup {
     * ([[verifiedPairs]]); NormalizedDedupSpec plants a disguised
     * duplicate the raw chain misses and this one strikes.
     */
+  /** The q207 pre-shingle normalization transform — THE one
+    * definition of "fold the text column" ([[graft.text.Fold]] via
+    * the codegen `fold_text`), shared by [[foldedMinhashSignatures]]
+    * and the streaming lifts (NearDupStream's fold mode) so batch and
+    * stream can never fold differently ahead of the same band keys.
+    */
+  def foldTextCol(docs: DataFrame): DataFrame =
+    docs.withColumn("text", graft.functions.functions.fold_text(col("text")))
+
   def foldedMinhashSignatures(docs: DataFrame, nHashes: Int = 32,
                               shingleSize: Int = 3): DataFrame =
-    minhashSignatures(
-      docs.withColumn("text", graft.functions.functions.fold_text(col("text"))),
-      nHashes, shingleSize)
+    minhashSignatures(foldTextCol(docs), nHashes, shingleSize)
 
   /** Normalization impact on near-dup yield (q207): per source, the
     * exact-Jaccard-0.7 pair counts over RAW tokens vs over

@@ -55,10 +55,17 @@ object NearDupStream {
                        nHashes: Int = 32, bandSize: Int = 4,
                        shingleSize: Int = 3,
                        watermarkDelay: String = "10 minutes",
-                       bucketTtlMs: Long = 3600L * 1000L): Dataset[BucketHit] = {
+                       bucketTtlMs: Long = 3600L * 1000L,
+                       fold: Boolean = false): Dataset[BucketHit] = {
     import spark.implicits._
+    // fold = the q207 normalized form: ONE codegen expression
+    // (Dedup.foldTextCol, the exact batch transform) ahead of the
+    // band keys, so a case/diacritic-disguised recurrence anchors to
+    // the original's bucket — stream gate == the batch
+    // foldedMinhashSignatures gate, spec-pinned in NearDupStreamSpec
+    val src = if (fold) Dedup.foldTextCol(docs) else docs
     val bands = Dedup.bandSignatures(
-      docs.withWatermark("ts", watermarkDelay),
+      src.withWatermark("ts", watermarkDelay),
       nHashes, bandSize, shingleSize, keep = Seq("ts"))
       .select(col("doc_id"), col("ts"), col("band"), col("band_sig"))
       .as[BandRow]
@@ -182,26 +189,34 @@ object NearDupStream {
     */
   def maintainBandIndex(docs: DataFrame, indexDir: String, checkpointDir: String,
                         nHashes: Int = 32, bandSize: Int = 4,
-                        shingleSize: Int = 3): StreamingQuery =
+                        shingleSize: Int = 3,
+                        fold: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        indexBatch(batch, batchId, indexDir, nHashes, bandSize, shingleSize)
+        indexBatch(batch, batchId, indexDir, nHashes, bandSize, shingleSize,
+          fold)
       }
       .outputMode("update")
       .start()
 
   /** One micro-batch of [[maintainBandIndex]], named so replay
-    * idempotence is directly testable.
+    * idempotence is directly testable. With `fold` set the index
+    * stores NORMALIZED band keys (Dedup.foldTextCol ahead of the
+    * signature kernel — the q207 form); probes against a folded index
+    * must fold their batch the same way before
+    * [[graft.ops.Dedup.probeBandIndex]].
     */
   private[streaming] def indexBatch(batch: DataFrame, batchId: Long,
                                     indexDir: String, nHashes: Int,
-                                    bandSize: Int, shingleSize: Int): Unit = {
+                                    bandSize: Int, shingleSize: Int,
+                                    fold: Boolean = false): Unit = {
+    val b = if (fold) Dedup.foldTextCol(batch) else batch
     // upsert into an EMPTY index = the batch's own winner-per-doc_id
     // band rows, computed with the exact upsertBandIndex code path
     val delta = Dedup.upsertBandIndex(
-      Dedup.bandSignatures(batch.limit(0), nHashes, bandSize, shingleSize),
-      batch, nHashes, bandSize, shingleSize)
+      Dedup.bandSignatures(b.limit(0), nHashes, bandSize, shingleSize),
+      b, nHashes, bandSize, shingleSize)
     delta.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
   }
 

@@ -84,6 +84,45 @@ class NearDupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fold mode: case/diacritic-disguised dup anchors cross-batch; raw stream misses it") {
+    implicit val sq = spark.sqlContext
+    val original = InDoc(1L, t(0),
+      "the quick brown fox jumps over the lazy dog near the river bank")
+    // case + accent disguise, a LATER batch: folds to the original
+    val disguised = InDoc(2L, t(1),
+      "The Quick Brown Fox jumps over the lazy dog near the rivér bank")
+    def flagged(fold: Boolean, name: String): Set[Long] = {
+      val mem = MemoryStream[InDoc]
+      val q = NearDupStream.lshBucketAnchors(spark, mem.toDF(),
+        nHashes = 16, bandSize = 2, shingleSize = 2, fold = fold)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        mem.addData(original)
+        q.processAllAvailable()
+        mem.addData(disguised)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[NearDupStream.BucketHit]
+        .collect().filter(h => h.anchor_id != h.doc_id).map(_.doc_id).toSet
+    }
+    assert(flagged(fold = false, "anchors_raw").isEmpty,
+      "raw stream must miss the disguised dup (control)")
+    val caught = flagged(fold = true, "anchors_folded")
+    assert(caught == Set(2L), s"folded stream must anchor the disguise: $caught")
+    // stream gate == batch gate: the folded batch chain proposes the
+    // same candidate set over the same rows
+    val batchFlagged = graft.ops.Dedup.candidatesFromBands(
+      graft.ops.Dedup.bandsFromSignatures(
+        graft.ops.Dedup.foldedMinhashSignatures(
+          Seq(original, disguised).toDF().select(col("doc_id"), col("text")),
+          nHashes = 16, shingleSize = 2),
+        nHashes = 16, bandSize = 2))
+      .select(col("d2")).as[Long].collect().toSet
+    assert(caught == batchFlagged,
+      s"stream $caught != batch folded chain $batchFlagged")
+  }
+
   test("dedupOnIngest drops cross-batch duplicate keys via the history store") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("neardup-ingest").toString
