@@ -196,9 +196,37 @@ object ScaleCheck {
         // q198 is absent for q85's reason (doc_id < 100 exact-Jaccard
         // slice; at corpus scale candidates come from probeBandIndex
         // and the region recompute is delta-local by construction).
-    val out = s"/tmp/graft_scale_${factor}x_" +
-      base.replaceAll("[^0-9a-zA-Z.]", "_")
-    val spark = SparkSession.builder()
+    val spark = session()
+    val out = ensureScaledCorpus(spark, base, factor)
+
+    val qs = graft.SparkEntry.queries
+    // materialize via toRdd.count(), NOT Dataset.count(): count()
+    // re-optimizes with only the row count as output, and column
+    // pruning then deletes any operator whose outputs feed no key,
+    // filter, or kept column — q136's whole window + sh exchange
+    // vanished that way, so the probe timed a plan the query never
+    // runs. toRdd executes the query's own physical plan verbatim.
+    def time(n: String, dir: String): Double = {
+      qs(n)(spark, dir).queryExecution.toRdd.count() // warmup/codegen
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        qs(n)(spark, dir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.min
+    }
+    println(f"[scale] ${"query"}%-26s ${"1x"}%7s ${factor + "x"}%7s  ratio (ideal <= $factor)")
+    names.foreach { n =>
+      val t1 = time(n, base)
+      val tk = time(n, out)
+      println(f"[scale] $n%-26s $t1%7.2f $tk%7.2f  ${tk / t1}%5.2fx")
+    }
+    spark.stop()
+  }
+
+  /** The shared local session every scale probe runs under. */
+  private[tools] def session(): SparkSession = {
+    val s = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -206,13 +234,24 @@ object ScaleCheck {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
 
-    // completeness + freshness sentinel: an interrupted build leaves
-    // the directory partial, and a REGENERATED base fixture would
-    // otherwise be silently served from a stale /tmp corpus — the
-    // marker stores a fingerprint (name/size/mtime, recursive) of the
-    // base tables and the build recipe; any mismatch rebuilds
+  /** Build (or reuse) the `factor`x replicated corpus for `base` and
+    * return its directory — the fixture half of the probe, shared
+    * with [[GraphScaleCheck]].
+    *
+    * Completeness + freshness sentinel: an interrupted build leaves
+    * the directory partial, and a REGENERATED base fixture would
+    * otherwise be silently served from a stale /tmp corpus — the
+    * marker stores a fingerprint (name/size/mtime, recursive) of the
+    * base tables and the build recipe; any mismatch rebuilds.
+    */
+  private[tools] def ensureScaledCorpus(spark: SparkSession, base: String,
+                                        factor: Int): String = {
+    val out = s"/tmp/graft_scale_${factor}x_" +
+      base.replaceAll("[^0-9a-zA-Z.]", "_")
     // listFiles returns null (not empty) for a missing/unreadable path
     def ls(f: java.io.File): Array[java.io.File] = {
       val c = f.listFiles()
@@ -280,29 +319,6 @@ object ScaleCheck {
       java.nio.file.Files.write(okMarker.toPath, fingerprint.getBytes("UTF-8"))
       println(s"[scale] built ${factor}x corpus at $out")
     }
-
-    val qs = graft.SparkEntry.queries
-    // materialize via toRdd.count(), NOT Dataset.count(): count()
-    // re-optimizes with only the row count as output, and column
-    // pruning then deletes any operator whose outputs feed no key,
-    // filter, or kept column — q136's whole window + sh exchange
-    // vanished that way, so the probe timed a plan the query never
-    // runs. toRdd executes the query's own physical plan verbatim.
-    def time(n: String, dir: String): Double = {
-      qs(n)(spark, dir).queryExecution.toRdd.count() // warmup/codegen
-      val ts = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        qs(n)(spark, dir).queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      ts.min
-    }
-    println(f"[scale] ${"query"}%-26s ${"1x"}%7s ${factor + "x"}%7s  ratio (ideal <= $factor)")
-    names.foreach { n =>
-      val t1 = time(n, base)
-      val tk = time(n, out)
-      println(f"[scale] $n%-26s $t1%7.2f $tk%7.2f  ${tk / t1}%5.2fx")
-    }
-    spark.stop()
+    out
   }
 }
