@@ -198,6 +198,45 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_DETAIL.json write failed: $e")
     }
+    // The QUIET PIN (r13 lesson: the driver's own bench overwrote the
+    // committed BENCH_DETAIL.json in the working tree and the round's
+    // quiet adjudication record survived only in git history). Written
+    // ONLY when the builder sets SPARK_GRAFT_BENCH_PIN — the driver
+    // never does — to a separately-named committed file nothing else
+    // writes: per-query medians under FULL names, loads, and the git
+    // HEAD the jar was built from. BenchBudgetSpec reads it as the
+    // bench-economics sidecar (coverage + per-query/total budgets),
+    // the BENCH analog of tools/ORACLE_TIMING.json.
+    if (sys.env.contains("SPARK_GRAFT_BENCH_PIN") && only.isEmpty) {
+      def gitHead(): String =
+        try {
+          val head = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(".git/HEAD")), "UTF-8").trim
+          if (head.startsWith("ref: "))
+            new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(".git", head.stripPrefix("ref: "))),
+              "UTF-8").trim
+          else head
+        } catch { case _: Throwable => "unknown" }
+      val pin = new StringBuilder
+      pin ++= s"""{"sf":$sfNum,"reps":$reps,"cpus":$cpus,"""
+      pin ++= s""""git_head":"${gitHead()}","""
+      pin ++= s""""total_median":${fmt(total)},"""
+      pin ++= s""""load_start":${loadStart.map(fmt).mkString("[", ",", "]")},"""
+      pin ++= s""""load_end":${loadEnd.map(fmt).mkString("[", ",", "]")},"""
+      pin ++= failed.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString("\"errors\":[", ",", "],")
+      pin ++= medians.toSeq.sortBy(_._1).map { case (n, v) =>
+        "\"" + n + "\":" + fmt(v)
+      }.mkString("\"median_s\":{", ",", "}}")
+      try {
+        val w = new java.io.PrintWriter("BENCH_PIN.json", "UTF-8")
+        try w.println(pin.result()) finally w.close()
+        System.err.println("[bench] wrote quiet pin BENCH_PIN.json")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_PIN.json write failed: $e")
+      }
+    }
     // lean on purpose: "max" (worst-rep sum) and per-query rep vectors
     // live in BENCH_DETAIL.json; "errors" appears only when non-empty —
     // every char here competes with per-query entries for the driver's

@@ -81,6 +81,13 @@ object AuxArtifacts {
         KMeansAssign.assignMap(c, centers, "cv").drop("dist"), "cv")
         .select(col("center_id"), posexplode(col("cvec")).as(Seq("pos", "x")))
     }),
+    // q212: char-gram MinHash signatures over the q211 space-free
+    // corpus, exploded (doc_id, pos, h) — the char chain's
+    // calibration audit re-derives bands/candidates/slot-matches
+    // from these
+    "aux_char_sig32" -> ((s, dir) =>
+      Dedup.charMinhashSignatures(Dedup.spaceFreeZhCorpus(s, dir))
+        .select(col("doc_id"), posexplode(col("mh")).as(Seq("pos", "h")))),
     // q132: MinHash signatures over the curation pipeline's
     // deterministic exact-dedup prefix (quality -> lang allowlist ->
     // min-doc_id exact dedup) — exactStage replays the identical

@@ -1051,6 +1051,58 @@ object Dedup {
       graft.functions.functions.char_shingle_minhash(
         col("text"), nHashes, n).as("mh"))
 
+  /** Script-ROUTED MinHash signatures: each document takes the char
+    * n-gram kernel when its CJK codepoint density clears
+    * `cjkDensity`, the word-shingle kernel otherwise — the ACTION the
+    * langId detection enables (the r13 gap: q129 could SAY a doc was
+    * zh, but every dedup surface still shingled whitespace tokens at
+    * it). One narrow codegen map: the density test is the exact q129
+    * CJK predicate (codepoint count via regexp_replace) and CaseWhen
+    * evaluates only the chosen kernel per row. Emits
+    * (doc_id, route, mh); `route` ∈ ('word','char') NAMESPACES the
+    * band join downstream — a cross-script band collision would be a
+    * meaningless candidate, so the two families never share buckets.
+    */
+  def scriptRoutedSignatures(docs: DataFrame, nHashes: Int = 32,
+                             wordShingle: Int = 3, charN: Int = 4,
+                             cjkDensity: Double = 0.3): DataFrame = {
+    val len = length(col("text"))
+    val cjk = len - length(
+      regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))
+    val useChar = col("text").isNotNull && len > 0 &&
+      cjk.cast("double") >= lit(cjkDensity) * len.cast("double")
+    docs.select(
+      col("doc_id"),
+      when(useChar, lit("char")).otherwise(lit("word")).as("route"),
+      when(useChar,
+          graft.functions.functions.char_shingle_minhash(
+            col("text"), nHashes, charN))
+        .otherwise(
+          graft.functions.functions.shingle_minhash(
+            col("text"), nHashes, wordShingle)).as("mh"))
+  }
+
+  /** LSH candidate pairs over [[scriptRoutedSignatures]]: the q45
+    * banded equi-join with `route` in the bucket key (word and char
+    * signatures live in disjoint bucket spaces by construction).
+    * Verify survivors with [[verifyCandidates]] against the SAME
+    * routed signature frame — slot agreement is route-consistent
+    * because candidates never cross routes.
+    */
+  def scriptRoutedCandidates(docs: DataFrame, nHashes: Int = 32,
+                             bandSize: Int = 4, wordShingle: Int = 3,
+                             charN: Int = 4,
+                             cjkDensity: Double = 0.3): DataFrame = {
+    val bands = bandsFromSignatures(
+      scriptRoutedSignatures(docs, nHashes, wordShingle, charN, cjkDensity),
+      nHashes, bandSize, keep = Seq("route"))
+    bands.toDF("d1", "route", "band", "sig")
+      .join(bands.toDF("d2", "route2", "band2", "sig2"),
+        col("route") === col("route2") && col("band") === col("band2") &&
+          col("sig") === col("sig2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
   /** Exact codepoint-n-gram Jaccard pairs at `threshold` — the
     * char-level twin of [[jaccardPairs]] (distinct (doc, gram), size
     * table, gram self-join, threshold compare, same division form).
@@ -2000,15 +2052,7 @@ object Dedup {
     */
   val q211: QueryDef = QueryDef.sql(
     "q211_char_shingle_impact",
-    s"""WITH zh AS (
-       |  SELECT doc_id, source, replace(text, ' ', '') AS text
-       |  FROM documents WHERE lang = 'zh' AND doc_id < 400),
-       |c AS MATERIALIZED (
-       |  SELECT doc_id, source, text FROM zh
-       |  UNION ALL
-       |  SELECT doc_id + 100000 AS doc_id, source,
-       |    substring(text, 1, greatest(length(text) - 10, 1)) AS text
-       |  FROM zh WHERE doc_id % 10 = 0),
+    s"""WITH $spaceFreeZhCorpusSql,
        |${jaccPairChainSql("c", "w")},
        |${charPairChainSql("c", "g", 4)},
        |fj AS (
@@ -2035,21 +2079,47 @@ object Dedup {
        |FROM (SELECT DISTINCT source FROM c) src
        |LEFT JOIN tal ON src.source IS NOT DISTINCT FROM tal.source
        |ORDER BY src.source NULLS FIRST""".stripMargin) { (s, dir) =>
+    // NULLS FIRST: the q207/q203 ordering pin
+    charShingleImpact(spaceFreeZhCorpus(s, dir)).orderBy(col("source"))
+  }
+
+  /** The q211/q212 SPACE-FREE audit corpus — the zh slice with
+    * whitespace removed plus planted truncation near-dups at
+    * id + 100000 — ONE definition shared by the impact report, the
+    * char-calibration audit, and the aux_char_sig32 artifact (its
+    * twin text is [[spaceFreeZhCorpusSql]]; a drifted copy in any of
+    * them would audit a different corpus than the one dumped).
+    * Checkpointed: every consumer reads it several times.
+    */
+  private[ops] def spaceFreeZhCorpus(s: SparkSession, dir: String): DataFrame = {
     val zh = Tables.documents(s, dir)
       .filter(col("lang") === "zh" && col("doc_id") < 400)
       .select(col("doc_id"), col("source"),
         expr("replace(text, ' ', '')").as("text"))
-    // checkpointed: both pair arms, the source map, and the spine all
-    // read the synthesized corpus
-    val corpus = zh.unionByName(
+    zh.unionByName(
         zh.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
             expr("substring(text, 1, greatest(length(text) - 10, 1))")
               .as("text")))
       .localCheckpoint(false)
-    // NULLS FIRST: the q207/q203 ordering pin
-    charShingleImpact(corpus).orderBy(col("source"))
   }
+
+  /** [[spaceFreeZhCorpus]] in twin SQL: emits CTEs `zh` and `c`.
+    * A `def`, not a `val`: q211's SQL val initializes EARLIER in this
+    * object, and a val here would interpolate as "null" into it (the
+    * Scala forward-reference init-order trap — caught by the oracle
+    * gate as a DuckDB parse error).
+    */
+  private[ops] def spaceFreeZhCorpusSql: String =
+    """zh AS (
+      |  SELECT doc_id, source, replace(text, ' ', '') AS text
+      |  FROM documents WHERE lang = 'zh' AND doc_id < 400),
+      |c AS MATERIALIZED (
+      |  SELECT doc_id, source, text FROM zh
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, source,
+      |    substring(text, 1, greatest(length(text) - 10, 1)) AS text
+      |  FROM zh WHERE doc_id % 10 = 0)""".stripMargin
 
   /** Shingle containment pairs (q139): asymmetric near-dup —
     * C(A,B) = |A∩B| / |A| over 3-gram shingle sets, the sub-document

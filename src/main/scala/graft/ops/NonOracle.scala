@@ -25,7 +25,7 @@ object NonOracle {
 
   def all: Seq[QueryDef] = Seq(
     q45, q46, q47, q51, q52, q53, q57, q102, q105, q106, q128, q130, q153,
-    q160, q170, q173, q177, q188, q196, q200, q204, q206)
+    q160, q170, q173, q177, q188, q196, q200, q204, q206, q212)
 
   // the shared twin cosine fragments (single definition: TwinSql)
   // every twin in this file SCORES vectors, so only the zero-norm
@@ -171,6 +171,118 @@ object NonOracle {
     val shg = docs
       .select(col("doc_id"),
         explode(array_distinct(Dedup.shingles(col("text"), 3))).as("sg"))
+      .select(col("doc_id"), xxhash64(col("sg")).as("sh"))
+    val cnt = shg.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    val inter = cand
+      .join(shg.toDF("d1", "sh"), Seq("d1"))
+      .join(shg.toDF("d2", "sh"), Seq("d2", "sh"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).cast("bigint").as("inter"))
+    val estJ = col("n_match").cast("double") / lit(32.0)
+    val exactJ = coalesce(col("inter"), lit(0L)).cast("double") /
+      (col("c1") + col("c2") - coalesce(col("inter"), lit(0L))).cast("double")
+    cand
+      .join(sig.toDF("d1", "mh1"), Seq("d1"))
+      .join(sig.toDF("d2", "mh2"), Seq("d2"))
+      .withColumn("n_match",
+        size(filter(zip_with(col("mh1"), col("mh2"), (x, y) => x === y),
+          b => b)).cast("bigint"))
+      .join(cnt.toDF("d1", "c1"), Seq("d1"))
+      .join(cnt.toDF("d2", "c2"), Seq("d2"))
+      .join(inter, Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"), col("n_match"),
+        estJ.as("est_j"),
+        coalesce(col("inter"), lit(0L)).cast("bigint").as("n_inter"),
+        (col("c1") + col("c2") - coalesce(col("inter"), lit(0L)))
+          .cast("bigint").as("n_union"),
+        exactJ.as("exact_j"),
+        abs(estJ - exactJ).as("abs_err"))
+  }
+
+  /** Auditable CHAR MinHash (q212): the q153 calibration audit run
+    * over the CODEPOINT-n-gram chain — per banded candidate pair on
+    * the q211 space-free corpus, signature-estimated Jaccard vs the
+    * EXACT char-4-gram-set Jaccard with the per-pair absolute error.
+    * The char chain (r14) inherits q153's question with a new twist:
+    * grams are 4 characters instead of 3 words, so gram sets are
+    * larger and denser — this table says whether 32 permutations
+    * still estimate well enough at the 0.7 operating point on
+    * space-free text. Same candidate-bounded scale shape as q153.
+    * TWO-STAGE ORACLE: DuckDB re-derives bands, candidates, and slot
+    * matches from the dumped char signature matrix (aux_char_sig32)
+    * and the exact Jaccard from the re-synthesized corpus (the shared
+    * spaceFreeZhCorpusSql twin).
+    */
+  val q212 = QueryDef.sql(
+    "q212_char_minhash_calibration",
+    s"""WITH s AS (
+       |  SELECT doc_id, list(h ORDER BY pos) AS mh
+       |  FROM read_parquet('__GRAFT_OUT__/aux_char_sig32/*.parquet')
+       |  GROUP BY doc_id),
+       |b AS (
+       |  SELECT doc_id, g.b AS band, list_slice(mh, g.b*4 + 1, g.b*4 + 4) AS key
+       |  FROM s CROSS JOIN (SELECT unnest(range(8)) AS b) g),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, c2.doc_id AS d2
+       |  FROM b a JOIN b c2 ON a.band = c2.band AND a.key = c2.key
+       |    AND a.doc_id < c2.doc_id
+       |  GROUP BY d1, d2),
+       |m AS (
+       |  SELECT cand.d1, cand.d2,
+       |    CAST(len(list_filter(range(1, 33), i -> s1.mh[i] = s2.mh[i])) AS BIGINT)
+       |      AS n_match
+       |  FROM cand JOIN s s1 ON s1.doc_id = cand.d1
+       |            JOIN s s2 ON s2.doc_id = cand.d2),
+       |${graft.ops.Dedup.spaceFreeZhCorpusSql},
+       |sh AS (
+       |  SELECT DISTINCT doc_id, gram FROM (
+       |    SELECT doc_id, substring(text, i + 1, 4) AS gram FROM (
+       |      SELECT doc_id, text,
+       |        unnest(range(0, greatest(length(text) - 4, 0) + 1)) AS i
+       |      FROM c))
+       |  WHERE gram <> ''),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY doc_id),
+       |iv AS (
+       |  SELECT m2.d1, m2.d2, CAST(count(*) AS BIGINT) AS inter
+       |  FROM m m2 JOIN sh a ON a.doc_id = m2.d1
+       |            JOIN sh b2 ON b2.doc_id = m2.d2 AND b2.gram = a.gram
+       |  GROUP BY m2.d1, m2.d2)
+       |SELECT m.d1, m.d2, m.n_match,
+       |  CAST(m.n_match AS DOUBLE) / 32.0 AS est_j,
+       |  CAST(COALESCE(iv.inter, 0) AS BIGINT) AS n_inter,
+       |  CAST(c1.c + c2.c - COALESCE(iv.inter, 0) AS BIGINT) AS n_union,
+       |  CAST(COALESCE(iv.inter, 0) AS DOUBLE)
+       |    / CAST(c1.c + c2.c - COALESCE(iv.inter, 0) AS DOUBLE) AS exact_j,
+       |  abs(CAST(m.n_match AS DOUBLE) / 32.0
+       |    - CAST(COALESCE(iv.inter, 0) AS DOUBLE)
+       |      / CAST(c1.c + c2.c - COALESCE(iv.inter, 0) AS DOUBLE)) AS abs_err
+       |FROM m JOIN cnt c1 ON c1.doc_id = m.d1
+       |       JOIN cnt c2 ON c2.doc_id = m.d2
+       |       LEFT JOIN iv ON iv.d1 = m.d1 AND iv.d2 = m.d2
+       |ORDER BY m.d1, m.d2""".stripMargin) { (s, dir) =>
+    NonOracle.charMinhashCalibration(graft.ops.Dedup.spaceFreeZhCorpus(s, dir))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** The q212 kernel over any (doc_id, text) frame; unsorted output.
+    * The q153 kernel with the char-gram chain substituted: signatures
+    * from the fused codepoint kernel (checkpointed once for all four
+    * consumers), bands via the ONE Dedup.bandsFromSignatures
+    * derivation, exact intersections over xxhash64'd distinct grams.
+    */
+  def charMinhashCalibration(docs: org.apache.spark.sql.DataFrame,
+                             n: Int = 4): org.apache.spark.sql.DataFrame = {
+    val sig = Dedup.charMinhashSignatures(docs, 32, n).localCheckpoint(false)
+    val bands = Dedup.bandsFromSignatures(sig)
+    val cand = bands.toDF("d1", "band", "bsig")
+      .join(bands.toDF("d2", "band2", "bsig2"),
+        col("band") === col("band2") && col("bsig") === col("bsig2")
+          && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val shg = docs
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.charShingles(col("text"), n))).as("sg"))
       .select(col("doc_id"), xxhash64(col("sg")).as("sh"))
     val cnt = shg.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("bigint").as("c"))

@@ -94,6 +94,23 @@ class CharShingleSpec extends SparkSpec {
     assert(got(3L) == Seq.empty)
   }
 
+  test("q212 calibration: the CJK truncation pair is audited, estimate tracks exact") {
+    val rows = NonOracle.charMinhashCalibration(docs)
+      .as[(Long, Long, Long, Double, Long, Long, Double, Double)]
+      .collect().toSeq
+    val pair = rows.find(r => r._1 == 1L && r._2 == 2L)
+    assert(pair.isDefined, s"truncation pair missing from the audit: $rows")
+    val p = pair.get
+    assert(p._7 >= 0.7, s"exact char Jaccard unexpectedly low: $p")
+    // 32 slots: deterministic per fixture; a drift past 0.25 means the
+    // kernel or the band derivation changed, not noise
+    assert(p._8 <= 0.25, s"estimate off exact by more than 0.25: $p")
+    assert(p._4 === p._3.toDouble / 32.0)
+    assert(rows.forall(r => r._5 <= r._6), "intersection must bound union")
+    // the unrelated doc must never audit as a high-Jaccard pair
+    assert(rows.filter(r => r._2 == 3L || r._1 == 3L).forall(_._7 < 0.7), rows)
+  }
+
   test("q211 impact report: gained pairs on the space-free corpus, no lost pairs") {
     val rep = Dedup.q211.build(spark, sfDir)
       .as[(String, Long, Long, Long, Long)].collect().toSeq
