@@ -212,11 +212,20 @@ object Bench {
         try {
           val head = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(".git/HEAD")), "UTF-8").trim
-          if (head.startsWith("ref: "))
-            new String(java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get(".git", head.stripPrefix("ref: "))),
-              "UTF-8").trim
-          else head
+          if (head.startsWith("ref: ")) {
+            val ref = head.stripPrefix("ref: ")
+            val loose = java.nio.file.Paths.get(".git", ref)
+            if (java.nio.file.Files.exists(loose))
+              new String(java.nio.file.Files.readAllBytes(loose), "UTF-8").trim
+            else {
+              // packed ref (after git gc/pack-refs): scan packed-refs
+              // for "<sha> <ref>" — provenance must survive a repack
+              scala.io.Source.fromFile(".git/packed-refs", "UTF-8")
+                .getLines()
+                .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
+                .map(_.split("\\s+")(0)).getOrElse("unknown")
+            }
+          } else head
         } catch { case _: Throwable => "unknown" }
       val pin = new StringBuilder
       pin ++= s"""{"sf":$sfNum,"reps":$reps,"cpus":$cpus,"""

@@ -730,17 +730,26 @@ object Dedup {
                         shingleSize: Int = 3): DataFrame =
     candidatesFromBands(bandSignatures(docs, nHashes, bandSize, shingleSize))
 
-  /** Candidate pairs from an EXISTING (doc_id, band, band_sig) band
-    * frame — the one definition of the band equi-join, shared by
-    * [[minhashCandidates]] and callers that already hold band keys
-    * (the curation pipeline derives them from a cached signature frame
-    * so the shingle kernel runs once, not once per join side).
+  /** Candidate pairs from an EXISTING (doc_id, keys..., band,
+    * band_sig) band frame — the one definition of the band equi-join,
+    * shared by [[minhashCandidates]], the calibration audits, and
+    * callers that already hold band keys (the curation pipeline
+    * derives them from a cached signature frame so the shingle kernel
+    * runs once, not once per join side). `keys` names extra columns
+    * that must ALSO match for two docs to share a bucket (positional,
+    * matching [[bandsFromSignatures]]' `keep`) — the script-routed
+    * chain passes `route` so word and char signatures live in
+    * disjoint bucket spaces.
     */
-  def candidatesFromBands(bands: DataFrame): DataFrame =
-    bands.toDF("d1", "band", "sig")
-      .join(bands.toDF("d2", "band2", "sig2"),
-        col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
+  def candidatesFromBands(bands: DataFrame, keys: Seq[String] = Nil): DataFrame = {
+    val left = bands.toDF("d1" +: keys.map(_ + "_l") :+ "band" :+ "sig": _*)
+    val right = bands.toDF("d2" +: keys.map(_ + "_r") :+ "band2" :+ "sig2": _*)
+    val cond = keys
+      .map(k => col(k + "_l") === col(k + "_r"))
+      .foldLeft(col("band") === col("band2") && col("sig") === col("sig2") &&
+        col("d1") < col("d2"))(_ && _)
+    left.join(right, cond).select(col("d1"), col("d2")).distinct()
+  }
 
   /** VERIFIED near-dup pairs from an EXISTING (doc_id, mh) signature
     * frame: bands via [[bandsFromSignatures]], the banded candidate
@@ -1092,16 +1101,12 @@ object Dedup {
   def scriptRoutedCandidates(docs: DataFrame, nHashes: Int = 32,
                              bandSize: Int = 4, wordShingle: Int = 3,
                              charN: Int = 4,
-                             cjkDensity: Double = 0.3): DataFrame = {
-    val bands = bandsFromSignatures(
-      scriptRoutedSignatures(docs, nHashes, wordShingle, charN, cjkDensity),
-      nHashes, bandSize, keep = Seq("route"))
-    bands.toDF("d1", "route", "band", "sig")
-      .join(bands.toDF("d2", "route2", "band2", "sig2"),
-        col("route") === col("route2") && col("band") === col("band2") &&
-          col("sig") === col("sig2") && col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
-  }
+                             cjkDensity: Double = 0.3): DataFrame =
+    candidatesFromBands(
+      bandsFromSignatures(
+        scriptRoutedSignatures(docs, nHashes, wordShingle, charN, cjkDensity),
+        nHashes, bandSize, keep = Seq("route")),
+      keys = Seq("route"))
 
   /** Exact codepoint-n-gram Jaccard pairs at `threshold` — the
     * char-level twin of [[jaccardPairs]] (distinct (doc, gram), size
@@ -1863,6 +1868,15 @@ object Dedup {
        |  JOIN sz$sfx s2 ON s2.doc_id = d2
        |  WHERE n_common / (s1.n + s2.n - n_common) >= 0.7)""".stripMargin
 
+  /** The q207 pre-shingle normalization transform — THE one
+    * definition of "fold the text column" ([[graft.text.Fold]] via
+    * the codegen `fold_text`), shared by [[foldedMinhashSignatures]]
+    * and the streaming lifts (NearDupStream's fold mode) so batch and
+    * stream can never fold differently ahead of the same band keys.
+    */
+  def foldTextCol(docs: DataFrame): DataFrame =
+    docs.withColumn("text", graft.functions.functions.fold_text(col("text")))
+
   /** Normalization-ahead-of-shingling MinHash signatures — the 100 TB
     * production form of the q207 normalized near-dup: [[graft.text
     * .Fold]] applied by the codegen `fold_text` expression INSIDE the
@@ -1873,15 +1887,6 @@ object Dedup {
     * ([[verifiedPairs]]); NormalizedDedupSpec plants a disguised
     * duplicate the raw chain misses and this one strikes.
     */
-  /** The q207 pre-shingle normalization transform — THE one
-    * definition of "fold the text column" ([[graft.text.Fold]] via
-    * the codegen `fold_text`), shared by [[foldedMinhashSignatures]]
-    * and the streaming lifts (NearDupStream's fold mode) so batch and
-    * stream can never fold differently ahead of the same band keys.
-    */
-  def foldTextCol(docs: DataFrame): DataFrame =
-    docs.withColumn("text", graft.functions.functions.fold_text(col("text")))
-
   def foldedMinhashSignatures(docs: DataFrame, nHashes: Int = 32,
                               shingleSize: Int = 3): DataFrame =
     minhashSignatures(foldTextCol(docs), nHashes, shingleSize)
@@ -2012,14 +2017,24 @@ object Dedup {
     * the engine column's empty-gram drop (only empty text produces
     * one).
     */
-  private def charPairChainSql(from: String, sfx: String, n: Int): String =
-    s"""t$sfx AS (
+  /** The distinct codepoint-n-gram CTE in twin SQL — ONE definition of
+    * the gram derivation (substring windows, min-1-window bound,
+    * empty-gram drop) consumed by [[charPairChainSql]] (q211's arms)
+    * AND q212's exact-intersection side: a drifted copy would have
+    * the two char oracles re-deriving DIFFERENT gram sets from the
+    * same corpus.
+    */
+  private[ops] def charGramCteSql(from: String, name: String, n: Int): String =
+    s"""$name AS (
        |  SELECT DISTINCT doc_id, gram FROM (
        |    SELECT doc_id, substring(text, i + 1, $n) AS gram FROM (
        |      SELECT doc_id, text,
        |        unnest(range(0, greatest(length(text) - $n, 0) + 1)) AS i
        |      FROM $from))
-       |  WHERE gram <> ''),
+       |  WHERE gram <> '')""".stripMargin
+
+  private def charPairChainSql(from: String, sfx: String, n: Int): String =
+    s"""${charGramCteSql(from, s"t$sfx", n)},
        |sz$sfx AS (SELECT doc_id, count(*) AS n FROM t$sfx GROUP BY doc_id),
        |inter$sfx AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common

@@ -158,20 +158,27 @@ object NonOracle {
     * kernel costs 4+ corpus passes of the hash loop.
     */
   def minhashCalibration(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    calibrationAudit(
+      Dedup.minhashSignatures(docs).localCheckpoint(false),
+      docs.select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(col("text"), 3))).as("sg"))
+        .select(col("doc_id"), xxhash64(col("sg")).as("sh")))
+
+  /** The shared q153/q212 calibration core: given a CHECKPOINTED
+    * (doc_id, mh) signature frame and a (doc_id, sh) hashed distinct
+    * gram frame, derive banded candidates (bands via the ONE
+    * Dedup.bandsFromSignatures derivation, the join via the ONE
+    * Dedup.candidatesFromBands definition), per-pair slot-match
+    * estimates, the exact gram-set Jaccard, and abs_err. ONE
+    * definition for both the word and char audits — a formula fix
+    * applied to one copy must not leave the other auditing a
+    * different criterion.
+    */
+  private def calibrationAudit(sig: org.apache.spark.sql.DataFrame,
+                               shg: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val sig = Dedup.minhashSignatures(docs).localCheckpoint(false)
-    // bands derived FROM the checkpointed signatures — same derivation
-    // as the live dedup path (one definition, Dedup.bandsFromSignatures)
-    val bands = Dedup.bandsFromSignatures(sig)
-    val cand = bands.toDF("d1", "band", "bsig")
-      .join(bands.toDF("d2", "band2", "bsig2"),
-        col("band") === col("band2") && col("bsig") === col("bsig2")
-          && col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
-    val shg = docs
-      .select(col("doc_id"),
-        explode(array_distinct(Dedup.shingles(col("text"), 3))).as("sg"))
-      .select(col("doc_id"), xxhash64(col("sg")).as("sh"))
+    val cand = Dedup.candidatesFromBands(Dedup.bandsFromSignatures(sig))
     val cnt = shg.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("bigint").as("c"))
     val inter = cand
@@ -235,13 +242,7 @@ object NonOracle {
        |  FROM cand JOIN s s1 ON s1.doc_id = cand.d1
        |            JOIN s s2 ON s2.doc_id = cand.d2),
        |${graft.ops.Dedup.spaceFreeZhCorpusSql},
-       |sh AS (
-       |  SELECT DISTINCT doc_id, gram FROM (
-       |    SELECT doc_id, substring(text, i + 1, 4) AS gram FROM (
-       |      SELECT doc_id, text,
-       |        unnest(range(0, greatest(length(text) - 4, 0) + 1)) AS i
-       |      FROM c))
-       |  WHERE gram <> ''),
+       |${graft.ops.Dedup.charGramCteSql("c", "sh", 4)},
        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY doc_id),
        |iv AS (
        |  SELECT m2.d1, m2.d2, CAST(count(*) AS BIGINT) AS inter
@@ -265,52 +266,17 @@ object NonOracle {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** The q212 kernel over any (doc_id, text) frame; unsorted output.
-    * The q153 kernel with the char-gram chain substituted: signatures
-    * from the fused codepoint kernel (checkpointed once for all four
-    * consumers), bands via the ONE Dedup.bandsFromSignatures
-    * derivation, exact intersections over xxhash64'd distinct grams.
+  /** The q212 kernel over any (doc_id, text) frame; unsorted output —
+    * the shared [[calibrationAudit]] core fed by the fused codepoint
+    * signature kernel and xxhash64'd distinct char grams.
     */
   def charMinhashCalibration(docs: org.apache.spark.sql.DataFrame,
-                             n: Int = 4): org.apache.spark.sql.DataFrame = {
-    val sig = Dedup.charMinhashSignatures(docs, 32, n).localCheckpoint(false)
-    val bands = Dedup.bandsFromSignatures(sig)
-    val cand = bands.toDF("d1", "band", "bsig")
-      .join(bands.toDF("d2", "band2", "bsig2"),
-        col("band") === col("band2") && col("bsig") === col("bsig2")
-          && col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
-    val shg = docs
-      .select(col("doc_id"),
-        explode(array_distinct(Dedup.charShingles(col("text"), n))).as("sg"))
-      .select(col("doc_id"), xxhash64(col("sg")).as("sh"))
-    val cnt = shg.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("bigint").as("c"))
-    val inter = cand
-      .join(shg.toDF("d1", "sh"), Seq("d1"))
-      .join(shg.toDF("d2", "sh"), Seq("d2", "sh"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).cast("bigint").as("inter"))
-    val estJ = col("n_match").cast("double") / lit(32.0)
-    val exactJ = coalesce(col("inter"), lit(0L)).cast("double") /
-      (col("c1") + col("c2") - coalesce(col("inter"), lit(0L))).cast("double")
-    cand
-      .join(sig.toDF("d1", "mh1"), Seq("d1"))
-      .join(sig.toDF("d2", "mh2"), Seq("d2"))
-      .withColumn("n_match",
-        size(filter(zip_with(col("mh1"), col("mh2"), (x, y) => x === y),
-          b => b)).cast("bigint"))
-      .join(cnt.toDF("d1", "c1"), Seq("d1"))
-      .join(cnt.toDF("d2", "c2"), Seq("d2"))
-      .join(inter, Seq("d1", "d2"), "left")
-      .select(col("d1"), col("d2"), col("n_match"),
-        estJ.as("est_j"),
-        coalesce(col("inter"), lit(0L)).cast("bigint").as("n_inter"),
-        (col("c1") + col("c2") - coalesce(col("inter"), lit(0L)))
-          .cast("bigint").as("n_union"),
-        exactJ.as("exact_j"),
-        abs(estJ - exactJ).as("abs_err"))
-  }
+                             n: Int = 4): org.apache.spark.sql.DataFrame =
+    calibrationAudit(
+      Dedup.charMinhashSignatures(docs, 32, n).localCheckpoint(false),
+      docs.select(col("doc_id"),
+          explode(array_distinct(Dedup.charShingles(col("text"), n))).as("sg"))
+        .select(col("doc_id"), xxhash64(col("sg")).as("sh")))
 
   /** SimHash near-dup pairs via the codegen'd simhash64 expression.
     * TWO-STAGE ORACLE: xxhash64 has no DuckDB twin, but given the

@@ -110,19 +110,24 @@ object BloomStream {
     */
   def readWords(spark: SparkSession, wordsDir: String,
                 beforeBatch: Option[Long] = None): Array[Long] = {
-    // ONE collect, winners picked driver-side (the processBatch
-    // hot-path read's pattern): the filter is BloomBits/64 longs per
-    // snapshot by construction, so even the full store is a bounded
-    // driver read, and a distinct-then-filter pair of Spark actions
-    // doubled the read cost for no added safety
+    // ONE Spark action AND a bounded driver read: the two newest
+    // snapshots are selected Spark-side by a dense_rank over
+    // batch_id, so only 2 x BloomBits/64 rows ever reach the driver —
+    // a whole-store collect would grow linearly with stream age until
+    // compaction, and the earlier distinct-then-filter pair of
+    // actions doubled the read cost. The single-partition window is
+    // fine here: the store is (BloomBits/64) x snapshot-count rows of
+    // three scalars, snapshot-bounded, never corpus-sized.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("batch_id").desc)
     val rows = DeltaStore.readScopedOr(spark, wordsDir, beforeBatch, wordSchema)
       .select(col("batch_id").cast("long").as("batch_id"),
         col("word_idx"), col("bits"))
+      .withColumn("__r", dense_rank().over(w)).filter(col("__r") <= 2)
+      .select(col("word_idx"), col("bits"))
       .collect()
-    val ids = rows.map(_.getLong(0)).distinct.sorted.takeRight(2).toSet
     val words = new Array[Long](Dedup.BloomBits / 64)
-    rows.filter(r => ids.contains(r.getLong(0)))
-      .foreach(r => words(r.getInt(1)) |= r.getLong(2))
+    rows.foreach(r => words(r.getInt(0)) |= r.getLong(1))
     words
   }
 

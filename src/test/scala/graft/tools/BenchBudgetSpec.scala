@@ -70,6 +70,13 @@ class BenchBudgetSpec extends AnyFunSuite {
         s"${missing.toSeq.sorted.mkString(", ")} — run the full bench " +
         "with SPARK_GRAFT_BENCH_PIN=1 on a quiet box and commit " +
         "BENCH_PIN.json")
+    // BOTH directions: a deleted query's stale median would otherwise
+    // keep inflating the total against the ceiling (phantom headroom
+    // loss) — and a renamed query would half-pass
+    val stale = medians.keySet -- graft.SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      "pin entries for queries no longer registered: " +
+        s"${stale.toSeq.sorted.mkString(", ")} — re-pin")
   }
 
   test("no registered face over the per-query quiet budget") {

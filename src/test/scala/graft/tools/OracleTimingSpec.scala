@@ -37,6 +37,13 @@ class OracleTimingSpec extends AnyFunSuite {
       s"oracles missing from the committed sidecar: " +
         s"${missing.toSeq.sorted.mkString(", ")} — re-run the full " +
         "check_oracle.py gate and commit tools/ORACLE_TIMING.json")
+    // BOTH directions: a deleted/renamed oracle's stale entry must
+    // also fail (the old count==count check caught this; a one-way
+    // subset check would not)
+    val stale = timed -- graft.SparkEntry.oracleSql.keySet
+    assert(stale.isEmpty,
+      s"sidecar entries for oracles no longer registered: " +
+        s"${stale.toSeq.sorted.mkString(", ")} — re-run the gate")
   }
 
   test("no oracle over the DuckDB budget") {
