@@ -37,12 +37,14 @@ class BenchBudgetSpec extends AnyFunSuite {
   private val PerQueryBudgetS = 8.0
 
   /** Quiet full-registry ceiling — the accretion backstop the
-    * driver's load-sensitive 2x gate can't provide. Set ~6% above the
-    * r14 pin (227 s at 212 queries; this box drifts ±10% even quiet —
-    * the r12/r13 adjudications) so every future addition must either
-    * fit existing headroom or raise this constant in review.
+    * driver's load-sensitive 2x gate can't provide. Set ~10% above
+    * the r14 pin (236.7 s at 212 queries) because this box drifts
+    * that much even quiet (the r12/r13 adjudications; two same-code
+    * r14 pins measured 225.8 vs 236.7). Every future addition must
+    * either fit the headroom or raise this constant in review — the
+    * point is that raising it is a visible, argued act, not drift.
     */
-  private val TotalBudgetS = 240.0
+  private val TotalBudgetS = 260.0
 
   /** A pin taken under load is not a quiet record (r13: the same jar
     * spanned 154-250 s with box load; 1-min loadavg at start is the
