@@ -28,7 +28,7 @@ object Dedup {
 
   def all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q50, q85, q87, q89, q112, q135, q139, q162,
-      q172, q185, q195, q198, q202, q205, q207, q211)
+      q172, q185, q195, q198, q202, q205, q207, q211, q213)
 
   /** Exact dedup on a normalized key: keep the lowest doc_id per group.
     * Scale: one hash exchange on the key; with pre-partitioned/bucketed
@@ -1072,17 +1072,43 @@ object Dedup {
     * band join downstream — a cross-script band collision would be a
     * meaningless candidate, so the two families never share buckets.
     */
-  def scriptRoutedSignatures(docs: DataFrame, nHashes: Int = 32,
-                             wordShingle: Int = 3, charN: Int = 4,
-                             cjkDensity: Double = 0.3): DataFrame = {
+  /** THE route predicate: 'char' when the text's CJK codepoint
+    * density (the exact q129 zh-detection formula — codepoint count
+    * via global regexp_replace) clears `cjkDensity`, 'word'
+    * otherwise (null/empty text routes 'word'; its signature is
+    * null/never-pairs anyway). ONE definition shared by
+    * [[scriptRoutedSignatures]] and the exact q213 report; its twin
+    * text is [[routeCaseSql]].
+    */
+  private[ops] def routeCol(cjkDensity: Double = 0.3): Column = {
     val len = length(col("text"))
     val cjk = len - length(
       regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))
-    val useChar = col("text").isNotNull && len > 0 &&
-      cjk.cast("double") >= lit(cjkDensity) * len.cast("double")
+    when(col("text").isNotNull && len > 0 &&
+        cjk.cast("double") >= lit(cjkDensity) * len.cast("double"),
+      lit("char")).otherwise(lit("word"))
+  }
+
+  /** [[routeCol]] in twin SQL over a column named `text`. DuckDB's
+    * regexp_replace needs the explicit 'g' flag to strip ALL CJK
+    * codepoints (Spark's is global by default — the q129 twin's
+    * documented asymmetry); the density compare is the identical
+    * double formula.
+    */
+  private[ops] def routeCaseSql(cjkDensity: Double = 0.3): String =
+    s"""CASE WHEN text IS NOT NULL AND length(text) > 0
+       |  AND CAST(length(text) - length(regexp_replace(text,
+       |        '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)
+       |      >= $cjkDensity * CAST(length(text) AS DOUBLE)
+       |THEN 'char' ELSE 'word' END""".stripMargin
+
+  def scriptRoutedSignatures(docs: DataFrame, nHashes: Int = 32,
+                             wordShingle: Int = 3, charN: Int = 4,
+                             cjkDensity: Double = 0.3): DataFrame = {
+    val useChar = routeCol(cjkDensity) === "char"
     docs.select(
       col("doc_id"),
-      when(useChar, lit("char")).otherwise(lit("word")).as("route"),
+      routeCol(cjkDensity).as("route"),
       when(useChar,
           graft.functions.functions.char_shingle_minhash(
             col("text"), nHashes, charN))
@@ -1107,6 +1133,121 @@ object Dedup {
         scriptRoutedSignatures(docs, nHashes, wordShingle, charN, cjkDensity),
         nHashes, bandSize, keep = Seq("route")),
       keys = Seq("route"))
+
+  /** Exact ROUTED pair report (the q213 kernel): route every doc by
+    * [[routeCol]], run the word-route docs through the exact token
+    * Jaccard chain ([[jaccardPairs]]) and the char-route docs through
+    * the exact gram chain ([[charJaccardPairs]]), and roll up per
+    * route — docs, pairs, and the pairs whose ids differ by
+    * `plantedOffset` (the audit corpora's planted-dup convention, so
+    * the report itself says how many plants each chain recovered).
+    * Routes can never cross: the pair arms run on disjoint doc sets.
+    * Exact all-pairs — bounded audit slices only (q85's reasoning);
+    * the corpus-scale routed path is
+    * [[scriptRoutedSignatures]]/[[scriptRoutedCandidates]].
+    */
+  def routedPairReport(docs: DataFrame, n: Int = 4,
+                       cjkDensity: Double = 0.3,
+                       plantedOffset: Long = 100000L): DataFrame = {
+    val routed = docs
+      .select(col("doc_id"), col("text"), routeCol(cjkDensity).as("route"))
+      .localCheckpoint(false) // both pair arms + the doc rollup read it
+    def arm(route: String) =
+      routed.filter(col("route") === route).select(col("doc_id"), col("text"))
+    val pairs = jaccardPairs(arm("word")).withColumn("route", lit("word"))
+      .unionByName(charJaccardPairs(arm("char"), n)
+        .withColumn("route", lit("char")))
+    val nd = routed.groupBy(col("route"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+    val np = pairs.groupBy(col("route"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(when(col("d2") === col("d1") + plantedOffset, 1L).otherwise(0L))
+          .cast("bigint").as("n_planted"))
+    nd.join(np, Seq("route"), "left")
+      .select(col("route"), col("n_docs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_planted"), lit(0L)).as("n_planted"))
+      .orderBy(col("route"))
+  }
+
+  /** The 36-char deterministic ASCII -> CJK transliteration the q213
+    * corpus synthesizer uses to make the zh slice ACTUALLY CJK-dense
+    * (the fixture's zh rows are English tokens, so [[routeCol]] would
+    * never fire on them raw): a bijection on [a-z0-9], every target
+    * in U+4E00–U+9FFF, applied by `translate` on BOTH engines
+    * (codepoint-wise in Spark and DuckDB alike). A bijection
+    * preserves gram-set structure exactly, so the char chain sees the
+    * same near-dup geometry q211 audits.
+    */
+  private def Ascii36 = "abcdefghijklmnopqrstuvwxyz0123456789"
+  private def Cjk36 =
+    "一二三四五六七八九十百千万上下左右中大小山水火木金土日月田力口手心天地人"
+
+  /** q213: [[routedPairReport]] over a MIXED-SCRIPT audit corpus —
+    * the en slice raw (spaced ASCII) and the zh slice space-free and
+    * CJK-transliterated ([[Ascii36]] -> [[Cjk36]]), each side with
+    * planted truncation near-dups at id + 100000. The end-to-end
+    * oracle proof that the ROUTING acts correctly: word-route pairs
+    * come only from the spaced side, char-route pairs only from the
+    * CJK side, each chain recovers its own plants, and no pair ever
+    * crosses scripts. FULL-REPLAY ORACLE: DuckDB re-synthesizes the
+    * corpus (replace + translate), re-derives the route CASE (the
+    * shared [[routeCaseSql]]), and re-runs BOTH exact pair chains.
+    */
+  val q213: QueryDef = QueryDef.sql(
+    "q213_routed_dedup_report",
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE doc_id < 300 AND lang IN ('en', 'zh')),
+       |srcd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN lang = 'zh'
+       |      THEN translate(replace(text, ' ', ''), '$Ascii36', '$Cjk36')
+       |      ELSE text END AS text
+       |  FROM base),
+       |c AS MATERIALIZED (
+       |  SELECT doc_id, text FROM srcd
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |    substring(text, 1, greatest(length(text) - 10, 1)) AS text
+       |  FROM srcd WHERE doc_id % 10 = 0),
+       |r AS MATERIALIZED (
+       |  SELECT doc_id, text, ${routeCaseSql()} AS route FROM c),
+       |wdocs AS (SELECT doc_id, text FROM r WHERE route = 'word'),
+       |cdocs AS (SELECT doc_id, text FROM r WHERE route = 'char'),
+       |${jaccPairChainSql("wdocs", "w")},
+       |${charPairChainSql("cdocs", "g", 4)},
+       |pr AS (
+       |  SELECT 'word' AS route, d1, d2 FROM pairsw
+       |  UNION ALL
+       |  SELECT 'char' AS route, d1, d2 FROM pairsg),
+       |nd AS (SELECT route, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM r GROUP BY route),
+       |np AS (
+       |  SELECT route, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN d2 = d1 + 100000 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_planted
+       |  FROM pr GROUP BY route)
+       |SELECT nd.route, nd.n_docs,
+       |  CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(np.n_planted, 0) AS BIGINT) AS n_planted
+       |FROM nd LEFT JOIN np USING (route)
+       |ORDER BY nd.route""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir)
+      .filter(col("doc_id") < 300 &&
+        (col("lang") === "en" || col("lang") === "zh"))
+      .select(col("doc_id"),
+        when(col("lang") === "zh",
+            translate(expr("replace(text, ' ', '')"), Ascii36, Cjk36))
+          .otherwise(col("text")).as("text"))
+    val corpus = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            expr("substring(text, 1, greatest(length(text) - 10, 1))")
+              .as("text")))
+      .localCheckpoint(false)
+    routedPairReport(corpus)
+  }
 
   /** Exact codepoint-n-gram Jaccard pairs at `threshold` — the
     * char-level twin of [[jaccardPairs]] (distinct (doc, gram), size

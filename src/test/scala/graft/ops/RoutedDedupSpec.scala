@@ -58,6 +58,21 @@ class RoutedDedupSpec extends SparkSpec {
       s"word chain unexpectedly caught the CJK pair: $wordOnly")
   }
 
+  test("routedPairReport: plants recovered per route, zero cross-script pairs") {
+    val corpus = Seq(
+      (1L, enA), (100001L, enA.split(" ").dropRight(2).mkString(" ")),
+      (3L, zhA), (100003L, zhB),
+      (5L, "totally different english words about sailing ships and harbors"),
+      (7L, zhC))
+      .toDF("doc_id", "text")
+    val rep = Dedup.routedPairReport(corpus)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rep == Seq(
+      ("char", 3L, 1L, 1L),
+      ("word", 3L, 1L, 1L)),
+      s"each route must hold 3 docs, 1 pair, 1 recovered plant: $rep")
+  }
+
   test("null/empty text never becomes a candidate; bands are route-disjoint") {
     val withJunk = docs.unionByName(
       Seq((7L, null.asInstanceOf[String]), (8L, "")).toDF("doc_id", "text"))
